@@ -1,0 +1,320 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.search.SearchEngine
+import graft.tables.Tables
+
+/** Central query registry: every operator from SURVEY.md §2 (and the
+  * training-data-pipeline extensions) gets a named query plus, where
+  * SQL-expressible, a DuckDB oracle over the same parquet tables.
+  *
+  * Determinism rules (applied to BOTH sides so value hashes match):
+  *  - every computed float is rounded (6dp for scores, 2dp for money sums)
+  *  - every result has a total deterministic ordering (score desc, id asc)
+  *  - constants are cast to DOUBLE in the oracle (DuckDB would otherwise
+  *    produce DECIMAL literals and the schemas would diverge)
+  */
+object Queries {
+
+  final case class Q(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  // ---------------------------------------------------------------------
+  // Relational core (scans, aggregations, joins, windows — A*/J*/W*/T*)
+  // ---------------------------------------------------------------------
+
+  val relational: Map[String, Q] = Map(
+    // A3/A1-style grouped aggregation — pricing summary over lineitem.
+    "q1_agg" -> Q(
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1.0::DOUBLE - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+      """)),
+
+    // Joins at scale: orders x lineitem revenue top-10 (partial agg before
+    // the shuffle; AQE picks broadcast when the filtered side is small).
+    "q2_join_revenue" -> Q(
+      (s, d) => {
+        val l = Tables(s, d, "lineitem")
+        val o = Tables(s, d, "orders").where(col("o_orderstatus") === "F")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey").asc)
+          .limit(10)
+      },
+      Some("""
+        SELECT o_orderkey, o_orderpriority,
+               round(sum(l_extendedprice * (1.0::DOUBLE - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderkey, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+      """)),
+
+    // Multi-way broadcast join: customer -> nation -> region rollup.
+    "q3_join_multiway" -> Q(
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val n = broadcast(Tables(s, d, "nation"))
+        val r = broadcast(Tables(s, d, "region"))
+        c.join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum(col("c_acctbal")), 2).as("sum_bal"))
+          .orderBy(col("r_name"))
+      },
+      Some("""
+        SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+      """)),
+
+    // W1/W2: ranking window — top-2 orders per customer by price.
+    "q4_window_topn" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 2)
+          .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, rn FROM (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+        WHERE rn <= 2 ORDER BY o_custkey, rn
+      """)),
+
+    // Time-bucketed event aggregation (events table; streaming's batch twin).
+    "q5_events_hourly" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("hour"), col("event_type")),
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY hour, event_type
+      """)))
+
+  // ---------------------------------------------------------------------
+  // Search surface (reference Q1–Q9)
+  // ---------------------------------------------------------------------
+
+  /** Fixed query parameters, mirroring the reference's self-test queries
+    * (`scripts/indexing.py:619,652`) re-targeted at the synthetic corpus. */
+  val QueryVecId = 0L
+  val QueryTerms: Seq[String] = Seq("spark", "join", "filter")
+
+  /** Oracle CTE: per-vector cosine score vs the fixed query vector.
+    * Produces CTE `<name>(id, score)`. */
+  private def denseScoredCte(name: String): String = s"""
+    $name AS (
+      SELECT e.vec_id AS id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+               (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS score
+      FROM embeddings e
+    )"""
+
+  /** Oracle CTE: per-doc BM25 score for the fixed query terms.
+    * Produces CTE `<name>(id, score)`. Okapi BM25, k1=1.2 b=0.75,
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)). */
+  private def bm25ScoredCte(name: String): String = s"""
+    ${name}_base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ), ${name}_base2 AS (
+      SELECT doc_id, toks, len(toks) AS dl FROM ${name}_base
+    ), ${name}_stats AS (
+      SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl FROM ${name}_base2
+    ), ${name}_tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(toks) AS term FROM ${name}_base2)
+      WHERE term IN ('spark', 'join', 'filter')
+      GROUP BY doc_id, dl, term
+    ), ${name}_dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM ${name}_tf GROUP BY term
+    ), $name AS (
+      SELECT t.doc_id AS id, round(sum(
+        ln(1.0::DOUBLE + (st.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) *
+        (t.tf * 2.2::DOUBLE) /
+        (t.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * t.dl / st.avgdl))
+      ), 6) AS score
+      FROM ${name}_tf t, ${name}_dfreq f, ${name}_stats st
+      WHERE t.term = f.term
+      GROUP BY t.doc_id
+    )"""
+
+  /** Oracle CTE: exact-match arm with field precedence for query 'src7'.
+    * Produces CTE `<name>(id, score, search_type)` capped at 10 rows. */
+  private def exactArmCte(name: String): String = s"""
+    ${name}_prim AS (
+      SELECT doc_id AS id, 1.0::DOUBLE AS score, 'exact' AS search_type
+      FROM documents WHERE upper(trim(source)) = upper(trim('src7'))
+    ), ${name}_sec AS (
+      SELECT doc_id AS id, 0.9::DOUBLE AS score, 'exact_secondary' AS search_type
+      FROM documents WHERE upper(trim(lang)) = upper(trim('src7'))
+    ), $name AS (
+      SELECT id, max(score) AS score, min(search_type) AS search_type
+      FROM (SELECT * FROM ${name}_prim UNION ALL SELECT * FROM ${name}_sec)
+      GROUP BY id ORDER BY score DESC, id ASC LIMIT 10
+    )"""
+
+  val searchQueries: Map[String, Q] = Map(
+    // T1/V4/Q5: dense cosine top-k.
+    "s1_dense_topk" -> Q(
+      (s, d) => SearchEngine.denseTopK(s, d, QueryVecId, 10),
+      Some(s"""
+        WITH ${denseScoredCte("scored")}
+        SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
+    // P4: score-threshold filter on the dense arm (reference drops < 0.4,
+    // `app/services/search_service.py:283`).
+    "s2_dense_threshold" -> Q(
+      (s, d) => SearchEngine.denseTopK(s, d, QueryVecId, 50, minScore = 0.4),
+      Some(s"""
+        WITH ${denseScoredCte("scored")}
+        SELECT id, score FROM scored WHERE score >= 0.4::DOUBLE
+        ORDER BY score DESC, id ASC LIMIT 50
+      """)),
+
+    // T2/V3/V5/Q6: BM25 sparse top-k.
+    "s3_bm25_topk" -> Q(
+      (s, d) => SearchEngine.bm25TopK(s, d, QueryTerms, 10),
+      Some(s"""
+        WITH ${bm25ScoredCte("scored")}
+        SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
+    // J2/W1/A2/Q7: hybrid RRF(k=60) of dense || sparse, both oversampled 2x
+    // (reference fetches limit*2 per arm, `scripts/indexing.py:933,943`).
+    "s4_hybrid_rrf" -> Q(
+      (s, d) => SearchEngine.hybrid(s, d, QueryVecId, QueryTerms, 10),
+      Some(s"""
+        WITH ${denseScoredCte("dense_scored")}, ${bm25ScoredCte("sparse_scored")},
+        dense_top AS (
+          SELECT id, score FROM dense_scored ORDER BY score DESC, id ASC LIMIT 20
+        ), sparse_top AS (
+          SELECT id, score FROM sparse_scored ORDER BY score DESC, id ASC LIMIT 20
+        ), dr AS (
+          SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank_d FROM dense_top
+        ), sr AS (
+          SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank_s FROM sparse_top
+        )
+        SELECT coalesce(dr.id, sr.id) AS id,
+               round(coalesce(1.0::DOUBLE / (60 + rank_d), 0.0::DOUBLE)
+                   + coalesce(1.0::DOUBLE / (60 + rank_s), 0.0::DOUBLE), 6) AS score
+        FROM dr FULL OUTER JOIN sr ON dr.id = sr.id
+        ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
+    // P1/P2/T5/O11: exact keyword match with field precedence.
+    "s5_exact_match" -> Q(
+      (s, d) => SearchEngine.exactMatch(s, d, "src7", 10),
+      Some(s"""
+        WITH ${exactArmCte("exact_arm")}
+        SELECT id, score, search_type FROM exact_arm
+        ORDER BY score DESC, id ASC
+      """)),
+
+    // J1/U1/A1/Q2: simple fusion (exact ∪ vector, keep-best, provenance).
+    "s6_fusion_simple" -> Q(
+      (s, d) => SearchEngine.searchFusion(s, d, "src7", QueryVecId, 10),
+      Some(s"""
+        WITH ${denseScoredCte("scored")}, ${exactArmCte("exact_arm")},
+        vector_arm AS (
+          SELECT id, score, 'vector' AS search_type FROM scored
+          ORDER BY score DESC, id ASC LIMIT 20
+        ), unioned AS (
+          SELECT * FROM exact_arm UNION ALL SELECT * FROM vector_arm
+        )
+        SELECT id, round(max(score), 6) AS score,
+               string_agg(DISTINCT search_type, '+' ORDER BY search_type) AS search_type
+        FROM unioned GROUP BY id
+        ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
+    // P3/T4/Q3: filtered search with oversample-then-trim semantics
+    // (fetch 3x, post-filter, head k — `app/services/search_service.py:413-423`).
+    "s7_filtered_search" -> Q(
+      (s, d) => SearchEngine.filteredSearch(s, d, QueryVecId, "lang", "en", 10),
+      Some(s"""
+        WITH ${denseScoredCte("scored")},
+        over_arm AS (
+          SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 30
+        )
+        SELECT o.id, o.score
+        FROM over_arm o JOIN documents doc ON o.id = doc.doc_id
+        WHERE doc.lang = 'en'
+        ORDER BY o.score DESC, o.id ASC LIMIT 10
+      """)),
+
+    // J3/F8/F9: min-max-normalized linear fusion, alpha = 0.7.
+    "s8_linear_fusion" -> Q(
+      (s, d) => SearchEngine.linearFusion(s, d, QueryVecId, QueryTerms, 0.7, 10),
+      Some(s"""
+        WITH ${denseScoredCte("dense_scored")}, ${bm25ScoredCte("sparse_scored")},
+        dense_top AS (
+          SELECT id, score FROM dense_scored ORDER BY score DESC, id ASC LIMIT 20
+        ), sparse_top AS (
+          SELECT id, score FROM sparse_scored ORDER BY score DESC, id ASC LIMIT 20
+        ), dn AS (
+          SELECT id, CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0::DOUBLE
+                          ELSE (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ())
+                     END AS sd
+          FROM dense_top
+        ), sn AS (
+          SELECT id, CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0::DOUBLE
+                          ELSE (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ())
+                     END AS ss
+          FROM sparse_top
+        )
+        SELECT coalesce(dn.id, sn.id) AS id,
+               round(0.7::DOUBLE * coalesce(sd, 0.0::DOUBLE)
+                   + 0.3::DOUBLE * coalesce(ss, 0.0::DOUBLE), 6) AS score
+        FROM dn FULL OUTER JOIN sn ON dn.id = sn.id
+        ORDER BY score DESC, id ASC LIMIT 10
+      """)))
+
+  /** All registered queries. */
+  def all: Map[String, Q] = relational ++ searchQueries
+
+  def queryFns: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, q) => k -> q.fn }
+
+  def oracles: Map[String, String] =
+    all.collect { case (k, Q(_, Some(sql))) => k -> sql.trim }
+}

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions: tokenization, shingling, language-ID,
+  * quality scoring, token counting (training-data-pipeline operators; the
+  * reference's analogues are the derived-text columns of
+  * `/root/reference/scripts/indexing.py:225-241`).
+  *
+  * Everything here is a pure Column expression — no UDFs — so the whole
+  * pipeline stays inside Catalyst codegen and pushes down to the scan.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empty strings dropped (texts have trailing spaces). */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => t =!= "")
+
+  /** Word n-gram shingles (distinct), for Jaccard/MinHash dedup. */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))
+    when(size(toks) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+  }
+
+  /** Fixed per-language marker lexicons for the n-gram-free heuristic
+    * language-ID. Deterministic and oracle-expressible: score = number of
+    * tokens present in each lexicon, argmax wins, ties break by language
+    * code ascending. */
+  val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "nicht", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "est", "de"),
+    "zh" -> Seq("de", "le", "shi", "he", "zai"))
+
+  /** Heuristic language-ID over a token-array column: per-language marker
+    * hit count, argmax with deterministic tie-break. */
+  def langId(toks: Column): Column = {
+    val scored = langLexicons.map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isin(words: _*)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    // max over (hits, -lang): array_max on structs orders field-by-field,
+    // so to break ties by lang ASC we sort descending on lang within equal
+    // hits via aggregate: pick via array_sort + last element trick.
+    val arr = array(scored: _*)
+    // sort ascending by (hits, lang desc) then take last => max hits, min lang
+    val best = element_at(
+      array_sort(arr, (l, r) =>
+        when(l("hits") < r("hits"), -1)
+          .when(l("hits") > r("hits"), 1)
+          // equal hits: larger lang first in ascending sort => last has min lang
+          .when(l("lang") > r("lang"), -1)
+          .when(l("lang") < r("lang"), 1)
+          .otherwise(0)),
+      -1)
+    best("lang")
+  }
+
+  /** Stopword ratio / distinct ratio / mean token length quality features,
+    * combined into one deterministic [0,1]-ish score (rational arithmetic
+    * only — exactly reproducible in any engine). */
+  def qualityScore(textCol: Column): Column = {
+    val t = tokens(textCol)
+    val nTok = size(t).cast("double")
+    val stop = Seq("the", "a", "of", "and", "is")
+    val stopRatio = size(filter(t, x => x.isin(stop: _*))).cast("double") / nTok
+    val distinctRatio = size(array_distinct(t)).cast("double") / nTok
+    val meanLen = (length(concat_ws("", t)).cast("double")) / nTok
+    // weights sum to 1; clamp mean token length contribution at 8 chars
+    round(
+      lit(0.3) * distinctRatio +
+      lit(0.3) * (lit(1.0) - stopRatio) +
+      lit(0.4) * least(meanLen / 8.0, lit(1.0)), 6)
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(textCol: Column): Column = size(tokens(textCol))
+
+  /** BPE-ish token estimate: count of regex word/number/symbol pieces. */
+  def tokenCountRe(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Polynomial rolling-hash fingerprint of the full text (base 31, mod
+    * 1e9+7) — order-sensitive, unlike a bag-of-words hash. Modulus keeps
+    * `acc * 31 + 255` far below 2^63, so the arithmetic is exact int64 in
+    * any engine. */
+  def fingerprint(textCol: Column): Column = {
+    val p = 1000000007L
+    aggregate(
+      split(textCol, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31L + ascii(ch).cast("long"), lit(p)))
+  }
+}

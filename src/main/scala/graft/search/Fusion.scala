@@ -1,0 +1,96 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Result fusion (reference §2.3 J1/J2/J3):
+  *  - simple fusion: union + keep-best-score + provenance concat
+  *    (`/root/reference/app/services/search_service.py:301-342`)
+  *  - reciprocal rank fusion, k=60
+  *    (`/root/reference/scripts/indexing.py:707-774`)
+  *  - linear alpha-blend with min-max normalization
+  *    (`/root/reference/scripts/indexing.py:776-816`)
+  *
+  * All fusion inputs are top-k arms — tiny relative to the corpus — so
+  * every join here is a broadcast-able join over at most a few hundred
+  * rows regardless of corpus size; no full-table shuffle ever happens in
+  * fusion. Tie-breaking is explicit everywhere (score desc, id asc): the
+  * reference relied on Python dict insertion order, which is incidental.
+  */
+object Fusion {
+
+  /** Union two arms (id, score, search_type), keep max score per id, concat
+    * distinct provenance sorted ("exact+vector" like the reference's
+    * `search_type = "a+b"`). */
+  def simple(arms: Seq[DataFrame], idCol: String, limit: Int): DataFrame = {
+    val all = arms.reduce(_ unionByName _)
+    all.groupBy(col(idCol))
+      .agg(
+        round(max(col("score")), 6).as("score"),
+        array_join(array_sort(collect_set(col("search_type"))), "+")
+          .as("search_type"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(limit)
+  }
+
+  /** Rank rows of one arm 1..n by (score desc, id asc). Scores must
+    * already be rounded so ranks are engine-independent. */
+  def ranked(arm: DataFrame, idCol: String): DataFrame =
+    arm.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)))
+
+  /** RRF merge of two ranked arms: score = Σ 1/(k + rank). Full-outer on
+    * the id; a missing side simply contributes nothing. */
+  def rrf(dense: DataFrame, sparse: DataFrame, idCol: String,
+          k: Int = 60, limit: Int = 10): DataFrame = {
+    val d = ranked(dense, idCol).select(col(idCol), col("rank").as("rank_d"))
+    val s = ranked(sparse, idCol).select(col(idCol), col("rank").as("rank_s"))
+    d.join(s, Seq(idCol), "full_outer")
+      .withColumn("score",
+        coalesce(lit(1.0) / (lit(k) + col("rank_d")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(k) + col("rank_s")), lit(0.0)))
+      .select(col(idCol), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(limit)
+  }
+
+  /** Min-max normalize an arm's score to [0,1]; constant arm → 1.0
+    * (matches the reference's degenerate-case handling,
+    * `scripts/indexing.py:826-828`). */
+  def minMaxNorm(arm: DataFrame, idCol: String): DataFrame = {
+    val stats = arm.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    arm.crossJoin(broadcast(stats))
+      .withColumn("score",
+        when(col("hi") === col("lo"), lit(1.0))
+          .otherwise((col("score") - col("lo")) / (col("hi") - col("lo"))))
+      .drop("lo", "hi")
+  }
+
+  /** Z-score normalize with the reference's +0.5 shift; σ=0 → 0.5
+    * (`scripts/indexing.py:830-836`). */
+  def zNorm(arm: DataFrame, idCol: String): DataFrame = {
+    val stats = arm.agg(
+      avg(col("score")).as("mu"), stddev_pop(col("score")).as("sigma"))
+    arm.crossJoin(broadcast(stats))
+      .withColumn("score",
+        when(col("sigma") === 0.0, lit(0.5))
+          .otherwise((col("score") - col("mu")) / col("sigma") + 0.5))
+      .drop("mu", "sigma")
+  }
+
+  /** Linear fusion: full-outer join on id, score = α·dense + (1-α)·sparse
+    * with min-max normalization per arm first; missing side scores 0. */
+  def linear(dense: DataFrame, sparse: DataFrame, idCol: String,
+             alpha: Double, limit: Int): DataFrame = {
+    val d = minMaxNorm(dense, idCol).select(col(idCol), col("score").as("sd"))
+    val s = minMaxNorm(sparse, idCol).select(col(idCol), col("score").as("ss"))
+    d.join(s, Seq(idCol), "full_outer")
+      .withColumn("score", round(
+        lit(alpha) * coalesce(col("sd"), lit(0.0)) +
+        lit(1.0 - alpha) * coalesce(col("ss"), lit(0.0)), 6))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(limit)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.tables.Tables
+
+/** Query façade mirroring the reference's API surface (§2.11 Q1–Q9):
+  * dense k-NN, BM25, hybrid RRF, exact match with field precedence,
+  * parallel fusion, filtered search with oversampling.
+  *
+  * Execution model: every method returns a declarative DataFrame plan.
+  * Dense top-k compiles to scan → codegen'd cosine → TakeOrderedAndProject
+  * — embarrassingly parallel, no shuffle except the final k-row reduce,
+  * which is exactly the plan that survives a 1000-executor scale-up. The
+  * 1-row query vector is always a broadcast, never a driver collect.
+  */
+object SearchEngine {
+
+  /** The corpus with dense vectors attached. */
+  def collection(spark: SparkSession, dir: String): DataFrame =
+    Tables.collection(spark, dir)
+
+  /** 1-row DataFrame holding the query vector (a stored embedding, which
+    * stands in for the query-encoder output — reference embeds the query
+    * string the same way it embeds passages, `scripts/indexing.py:871-882`). */
+  def queryVec(spark: SparkSession, dir: String, vecId: Long): DataFrame =
+    Tables.embeddings(spark, dir)
+      .where(col("vec_id") === vecId)
+      .select(col("embedding").as("qvec"))
+
+  /** Q5: dense cosine top-k over the embeddings table.
+    * Scores rounded to 6dp before ordering so ranks are deterministic. */
+  def denseTopK(spark: SparkSession, dir: String, queryVecId: Long, k: Int,
+                minScore: Double = -1.0): DataFrame =
+    Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(queryVec(spark, dir, queryVecId)))
+      .select(col("vec_id").as("id"),
+        round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+      .where(col("score") >= minScore)
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+
+  /** Q6: BM25 top-k over documents. */
+  def bm25TopK(spark: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame =
+    Bm25.topK(Tables.documents(spark, dir), "doc_id", "text", terms, k)
+      .withColumnRenamed("doc_id", "id")
+
+  /** Q7: hybrid — dense arm ∥ sparse arm (each oversampled 2×, like the
+    * reference's `limit*2` at `scripts/indexing.py:933,943`) → RRF(k=60). */
+  def hybrid(spark: SparkSession, dir: String, queryVecId: Long,
+             terms: Seq[String], k: Int): DataFrame = {
+    val dense = denseTopK(spark, dir, queryVecId, k * 2)
+    val sparse = bm25TopK(spark, dir, terms, k * 2)
+    Fusion.rrf(dense, sparse, "id", 60, k)
+  }
+
+  /** P1/P2 + O11: exact keyword match with field precedence. The reference
+    * checks partNumber (score 1.0) then mfrPartNumber (0.9) with an early
+    * exit (`app/services/search_service.py:216-245`); we encode precedence
+    * as score and take group-max — same result, no control flow. */
+  def exactMatch(spark: SparkSession, dir: String, query: String, k: Int): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val q = upper(trim(lit(query)))
+    val primary = docs.where(upper(trim(col("source"))) === q)
+      .select(col("doc_id").as("id"), lit(1.0).as("score"),
+        lit("exact").as("search_type"))
+    val secondary = docs.where(upper(trim(col("lang"))) === q)
+      .select(col("doc_id").as("id"), lit(0.9).as("score"),
+        lit("exact_secondary").as("search_type"))
+    primary.unionByName(secondary)
+      .groupBy(col("id"))
+      .agg(max(col("score")).as("score"),
+        min(col("search_type")).as("search_type"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(math.min(k, 10)) // reference caps exact scroll at 10 (T5)
+  }
+
+  /** Q2: parallel fusion of exact ∪ vector arms (J1). */
+  def searchFusion(spark: SparkSession, dir: String, query: String,
+                   queryVecId: Long, k: Int): DataFrame = {
+    val exact = exactMatch(spark, dir, query, k)
+    val vector = denseTopK(spark, dir, queryVecId, k * 2)
+      .withColumn("search_type", lit("vector"))
+    Fusion.simple(Seq(exact, vector), "id", k)
+  }
+
+  /** Q3: filtered search with the reference's oversample-then-trim
+    * semantics (T4: fetch 3×, post-filter, head k —
+    * `app/services/search_service.py:413-423`). */
+  def filteredSearch(spark: SparkSession, dir: String, queryVecId: Long,
+                     filterField: String, filterValue: String, k: Int): DataFrame = {
+    val over = denseTopK(spark, dir, queryVecId, k * 3)
+    over.join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"), col(filterField)), Seq("id"))
+      .where(col(filterField) === filterValue)
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** J3/Q-linear: α-weighted blend of normalized dense + sparse arms. */
+  def linearFusion(spark: SparkSession, dir: String, queryVecId: Long,
+                   terms: Seq[String], alpha: Double, k: Int): DataFrame = {
+    val dense = denseTopK(spark, dir, queryVecId, k * 2)
+    val sparse = bm25TopK(spark, dir, terms, k * 2)
+    Fusion.linear(dense, sparse, "id", alpha, k)
+  }
+}
