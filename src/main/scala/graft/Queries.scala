@@ -310,7 +310,7 @@ object Queries {
       """)))
 
   /** All registered queries. */
-  def all: Map[String, Q] = relational ++ searchQueries
+  def all: Map[String, Q] = relational ++ searchQueries ++ QueriesPipeline.all
 
   def queryFns: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }

@@ -1,0 +1,426 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.dedup.Dedup
+import graft.functions.{HashOps, TextOps}
+import graft.ingest.Lifecycle
+import graft.search.Ann
+import graft.tables.Tables
+
+/** Query registry part 2: ingest lifecycle, dedup suite, text analysis,
+  * ANN — the training-data-pipeline operators. Same determinism rules as
+  * Queries.scala. */
+object QueriesPipeline {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Simulated incoming batch for delta tests, derived deterministically
+    * from `documents` so the oracle can rebuild it: docs with id%7==0 get
+    * edited text, ids 0..2 are cloned as brand-new ids (+100000). */
+  private def incomingDelta(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val edited = base.withColumn("text",
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")))
+    val fresh = base.where(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    edited.unionByName(fresh)
+  }
+  private val incomingDeltaSql = """
+      incoming AS (
+        SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+               lang, source, n_chars
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text, lang, source, n_chars
+        FROM documents WHERE doc_id < 3
+      )"""
+
+  /** Versioned table simulation: v1 = all docs, v2 = edited docs for
+    * id%5==0 (the reference's update-archives-old-row pattern). */
+  private def versioned(s: SparkSession, d: String): DataFrame = {
+    val v1 = docs(s, d).select(col("doc_id"), lit(1).as("version"), col("text"))
+    val v2 = docs(s, d).where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), lit(2).as("version"),
+        concat(col("text"), lit(" rev2")).as("text"))
+    v1.unionByName(v2)
+  }
+  private val versionedSql = """
+      versioned AS (
+        SELECT doc_id, 1 AS version, text FROM documents
+        UNION ALL
+        SELECT doc_id, 2 AS version, text || ' rev2' FROM documents WHERE doc_id % 5 = 0
+      )"""
+
+  val lifecycle: Map[String, Q] = Map(
+    // F5/J4: sha256 content hash for change detection.
+    "i1_content_hash" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          HashOps.contentHash(col("text"), col("lang"), col("source")).as("content_hash"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, sha256(concat_ws('|', text, lang, source)) AS content_hash
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // F4: stable 60-bit document id from the text key (md5-derived —
+    // engine-independent, unlike Python's salted hash()).
+    "i2_stable_id" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), HashOps.stableId(col("text")).as("stable_id"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS stable_id
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // J4/N2: delta-import change detection (new | changed).
+    "i3_delta_detect" -> Q(
+      (s, d) => Lifecycle.deltaDetect(
+        docs(s, d), incomingDelta(s, d), "doc_id", Seq("text", "lang", "source")),
+      Some(s"""
+        WITH $incomingDeltaSql,
+        e AS (SELECT doc_id, sha256(concat_ws('|', text, lang, source)) AS hash_old FROM documents),
+        i AS (SELECT doc_id, sha256(concat_ws('|', text, lang, source)) AS hash_new FROM incoming)
+        SELECT i.doc_id,
+               CASE WHEN e.doc_id IS NULL THEN 'new'
+                    WHEN e.hash_old <> i.hash_new THEN 'changed' END AS status
+        FROM i LEFT JOIN e ON i.doc_id = e.doc_id
+        WHERE e.doc_id IS NULL OR e.hash_old <> i.hash_new
+        ORDER BY i.doc_id
+      """)),
+
+    // S6/J5: cleanup anti-join — ids to delete after a full reload.
+    "i4_cleanup_deletes" -> Q(
+      (s, d) => Lifecycle.cleanupDeletes(
+        docs(s, d), docs(s, d).where(col("doc_id") % 3 =!= 0), "doc_id"),
+      Some("""
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0)
+        ORDER BY doc_id
+      """)),
+
+    // N3/Q11: latest-version view (SCD-2 rank-1).
+    "i5_version_latest" -> Q(
+      (s, d) => Lifecycle.latestVersions(versioned(s, d), "doc_id")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH $versionedSql,
+        r AS (SELECT doc_id, version, text,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+              FROM versioned)
+        SELECT doc_id, version, text FROM r WHERE rn = 1 ORDER BY doc_id
+      """)),
+
+    // Q11 history: superseded versions with the reference's "{id}_v{n}" key.
+    "i6_version_history" -> Q(
+      (s, d) => Lifecycle.historyVersions(versioned(s, d), "doc_id")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH $versionedSql,
+        r AS (SELECT doc_id, version, text,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+              FROM versioned)
+        SELECT doc_id, version, text,
+               doc_id::VARCHAR || '_v' || version::VARCHAR AS history_id
+        FROM r WHERE rn > 1 ORDER BY doc_id
+      """)),
+
+    // P7: validation predicate + quarantine tag (nulls injected at id%11).
+    "i7_validate" -> Q(
+      (s, d) => Lifecycle.validate(
+        docs(s, d).withColumn("text",
+          when(col("doc_id") % 11 === 0, lit(null)).otherwise(col("text"))),
+        "doc_id", "text")
+        .select(col("doc_id"), col("is_valid"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+               (CASE WHEN doc_id % 11 = 0 THEN NULL ELSE text END) IS NOT NULL
+               AND length(CASE WHEN doc_id % 11 = 0 THEN NULL ELSE text END) > 0 AS is_valid
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // S8/T6: export projection — fixed column order, deterministic sort, cap.
+    "i8_export" -> Q(
+      (s, d) => Lifecycle.exportShape(docs(s, d),
+        Seq("doc_id", "lang", "n_chars", "source", "text"), "doc_id", 100),
+      Some("""
+        SELECT doc_id, lang, n_chars, source, text
+        FROM documents ORDER BY doc_id LIMIT 100
+      """)),
+
+    // A5: field-frequency profiling (per lang/source: count, avg length).
+    "i9_field_profile" -> Q(
+      (s, d) => docs(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("n_chars").cast("double")), 6).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang")),
+      Some("""
+        SELECT lang, count(*) AS n, round(avg(n_chars::DOUBLE), 6) AS avg_chars,
+               count(DISTINCT source) AS n_sources
+        FROM documents GROUP BY lang ORDER BY lang
+      """)))
+
+  private val tokensSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  val dedup: Map[String, Q] = Map(
+    // Exact dedup on normalized token-set key (hash-groupBy; one shuffle).
+    "d1_dedup_exact" -> Q(
+      (s, d) => Dedup.exactGroups(docs(s, d), "doc_id", "text"),
+      Some(s"""
+        WITH k AS (
+          SELECT doc_id,
+                 array_to_string(list_sort(list_distinct($tokensSql)), ' ') AS dedup_key
+          FROM documents)
+        SELECT min(doc_id) AS keeper, count(*) AS group_size
+        FROM k GROUP BY dedup_key HAVING count(*) > 1
+        ORDER BY keeper
+      """)),
+
+    // N-gram Jaccard near-dup pairs, blocked by lang (quadratic only
+    // within blocks; Jaccard is exact rational arithmetic).
+    "d2_ngram_jaccard" -> Q(
+      (s, d) => Dedup.ngramJaccard(docs(s, d), "doc_id", "text", "lang", 3, 0.5),
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang, $tokensSql AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, lang,
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+          FROM t WHERE len(toks) >= 3)
+        SELECT * FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                       len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+      """)),
+
+    // MinHash + LSH: band-bucket candidates -> true-Jaccard confirm.
+    "d3_minhash_lsh" -> Q(
+      (s, d) => Dedup.minhashLsh(docs(s, d), "doc_id", "text", 3, 0.5),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+        sets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+          FROM t WHERE len(toks) >= 3),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(s.s), 1, 8))::BIGINT AS hv
+          FROM (SELECT doc_id, unnest(sh) AS s FROM sets) s),
+        m AS (
+          SELECT doc_id, j,
+                 min(((976369 * (j + 1) + 12345) * hv + 183451 * (j + 1) + 987)
+                     % 4294967311) AS sig
+          FROM h CROSS JOIN range(0, 16) r(j)
+          GROUP BY doc_id, j),
+        bands AS (
+          SELECT doc_id, j // 4 AS band_id,
+                 string_agg(printf('%02d:%d', j, sig), ',' ORDER BY j) AS band
+          FROM m GROUP BY doc_id, j // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id)
+        SELECT * FROM (
+          SELECT c.id_a, c.id_b,
+                 round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+                       len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+          FROM cand c
+          JOIN sets x ON c.id_a = x.doc_id
+          JOIN sets y ON c.id_b = y.doc_id)
+        WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+      """)),
+
+    // SimHash fingerprint per doc (tf-weighted bit votes, pure int math).
+    "d4_simhash" -> Q(
+      (s, d) => Dedup.simhash(docs(s, d), "doc_id", "text"),
+      Some(s"""
+        WITH tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest($tokensSql) AS term FROM documents)
+          GROUP BY doc_id, term),
+        h AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv FROM tf),
+        v AS (
+          SELECT doc_id, bi, sum(tf * (((hv >> bi) & 1) * 2 - 1)) AS votes
+          FROM h CROSS JOIN range(0, 32) r(bi)
+          GROUP BY doc_id, bi)
+        SELECT doc_id,
+               sum(CASE WHEN votes > 0 THEN (1::BIGINT << bi) ELSE 0 END)::BIGINT AS simhash
+        FROM v GROUP BY doc_id ORDER BY doc_id
+      """)),
+
+    // Embedding-cosine near-dup: exact top-1 neighbor within label block.
+    "d5_embedding_nn" -> Q(
+      (s, d) => Ann.nearestWithinBlock(Tables.embeddings(s, d), "label"),
+      Some("""
+        WITH p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]), 6) AS score
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id <> b.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY id_a
+                ORDER BY score DESC, id_b ASC) AS rn FROM p)
+        SELECT id_a, id_b, score FROM r WHERE rn = 1 ORDER BY id_a
+      """)))
+
+  val text: Map[String, Q] = Map(
+    // Heuristic language-ID (marker-lexicon argmax, tie-break lang asc).
+    "t1_lang_id" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), TextOps.langId(TextOps.tokens(col("text"))).as("pred_lang"))
+        .orderBy(col("doc_id")),
+      Some {
+        val arms = TextOps.langLexicons.map { case (lang, words) =>
+          val lst = words.map(w => s"'$w'").mkString(", ")
+          s"""SELECT doc_id, '$lang' AS lang,
+              len(list_filter($tokensSql, x -> list_contains([$lst], x))) AS hits
+              FROM documents"""
+        }.mkString("\n UNION ALL ")
+        s"""
+        WITH s AS ($arms),
+        r AS (SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY hits DESC, lang ASC) AS rn FROM s)
+        SELECT doc_id, lang AS pred_lang FROM r WHERE rn = 1 ORDER BY doc_id
+        """
+      }),
+
+    // Quality score: distinct ratio, stopword ratio, mean token length.
+    "t2_quality_score" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents)
+        SELECT doc_id, round(
+          0.3::DOUBLE * (len(list_distinct(toks))::DOUBLE / len(toks)) +
+          0.3::DOUBLE * (1.0::DOUBLE - len(list_filter(toks,
+            x -> list_contains(['the','a','of','and','is'], x)))::DOUBLE / len(toks)) +
+          0.4::DOUBLE * least(length(array_to_string(toks, ''))::DOUBLE / len(toks)
+                              / 8.0::DOUBLE, 1.0::DOUBLE), 6) AS quality
+        FROM t ORDER BY doc_id
+      """)),
+
+    // Token counting: whitespace + BPE-ish regex pieces.
+    "t3_token_counts" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          TextOps.tokenCountWs(col("text")).as("n_ws"),
+          TextOps.tokenCountRe(col("text")).as("n_re"))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id, len($tokensSql) AS n_ws,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_re
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // Rolling-hash document fingerprint (order-sensitive, mod 1e9+7).
+    "t4_fingerprint" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+               list_reduce(
+                 list_concat([0::BIGINT],
+                   list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // F13: part-number classifier — scored regex rule chain, threshold >= 4
+    // (reference scripts/partno_classifier.py:34-144 re-expressed as a
+    // when/rlike expression chain; candidates = brand codes ∪ sources).
+    "t5_partno_classifier" -> Q(
+      (s, d) => {
+        val cands = Tables(s, d, "part").select(col("p_brand").as("s"))
+          .union(docs(s, d).select(col("source").as("s"))).distinct()
+        cands.withColumn("score",
+          when(col("s").rlike("^[A-Za-z]+#[0-9]+$"), 2).otherwise(0) +
+          when(col("s").rlike("[0-9]"), 2).otherwise(0) +
+          when(length(col("s")).between(4, 12), 1).otherwise(0) +
+          when(col("s").rlike("^\\S+$"), 1).otherwise(0) +
+          when(col("s").rlike("^[a-z ]+$"), -2).otherwise(0) +
+          when(length(col("s")) > 20, -1).otherwise(0))
+          .withColumn("is_partno", col("score") >= 4)
+          .orderBy(col("s"))
+      },
+      Some("""
+        WITH cands AS (
+          SELECT p_brand AS s FROM part UNION SELECT source FROM documents)
+        SELECT s,
+          (CASE WHEN regexp_matches(s, '^[A-Za-z]+#[0-9]+$') THEN 2 ELSE 0 END +
+           CASE WHEN regexp_matches(s, '[0-9]') THEN 2 ELSE 0 END +
+           CASE WHEN length(s) BETWEEN 4 AND 12 THEN 1 ELSE 0 END +
+           CASE WHEN regexp_matches(s, '^\S+$') THEN 1 ELSE 0 END +
+           CASE WHEN regexp_matches(s, '^[a-z ]+$') THEN -2 ELSE 0 END +
+           CASE WHEN length(s) > 20 THEN -1 ELSE 0 END) AS score,
+          score >= 4 AS is_partno
+        FROM cands ORDER BY s
+      """)),
+
+    // JSON payload extraction over the events props column (the dynamic
+    // payload map of the reference, §1.5).
+    "t6_json_extract" -> Q(
+      (s, d) => Tables(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k"))
+        .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type, count(*) AS n,
+               sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+               round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k
+        FROM events GROUP BY event_type ORDER BY event_type
+      """)))
+
+  val ann: Map[String, Q] = Map(
+    // O4 scale path: IVF partition-pruned ANN (centroids = first 10
+    // stored vectors; probe 3 lists; exact re-rank inside probed lists).
+    "a1_ann_ivf" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val qv = emb.where(col("vec_id") === Queries.QueryVecId)
+          .select(col("embedding").as("qvec"))
+        Ann.ivfTopK(emb, centroids, qv, 3, 10)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        assign AS (
+          SELECT e.vec_id, c.cid, e.embedding,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                            c.cid ASC) AS rn
+          FROM embeddings e CROSS JOIN cent c),
+        asg AS (SELECT vec_id, cid, embedding FROM assign WHERE rn = 1),
+        probes AS (
+          SELECT cid FROM (
+            SELECT c.cid,
+                   round(list_cosine_similarity(c.cvec, q.qv), 6) AS qscore
+            FROM cent c CROSS JOIN q
+            ORDER BY qscore DESC, cid ASC LIMIT 3)),
+        hits AS (
+          SELECT a.vec_id AS id,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS score
+          FROM asg a JOIN probes p ON a.cid = p.cid CROSS JOIN q)
+        SELECT id, score FROM hits ORDER BY score DESC, id ASC LIMIT 10
+      """)))
+
+  def all: Map[String, Q] = lifecycle ++ dedup ++ text ++ ann
+}

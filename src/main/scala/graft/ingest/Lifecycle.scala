@@ -1,0 +1,89 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashOps
+
+/** Document lifecycle operators (reference §2.10/§2.11: delta import N2,
+  * cleanup anti-join S6/J5, versioned upsert N3/Q11, export S8, validation
+  * P7).
+  *
+  * The reference does all of this with per-document point lookups over
+  * gRPC (`document_service.py`); here each lifecycle step is a set
+  * operation — one distributed join instead of N round-trips — which is
+  * the only shape that survives 100 TB:
+  *  - change detection = join on id + content-hash inequality
+  *  - delete-missing  = left anti join
+  *  - latest-version  = ranking window over (id, version)
+  */
+object Lifecycle {
+
+  /** Content hash per document (J4's `_get_content_hash`,
+    * `document_service.py:328-332`): sha256 over the canonical field
+    * concatenation. */
+  def withContentHash(docs: DataFrame, idCol: String, fields: Seq[String]): DataFrame =
+    docs.withColumn("content_hash", HashOps.contentHash(fields.map(col): _*))
+
+  /** Delta-import change detection (J4/N2, `document_service.py:391-421`):
+    * classify incoming docs as 'new' (id absent from existing) or
+    * 'changed' (content hash differs); unchanged docs are dropped —
+    * that's the whole point of delta import. */
+  def deltaDetect(existing: DataFrame, incoming: DataFrame, idCol: String,
+                  fields: Seq[String]): DataFrame = {
+    val e = withContentHash(existing, idCol, fields)
+      .select(col(idCol), col("content_hash").as("hash_old"))
+    val i = withContentHash(incoming, idCol, fields)
+      .select(col(idCol), col("content_hash").as("hash_new"))
+    i.join(e, Seq(idCol), "left_outer")
+      .withColumn("status",
+        when(col("hash_old").isNull, lit("new"))
+          .when(col("hash_old") =!= col("hash_new"), lit("changed")))
+      .where(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+      .orderBy(col(idCol))
+  }
+
+  /** Cleanup anti-join (S6/J5, `app/core/database.py:204-225`): ids present
+    * in the store but absent from a full reload → delete set. */
+  def cleanupDeletes(existing: DataFrame, incoming: DataFrame, idCol: String): DataFrame =
+    existing.select(col(idCol))
+      .join(incoming.select(col(idCol)), Seq(idCol), "left_anti")
+      .orderBy(col(idCol))
+
+  /** Latest-version view over an append-only versioned table (N3/Q11,
+    * `version_service.py:49-110`): SCD-2-style — rank by version desc per
+    * id, keep rank 1. The history collection is simply `rank > 1`. */
+  def latestVersions(versioned: DataFrame, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("version").desc)
+    versioned.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+  }
+
+  /** History view: every superseded version, with the back-pointer id the
+    * reference stores as `"{id}_v{version}"` (`version_service.py:112-134`). */
+  def historyVersions(versioned: DataFrame, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("version").desc)
+    versioned.withColumn("rn", row_number().over(w))
+      .where(col("rn") > 1).drop("rn")
+      .withColumn("history_id",
+        concat(col(idCol).cast("string"), lit("_v"), col("version").cast("string")))
+  }
+
+  /** Validation predicate + quarantine split (P7,
+    * `document_service.py:166-190`): a doc is valid iff it has an id and a
+    * non-empty text field. Returns the full set tagged `is_valid` so both
+    * the clean stream and the quarantine stream come from one pass. */
+  def validate(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.withColumn("is_valid",
+      col(idCol).isNotNull && col(textCol).isNotNull && length(col(textCol)) > 0)
+
+  /** Export projection (S8/T6, `document_service.py:528-654`): fixed column
+    * order, deterministic sort, optional row cap. */
+  def exportShape(docs: DataFrame, cols: Seq[String], orderCol: String,
+                  cap: Int): DataFrame = {
+    val shaped = docs.select(cols.map(col): _*).orderBy(col(orderCol))
+    if (cap > 0) shaped.limit(cap) else shaped
+  }
+}
