@@ -422,5 +422,98 @@ object QueriesPipeline {
         SELECT id, score FROM hits ORDER BY score DESC, id ASC LIMIT 10
       """)))
 
-  def all: Map[String, Q] = lifecycle ++ dedup ++ text ++ ann
+  /** TF-IDF bucket-space CTEs shared by the embed-search oracle. */
+  private val tfidfCtes = s"""
+        toks AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+        tf AS (
+          SELECT doc_id, (('0x' || substr(md5(tok), 1, 8))::BIGINT % 64)::INT AS bucket,
+                 count(*) AS tf
+          FROM toks GROUP BY 1, 2),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        idf AS (
+          SELECT bucket, ln((n_docs + 1.0::DOUBLE) / (df + 1.0::DOUBLE)) + 1.0::DOUBLE AS idf
+          FROM (SELECT bucket, count(DISTINCT doc_id) AS df FROM tf GROUP BY bucket)
+          CROSS JOIN nd),
+        w AS (SELECT tf.doc_id, tf.bucket, tf.tf * idf.idf AS w
+              FROM tf JOIN idf USING (bucket)),
+        norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
+        dv AS (SELECT w.doc_id, w.bucket, w.w / norms.norm AS w
+               FROM w JOIN norms USING (doc_id))"""
+
+  val TfIdfQueryText = "spark join filter the data"
+
+  val extras: Map[String, Q] = Map(
+    // V1/V2/T1 composition: deterministic TF-IDF embed of corpus AND a
+    // literal query string, then cosine top-k — the reference's full
+    // embed→search path with a self-contained embedder.
+    "s9_tfidf_search" -> Q(
+      (s, d) => graft.index.TfIdfEmbedder
+        .searchText(docs(s, d), "doc_id", "text", TfIdfQueryText, 10)
+        .withColumnRenamed("doc_id", "id"),
+      Some(s"""
+        WITH $tfidfCtes,
+        qtoks AS (
+          SELECT unnest(list_filter(string_split('$TfIdfQueryText', ' '), t -> t <> '')) AS tok),
+        qtf AS (
+          SELECT (('0x' || substr(md5(tok), 1, 8))::BIGINT % 64)::INT AS bucket,
+                 count(*) AS tf
+          FROM qtoks GROUP BY 1),
+        qw AS (SELECT qtf.bucket, qtf.tf * idf.idf AS w FROM qtf JOIN idf USING (bucket)),
+        qnorm AS (SELECT sqrt(sum(w * w)) AS norm FROM qw),
+        qv AS (SELECT bucket, w / norm AS qw FROM qw CROSS JOIN qnorm)
+        SELECT dv.doc_id AS id, round(sum(dv.w * qv.qw), 6) AS score
+        FROM dv JOIN qv USING (bucket)
+        GROUP BY dv.doc_id ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
+    // Multimodal metadata projection: binary payload + typed meta columns
+    // (decode itself is the documented stub; the schema/pushdown plumbing
+    // is what this verifies).
+    "m1_multimodal_meta" -> Q(
+      (s, d) => graft.multimodal.Multimodal
+        .attachMedia(docs(s, d), "doc_id", "text")
+        .select(col("doc_id").as("media_id"), col("kind"),
+          length(col("payload")).cast("long").as("size_bytes"),
+          col("width"), col("height"), col("duration_ms"),
+          substring(base64(col("payload")), 1, 16).as("sample_b64"))
+        .orderBy(col("media_id")),
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                 encode(text) AS payload,
+                 ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+          FROM documents)
+        SELECT media_id, kind, octet_length(payload)::BIGINT AS size_bytes,
+               CASE WHEN kind IN ('image', 'video')
+                    THEN (64 + (h % 16) * 16)::INT END AS width,
+               CASE WHEN kind IN ('image', 'video')
+                    THEN (64 + ((h >> 4) % 16) * 16)::INT END AS height,
+               CASE WHEN kind <> 'image'
+                    THEN 500 + (h % 100) * 100 END AS duration_ms,
+               substr(to_base64(payload), 1, 16) AS sample_b64
+        FROM m ORDER BY media_id
+      """)),
+
+    // Deterministic frame sampling over video payloads (batch shape of a
+    // frame-extract stage).
+    "m2_frame_sample" -> Q(
+      (s, d) => graft.multimodal.Multimodal
+        .frameSample(graft.multimodal.Multimodal
+          .attachMedia(docs(s, d), "doc_id", "text"), 8, 12)
+        .select(col("doc_id").as("media_id"), col("frame_idx"), col("frame"))
+        .orderBy(col("media_id"), col("frame_idx")),
+      Some("""
+        WITH v AS (
+          SELECT doc_id AS media_id, hex(encode(text)) AS hx
+          FROM documents WHERE doc_id % 3 = 2)
+        SELECT media_id, frame_idx::INT AS frame_idx,
+               substr(hx, (frame_idx * 12)::INT + 1, 12) AS frame
+        FROM v CROSS JOIN range(0, 8) r(frame_idx)
+        WHERE length(substr(hx, (frame_idx * 12)::INT + 1, 12)) > 0
+        ORDER BY media_id, frame_idx
+      """)))
+
+  def all: Map[String, Q] = lifecycle ++ dedup ++ text ++ ann ++ extras
 }

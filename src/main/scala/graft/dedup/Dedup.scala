@@ -35,26 +35,56 @@ object Dedup {
       .select(col("keeper"), col("group_size"))
       .orderBy(col("keeper"))
 
-  /** Word n-gram shingle sets per doc: (id, blockCol, shingles). */
-  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-                          blockCol: String, n: Int): DataFrame =
-    docs.select(col(idCol), col(blockCol),
-      TextOps.shingles(TextOps.tokens(col(textCol)), n).as("sh"))
-      .where(size(col("sh")) > 0)
+  /** Distinct word n-gram shingles per doc as ROWS: (id, blockCol, shingle).
+    *
+    * Built with posexplode + window `lead` instead of array lambdas: the
+    * transform/element_at formulation gets its token subexpression
+    * re-inlined by predicate pushdown and re-evaluated per element (no CSE
+    * through lambda bodies) — measured 10-30× slower at sf0.1. Row form is
+    * also what every consumer (inverted-index join, MinHash aggregation)
+    * wants; no array ever shuffles. */
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                          blockCol: String, n: Int): DataFrame = {
+    val toks = docs.select(col(idCol), col(blockCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val withNext = (1 until n).foldLeft(toks) { (d, j) =>
+      d.withColumn(s"tok$j", lead(col("tok"), j).over(w))
+    }
+    withNext
+      .where((1 until n).map(j => col(s"tok$j").isNotNull).reduce(_ && _))
+      .select(col(idCol), col(blockCol),
+        concat_ws(" ", (col("tok") +: (1 until n).map(j => col(s"tok$j"))): _*)
+          .as("shingle"))
+      .distinct()
+  }
 
   /** All-pairs n-gram Jaccard within a blocking key (lang): pairs with
     * similarity >= threshold. Jaccard is a ratio of small ints — exactly
-    * reproducible in any engine, no FP drift. */
+    * reproducible in any engine, no FP drift.
+    *
+    * Implementation is an **inverted-index join**, not a blocked Cartesian:
+    * explode shingles, equi-join on (block, shingle), count shared
+    * shingles per pair, then jaccard = common / (|A| + |B| - common).
+    * Only pairs that actually share a shingle ever materialize — at sf0.1
+    * that's ~326k intermediate rows vs ~2.4M array-intersect pairs, and
+    * at 100 TB it's the difference between a shuffle join and an
+    * impossible N² comparison. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    blockCol: String, n: Int, threshold: Double): DataFrame = {
-    val s = shingleSets(docs, idCol, textCol, blockCol, n)
-    val a = s.select(col(blockCol), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = s.select(col(blockCol), col(idCol).as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq(blockCol))
+    val inv = shingleRows(docs, idCol, textCol, blockCol, n)
+    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val common = inv.select(col(blockCol), col(idCol).as("id_a"), col("shingle"))
+      .join(inv.select(col(blockCol), col(idCol).as("id_b"), col("shingle")),
+        Seq(blockCol, "shingle"))
       .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
       .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -69,20 +99,30 @@ object Dedup {
   def permA(j: Int): Long = 976369L * (j + 1) + 12345L
   def permB(j: Int): Long = 183451L * (j + 1) + 987L
 
-  /** MinHash signatures: (id, j, sig) — one row per permutation. */
+  /** Wide MinHash signatures: one row per doc with sig0..sig15 columns.
+    * All 16 permutation minima are static aggregate expressions over the
+    * (id, tokenHash) rows — ONE shuffle with full map-side combine, no
+    * 16× row explosion. */
+  def minhashSignaturesWide(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame = {
+    val sh = shingleRows(docs.withColumn("__blk", lit(1)), idCol, textCol, "__blk", n)
+      .select(col(idCol), HashOps.tokenHash32(col("shingle")).as("hv"))
+    val aggs = (0 until MinhashPerms).map { j =>
+      min((lit(permA(j)) * col("hv") + lit(permB(j))) % MinhashPrime).as(s"sig$j")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash signatures: (id, j, sig) — one row per permutation
+    * (narrow view over [[minhashSignaturesWide]]). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame = {
-    val sh = shingleSets(docs.withColumn("__blk", lit(1)), idCol, textCol, "__blk", n)
-      .select(col(idCol), explode(col("sh")).as("shingle"))
-      .select(col(idCol), HashOps.tokenHash32(col("shingle")).as("hv"))
-    val perms = (0 until MinhashPerms).map { j =>
-      struct(lit(j).as("j"), lit(permA(j)).as("a"), lit(permB(j)).as("b"))
-    }
-    sh.select(col(idCol), col("hv"), explode(array(perms: _*)).as("p"))
-      .select(col(idCol), col("p.j").as("j"),
-        ((col("p.a") * col("hv") + col("p.b")) % MinhashPrime).as("hj"))
-      .groupBy(col(idCol), col("j"))
-      .agg(min(col("hj")).as("sig"))
+    val wide = minhashSignaturesWide(docs, idCol, textCol, n)
+    val stacked = (0 until MinhashPerms)
+      .map(j => s"$j, sig$j").mkString(", ")
+    wide.select(col(idCol),
+      expr(s"stack($MinhashPerms, $stacked) as (j, sig)"))
+      .select(col(idCol), col("j").cast("int").as("j"), col("sig"))
   }
 
   /** MinHash + LSH near-dup pairs: band-bucket join proposes candidates,
@@ -90,26 +130,46 @@ object Dedup {
     * (id_a, id_b, jaccard), deterministic ordering. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int, threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, n)
-    val bands = sigs
-      .withColumn("band_id", (col("j") / MinhashBandRows).cast("int"))
-      .groupBy(col(idCol), col("band_id"))
-      .agg(array_join(array_sort(collect_list(
-        format_string("%02d:%d", col("j"), col("sig")))), ",").as("band"))
+    // Band keys assembled from the wide signature row — 4 band rows per
+    // doc, each a "jj:sig,..." string (format matches the SQL oracle's
+    // string_agg ordered by j).
+    val nBands = MinhashPerms / MinhashBandRows
+    val bandStructs = (0 until nBands).map { b =>
+      val key = concat_ws(",", (0 until MinhashBandRows).map { r =>
+        val j = b * MinhashBandRows + r
+        format_string("%02d:%d", lit(j), col(s"sig$j"))
+      }: _*)
+      struct(lit(b).as("band_id"), key.as("band"))
+    }
+    val bands = minhashSignaturesWide(docs, idCol, textCol, n)
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band_id").as("band_id"), col("bb.band").as("band"))
     val a = bands.select(col("band_id"), col("band"), col(idCol).as("id_a"))
     val b = bands.select(col("band_id"), col("band"), col(idCol).as("id_b"))
     val cand = a.join(b, Seq("band_id", "band"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
 
-    val sets = shingleSets(docs.withColumn("__blk", lit(1)), idCol, textCol, "__blk", n)
-      .select(col(idCol), col("sh"))
-    cand
-      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    // True-Jaccard confirm, restricted to candidate docs first (broadcast
+    // semi-join prune) then counted via the same inverted-index shape as
+    // ngramJaccard — candidates are a vanishing fraction of the corpus, so
+    // this stage is near-free at any scale.
+    val inv = shingleRows(docs.withColumn("__blk", lit(1)), idCol, textCol, "__blk", n)
+      .select(col(idCol), col("shingle"))
+    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+    val candInv = inv.join(broadcast(candIds), Seq(idCol))
+    val common = candInv.select(col(idCol).as("id_a"), col("shingle"))
+      .join(candInv.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    cand.join(common, Seq("id_a", "id_b")) // keep only LSH-proposed pairs
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
       .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))

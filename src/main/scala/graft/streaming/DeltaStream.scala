@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming operators (reference §2.10: the delta-import dir
+  * N2 and checkpointed progress N4, made real streams).
+  *
+  * The reference polls an import directory and upserts per-doc
+  * (`document_service.py:477-526`); here that's the Structured Streaming
+  * file source + `foreachBatch` merge — checkpointing (N4's pickle file)
+  * is native. Watermarked windowed aggregation and stateful
+  * sessionization cover what a production event pipeline needs at scale:
+  * state lives partitioned by key in the state store, not on the driver.
+  */
+object DeltaStream {
+
+  /** N2: stream new JSON files from a delta directory; each micro-batch is
+    * handed to `merge` (e.g. Lifecycle.deltaDetect + parquet upsert). */
+  def deltaImport(spark: SparkSession, deltaDir: String, checkpoint: String,
+                  schema: org.apache.spark.sql.types.StructType)
+                 (merge: (DataFrame, Long) => Unit): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("multiLine", "true")
+      .json(deltaDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(merge)
+      .outputMode(OutputMode.Update())
+      .start()
+
+  /** Watermarked tumbling-window counts over an event stream:
+    * (window, event_type) → n, sum_value. Late data beyond the watermark
+    * is dropped; state is bounded. */
+  def windowedEventCounts(events: DataFrame, watermark: String,
+                          windowLen: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  final case class Event(ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
+  final case class Session(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Stateful sessionization via mapGroupsWithState: per-user running
+    * aggregates with a processing-time idle timeout. The state store keeps
+    * one small record per active user — partitioned by key, cluster-safe.
+    * `timeoutMs <= 0` disables the idle timeout (NoTimeout) — that mode is
+    * also what deterministic tests use, since processing-time timeouts
+    * schedule empty batches forever and `processAllAvailable` never
+    * settles. */
+  def sessionize(events: Dataset[Event], timeoutMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, Session](timeoutConf) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Session(userId, s.nEvents, s.total)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            var n = prev.nEvents; var tot = prev.total; var last = prev.lastTs
+            rows.foreach { e =>
+              n += 1; tot += e.value; last = math.max(last, e.ts.getTime)
+            }
+            state.update(SessionState(n, tot, last))
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            Session(userId, n, tot)
+          }
+      }
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "quick brown the fox dog lazy the over jumps", "en"), // same token set
+    (3L, "the quick brown fox jumps over the lazy cat", "en"), // near-dup of 1
+    (4L, "completely different words here about spark engines", "en"),
+    (5L, "unrelated short text", "de")).toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups by sorted distinct token set") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(groups.toSeq == Seq((1L, 2L))) // docs 1+2 collapse, keeper=min id
+  }
+
+  test("ngram jaccard finds the near-dup pair and scores identity as 1.0") {
+    val self = Dedup.ngramJaccard(
+      docs.union(docs.where($"doc_id" === 1).withColumn("doc_id", $"doc_id" + 100)),
+      "doc_id", "text", "lang", 3, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(self.toSeq == Seq((1L, 101L, 1.0))) // identical text -> jaccard exactly 1
+
+    val near = Dedup.ngramJaccard(docs, "doc_id", "text", "lang", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.contains((1L, 3L))) // one word changed -> high shingle overlap
+  }
+
+  test("minhash lsh proposes and confirms the identical pair") {
+    val withClone = docs.union(
+      docs.where($"doc_id" === 1).withColumn("doc_id", $"doc_id" + 100))
+    val pairs = Dedup.minhashLsh(withClone, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 101L && p._3 == 1.0))
+  }
+
+  test("simhash: identical texts share a hash; disjoint texts differ") {
+    val h = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1 and 2 share the token multiset up to order (same tf per token)
+    assert(h(1L) == h(2L))
+    assert(h(1L) != h(4L))
+    assert(h.values.forall(v => v >= 0 && v <= 0xFFFFFFFFL))
+  }
+
+  test("minhash signatures are permutation-count complete and stable") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3)
+    val counts = sigs.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == Dedup.MinhashPerms))
+    // deterministic: same input -> same signature values on re-run
+    val a = sigs.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Dedup.minhashSignatures(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+}

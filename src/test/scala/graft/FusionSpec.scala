@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.search.Fusion
+
+class FusionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def arm(rows: (Long, Double)*) =
+    rows.toDF("id", "score")
+
+  test("rrf: scores are sums of 1/(k+rank); full outer keeps one-sided hits") {
+    val dense = arm(1L -> 0.9, 2L -> 0.8, 3L -> 0.7)
+    val sparse = arm(2L -> 5.0, 4L -> 4.0)
+    val out = Fusion.rrf(dense, sparse, "id", k = 60, limit = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 2: rank 2 dense, rank 1 sparse
+    assert(math.abs(out(2L) - math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6) < 1e-9)
+    // doc 1: dense rank 1 only
+    assert(math.abs(out(1L) - math.rint(1.0 / 61 * 1e6) / 1e6) < 1e-9)
+    assert(out.contains(4L)) // sparse-only survives the full outer join
+    // doc 2 (two arms) must outrank doc 1 (one arm, better rank)
+    assert(out(2L) > out(1L))
+  }
+
+  test("simple fusion: keep-best score and sorted provenance concat") {
+    val exact = Seq((1L, 1.0, "exact"), (5L, 0.9, "exact_secondary"))
+      .toDF("id", "score", "search_type")
+    val vector = Seq((1L, 0.6, "vector"), (7L, 0.5, "vector"))
+      .toDF("id", "score", "search_type")
+    val out = Fusion.simple(Seq(exact, vector), "id", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.head == ((1L, 1.0, "exact+vector"))) // max score wins, provenance concat
+    assert(out.map(_._1).toSeq == Seq(1L, 5L, 7L))  // score desc, id asc
+  }
+
+  test("min-max norm: constant arm maps to 1.0 (reference degenerate case)") {
+    val const = arm(1L -> 0.5, 2L -> 0.5)
+    val out = Fusion.minMaxNorm(const, "id").select("score")
+      .collect().map(_.getDouble(0))
+    assert(out.forall(_ == 1.0))
+  }
+
+  test("z-norm: zero stddev maps to 0.5 (reference degenerate case)") {
+    val const = arm(1L -> 3.0, 2L -> 3.0)
+    val out = Fusion.zNorm(const, "id").select("score")
+      .collect().map(_.getDouble(0))
+    assert(out.forall(_ == 0.5))
+  }
+
+  test("linear fusion: alpha blend with missing side = 0") {
+    val dense = arm(1L -> 1.0, 2L -> 0.0)  // normalizes to 1.0, 0.0
+    val sparse = arm(3L -> 2.0, 2L -> 1.0) // normalizes to 1.0, 0.0
+    val out = Fusion.linear(dense, sparse, "id", alpha = 0.7, limit = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.7) // dense-only: 0.7*1 + 0.3*0
+    assert(out(3L) == 0.3) // sparse-only
+    assert(out(2L) == 0.0) // both at min
+  }
+}

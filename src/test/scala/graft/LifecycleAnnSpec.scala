@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Lifecycle
+import graft.search.Ann
+import graft.tables.Tables
+
+class LifecycleAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deltaDetect classifies new vs changed and drops unchanged") {
+    val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val incoming = Seq((1L, "a"), (2L, "B"), (9L, "z")).toDF("id", "text")
+    val out = Lifecycle.deltaDetect(existing, incoming, "id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 9L -> "new"))
+  }
+
+  test("cleanupDeletes = left anti join on id") {
+    val existing = Seq(1L, 2L, 3L).toDF("id")
+    val incoming = Seq(2L).toDF("id")
+    val out = Lifecycle.cleanupDeletes(existing, incoming, "id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 3L))
+  }
+
+  test("latest/history version views split an append-only table") {
+    val v = Seq((1L, 1, "old"), (1L, 2, "new"), (2L, 1, "only"))
+      .toDF("id", "version", "text")
+    val latest = Lifecycle.latestVersions(v, "id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(latest == Set((1L, 2, "new"), (2L, 1, "only")))
+    val hist = Lifecycle.historyVersions(v, "id")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(hist == Set((1L, "1_v1")))
+  }
+
+  test("ivf with all lists probed equals brute-force top-k") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val ivfAll = Ann.ivfTopK(emb, centroids, qv, nprobe = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = graft.search.SearchEngine.denseTopK(spark, Sf0001, 0, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivfAll == brute)
+  }
+
+  test("ivf with fewer probes returns a subset of candidates, still ranked") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val out = Ann.ivfTopK(emb, centroids, qv, nprobe = 3, k = 10)
+      .collect().map(r => r.getDouble(1)).toSeq
+    assert(out.nonEmpty)
+    assert(out == out.sorted.reverse) // ranked desc
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.sources.JsonSource
+import graft.tables.Tables
+
+class MultimodalSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("attachMedia: binary payload + kind-dependent typed metadata") {
+    val m = Multimodal.attachMedia(
+      Tables.documents(spark, Sf0001).limit(30), "doc_id", "text")
+    val rows = m.select("doc_id", "kind", "width", "duration_ms").collect()
+    rows.foreach { r =>
+      val kind = r.getString(1)
+      assert(Set("image", "audio", "video")(kind))
+      if (kind == "image") { assert(!r.isNullAt(2)); assert(r.isNullAt(3)) }
+      if (kind == "audio") { assert(r.isNullAt(2)); assert(!r.isNullAt(3)) }
+      if (kind == "video") { assert(!r.isNullAt(2)); assert(!r.isNullAt(3)) }
+    }
+    // payload round-trips the source bytes
+    val txt = m.select(col("text"), decode(col("payload"), "UTF-8").as("back"))
+      .where(col("text") =!= col("back")).count()
+    assert(txt == 0)
+  }
+
+  test("decodeFeatures: mapPartitions batch decode with the stub codec") {
+    val media = Multimodal.attachMedia(
+      Tables.documents(spark, Sf0001).limit(30), "doc_id", "text")
+      .select(col("doc_id").as("media_id"), col("kind"), col("payload"),
+        col("width"), col("height"), col("duration_ms"))
+      .as[Multimodal.MediaRow]
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 30)
+    feats.foreach { f =>
+      assert(f.size_bytes > 0)
+      assert(f.brightness > 0 && f.brightness < 256)
+      if (f.kind == "video") assert(f.n_frames >= 1 && f.n_frames <= 10)
+      else assert(f.n_frames == 1)
+    }
+  }
+
+  test("json source: array file, derived text columns, stable ids") {
+    val dir = Files.createTempDirectory("graft-json").toFile
+    val f = new java.io.File(dir, "batch.json")
+    Files.writeString(f.toPath,
+      """[{"_id": "a1", "partNumber": "RAD64002019", "description": "gas torch"},
+         {"_id": "a2", "partNumber": "MIL11-1101C", "description": "regulator",
+          "mfrPartNumber": "M-7"}]""")
+    val raw = JsonSource.readJsonArray(spark, f.getAbsolutePath)
+    assert(raw.count() == 2)
+
+    val derived = JsonSource.withStableId(
+      JsonSource.deriveTextColumns(raw, "description", "partNumber", "mfrPartNumber"),
+      "partNumber")
+    val rows = derived.select("partNumber", "dense_text", "sparse_text", "id")
+      .orderBy("partNumber").collect()
+    // null-skipping concat: doc without mfrPartNumber has a 2-part sparse_text
+    assert(rows(1).getString(2) == "gas torch RAD64002019")
+    assert(rows(0).getString(2) == "regulator MIL11-1101C M-7")
+    assert(rows(0).getString(1) == "regulator") // dense_text = description only
+    assert(rows.map(_.getLong(3)).distinct.length == 2) // stable ids assigned
+
+    val dirRead = JsonSource.readJsonDir(spark, dir.getAbsolutePath)
+    assert(dirRead.count() == 2)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.DeltaStream
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed event counts with watermark over a micro-batch stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val q = DeltaStream.windowedEventCounts(events, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:02:00"), "click", 2.0),
+        (Timestamp.valueOf("2024-01-01 00:07:00"), "view", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("win_counts")
+        .select(col("window.start").cast("string"), col("event_type"),
+          col("n"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(out == Set(
+        ("2024-01-01 00:00:00", "click", 2L, 3.0),
+        ("2024-01-01 00:05:00", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization accumulates per-user state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DeltaStream.Event]
+    val q = DeltaStream.sessionize(input.toDS(), timeoutMs = 0)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        DeltaStream.Event(Timestamp.valueOf("2024-01-01 00:00:01"), 1L, "click", 1.0),
+        DeltaStream.Event(Timestamp.valueOf("2024-01-01 00:00:02"), 1L, "click", 2.0),
+        DeltaStream.Event(Timestamp.valueOf("2024-01-01 00:00:03"), 2L, "view", 7.0))
+      q.processAllAvailable()
+      input.addData(
+        DeltaStream.Event(Timestamp.valueOf("2024-01-01 00:00:10"), 1L, "buy", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(out == Set((1L, 3L, 7.0), (2L, 1L, 7.0))) // state carried across batches
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashOps, TextOps}
+
+class TextHashOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens drop empty strings from trailing/double spaces") {
+    val df = Seq("a b  c ").toDF("t")
+    val toks = df.select(TextOps.tokens(col("t"))).head().getSeq[String](0)
+    assert(toks == Seq("a", "b", "c"))
+  }
+
+  test("shingles: n-grams, distinct, empty below n tokens") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val sh = df.select(TextOps.shingles(TextOps.tokens(col("t")), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1).isEmpty)
+  }
+
+  test("fingerprint matches a manual rolling-hash computation") {
+    val text = "hello world"
+    val want = text.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val got = Seq(text).toDF("t")
+      .select(TextOps.fingerprint(col("t"))).head().getLong(0)
+    assert(got == want)
+  }
+
+  test("stable id matches manual md5-prefix arithmetic and fits in 60 bits") {
+    val s = "some document text"
+    val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    val want = java.lang.Long.parseLong(hex, 16)
+    val got = Seq(s).toDF("t").select(HashOps.stableId(col("t"))).head().getLong(0)
+    assert(got == want)
+    assert(got >= 0 && got < (1L << 60))
+  }
+
+  test("content hash skips nulls via concat_ws (canonical form stability)") {
+    val df = Seq(("a", Option("b")), ("a|b", None: Option[String]))
+      .toDF("x", "y")
+    val hashes = df.select(HashOps.contentHash(col("x"), col("y")))
+      .collect().map(_.getString(0))
+    // 'a'|'b' and 'a|b'|NULL both canonicalize to "a|b" — documented
+    // delimiter-injection property of the reference's canonical concat
+    assert(hashes(0) == hashes(1))
+  }
+
+  test("langId: marker-lexicon argmax with deterministic tie-break") {
+    val df = Seq(
+      "the cat and the hat is big", // en markers
+      "der hund und die katze ist", // de markers
+      "xyzzy qwerty"                // no markers -> tie -> 'de' (min code)
+    ).toDF("t")
+    val out = df.select(TextOps.langId(TextOps.tokens(col("t")))).collect()
+      .map(_.getString(0))
+    assert(out(0) == "en")
+    assert(out(1) == "de")
+    assert(out(2) == "de")
+  }
+
+  test("quality score stays in [0,1] and rewards diverse non-stopword text") {
+    val df = Seq(
+      "alpha bravo charlie delta echo foxtrot golf hotel",
+      "the the the the the the the the").toDF("t")
+    val q = df.select(TextOps.qualityScore(col("t"))).collect().map(_.getDouble(0))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(1))
+  }
+
+  test("token counts: whitespace vs regex pieces") {
+    val df = Seq("hello, world! x3").toDF("t")
+    val r = df.select(
+      TextOps.tokenCountWs(col("t")).as("ws"),
+      TextOps.tokenCountRe(col("t")).as("re")).head()
+    assert(r.getInt(0) == 3)
+    // pieces: hello , world ! x 3
+    assert(r.getInt(1) == 6)
+  }
+}
