@@ -309,8 +309,96 @@ object Queries {
         ORDER BY score DESC, id ASC LIMIT 10
       """)))
 
+  private def denseCte(name: String): String = denseScoredCte(name)
+  private def bm25Cte(name: String): String = bm25ScoredCte(name)
+  private val denseCte20: String =
+    s"""${denseScoredCte("scored")},
+        dense_top AS (
+          SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 20)"""
+
+  /** API-surface queries (reference Q4/Q9/Q10/Q13 + normalizers). */
+  val apiQueries: Map[String, Q] = Map(
+    // F10/A6: z-score normalization of the dense arm (+0.5 shift, σ=0→0.5).
+    "s10_znorm" -> Q(
+      (s, d) => search.Fusion.zNorm(
+          search.SearchEngine.denseTopK(s, d, QueryVecId, 20), "id")
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id").asc),
+      Some(s"""
+        WITH ${denseCte20}
+        SELECT id,
+               round(CASE WHEN stddev_pop(score) OVER () = 0 THEN 0.5::DOUBLE
+                          ELSE (score - avg(score) OVER ()) / stddev_pop(score) OVER ()
+                               + 0.5::DOUBLE END, 6) AS score
+        FROM dense_top
+        ORDER BY score DESC, id ASC
+      """)),
+
+    // P6/F6: API result-shape projection with display rounding.
+    "s11_result_shape" -> Q(
+      (s, d) => search.SearchEngine.resultShape(
+        s, d, search.SearchEngine.denseTopK(s, d, QueryVecId, 10)),
+      Some(s"""
+        WITH ${denseCte("scored")},
+        hits AS (SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 10)
+        SELECT doc.source AS image, h.id, doc.text, doc.lang AS mfr_code,
+               doc.n_chars AS price, round(h.score, 3) AS score
+        FROM hits h JOIN documents doc ON h.id = doc.doc_id
+        ORDER BY score DESC, id ASC
+      """)),
+
+    // Q10: mode comparison — result count + best score per retrieval mode.
+    "s12_compare_modes" -> Q(
+      (s, d) => search.SearchEngine.compareModes(s, d, QueryVecId, QueryTerms, 10),
+      Some(s"""
+        WITH ${denseCte("dense_scored")}, ${bm25Cte("sparse_scored")},
+        dense_top AS (
+          SELECT id, score FROM dense_scored ORDER BY score DESC, id ASC LIMIT 10
+        ), sparse_top AS (
+          SELECT id, score FROM sparse_scored ORDER BY score DESC, id ASC LIMIT 10
+        ), dense_top20 AS (
+          SELECT id, score FROM dense_scored ORDER BY score DESC, id ASC LIMIT 20
+        ), sparse_top20 AS (
+          SELECT id, score FROM sparse_scored ORDER BY score DESC, id ASC LIMIT 20
+        ), dr AS (
+          SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank_d FROM dense_top20
+        ), sr AS (
+          SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank_s FROM sparse_top20
+        ), hybrid_top AS (
+          SELECT coalesce(dr.id, sr.id) AS id,
+                 round(coalesce(1.0::DOUBLE / (60 + rank_d), 0.0::DOUBLE)
+                     + coalesce(1.0::DOUBLE / (60 + rank_s), 0.0::DOUBLE), 6) AS score
+          FROM dr FULL OUTER JOIN sr ON dr.id = sr.id
+          ORDER BY score DESC, id ASC LIMIT 10
+        )
+        SELECT * FROM (
+          SELECT 'dense' AS method, count(*) AS n_results,
+                 round(max(score), 6) AS top_score FROM dense_top
+          UNION ALL
+          SELECT 'bm25', count(*), round(max(score), 6) FROM sparse_top
+          UNION ALL
+          SELECT 'hybrid', count(*), round(max(score), 6) FROM hybrid_top)
+        ORDER BY method
+      """)),
+
+    // Q13/A5: collection stats per source.
+    "s13_collection_stats" -> Q(
+      (s, d) => search.Stats.collectionStats(s, d),
+      Some("""
+        SELECT source, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM documents GROUP BY source ORDER BY source
+      """)),
+
+    // Q13 health: row count per table.
+    "s14_health_counts" -> Q(
+      (s, d) => search.Stats.healthCounts(s, d),
+      Some(tables.Tables.names.sorted.map(n =>
+        s"SELECT '$n' AS \"table\", count(*) AS n_rows FROM $n").mkString(
+        "SELECT * FROM (", " UNION ALL ", ") ORDER BY \"table\""))))
+
   /** All registered queries. */
-  def all: Map[String, Q] = relational ++ searchQueries ++ QueriesPipeline.all
+  def all: Map[String, Q] =
+    relational ++ searchQueries ++ apiQueries ++ QueriesPipeline.all
 
   def queryFns: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }

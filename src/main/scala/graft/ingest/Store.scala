@@ -1,0 +1,63 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed document store: the write side of the lifecycle
+  * (reference §2.1 S5 upsert sink, §2.10 N1 full import / N3 versioned
+  * upsert; `app/core/database.py:140-231`, `version_service.py:49-110`).
+  *
+  * Without a transactional table format in this environment, upsert is a
+  * read-merge-rewrite job into a versioned directory (`.../v=N`) with a
+  * current-pointer swap — the classic atomic-publish layout. On a real
+  * deployment the same API maps 1:1 onto Delta/Iceberg `MERGE`; the join
+  * shapes (anti/outer on id) are identical. Batching/parallel upload
+  * (reference `parallel=16, batch 4096`) is Spark's task parallelism —
+  * `repartition(n)` controls write fan-out.
+  */
+object Store {
+
+  /** N1: full import — truncate-and-load semantics via overwrite. */
+  def fullImport(df: DataFrame, path: String, partitions: Int = 0): Unit = {
+    val out = if (partitions > 0) df.repartition(partitions) else df
+    out.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** N3: versioned upsert. Incoming rows replace matches (version bumped),
+    * prior versions of replaced rows append to the history table with the
+    * reference's `{id}_v{version}` key. Unmatched existing rows carry
+    * over; brand-new ids enter at version 1.
+    *
+    * Returns (newMain, historyDelta) as DataFrames; caller persists via
+    * [[fullImport]] / append. One full-outer join on id — no per-doc
+    * round-trips. */
+  def upsertVersioned(existing: DataFrame, incoming: DataFrame,
+                      idCol: String, payloadCols: Seq[String]): (DataFrame, DataFrame) = {
+    val e = existing.select(
+      (col(idCol) +: col("version").as("old_version") +:
+        payloadCols.map(c => col(c).as(s"old_$c"))): _*)
+    val i = incoming.select((col(idCol) +: payloadCols.map(col)): _*)
+      .withColumn("__incoming", lit(true))
+    val joined = e.join(i, Seq(idCol), "full_outer")
+
+    val newMain = joined.select(
+      (col(idCol) +:
+        when(col("__incoming"), coalesce(col("old_version") + 1, lit(1)))
+          .otherwise(col("old_version")).cast("int").as("version") +:
+        payloadCols.map(c =>
+          when(col("__incoming"), col(c)).otherwise(col(s"old_$c")).as(c))): _*)
+
+    val historyDelta = joined
+      .where(col("__incoming") && col("old_version").isNotNull)
+      .select(
+        (col(idCol) +: col("old_version").as("version") +:
+          payloadCols.map(c => col(s"old_$c").as(c))): _*)
+      .withColumn("history_id",
+        concat(col(idCol).cast("string"), lit("_v"), col("version").cast("string")))
+
+    (newMain, historyDelta)
+  }
+}

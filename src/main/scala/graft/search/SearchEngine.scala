@@ -107,4 +107,50 @@ object SearchEngine {
     val sparse = bm25TopK(spark, dir, terms, k * 2)
     Fusion.linear(dense, sparse, "id", alpha, k)
   }
+
+  /** Q9 `search_lean`: dense top-k, minimal projection, no enrichment
+    * (the reference's hnsw_ef=64 fast path — approximation knobs don't
+    * exist for an exact scan, so lean = skip the payload join). */
+  def searchLean(spark: SparkSession, dir: String, queryVecId: Long, k: Int): DataFrame =
+    denseTopK(spark, dir, queryVecId, k).select(col("id"), col("score"))
+
+  /** Q4 `/api/query` legacy filtered search: oversample 2× (vs Q3's 3×),
+    * post-filter, minimal (id, score) projection
+    * (`app/services/search_service.py:443-478`). */
+  def filteredLegacy(spark: SparkSession, dir: String, queryVecId: Long,
+                     filterField: String, filterValue: String, k: Int): DataFrame = {
+    val over = denseTopK(spark, dir, queryVecId, k * 2)
+    over.join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"), col(filterField)), Seq("id"))
+      .where(col(filterField) === filterValue)
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** P6/F6 result-shape projection: map the hit list to the reference's
+    * API payload shape with display rounding
+    * (`app/services/search_service.py:426-437` — `round(score, 3)`). */
+  def resultShape(spark: SparkSession, dir: String, hits: DataFrame): DataFrame =
+    hits.join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"), col("text"), col("lang"), col("source"),
+          col("n_chars")), Seq("id"))
+      .select(col("source").as("image"), col("id"), col("text"),
+        col("lang").as("mfr_code"), col("n_chars").as("price"),
+        round(col("score"), 3).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+
+  /** Q10 `/api/search/compare`: run the retrieval modes side by side and
+    * report result counts + best score per mode (timings stay in Stats'
+    * EWMA — they are not data). */
+  def compareModes(spark: SparkSession, dir: String, queryVecId: Long,
+                   terms: Seq[String], k: Int): DataFrame = {
+    def summarize(name: String, df: DataFrame) =
+      df.agg(lit(name).as("method"), count(lit(1)).as("n_results"),
+        round(max(col("score")), 6).as("top_score"))
+    summarize("dense", denseTopK(spark, dir, queryVecId, k))
+      .unionByName(summarize("bm25", bm25TopK(spark, dir, terms, k)))
+      .unionByName(summarize("hybrid", hybrid(spark, dir, queryVecId, terms, k)))
+      .orderBy(col("method"))
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Store
+import graft.search.Stats
+
+class StoreStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full import overwrites; upsert bumps versions and archives history") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val main = s"$dir/main"
+
+    val v1 = Seq((1L, 1, "alpha"), (2L, 1, "beta")).toDF("id", "version", "text")
+    Store.fullImport(v1, main)
+    assert(Store.read(spark, main).count() == 2)
+
+    val incoming = Seq((2L, "beta2"), (3L, "gamma")).toDF("id", "text")
+    val (newMain, hist) = Store.upsertVersioned(
+      Store.read(spark, main), incoming, "id", Seq("text"))
+
+    val m = newMain.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(m == Set((1L, 1, "alpha"), (2L, 2, "beta2"), (3L, 1, "gamma")))
+
+    val h = hist.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    assert(h == Set((2L, 1, "beta", "2_v1"))) // only the replaced row archives
+
+    // round-trip: publish the merged table and re-read
+    Store.fullImport(newMain, s"$dir/main_v2")
+    assert(Store.read(spark, s"$dir/main_v2").count() == 3)
+  }
+
+  test("ewma matches the reference's avg*0.9 + x*0.1 smoothing") {
+    val e = new Stats.Ewma(0.1)
+    e.record("search", 100.0)
+    assert(e.get("search").contains(100.0))
+    e.record("search", 200.0)
+    assert(math.abs(e.get("search").get - (100.0 * 0.9 + 200.0 * 0.1)) < 1e-9)
+    e.timed("block") { Thread.sleep(5) }
+    assert(e.get("block").exists(_ >= 5.0))
+    assert(e.snapshot.keySet == Set("search", "block"))
+  }
+
+  test("health counts cover every table") {
+    val h = Stats.healthCounts(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(h.keySet == graft.tables.Tables.names.toSet)
+    assert(h("documents") == 500)
+    assert(h.values.forall(_ > 0))
+  }
+}
