@@ -33,14 +33,19 @@ object SearchEngine {
   /** Q5: dense cosine top-k over the embeddings table.
     * Scores rounded to 6dp before ordering so ranks are deterministic. */
   def denseTopK(spark: SparkSession, dir: String, queryVecId: Long, k: Int,
-                minScore: Double = -1.0): DataFrame =
-    Tables.embeddings(spark, dir)
+                minScore: Double = -1.0): DataFrame = {
+    val scored = Tables.embeddings(spark, dir)
       .crossJoin(broadcast(queryVec(spark, dir, queryVecId)))
       .select(col("vec_id").as("id"),
         round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("score"))
-      .where(col("score") >= minScore)
+    // Only emit the threshold when it can filter: a vacuous `score >= -1`
+    // otherwise becomes a join condition that evaluates the cosine twice.
+    val thresholded =
+      if (minScore > -1.0) scored.where(col("score") >= minScore) else scored
+    thresholded
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
+  }
 
   /** Q6: BM25 top-k over documents. */
   def bm25TopK(spark: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame =
