@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashOps, TextOps}
@@ -37,27 +36,21 @@ object Dedup {
 
   /** Distinct word n-gram shingles per doc as ROWS: (id, blockCol, shingle).
     *
-    * Built with posexplode + window `lead` instead of array lambdas: the
-    * transform/element_at formulation gets its token subexpression
-    * re-inlined by predicate pushdown and re-evaluated per element (no CSE
-    * through lambda bodies) — measured 10-30× slower at sf0.1. Row form is
-    * also what every consumer (inverted-index join, MinHash aggregation)
-    * wants; no array ever shuffles. */
+    * Shape matters for performance here, found by measurement at sf0.1:
+    *  - tokens MUST be materialized in their own projection — inlined into
+    *    the shingle lambda, every `element_at` re-evaluates the whole
+    *    split+filter (no CSE through lambda bodies; 10-30× slower);
+    *  - the shingle array feeds `explode` in the SAME select — the
+    *    Generate acts as an optimizer barrier, so predicate pushdown can't
+    *    re-inline the token expression either;
+    *  - `array_distinct` inside the lambda gives per-doc distinctness, so
+    *    no extra `.distinct()` shuffle is needed. Net: zero shuffles. */
   private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
-                          blockCol: String, n: Int): DataFrame = {
-    val toks = docs.select(col(idCol), col(blockCol),
-      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val withNext = (1 until n).foldLeft(toks) { (d, j) =>
-      d.withColumn(s"tok$j", lead(col("tok"), j).over(w))
-    }
-    withNext
-      .where((1 until n).map(j => col(s"tok$j").isNotNull).reduce(_ && _))
+                          blockCol: String, n: Int): DataFrame =
+    docs.select(col(idCol), col(blockCol),
+        TextOps.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col(blockCol),
-        concat_ws(" ", (col("tok") +: (1 until n).map(j => col(s"tok$j"))): _*)
-          .as("shingle"))
-      .distinct()
-  }
+        explode(TextOps.shingles(col("__toks"), n)).as("shingle"))
 
   /** All-pairs n-gram Jaccard within a blocking key (lang): pairs with
     * similarity >= threshold. Jaccard is a ratio of small ints — exactly

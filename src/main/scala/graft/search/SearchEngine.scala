@@ -30,14 +30,25 @@ object SearchEngine {
       .where(col("vec_id") === vecId)
       .select(col("embedding").as("qvec"))
 
+  /** Driver-side query-vector cache (reference O10: the LRU query-embed
+    * cache, `app/services/search_service.py:127`). Fetching the tiny query
+    * vector once and inlining it as a literal removes a broadcast-build
+    * job from every dense query — the plan collapses to
+    * scan → codegen cosine → TakeOrderedAndProject, one stage. */
+  private val qvecCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[Float]]()
+  def queryVecArray(spark: SparkSession, dir: String, vecId: Long): Array[Float] =
+    qvecCache.computeIfAbsent((dir, vecId), _ =>
+      queryVec(spark, dir, vecId).head().getSeq[Float](0).toArray)
+
   /** Q5: dense cosine top-k over the embeddings table.
     * Scores rounded to 6dp before ordering so ranks are deterministic. */
   def denseTopK(spark: SparkSession, dir: String, queryVecId: Long, k: Int,
                 minScore: Double = -1.0): DataFrame = {
+    val qv = typedlit(queryVecArray(spark, dir, queryVecId))
     val scored = Tables.embeddings(spark, dir)
-      .crossJoin(broadcast(queryVec(spark, dir, queryVecId)))
       .select(col("vec_id").as("id"),
-        round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+        round(VectorOps.cosineSim(col("embedding"), qv), 6).as("score"))
     // Only emit the threshold when it can filter: a vacuous `score >= -1`
     // otherwise becomes a join condition that evaluates the cosine twice.
     val thresholded =
