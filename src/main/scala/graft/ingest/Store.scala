@@ -26,6 +26,25 @@ object Store {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** O1: file-layout optimization replacing the reference's keyword payload
+    * indexes (`scripts/indexing.py:383-443`). Range-partition + sort by the
+    * lookup keys so parquet row-group min/max statistics prune point
+    * lookups, and enable a parquet bloom filter on each key for the
+    * high-cardinality exact-match case (part numbers). At 100 TB this is
+    * what turns `WHERE part_number = 'X'` from a full scan into a handful
+    * of row groups — the 1-5 ms vs 100+ ms gap the reference attributes to
+    * its payload indexes. */
+  def optimizeLayout(df: DataFrame, path: String, sortCols: Seq[String],
+                     numFiles: Int): Unit = {
+    val writer = df
+      .repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+    sortCols.foldLeft(writer) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }.parquet(path)
+  }
+
   /** N3: versioned upsert. Incoming rows replace matches (version bumped),
     * prior versions of replaced rows append to the history table with the
     * reference's `{id}_v{version}` key. Unmatched existing rows carry
