@@ -114,6 +114,78 @@ object Queries {
         WHERE rn <= 2 ORDER BY o_custkey, rn
       """)),
 
+    // Gap-based sessionization, batch form (the streaming sessionizer's
+    // deterministic twin): session starts where the gap to the previous
+    // event of the same user exceeds 30 min (lag + cumulative sum).
+    "q6_sessions" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+              .otherwise(0))
+          .withColumn("session_no",
+            sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_no"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 2).as("session_value"))
+          .orderBy(col("user_id"), col("session_no"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id, ts, value,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events),
+        m AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN prev_ts IS NULL
+                        OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM g),
+        sess AS (
+          SELECT user_id, value,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+          FROM m)
+        SELECT user_id, session_no::BIGINT AS session_no, count(*) AS n_events,
+               round(sum(value), 2) AS session_value
+        FROM sess GROUP BY user_id, session_no
+        ORDER BY user_id, session_no
+      """)),
+
+    // Rollup aggregation (multi-level totals in one pass — the shape every
+    // reporting layer over 100 TB wants instead of K separate scans).
+    "q7_rollup" -> Q(
+      (s, d) => Tables(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+      """)),
+
+    // J6-style existence check as a semi join (no row multiplication).
+    "q8_semi_join" -> Q(
+      (s, d) => Tables(s, d, "orders")
+        .join(Tables(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey")),
+      Some("""
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE EXISTS (SELECT 1 FROM customer
+                      WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+        ORDER BY o_orderkey
+      """)),
+
     // Time-bucketed event aggregation (events table; streaming's batch twin).
     "q5_events_hourly" -> Q(
       (s, d) => Tables.events(s, d)

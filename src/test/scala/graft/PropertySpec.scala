@@ -1,0 +1,95 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{HashOps, TextOps, VectorOps}
+
+/** Property-style tests: ScalaCheck generators produce the samples, one
+  * batched Spark pass verifies all of them against an independent Scala
+  * model (running a Spark job per ScalaCheck trial would be prohibitively
+  * slow; batching keeps the property coverage and the speed). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.from(0).map(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .collect { case Some(v) => v }.take(n).toSeq
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const(' '))).map(_.mkString)
+
+  test("fingerprint == independent rolling-hash model for random strings") {
+    val texts = samples(asciiText, 200).distinct
+    def model(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val got = texts.toDF("t")
+      .select(col("t"), TextOps.fingerprint(col("t")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    texts.foreach(t => assert(got(t) == model(t), s"fingerprint mismatch for '$t'"))
+  }
+
+  test("stableId == independent md5-prefix model for random strings") {
+    val texts = samples(asciiText.suchThat(_.nonEmpty), 100).distinct
+    def model(s: String): Long = java.lang.Long.parseLong(
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val got = texts.toDF("t")
+      .select(col("t"), HashOps.stableId(col("t")).as("id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    texts.foreach(t => assert(got(t) == model(t)))
+  }
+
+  test("tokens == split-and-drop-empties model; counts match") {
+    val texts = samples(asciiText, 200).distinct
+    val got = texts.toDF("t")
+      .select(col("t"), TextOps.tokens(col("t")).as("toks"),
+        TextOps.tokenCountWs(col("t")).as("n"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1), r.getInt(2)))
+    got.foreach { case (t, toks, n) =>
+      val want = t.split(" ").filter(_.nonEmpty).toSeq
+      assert(toks == want, s"tokens mismatch for '$t'")
+      assert(n == want.length)
+    }
+  }
+
+  test("codegen cosine == scalar model; bounded in [-1,1]; symmetric") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-10f, 10f))
+    val pairs = samples(Gen.zip(vecGen, vecGen), 100)
+      .map { case (a, b) => (a.toArray, b.toArray) }
+    def model(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = pairs.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("i", "a", "b")
+      .select(col("i"), VectorOps.cosineSim(col("a"), col("b")).as("ab"),
+        VectorOps.cosineSim(col("b"), col("a")).as("ba"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+    got.foreach { case (i, ab, ba) =>
+      val (a, b) = pairs(i)
+      assert(math.abs(ab - model(a, b)) < 1e-12)
+      assert(ab == ba, "cosine must be symmetric")
+      assert(ab >= -1.0000001 && ab <= 1.0000001)
+    }
+  }
+
+  test("rrf rank monotonicity: better rank never scores lower") {
+    // pure-model property of the fusion formula used in Fusion.rrf
+    val ranks = samples(Gen.chooseNum(1, 1000), 200)
+    ranks.sliding(2).foreach {
+      case Seq(r1, r2) =>
+        val (lo, hi) = (math.min(r1, r2), math.max(r1, r2))
+        assert(1.0 / (60 + lo) >= 1.0 / (60 + hi))
+      case _ =>
+    }
+  }
+}
