@@ -50,4 +50,14 @@ object MlIndex {
   def approxNearDup(ann: BucketedRandomProjectionLSHModel,
                     a: DataFrame, b: DataFrame, maxDistance: Double): DataFrame =
     ann.approxSimilarityJoin(a, b, maxDistance, "dist").toDF()
+
+  /** IVF centroid training: k-means over the embedded vectors (the proper
+    * index-build for `graft.search.Ann` — the oracle-checked queries use
+    * fixed stored vectors as centroids for determinism; a real deployment
+    * trains them here, fixed seed for reproducibility). */
+  def fitIvfCentroids(embedded: DataFrame, k: Int, seed: Long = 42L)
+      : org.apache.spark.ml.clustering.KMeansModel =
+    new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setFeaturesCol("features")
+      .fit(embedded)
 }

@@ -26,6 +26,20 @@ object Store {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** O7: bucketed table layout for co-located joins. Two tables bucketed
+    * by the same key and count join WITHOUT a shuffle — at 100 TB the
+    * documents⋈embeddings join (the engine's core access path) must be
+    * co-located, not re-shuffled per query. `BucketedJoinSpec` asserts the
+    * exchange-free plan. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCol: String, numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** O1: file-layout optimization replacing the reference's keyword payload
     * indexes (`scripts/indexing.py:383-443`). Range-partition + sort by the
     * lookup keys so parquet row-group min/max statistics prune point
