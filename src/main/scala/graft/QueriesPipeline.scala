@@ -515,5 +515,74 @@ object QueriesPipeline {
         ORDER BY media_id, frame_idx
       """)))
 
-  def all: Map[String, Q] = lifecycle ++ dedup ++ text ++ ann ++ extras
+  /** Queries with no SQL-expressible oracle (implementation-defined
+    * internals: HLL sketches, LSH random projections) — the driver records
+    * a rows-only check for these. */
+  val rowsOnly: Map[String, Q] = Map(
+    // HLL approximate distinct (the 100 TB cardinality-estimation tool;
+    // sketch internals are engine-specific, so no value oracle exists).
+    "x1_approx_distinct" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      None),
+    // MLlib LSH near-dup join (random-projection hash families).
+    "x2_mllib_lsh_neardup" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val model = graft.index.MlIndex.fitEmbedder(docs, "text", 64)
+        val embedded = model.transform(docs)
+        val ann = graft.index.MlIndex.fitAnn(embedded)
+        graft.index.MlIndex.approxNearDup(ann, embedded, embedded, 1.0)
+          .selectExpr("datasetA.doc_id AS id_a", "datasetB.doc_id AS id_b",
+            "round(dist, 6) AS dist")
+          .where(col("id_a") < col("id_b"))
+          .orderBy(col("dist"), col("id_a"), col("id_b"))
+          .limit(50)
+      },
+      None))
+
+  /** Int8-quantized cosine top-k (O5): scale cancels in cosine, so the
+    * quantized score is exact integer arithmetic — oracle-checkable. */
+  val quantized: Map[String, Q] = Map(
+    "a2_quantized_topk" -> Q(
+      (s, d) => {
+        import graft.functions.VectorOps
+        val emb = Tables.embeddings(s, d)
+        val q = emb.where(col("vec_id") === Queries.QueryVecId)
+          .select(VectorOps.quantizeInt8(col("embedding")).getField("q").as("qq"))
+        emb.crossJoin(broadcast(q))
+          .select(col("vec_id").as("id"),
+            round(VectorOps.cosineSimInt8(
+              VectorOps.quantizeInt8(col("embedding")).getField("q"), col("qq")), 6)
+              .as("score"))
+          .orderBy(col("score").desc, col("id").asc)
+          .limit(10)
+      },
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                   x -> round(x / (greatest(list_max(list_transform(embedding::DOUBLE[],
+                        y -> abs(y))), 1e-30) / 127.0))::BIGINT) AS q
+          FROM embeddings),
+        qv AS (SELECT q AS qq FROM qz WHERE vec_id = 0),
+        scored AS (
+          SELECT z.vec_id AS id,
+                 CASE WHEN list_dot_product(z.q::DOUBLE[], z.q::DOUBLE[]) = 0
+                        OR list_dot_product(qv.qq::DOUBLE[], qv.qq::DOUBLE[]) = 0
+                      THEN 0.0::DOUBLE
+                      ELSE list_dot_product(z.q::DOUBLE[], qv.qq::DOUBLE[]) /
+                           (sqrt(list_dot_product(z.q::DOUBLE[], z.q::DOUBLE[])) *
+                            sqrt(list_dot_product(qv.qq::DOUBLE[], qv.qq::DOUBLE[])))
+                 END AS score
+          FROM qz z CROSS JOIN qv)
+        SELECT id, round(score, 6) AS score FROM scored
+        ORDER BY score DESC, id ASC LIMIT 10
+      """)))
+
+  def all: Map[String, Q] =
+    lifecycle ++ dedup ++ text ++ ann ++ extras ++ quantized ++ rowsOnly
 }

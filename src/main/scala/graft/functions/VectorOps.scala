@@ -28,6 +28,30 @@ object VectorOps {
   /** L2 norm of a float-array column. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** O5: symmetric int8 quantization (reference's scalar quantization,
+    * `scripts/indexing.py:283-300`): scale = max|x|/127, q_i = round(x_i /
+    * scale). Stored as a struct so the scale travels with the codes —
+    * ARRAY<TINYINT>-class storage is a 4× memory cut for a RAM-resident
+    * vector corpus. */
+  def quantizeInt8(v: Column): Column = {
+    val vd = v.cast("array<double>")
+    val scale = greatest(array_max(transform(vd, x => abs(x))), lit(1e-30)) / 127.0
+    struct(scale.as("scale"),
+      transform(vd, x => round(x / scale).cast("long")).as("q"))
+  }
+
+  /** Cosine over int8-quantized codes. The per-vector scale cancels in
+    * cosine, so this is exact integer dot/norm arithmetic — deterministic
+    * in any engine — and needs no dequantization. */
+  def cosineSimInt8(qa: Column, qb: Column): Column = {
+    val dotp = aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val na = aggregate(qa, lit(0L), (acc, v) => acc + v * v)
+    val nb = aggregate(qb, lit(0L), (acc, v) => acc + v * v)
+    when(na === 0L || nb === 0L, lit(0.0))
+      .otherwise(dotp.cast("double") /
+        (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
+  }
+
   /** Cosine via built-in higher-order functions only — the reference
     * implementation used by tests to cross-check the codegen expression. */
   def cosineSimHof(a: Column, b: Column): Column = {
