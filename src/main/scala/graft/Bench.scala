@@ -42,9 +42,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t =
         try {
-          timeOnce(fn) // warm-up: plan + codegen + cache fill
-          val runs = Seq.fill(3)(timeOnce(fn)).sorted
-          runs(1) // median
+          val warm = timeOnce(fn) // warm-up: plan + codegen + cache fill
+          if (warm > 2.5) {
+            // heavy query: one timed run keeps total bench time bounded
+            timeOnce(fn)
+          } else {
+            val runs = Seq.fill(3)(timeOnce(fn)).sorted
+            runs(1) // median
+          }
         } catch { case _: Throwable => -1.0 }
       name -> t
     }

@@ -528,10 +528,12 @@ object QueriesPipeline {
           count(lit(1)).as("n"))
         .orderBy(col("event_type")),
       None),
-    // MLlib LSH near-dup join (random-projection hash families).
+    // MLlib LSH near-dup join (random-projection hash families). Corpus
+    // capped: this query demonstrates the operator; the deterministic LSH
+    // path (d3_minhash_lsh) is the one that scales with the data.
     "x2_mllib_lsh_neardup" -> Q(
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.documents(s, d).orderBy(col("doc_id")).limit(1000)
         val model = graft.index.MlIndex.fitEmbedder(docs, "text", 64)
         val embedded = model.transform(docs)
         val ann = graft.index.MlIndex.fitAnn(embedded)
