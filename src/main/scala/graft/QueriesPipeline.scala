@@ -555,10 +555,15 @@ object QueriesPipeline {
         val emb = Tables.embeddings(s, d)
         val q = emb.where(col("vec_id") === Queries.QueryVecId)
           .select(VectorOps.quantizeInt8(col("embedding")).getField("q").as("qq"))
+        // int8 codes are <= 127, so they are exact in float: routing the
+        // integer cosine through the codegen CosineSimilarity expression
+        // gives bit-identical results in a single codegen pass.
         emb.crossJoin(broadcast(q))
           .select(col("vec_id").as("id"),
-            round(VectorOps.cosineSimInt8(
-              VectorOps.quantizeInt8(col("embedding")).getField("q"), col("qq")), 6)
+            round(VectorOps.cosineSim(
+              VectorOps.quantizeInt8(col("embedding")).getField("q")
+                .cast("array<float>"),
+              col("qq").cast("array<float>")), 6)
               .as("score"))
           .orderBy(col("score").desc, col("id").asc)
           .limit(10)

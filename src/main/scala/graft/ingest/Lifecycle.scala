@@ -86,4 +86,15 @@ object Lifecycle {
     val shaped = docs.select(cols.map(col): _*).orderBy(col(orderCol))
     if (cap > 0) shaped.limit(cap) else shaped
   }
+
+  /** S8 sink: write the export as JSON lines. Key order in each JSON
+    * object = column order (the reference's "fixed key order"); the
+    * reference's single-array-file shape needs `coalesce(1)` — the
+    * default keeps write parallelism for large exports. */
+  def exportJson(docs: DataFrame, cols: Seq[String], orderCol: String,
+                 cap: Int, path: String, singleFile: Boolean = false): Unit = {
+    val shaped = exportShape(docs, cols, orderCol, cap)
+    (if (singleFile) shaped.coalesce(1) else shaped)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(path)
+  }
 }

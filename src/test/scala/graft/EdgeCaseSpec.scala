@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.ingest.Lifecycle
+import graft.search.{Bm25, Fusion}
+
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25 with no matching terms returns an empty frame, not an error") {
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    assert(Bm25.score(docs, "doc_id", "text", Seq("zzz")).count() == 0)
+  }
+
+  test("rrf with one empty arm degrades to the other arm's ranking") {
+    val dense = Seq((1L, 0.9), (2L, 0.8)).toDF("id", "score")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dense.schema)
+    val out = Fusion.rrf(dense, empty, "id", 60, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out.head._2 == math.rint(1.0 / 61 * 1e6) / 1e6)
+  }
+
+  test("fusion of all-empty arms is empty; linear fusion too") {
+    val empty = Seq.empty[(Long, Double)].toDF("id", "score")
+    assert(Fusion.linear(empty, empty, "id", 0.7, 10).count() == 0)
+    val emptyTyped = Seq.empty[(Long, Double, String)]
+      .toDF("id", "score", "search_type")
+    assert(Fusion.simple(Seq(emptyTyped, emptyTyped), "id", 10).count() == 0)
+  }
+
+  test("dedup on single-token and empty-ish docs: no shingles, no pairs, no crash") {
+    val docs = Seq((1L, "one", "en"), (2L, "a b", "en"), (3L, " ", "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(Dedup.ngramJaccard(docs, "doc_id", "text", "lang", 3, 0.1).count() == 0)
+    assert(Dedup.minhashLsh(docs, "doc_id", "text", 3, 0.1).count() == 0)
+    // simhash still hashes the tokens that exist
+    assert(Dedup.simhash(docs, "doc_id", "text").count() == 2)
+  }
+
+  test("deltaDetect with identical inputs emits nothing") {
+    val d = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    assert(Lifecycle.deltaDetect(d, d, "id", Seq("text")).count() == 0)
+  }
+
+  test("json export: fixed key order, cap honored, single-file mode") {
+    val dir = Files.createTempDirectory("graft-export").toString
+    val docs = Seq((2L, "b", 20L), (1L, "a", 10L), (3L, "c", 30L))
+      .toDF("doc_id", "text", "n_chars")
+    Lifecycle.exportJson(docs, Seq("doc_id", "text"), "doc_id", 2,
+      s"$dir/out", singleFile = true)
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(files.length == 1) // coalesce(1): the reference's one-file export
+    val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
+    assert(lines == Seq("""{"doc_id":1,"text":"a"}""", """{"doc_id":2,"text":"b"}"""))
+  }
+}
