@@ -100,7 +100,7 @@ object Queries {
         val w = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         Tables(s, d, "orders")
-          .withColumn("rn", row_number().over(w))
+          .withColumn("rn", row_number().over(w).cast("long"))
           .where(col("rn") <= 2)
           .select(col("o_custkey"), col("o_orderkey"), col("rn"))
           .orderBy(col("o_custkey"), col("rn"))
@@ -184,6 +184,54 @@ object Queries {
         WHERE EXISTS (SELECT 1 FROM customer
                       WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
         ORDER BY o_orderkey
+      """)),
+
+    // Distribution statistics: exact interpolated percentiles, correlation,
+    // sample stddev (the profiling toolkit for 100 TB data quality work).
+    "q9_stats_funcs" -> Q(
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(stddev_samp(col("l_discount")), 6).as("disc_sd"))
+        .orderBy(col("l_returnflag")),
+      Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+               round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               round(stddev_samp(l_discount), 6) AS disc_sd
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      """)),
+
+    // Rolling 7-day revenue: a RANGE window frame over epoch-day numbers
+    // (numeric range frames behave identically across engines; interval
+    // frames don't parse everywhere).
+    "q10_rolling_revenue" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables(s, d, "lineitem")
+          .groupBy(datediff(col("l_shipdate"), lit("1970-01-01")).cast("long")
+            .as("epoch_day"))
+          .agg(sum(col("l_extendedprice")).as("revenue"))
+        val w = Window.orderBy(col("epoch_day")).rangeBetween(-6, 0)
+        daily
+          .withColumn("rolling_7d", round(sum(col("revenue")).over(w), 2))
+          .select(col("epoch_day"), round(col("revenue"), 2).as("revenue"),
+            col("rolling_7d"))
+          .orderBy(col("epoch_day"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT date_diff('day', DATE '1970-01-01', l_shipdate::DATE) AS epoch_day,
+                 sum(l_extendedprice) AS revenue
+          FROM lineitem GROUP BY 1)
+        SELECT epoch_day, round(revenue, 2) AS revenue,
+               round(sum(revenue) OVER (ORDER BY epoch_day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rolling_7d
+        FROM daily ORDER BY epoch_day
       """)),
 
     // Time-bucketed event aggregation (events table; streaming's batch twin).

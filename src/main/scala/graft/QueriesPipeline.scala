@@ -315,8 +315,8 @@ object QueriesPipeline {
     "t3_token_counts" -> Q(
       (s, d) => docs(s, d)
         .select(col("doc_id"),
-          TextOps.tokenCountWs(col("text")).as("n_ws"),
-          TextOps.tokenCountRe(col("text")).as("n_re"))
+          TextOps.tokenCountWs(col("text")).cast("long").as("n_ws"),
+          TextOps.tokenCountRe(col("text")).cast("long").as("n_re"))
         .orderBy(col("doc_id")),
       Some(s"""
         SELECT doc_id, len($tokensSql) AS n_ws,

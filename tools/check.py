@@ -38,6 +38,11 @@ for name in sorted(oracle):
     s_cols, d_cols = sorted(spark_df.columns), sorted(duck_df.columns)
     if s_cols != d_cols:
         print(f"FAIL {name}: columns differ spark={s_cols} duck={d_cols}"); fail += 1; continue
+    dtype_mismatch = [
+        f"{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}"
+        for c in s_cols if spark_df[c].dtype != duck_df[c].dtype]
+    if dtype_mismatch:
+        print(f"FAIL {name}: dtype mismatch ({'; '.join(dtype_mismatch)})"); fail += 1; continue
     s = spark_df[s_cols].sort_values(s_cols).reset_index(drop=True)
     d = duck_df[d_cols].sort_values(d_cols).reset_index(drop=True)
     if len(s) != len(d):
