@@ -234,6 +234,34 @@ object Queries {
         FROM daily ORDER BY epoch_day
       """)),
 
+    // As-of join: each purchase matched to the user's most recent prior
+    // click (union+window implementation; DuckDB's native ASOF JOIN is the
+    // oracle). Timestamps compared at microsecond precision on both sides.
+    "q11_asof_join" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.AsOfJoin.asof(purchases, clicks, "user_id", "ts", "ts",
+            Map("event_id" -> "click_event_id"))
+          .select(col("event_id"), col("user_id"), col("click_event_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, event_type
+          FROM events),
+        p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+        c AS (SELECT event_id AS click_event_id, user_id, ts FROM e
+              WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, c.click_event_id
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+      """)),
+
     // Time-bucketed event aggregation (events table; streaming's batch twin).
     "q5_events_hourly" -> Q(
       (s, d) => Tables.events(s, d)

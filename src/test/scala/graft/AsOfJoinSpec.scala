@@ -1,0 +1,43 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join picks the latest prior right row per key, inclusive ties") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:10:00")),
+      (2L, 10L, ts("2024-01-01 00:20:00")),
+      (3L, 20L, ts("2024-01-01 00:05:00")), // user 20 has no prior right row
+      (4L, 30L, ts("2024-01-01 00:30:00")) // equal-time right row counts
+    ).toDF("id", "user", "t")
+    val right = Seq(
+      (101L, 10L, ts("2024-01-01 00:01:00")),
+      (102L, 10L, ts("2024-01-01 00:09:00")), // latest prior for left id=1,2
+      (103L, 10L, ts("2024-01-01 00:15:00")), // latest prior for left id=2
+      (104L, 20L, ts("2024-01-01 00:06:00")), // AFTER left id=3 -> no match
+      (105L, 30L, ts("2024-01-01 00:30:00")) // equal timestamp -> inclusive
+    ).toDF("rid", "user", "t")
+
+    val out = AsOfJoin.asof(left, right, "user", "t", "t", Map("rid" -> "matched"))
+      .select("id", "matched")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map(
+      1L -> Some(102L), 2L -> Some(103L), 3L -> None, 4L -> Some(105L)))
+  }
+
+  test("asof join keeps every left row exactly once") {
+    val left = (1 to 100).map(i => (i.toLong, (i % 5).toLong,
+      ts(f"2024-01-01 00:${i % 60}%02d:00"))).toDF("id", "user", "t")
+    val right = Seq((999L, 0L, ts("2024-01-01 00:00:00"))).toDF("rid", "user", "t")
+    val out = AsOfJoin.asof(left, right, "user", "t", "t", Map("rid" -> "m"))
+    assert(out.count() == 100)
+    assert(out.select("id").distinct().count() == 100)
+  }
+}
