@@ -43,7 +43,9 @@ object TfIdfEmbedder {
   def idf(docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
     val tf = termFreqs(docs, idCol, textCol, dim)
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.groupBy(col("bucket")).agg(countDistinct(col(idCol)).as("df"))
+    // tf is grouped by (id, bucket), so ids are distinct within a bucket:
+    // count(1) == countDistinct(id) without the expand + double-aggregate.
+    tf.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .withColumn("idf",
         log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))
@@ -91,7 +93,7 @@ object TfIdfEmbedder {
     val tf = termFreqs(docs, idCol, textCol, dim)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val idfDf = tf.groupBy(col("bucket"))
-      .agg(countDistinct(col(idCol)).as("df"))
+      .agg(count(lit(1)).as("df")) // tf already distinct on (id, bucket)
       .crossJoin(broadcast(nDocs))
       .withColumn("idf",
         log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))

@@ -41,8 +41,10 @@ object Bm25 {
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count("*").as("tf"))
 
+    // tf is grouped by (id, dl, term), so ids are distinct per term:
+    // count(1) == countDistinct(id) without the expand + double-aggregate.
     val dfreq = tf.groupBy(col("term"))
-      .agg(countDistinct(col(idCol)).as("df"))
+      .agg(count(lit(1)).as("df"))
 
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
