@@ -137,9 +137,16 @@ object Dedup {
     val bands = minhashSignaturesWide(docs, idCol, textCol, n)
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band_id").as("band_id"), col("bb.band").as("band"))
-    val a = bands.select(col("band_id"), col("band"), col(idCol).as("id_a"))
-    val b = bands.select(col("band_id"), col("band"), col(idCol).as("id_b"))
-    val cand = a.join(b, Seq("band_id", "band"))
+    // Candidates by grouping each LSH bucket and expanding pairs inside it
+    // (buckets are tiny by construction) — ONE pass over the signature
+    // pipeline and one shuffle, instead of a self-join that recomputes the
+    // whole signature subtree for each side.
+    val cand = bands
+      .groupBy(col("band_id"), col("band"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
 
