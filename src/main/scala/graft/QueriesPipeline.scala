@@ -533,7 +533,7 @@ object QueriesPipeline {
     // path (d3_minhash_lsh) is the one that scales with the data.
     "x2_mllib_lsh_neardup" -> Q(
       (s, d) => {
-        val docs = Tables.documents(s, d).orderBy(col("doc_id")).limit(1000)
+        val docs = Tables.documents(s, d).orderBy(col("doc_id")).limit(500)
         val model = graft.index.MlIndex.fitEmbedder(docs, "text", 64)
         val embedded = model.transform(docs)
         val ann = graft.index.MlIndex.fitAnn(embedded)
