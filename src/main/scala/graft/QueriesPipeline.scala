@@ -258,6 +258,31 @@ object QueriesPipeline {
         FROM v GROUP BY doc_id ORDER BY doc_id
       """)),
 
+    // SimHash near-dup pairs: lossless 4-band candidates + hamming verify.
+    // The oracle brute-forces all pairs — identical result by pigeonhole.
+    "d6_simhash_pairs" -> Q(
+      (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3),
+      Some(s"""
+        WITH tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest($tokensSql) AS term FROM documents)
+          GROUP BY doc_id, term),
+        h AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv FROM tf),
+        v AS (
+          SELECT doc_id, bi, sum(tf * (((hv >> bi) & 1) * 2 - 1)) AS votes
+          FROM h CROSS JOIN range(0, 32) r(bi)
+          GROUP BY doc_id, bi),
+        sh AS (
+          SELECT doc_id,
+                 sum(CASE WHEN votes > 0 THEN (1::BIGINT << bi) ELSE 0 END)::BIGINT AS simhash
+          FROM v GROUP BY doc_id)
+        SELECT * FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE hamming <= 3 ORDER BY id_a, id_b
+      """)),
+
     // Embedding-cosine near-dup: exact top-1 neighbor within label block.
     "d5_embedding_nn" -> Q(
       (s, d) => Ann.nearestWithinBlock(Tables.embeddings(s, d), "label"),

@@ -175,6 +175,40 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming (must be
+    * < 4): candidates come from 4 byte-bands of the 32-bit simhash — by
+    * pigeonhole, <= 3 differing bits can touch at most 3 of the 4 bands,
+    * so two near-dups ALWAYS agree on at least one band. The banding is
+    * therefore lossless: the band-bucket join yields exactly the pairs a
+    * quadratic scan would, at equi-join cost. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming < 4, "4 byte-bands are only lossless below 4 bits")
+    val sh = simhash(docs, idCol, textCol)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band_id"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("band"))
+    }
+    val bands = sh.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band_id").as("band_id"), col("bb.band").as("band"))
+    val cand = bands
+      .groupBy(col("band_id"), col("band"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+      .withColumn("hamming",
+        expr("bit_count(sh_a ^ sh_b)").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** 32-bit SimHash per document: tf-weighted ±1 vote per bit of the md5
     * token hash; bit set where the vote sum is positive. Pure integer
     * arithmetic — deterministic across engines. */

@@ -26,6 +26,15 @@ object Store {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Hive-style partitioned layout (the time/tenant axis of a 100 TB
+    * store): queries filtering on the partition column read only matching
+    * directories — `PartitionFilters` in the scan, zero I/O elsewhere. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** O7: bucketed table layout for co-located joins. Two tables bucketed
     * by the same key and count join WITHOUT a shuffle — at 100 TB the
     * documents⋈embeddings join (the engine's core access path) must be

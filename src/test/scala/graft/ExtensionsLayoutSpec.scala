@@ -33,6 +33,40 @@ class ExtensionsLayoutSpec extends SparkSpec {
     assert(ext != null)
   }
 
+  test("partitioned layout: partition filter prunes directories at the scan") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val ev = graft.tables.Tables.events(spark, Sf0001)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Store.writePartitioned(ev, s"$dir/events", Seq("day"))
+    val back = Store.read(spark, s"$dir/events")
+    val oneDay = back.where(col("day") === "2024-01-01")
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day#"))
+    assert(oneDay.count() ==
+      ev.where(col("day") === "2024-01-01").count())
+  }
+
+  test("simhash pairs: identical docs -> hamming 0; banding is lossless vs brute force") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup
+      (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+      (4L, "completely different unrelated content here entirely")
+    ).toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    // brute-force reference on the same tiny corpus
+    val sh = graft.dedup.Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = for {
+      a <- sh.keys.toSeq; b <- sh.keys.toSeq if a < b
+      ham = java.lang.Long.bitCount(sh(a) ^ sh(b)) if ham <= 3
+    } yield (a, b, ham.toLong)
+    assert(pairs.toSet == brute.toSet)
+  }
+
   test("optimizeLayout: sorted+bloom layout preserves data and prunes lookups") {
     val dir = Files.createTempDirectory("graft-layout").toString
     val docs = Tables.documents(spark, Sf0001)
