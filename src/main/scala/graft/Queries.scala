@@ -389,6 +389,25 @@ object Queries {
         ORDER BY score DESC, id ASC LIMIT 10
       """)),
 
+    // §1: the unified point collection (payload ⋈ vectors) — dense top-k
+    // with payload columns in one pass over the joined table.
+    "s15_collection_search" -> Q(
+      (s, d) => {
+        val qv = typedlit(SearchEngine.queryVecArray(s, d, QueryVecId))
+        Tables.collection(s, d)
+          .select(col("doc_id").as("id"), col("lang"), col("source"),
+            round(graft.functions.VectorOps.cosineSim(col("embedding"), qv), 6)
+              .as("score"))
+          .orderBy(col("score").desc, col("id").asc)
+          .limit(10)
+      },
+      Some(s"""
+        WITH ${denseScoredCte("scored")}
+        SELECT s.id, doc.lang, doc.source, s.score
+        FROM scored s JOIN documents doc ON s.id = doc.doc_id
+        ORDER BY s.score DESC, s.id ASC LIMIT 10
+      """)),
+
     // P1/P2/T5/O11: exact keyword match with field precedence.
     "s5_exact_match" -> Q(
       (s, d) => SearchEngine.exactMatch(s, d, "src7", 10),
