@@ -24,6 +24,20 @@ class ExtensionsLayoutSpec extends SparkSpec {
     assert(c2 == 0.0)
   }
 
+  test("full SQL surface: registered views + functions run a dense search") {
+    GraftFunctions.register(spark)
+    graft.tables.Tables.registerAll(spark, Sf0001)
+    val rows = spark.sql("""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id AS id, round(cosine_sim(e.embedding, q.qv), 6) AS score
+      FROM embeddings e CROSS JOIN q
+      ORDER BY score DESC, id ASC LIMIT 10
+    """).collect()
+    val api = graft.search.SearchEngine.denseTopK(spark, Sf0001, 0, 10).collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      api.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("extensions class wires the same registrations") {
     // The class is instantiable and exposes the same function set the
     // config-based path (spark.sql.extensions=graft.GraftExtensions) uses.
