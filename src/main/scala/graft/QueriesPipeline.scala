@@ -327,12 +327,12 @@ object QueriesPipeline {
         .orderBy(col("doc_id")),
       Some(s"""
         WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents)
-        SELECT doc_id, round(
+        SELECT doc_id, CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE ELSE round(
           0.3::DOUBLE * (len(list_distinct(toks))::DOUBLE / len(toks)) +
           0.3::DOUBLE * (1.0::DOUBLE - len(list_filter(toks,
             x -> list_contains(['the','a','of','and','is'], x)))::DOUBLE / len(toks)) +
           0.4::DOUBLE * least(length(array_to_string(toks, ''))::DOUBLE / len(toks)
-                              / 8.0::DOUBLE, 1.0::DOUBLE), 6) AS quality
+                              / 8.0::DOUBLE, 1.0::DOUBLE), 6) END AS quality
         FROM t ORDER BY doc_id
       """)),
 
@@ -534,9 +534,9 @@ object QueriesPipeline {
           SELECT doc_id AS media_id, hex(encode(text)) AS hx
           FROM documents WHERE doc_id % 3 = 2)
         SELECT media_id, frame_idx::INT AS frame_idx,
-               substr(hx, (frame_idx * 12)::INT + 1, 12) AS frame
+               substr(hx, ((frame_idx * length(hx)) // 8)::INT + 1, 24) AS frame
         FROM v CROSS JOIN range(0, 8) r(frame_idx)
-        WHERE length(substr(hx, (frame_idx * 12)::INT + 1, 12)) > 0
+        WHERE length(substr(hx, ((frame_idx * length(hx)) // 8)::INT + 1, 24)) > 0
         ORDER BY media_id, frame_idx
       """)))
 

@@ -138,17 +138,9 @@ object Dedup {
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band_id").as("band_id"), col("bb.band").as("band"))
     // Candidates by grouping each LSH bucket and expanding pairs inside it
-    // (buckets are tiny by construction) — ONE pass over the signature
-    // pipeline and one shuffle, instead of a self-join that recomputes the
-    // whole signature subtree for each side.
-    val cand = bands
-      .groupBy(col("band_id"), col("band"))
-      .agg(collect_list(col(idCol)).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    // — ONE pass over the signature pipeline and one shuffle, instead of a
+    // self-join that recomputes the whole signature subtree for each side.
+    val cand = bucketPairs(bands, idCol)
 
     // True-Jaccard confirm, restricted to candidate docs first (broadcast
     // semi-join prune) then counted via the same inverted-index shape as
@@ -175,6 +167,26 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Degenerate-bucket guard: a bucket with more members than this yields
+    * O(M²) candidate pairs from one aggregation task. Such buckets mean
+    * the corpus is dominated by one near-identical cluster — pairing it
+    * exhaustively is useless for dedup (cluster it instead), so members
+    * beyond the cap are dropped from candidate generation (sorted, so the
+    * kept prefix is deterministic). */
+  val MaxBucketSize = 10000
+
+  /** Expand each (band_id, band) bucket into its member pairs:
+    * (id_a < id_b), distinct across buckets. */
+  private def bucketPairs(bands: DataFrame, idCol: String): DataFrame =
+    bands
+      .groupBy(col("band_id"), col("band"))
+      .agg(slice(array_sort(collect_list(col(idCol))), 1, MaxBucketSize).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (must be
     * < 4): candidates come from 4 byte-bands of the 32-bit simhash — by
     * pigeonhole, <= 3 differing bits can touch at most 3 of the 4 bands,
@@ -191,14 +203,7 @@ object Dedup {
     }
     val bands = sh.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band_id").as("band_id"), col("bb.band").as("band"))
-    val cand = bands
-      .groupBy(col("band_id"), col("band"))
-      .agg(collect_list(col(idCol)).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val cand = bucketPairs(bands, idCol)
     cand
       .join(sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))

@@ -16,12 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Equi-join `big ⋈ small` on `key`, salted `factor` ways. The per-row
-    * salt is a hash of the whole row — deterministic, no rand(). */
+  /** Per-row salt: hash of the row content mixed with the row's position
+    * (`monotonically_increasing_id`). Content alone is NOT enough — a hot
+    * key whose rows are byte-identical (repeated events, denormalized
+    * duplicates) would land every copy in one salt bucket and defeat the
+    * mitigation. The salt value itself carries no semantics, so positional
+    * nondeterminism across runs is harmless: the join result is identical
+    * for any salt assignment. */
+  private def rowSalt(df: DataFrame, factor: Int) =
+    pmod(xxhash64(struct(df.columns.map(col): _*),
+      monotonically_increasing_id()), lit(factor))
+
+  /** Equi-join `big ⋈ small` on `key`, salted `factor` ways. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  factor: Int): DataFrame = {
-    val bigSalted = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(factor)))
+    val bigSalted = big.withColumn("__salt", rowSalt(big, factor))
     val smallExploded = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(factor - 1L))))
     bigSalted.join(smallExploded, Seq(key, "__salt")).drop("__salt")
@@ -32,8 +41,7 @@ object Salting {
     * map-side, but when a single grouping key dominates the REDUCE side,
     * pre-splitting it bounds any one task's input. */
   def saltedCount(df: DataFrame, key: String, factor: Int): DataFrame =
-    df.withColumn("__salt",
-        pmod(xxhash64(struct(df.columns.map(col): _*)), lit(factor)))
+    df.withColumn("__salt", rowSalt(df, factor))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))

@@ -70,11 +70,13 @@ object TextOps {
     val stopRatio = size(filter(t, x => x.isin(stop: _*))).cast("double") / nTok
     val distinctRatio = size(array_distinct(t)).cast("double") / nTok
     val meanLen = (length(concat_ws("", t)).cast("double")) / nTok
-    // weights sum to 1; clamp mean token length contribution at 8 chars
-    round(
+    // weights sum to 1; clamp mean token length contribution at 8 chars.
+    // Empty/whitespace-only text would divide by zero (null in Spark, NaN
+    // in an IEEE engine) — define its quality as 0.
+    when(nTok === 0.0, lit(0.0)).otherwise(round(
       lit(0.3) * distinctRatio +
       lit(0.3) * (lit(1.0) - stopRatio) +
-      lit(0.4) * least(meanLen / 8.0, lit(1.0)), 6)
+      lit(0.4) * least(meanLen / 8.0, lit(1.0)), 6))
   }
 
   /** Whitespace token count. */

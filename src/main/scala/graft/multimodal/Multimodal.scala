@@ -82,14 +82,17 @@ object Multimodal {
   }
 
   /** Deterministic frame sampling for video payloads: n evenly spaced
-    * byte-window "frames", hex-encoded (hex, unlike Spark's base64, never
-    * inserts MIME line breaks — the encoding must be pure for the windows
-    * to be engine-independent). */
+    * byte windows across the WHOLE payload — frame i starts at byte
+    * floor(i·size/n), each frame is `frameBytes` bytes. Hex-encoded (hex,
+    * unlike Spark's base64, never inserts MIME line breaks — the encoding
+    * must be pure for the windows to be engine-independent). */
   def frameSample(media: DataFrame, n: Int, frameBytes: Int): DataFrame =
     media.where(col("kind") === "video")
+      .withColumn("__hex", hex(col("payload")))
+      .withColumn("__hexlen", length(col("__hex")))
       .withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
-      .withColumn("frame",
-        hex(col("payload"))
-          .substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+      .withColumn("frame", expr(
+        s"substring(__hex, cast((frame_idx * __hexlen) div $n AS INT) + 1, ${frameBytes * 2})"))
       .where(length(col("frame")) > 0)
+      .drop("__hex", "__hexlen")
 }

@@ -49,8 +49,12 @@ object AsOfJoin {
           rightCols.values.map(to => col(s"__r_$to")).toSeq): _*),
         allowMissingColumns = true)
 
+    // Tie-break equal-time right rows on their carried columns so the
+    // carried value is deterministic even when the reference side has
+    // duplicate timestamps for a key.
+    val tieBreak = rightCols.values.map(to => col(s"__r_$to")).toSeq
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy((col("__t") +: col("__side") +: tieBreak): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = rightCols.values.foldLeft(unioned) { (df, to) =>
       df.withColumn(to, last(col(s"__r_$to"), ignoreNulls = true).over(w))

@@ -32,17 +32,18 @@ object Ann {
       .select(col("vec_id"), col("cid"), col("embedding"))
   }
 
-  /** IVF top-k: probe the `nprobe` centroids nearest to the query, then
-    * brute-force only vectors assigned to those probes. */
-  def ivfTopK(vectors: DataFrame, centroids: DataFrame, queryVec: DataFrame,
-              nprobe: Int, k: Int): DataFrame = {
+  /** IVF top-k over a PRECOMPUTED assignment (the index-build/query split:
+    * `ivfAssign` runs once at build time and is persisted partitioned by
+    * `cid`; each query then reads only the `nprobe` probed lists). */
+  def ivfTopKAssigned(assigned: DataFrame, centroids: DataFrame,
+                      queryVec: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val probes = centroids.crossJoin(broadcast(queryVec))
       .withColumn("qscore", round(VectorOps.cosineSim(col("cvec"), col("qvec")), 6))
       .orderBy(col("qscore").desc, col("cid").asc)
       .limit(nprobe)
       .select(col("cid"))
 
-    ivfAssign(vectors, centroids)
+    assigned
       .join(broadcast(probes), Seq("cid")) // partition pruning: only probed lists
       .crossJoin(broadcast(queryVec))
       .select(col("vec_id").as("id"),
@@ -50,6 +51,14 @@ object Ann {
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }
+
+  /** Convenience form that assigns inline — for tests/oracles; production
+    * queries should pass a persisted assignment to [[ivfTopKAssigned]],
+    * otherwise every query pays the O(N·k) assignment cost it is supposed
+    * to avoid. */
+  def ivfTopK(vectors: DataFrame, centroids: DataFrame, queryVec: DataFrame,
+              nprobe: Int, k: Int): DataFrame =
+    ivfTopKAssigned(ivfAssign(vectors, centroids), centroids, queryVec, nprobe, k)
 
   /** Blocked exact top-1 neighbor join: for each vector, its single nearest
     * neighbor within a blocking column (embedding-cosine near-dup

@@ -31,15 +31,32 @@ object SearchEngine {
       .select(col("embedding").as("qvec"))
 
   /** Driver-side query-vector cache (reference O10: the LRU query-embed
-    * cache, `app/services/search_service.py:127`). Fetching the tiny query
-    * vector once and inlining it as a literal removes a broadcast-build
-    * job from every dense query — the plan collapses to
+    * cache, size 1000, `app/services/search_service.py:127`). Fetching the
+    * tiny query vector once and inlining it as a literal removes a
+    * broadcast-build job from every dense query — the plan collapses to
     * scan → codegen cosine → TakeOrderedAndProject, one stage. */
+  private val QvecCacheSize = 1000
   private val qvecCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[Float]]()
-  def queryVecArray(spark: SparkSession, dir: String, vecId: Long): Array[Float] =
-    qvecCache.computeIfAbsent((dir, vecId), _ =>
-      queryVec(spark, dir, vecId).head().getSeq[Float](0).toArray)
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), Array[Float]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), Array[Float]]): Boolean =
+          size() > QvecCacheSize
+      })
+  def queryVecArray(spark: SparkSession, dir: String, vecId: Long): Array[Float] = {
+    val key = (dir, vecId)
+    val cached = qvecCache.get(key)
+    if (cached != null) cached
+    else {
+      val rows = queryVec(spark, dir, vecId).take(1)
+      require(rows.nonEmpty, s"no embedding with vec_id=$vecId under $dir")
+      val v = rows.head.getSeq[Float](0).toArray
+      qvecCache.put(key, v)
+      v
+    }
+  }
+  /** Drop cached query vectors (call after rewriting the embeddings table). */
+  def invalidateQueryVecCache(): Unit = qvecCache.clear()
 
   /** Q5: dense cosine top-k over the embeddings table.
     * Scores rounded to 6dp before ordering so ranks are deterministic. */
@@ -102,12 +119,12 @@ object SearchEngine {
     Fusion.simple(Seq(exact, vector), "id", k)
   }
 
-  /** Q3: filtered search with the reference's oversample-then-trim
-    * semantics (T4: fetch 3×, post-filter, head k —
-    * `app/services/search_service.py:413-423`). */
-  def filteredSearch(spark: SparkSession, dir: String, queryVecId: Long,
-                     filterField: String, filterValue: String, k: Int): DataFrame = {
-    val over = denseTopK(spark, dir, queryVecId, k * 3)
+  /** Shared oversample-then-trim core for the two filtered endpoints
+    * (T4: fetch oversample×k, post-filter on the payload field, head k). */
+  private def filteredWithOversample(spark: SparkSession, dir: String,
+      queryVecId: Long, filterField: String, filterValue: String,
+      k: Int, oversample: Int): DataFrame = {
+    val over = denseTopK(spark, dir, queryVecId, k * oversample)
     over.join(Tables.documents(spark, dir)
         .select(col("doc_id").as("id"), col(filterField)), Seq("id"))
       .where(col(filterField) === filterValue)
@@ -115,6 +132,12 @@ object SearchEngine {
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }
+
+  /** Q3: filtered search with the reference's oversample-then-trim
+    * semantics (3× — `app/services/search_service.py:413-423`). */
+  def filteredSearch(spark: SparkSession, dir: String, queryVecId: Long,
+                     filterField: String, filterValue: String, k: Int): DataFrame =
+    filteredWithOversample(spark, dir, queryVecId, filterField, filterValue, k, 3)
 
   /** J3/Q-linear: α-weighted blend of normalized dense + sparse arms. */
   def linearFusion(spark: SparkSession, dir: String, queryVecId: Long,
@@ -134,15 +157,8 @@ object SearchEngine {
     * post-filter, minimal (id, score) projection
     * (`app/services/search_service.py:443-478`). */
   def filteredLegacy(spark: SparkSession, dir: String, queryVecId: Long,
-                     filterField: String, filterValue: String, k: Int): DataFrame = {
-    val over = denseTopK(spark, dir, queryVecId, k * 2)
-    over.join(Tables.documents(spark, dir)
-        .select(col("doc_id").as("id"), col(filterField)), Seq("id"))
-      .where(col(filterField) === filterValue)
-      .select(col("id"), col("score"))
-      .orderBy(col("score").desc, col("id").asc)
-      .limit(k)
-  }
+                     filterField: String, filterValue: String, k: Int): DataFrame =
+    filteredWithOversample(spark, dir, queryVecId, filterField, filterValue, k, 2)
 
   /** P6/F6 result-shape projection: map the hit list to the reference's
     * API payload shape with display rounding

@@ -35,6 +35,15 @@ class VectorOpsSpec extends SparkSpec {
       }
   }
 
+  test("mismatched dimensions yield null, not a silent prefix score") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val r = df.select(
+      VectorOps.cosineSim(col("a"), col("b")).as("c"),
+      VectorOps.dot(col("a"), col("b")).as("d")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("dot product and l2 norm") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
