@@ -154,6 +154,19 @@ object QueriesPipeline {
         FROM documents ORDER BY doc_id LIMIT 100
       """)),
 
+    // S7: paged scroll as keyset pagination — the scalable form of the
+    // reference's cursor scroll (OFFSET re-scans; a key predicate seeks).
+    "i10_scroll_page" -> Q(
+      (s, d) => docs(s, d)
+        .where(col("doc_id") > 199)
+        .orderBy(col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("source")),
+      Some("""
+        SELECT doc_id, source FROM documents
+        WHERE doc_id > 199 ORDER BY doc_id LIMIT 50
+      """)),
+
     // A5: field-frequency profiling (per lang/source: count, avg length).
     "i9_field_profile" -> Q(
       (s, d) => docs(s, d)

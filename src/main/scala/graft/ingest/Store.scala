@@ -23,6 +23,22 @@ object Store {
     out.write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** N1 + A7: full import with progress counters. The reference tracks
+    * processed/failed counts imperatively (`document_service.py:107-128`);
+    * Spark's `observe` API collects the same metrics ON the write pass —
+    * no second scan, and the numbers come from the executors that actually
+    * wrote the rows. Returns (rows imported, rows with a null id). */
+  def fullImportCounted(df: DataFrame, path: String, idCol: String,
+                        partitions: Int = 0): (Long, Long) = {
+    val obs = org.apache.spark.sql.Observation("import")
+    val observed = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      count(when(col(idCol).isNull, 1)).as("n_null_ids"))
+    fullImport(observed, path, partitions)
+    val m = obs.get
+    (m("n_rows").asInstanceOf[Long], m("n_null_ids").asInstanceOf[Long])
+  }
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -33,6 +33,15 @@ class StoreStatsSpec extends SparkSpec {
     assert(Store.read(spark, s"$dir/main_v2").count() == 3)
   }
 
+  test("counted import observes row/null-id metrics on the write pass") {
+    val dir = Files.createTempDirectory("graft-import").toString
+    val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c"))
+      .toDF("id", "text")
+    val (rows, nullIds) = Store.fullImportCounted(df, s"$dir/t", "id")
+    assert(rows == 3 && nullIds == 1)
+    assert(Store.read(spark, s"$dir/t").count() == 3)
+  }
+
   test("ewma matches the reference's avg*0.9 + x*0.1 smoothing") {
     val e = new Stats.Ewma(0.1)
     e.record("search", 100.0)
