@@ -628,6 +628,48 @@ object QueriesPipeline {
         ORDER BY score DESC, id ASC LIMIT 10
       """)))
 
+  /** O5 binary-quantized ANN: rank by Hamming distance between sign-bit
+    * signatures (two 32-bit halves per 64-dim vector; tie-break on exact
+    * cosine then id so the ordering is total). */
+  val binaryAnn: Map[String, Q] = Map(
+    "a3_binary_ann" -> Q(
+      (s, d) => {
+        import graft.functions.VectorOps
+        val emb = Tables.embeddings(s, d)
+        val sigs = emb.select(col("vec_id"), col("embedding"),
+          VectorOps.binarySignature32(col("embedding"), 0).as("sig_lo"),
+          VectorOps.binarySignature32(col("embedding"), 32).as("sig_hi"))
+        val q = sigs.where(col("vec_id") === Queries.QueryVecId)
+          .select(col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"),
+            col("embedding").as("qvec"))
+        sigs.crossJoin(broadcast(q))
+          .select(col("vec_id").as("id"),
+            (expr("bit_count(sig_lo ^ q_lo)") + expr("bit_count(sig_hi ^ q_hi)"))
+              .cast("long").as("hamming"),
+            round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("cosine"))
+          .orderBy(col("hamming").asc, col("cosine").desc, col("id").asc)
+          .limit(10)
+      },
+      Some("""
+        WITH sigs AS (
+          SELECT vec_id, embedding,
+                 list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1))
+                             ELSE 0 END))::BIGINT AS sig_lo,
+                 list_sum(list_transform(range(33, 65),
+                   i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33))
+                             ELSE 0 END))::BIGINT AS sig_hi
+          FROM embeddings),
+        q AS (SELECT sig_lo AS q_lo, sig_hi AS q_hi, embedding::DOUBLE[] AS qv
+              FROM sigs WHERE vec_id = 0)
+        SELECT s.vec_id AS id,
+               (bit_count(xor(s.sig_lo, q.q_lo)) +
+                bit_count(xor(s.sig_hi, q.q_hi)))::BIGINT AS hamming,
+               round(list_cosine_similarity(s.embedding::DOUBLE[], q.qv), 6) AS cosine
+        FROM sigs s CROSS JOIN q
+        ORDER BY hamming ASC, cosine DESC, id ASC LIMIT 10
+      """)))
+
   def all: Map[String, Q] =
-    lifecycle ++ dedup ++ text ++ ann ++ extras ++ quantized ++ rowsOnly
+    lifecycle ++ dedup ++ text ++ ann ++ extras ++ quantized ++ binaryAnn ++ rowsOnly
 }

@@ -52,6 +52,20 @@ object VectorOps {
         (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
   }
 
+  /** O5 binary quantization: sign-bit signature of 32 consecutive vector
+    * dims starting at `offset` (bit i set iff component > 0). Two 32-bit
+    * halves cover a 64-dim vector without ever summing near 2^63 — safe
+    * integer arithmetic in any engine. Hamming distance between
+    * signatures approximates angular distance at 1 bit/dim: 32× smaller
+    * than float and XOR-speed to compare. */
+  def binarySignature32(v: Column, offset: Int): Column = {
+    val powers = typedlit((0 until 32).map(i => 1L << i))
+    aggregate(
+      zip_with(slice(v.cast("array<double>"), offset + 1, 32), powers,
+        (x, p) => when(x > 0.0, p).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
+  }
+
   /** Cosine via built-in higher-order functions only — the reference
     * implementation used by tests to cross-check the codegen expression. */
   def cosineSimHof(a: Column, b: Column): Column = {
