@@ -30,6 +30,40 @@ class SaltingDeltaStreamSpec extends SparkSpec {
     assert(counts(1L) == 900 && counts(950L) == 1)
   }
 
+  test("streaming upsert pipeline: delta files -> merge -> versioned store view") {
+    val deltaDir = Files.createTempDirectory("graft-delta2").toString
+    val checkpoint = Files.createTempDirectory("graft-ckpt2").toString
+    val store = Files.createTempDirectory("graft-store2").toString + "/main"
+    val schema = new StructType().add("id", LongType).add("text", StringType)
+
+    // seed the store at version 1
+    graft.ingest.Store.fullImport(
+      Seq((1L, 1, "alpha"), (2L, 1, "beta")).toDF("id", "version", "text"), store)
+
+    val q = DeltaStream.deltaImport(spark, deltaDir, checkpoint, schema) {
+      (batch, _) =>
+        if (!batch.isEmpty) {
+          val existing = graft.ingest.Store.read(spark, store)
+          val (newMain, _) = graft.ingest.Store.upsertVersioned(
+            existing, batch, "id", Seq("text"))
+          // publish to a fresh path, then point the store at it (atomic-
+          // publish layout; same-path overwrite would read-and-clobber)
+          val next = store + "_next"
+          graft.ingest.Store.fullImport(newMain, next)
+          graft.ingest.Store.fullImport(
+            graft.ingest.Store.read(spark, next), store)
+        }
+    }
+    try {
+      Files.writeString(java.nio.file.Paths.get(s"$deltaDir/d1.json"),
+        """[{"id": 2, "text": "beta2"}, {"id": 3, "text": "gamma"}]""")
+      q.processAllAvailable()
+      val m = graft.ingest.Store.read(spark, store)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(m == Set((1L, 1, "alpha"), (2L, 2, "beta2"), (3L, 1, "gamma")))
+    } finally q.stop()
+  }
+
   test("delta-dir streaming import: file source + foreachBatch merge") {
     val deltaDir = Files.createTempDirectory("graft-delta").toString
     val checkpoint = Files.createTempDirectory("graft-ckpt").toString
