@@ -201,16 +201,24 @@ object Dedup {
       struct(lit(b).as("band_id"),
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("band"))
     }
-    val bands = sh.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.band_id").as("band_id"), col("bb.band").as("band"))
-    val cand = bucketPairs(bands, idCol)
-    cand
-      .join(sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
-      .withColumn("hamming",
-        expr("bit_count(sh_a ^ sh_b)").cast("long"))
+    // Carry the simhash inside the bucket payload so pair expansion can
+    // compute Hamming directly — the signature subtree is consumed exactly
+    // once, with no join-backs re-evaluating it.
+    val bands = sh.select(
+        struct(col(idCol).as("id"), col("simhash").as("sig")).as("m"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("m"), col("bb.band_id").as("band_id"), col("bb.band").as("band"))
+    bands
+      .groupBy(col("band_id"), col("band"))
+      .agg(slice(array_sort(collect_list(col("m"))), 1, MaxBucketSize).as("ms"))
+      .where(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
+      .distinct()
       .where(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
