@@ -171,6 +171,40 @@ object Queries {
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
       """)),
 
+    // CUBE: all grouping-set combinations in one pass.
+    "q12_cube" -> Q(
+      (s, d) => Tables(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+      """)),
+
+    // U3-style set algebra: INTERSECT and EXCEPT over id sets, tagged.
+    "q13_set_ops" -> Q(
+      (s, d) => {
+        val a = Tables.documents(s, d).where(col("lang") === "en")
+          .select(col("doc_id"))
+        val b = Tables.documents(s, d).where(col("n_chars") > 300)
+          .select(col("doc_id"))
+        a.intersect(b).withColumn("tag", lit("both"))
+          .unionByName(a.except(b).withColumn("tag", lit("en_only")))
+          .orderBy(col("tag"), col("doc_id"))
+      },
+      Some("""
+        WITH a AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+             b AS (SELECT doc_id FROM documents WHERE n_chars > 300)
+        SELECT * FROM (
+          SELECT doc_id, 'both' AS tag FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+          UNION ALL
+          SELECT doc_id, 'en_only' AS tag FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+        ORDER BY tag, doc_id
+      """)),
+
     // J6-style existence check as a semi join (no row multiplication).
     "q8_semi_join" -> Q(
       (s, d) => Tables(s, d, "orders")
