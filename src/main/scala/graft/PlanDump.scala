@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.search.SearchEngine
+
+/** Dump the physical plans of the flagship queries (docs/PLANS.md source).
+  * Usage: runMain graft.PlanDump <sfDir>   */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .appName("graft-plandump").master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n===== $name =====")
+      println(df.queryExecution.executedPlan.toString)
+    }
+
+    dump("dense_topk", SearchEngine.denseTopK(spark, dir, 0, 10))
+    dump("bm25_topk_indexed", SearchEngine.bm25TopK(spark, dir, Seq("spark", "join", "filter"), 10))
+    dump("bm25_direct", graft.search.Bm25.topK(
+      graft.tables.Tables.documents(spark, dir), "doc_id", "text",
+      Seq("spark", "join", "filter"), 10))
+    dump("exact_match", SearchEngine.exactMatch(spark, dir, "src7", 10))
+    dump("tfidf_search_indexed", SearchEngine.tfidfSearch(spark, dir, "spark join filter the data", 10))
+    dump("minhash_lsh", graft.dedup.Dedup.minhashLsh(
+      graft.tables.Tables.documents(spark, dir), "doc_id", "text", 3, 0.5))
+
+    spark.stop()
+  }
+}

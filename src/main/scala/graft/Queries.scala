@@ -333,7 +333,13 @@ object Queries {
   /** Oracle CTE: per-doc BM25 score for the fixed query terms.
     * Produces CTE `<name>(id, score)`. Okapi BM25, k1=1.2 b=0.75,
     * idf = ln(1 + (N - df + 0.5)/(df + 0.5)). */
-  private def bm25ScoredCte(name: String): String = s"""
+  private def bm25ScoredCte(name: String): String =
+    bm25ScoredCteFor(name, QueryTerms)
+
+  /** Same, parameterized by term list (s3b indexed variant). */
+  private def bm25ScoredCteFor(name: String, terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""
     ${name}_base AS (
       SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
       FROM documents
@@ -344,7 +350,7 @@ object Queries {
     ), ${name}_tf AS (
       SELECT doc_id, dl, term, count(*) AS tf
       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM ${name}_base2)
-      WHERE term IN ('spark', 'join', 'filter')
+      WHERE term IN ($inList)
       GROUP BY doc_id, dl, term
     ), ${name}_dfreq AS (
       SELECT term, count(DISTINCT doc_id) AS df FROM ${name}_tf GROUP BY term
@@ -358,8 +364,11 @@ object Queries {
       WHERE t.term = f.term
       GROUP BY t.doc_id
     )"""
+  }
 
-  /** Oracle CTE: exact-match arm with field precedence for query 'src7'.
+  /** Oracle CTE: exact-match arm with field precedence for query 'src7',
+    * including the reference's early exit (`search_service.py:243-245`):
+    * the secondary field is consulted only when the primary has no hits.
     * Produces CTE `<name>(id, score, search_type)` capped at 10 rows. */
   private def exactArmCte(name: String): String = s"""
     ${name}_prim AS (
@@ -368,10 +377,11 @@ object Queries {
     ), ${name}_sec AS (
       SELECT doc_id AS id, 0.9::DOUBLE AS score, 'exact_secondary' AS search_type
       FROM documents WHERE upper(trim(lang)) = upper(trim('src7'))
+        AND NOT EXISTS (SELECT 1 FROM ${name}_prim)
     ), $name AS (
-      SELECT id, max(score) AS score, min(search_type) AS search_type
+      SELECT id, score, search_type
       FROM (SELECT * FROM ${name}_prim UNION ALL SELECT * FROM ${name}_sec)
-      GROUP BY id ORDER BY score DESC, id ASC LIMIT 10
+      ORDER BY score DESC, id ASC LIMIT 10
     )"""
 
   val searchQueries: Map[String, Q] = Map(
@@ -399,6 +409,16 @@ object Queries {
       Some(s"""
         WITH ${bm25ScoredCte("scored")}
         SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
+    // T2 build/query split: BM25 against the PREBUILT inverted index
+    // (postings pruned to the query terms at the parquet scan). Different
+    // terms/k from s3 so the two entries exercise distinct posting lists.
+    "s3b_bm25_indexed" -> Q(
+      (s, d) => SearchEngine.bm25TopK(s, d, Seq("stream", "window"), 15),
+      Some(s"""
+        WITH ${bm25ScoredCteFor("scored", Seq("stream", "window"))}
+        SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 15
       """)),
 
     // J2/W1/A2/Q7: hybrid RRF(k=60) of dense || sparse, both oversampled 2x
@@ -458,6 +478,7 @@ object Queries {
         WITH ${denseScoredCte("scored")}, ${exactArmCte("exact_arm")},
         vector_arm AS (
           SELECT id, score, 'vector' AS search_type FROM scored
+          WHERE score >= 0.4::DOUBLE
           ORDER BY score DESC, id ASC LIMIT 20
         ), unioned AS (
           SELECT * FROM exact_arm UNION ALL SELECT * FROM vector_arm

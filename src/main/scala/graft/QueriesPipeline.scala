@@ -480,18 +480,11 @@ object QueriesPipeline {
 
   val TfIdfQueryText = "spark join filter the data"
 
-  val extras: Map[String, Q] = Map(
-    // V1/V2/T1 composition: deterministic TF-IDF embed of corpus AND a
-    // literal query string, then cosine top-k — the reference's full
-    // embed→search path with a self-contained embedder.
-    "s9_tfidf_search" -> Q(
-      (s, d) => graft.index.TfIdfEmbedder
-        .searchText(docs(s, d), "doc_id", "text", TfIdfQueryText, 10)
-        .withColumnRenamed("doc_id", "id"),
-      Some(s"""
+  /** Full TF-IDF embed→search oracle for a literal query text. */
+  private def tfidfSearchSql(queryText: String, k: Int): String = s"""
         WITH $tfidfCtes,
         qtoks AS (
-          SELECT unnest(list_filter(string_split('$TfIdfQueryText', ' '), t -> t <> '')) AS tok),
+          SELECT unnest(list_filter(string_split('$queryText', ' '), t -> t <> '')) AS tok),
         qtf AS (
           SELECT (('0x' || substr(md5(tok), 1, 8))::BIGINT % 64)::INT AS bucket,
                  count(*) AS tf
@@ -501,8 +494,22 @@ object QueriesPipeline {
         qv AS (SELECT bucket, w / norm AS qw FROM qw CROSS JOIN qnorm)
         SELECT dv.doc_id AS id, round(sum(dv.w * qv.qw), 6) AS score
         FROM dv JOIN qv USING (bucket)
-        GROUP BY dv.doc_id ORDER BY score DESC, id ASC LIMIT 10
-      """)),
+        GROUP BY dv.doc_id ORDER BY score DESC, id ASC LIMIT $k
+      """
+
+  val extras: Map[String, Q] = Map(
+    // V1/V2/T1 composition: TF-IDF embed of query + corpus, cosine top-k —
+    // the reference's full embed→search path. Served from the PREBUILT
+    // index (doc vectors + idf persisted at build; the query embeds only
+    // its own text and reads only its buckets' posting ranges).
+    "s9_tfidf_search" -> Q(
+      (s, d) => graft.search.SearchEngine.tfidfSearch(s, d, TfIdfQueryText, 10),
+      Some(tfidfSearchSql(TfIdfQueryText, 10))),
+
+    // Same path, distinct query text/k — exercises different bucket lists.
+    "s9b_tfidf_indexed" -> Q(
+      (s, d) => graft.search.SearchEngine.tfidfSearch(s, d, "vector scan batch", 15),
+      Some(tfidfSearchSql("vector scan batch", 15))),
 
     // Multimodal metadata projection: binary payload + typed meta columns
     // (decode itself is the documented stub; the schema/pushdown plumbing

@@ -1,0 +1,83 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+import graft.ingest.Store
+import graft.search.Bm25
+import graft.tables.Tables
+
+/** Prebuilt BM25 inverted index — the build/query split for sparse search.
+  *
+  * The reference embeds the corpus into Qdrant's `"bm25"` sparse index once
+  * at indexing time (`scripts/indexing.py:116-122,474-485`); queries only
+  * touch the postings for their own terms. `Bm25.score` is the
+  * self-contained equivalent (correct, but recomputes corpus statistics on
+  * every query — at 100 TB every search would pay an index build). This
+  * object persists the three artifacts a query actually needs:
+  *
+  *   - `postings/`  (term, id, dl, tf) — range-sorted by term with a bloom
+  *     filter on term, so `term IN (...)` prunes to the query's posting
+  *     lists at the parquet scan (the inverted-index seek, as layout);
+  *   - `termstats/` (term, df) — document frequency per term;
+  *   - `corpus/`    (n_docs, avgdl) — 1-row global stats.
+  *
+  * Query cost is then O(|postings of the query terms|): one pushed-filter
+  * scan, one broadcast join, one partial-aggregated shuffle on id.
+  */
+object Bm25Index {
+
+  val Name = "bm25"
+
+  def build(docs: DataFrame, idCol: String, textCol: String, out: String,
+            numFiles: Int = 8): Unit = {
+    val base = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+
+    val postings = base
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    Store.optimizeLayout(postings, s"$out/postings", Seq("term", idCol),
+      numFiles, bloomCols = Seq("term"))
+
+    // postings is distinct on (term, id): count(1) == countDistinct(id).
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    Store.optimizeLayout(dfreq, s"$out/termstats", Seq("term"), 1,
+      bloomCols = Seq("term"))
+
+    base.agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$out/corpus")
+  }
+
+  /** BM25 top-k against a prebuilt index. Identical math to [[Bm25.score]]
+    * (same idf/tf saturation, same rounding) — hash-exact same results. */
+  def topK(spark: SparkSession, indexDir: String, idCol: String,
+           terms: Seq[String], k: Int): DataFrame = {
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .where(col("term").isin(terms: _*)) // pushed: In(term, ...) + bloom
+    val dfreq = spark.read.parquet(s"$indexDir/termstats")
+      .where(col("term").isin(terms: _*))
+    val stats = spark.read.parquet(s"$indexDir/corpus")
+
+    postings.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(Bm25.K1 + 1)) /
+          (col("tf") + lit(Bm25.K1) *
+            (lit(1 - Bm25.B) + lit(Bm25.B) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("w")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Ensure the documents-table index for `dataDir` exists (built once). */
+  def ensure(spark: SparkSession, dataDir: String): String =
+    IndexCatalog.ensure(spark, dataDir, Name)(
+      build(Tables.documents(spark, dataDir), "doc_id", "text", _))
+}

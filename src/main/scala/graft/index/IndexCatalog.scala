@@ -1,0 +1,71 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Catalog of derived on-disk index artifacts — the build/query split.
+  *
+  * The reference builds its payload keyword indexes and vector index at
+  * indexing time (`/root/reference/scripts/indexing.py:326-340,383-443`)
+  * and every query hits the prebuilt structures; queries never pay an
+  * index build. This catalog gives the Spark engine the same contract:
+  * `ensure` builds a derived parquet layout at most once (per JVM, and
+  * across JVMs via a commit marker) and returns its path; query operators
+  * read the prebuilt layout and get parquet pushdown/bloom pruning against
+  * it.
+  *
+  * At cluster scale the root would be a warehouse path (S3/HDFS) and the
+  * build a scheduled job; the query-side code is identical.
+  */
+object IndexCatalog {
+
+  /** Root for derived artifacts. Kept under the build's target/ dir by
+    * default so it never pollutes source trees; override with
+    * GRAFT_INDEX_DIR for a shared warehouse location. */
+  def root: String = sys.env.getOrElse(
+    "GRAFT_INDEX_DIR",
+    Paths.get(sys.props("user.dir"), "target", "graft_index").toString)
+
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Stable short key for a data directory (avoids path-separator issues
+    * and keeps one index tree per distinct input dataset). */
+  private def dirKey(dataDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dataDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+
+  def path(dataDir: String, name: String): String =
+    Paths.get(root, dirKey(dataDir), name).toString
+
+  /** Ensure index `name` for `dataDir` exists, building it at most once.
+    * The marker file commits the build atomically-enough for this single
+    * JVM + immutable-input model: a crashed partial build leaves no marker
+    * and is rebuilt (parquet Overwrite makes the rebuild idempotent). */
+  def ensure(spark: SparkSession, dataDir: String, name: String)
+            (build: String => Unit): String = {
+    val p = path(dataDir, name)
+    if (!built.contains(p)) synchronized {
+      if (!built.contains(p)) {
+        val marker = Paths.get(p, "_GRAFT_INDEX_READY")
+        if (!Files.exists(marker)) {
+          build(p)
+          Files.createDirectories(marker.getParent)
+          Files.write(marker, Array.emptyByteArray)
+        }
+        built.add(p)
+      }
+    }
+    p
+  }
+
+  /** Drop the memo (tests that rewrite a fixture dir in place). */
+  def invalidate(dataDir: String, name: String): Unit = {
+    val p = Paths.get(path(dataDir, name))
+    built.remove(p.toString)
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+}

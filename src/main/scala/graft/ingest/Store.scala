@@ -74,12 +74,13 @@ object Store {
     * of row groups — the 1-5 ms vs 100+ ms gap the reference attributes to
     * its payload indexes. */
   def optimizeLayout(df: DataFrame, path: String, sortCols: Seq[String],
-                     numFiles: Int): Unit = {
+                     numFiles: Int, bloomCols: Seq[String] = Nil): Unit = {
     val writer = df
       .repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
-    sortCols.foldLeft(writer) { (w, c) =>
+    val blooms = if (bloomCols.nonEmpty) bloomCols else sortCols
+    blooms.foldLeft(writer) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }.parquet(path)
   }

@@ -75,9 +75,20 @@ object SearchEngine {
       .limit(k)
   }
 
-  /** Q6: BM25 top-k over documents. */
+  /** Q6: BM25 top-k over documents — served from the prebuilt inverted
+    * index (built once per corpus, like the reference's indexing-time
+    * sparse embed): the query touches only its own terms' postings.
+    * [[Bm25.topK]] remains as the self-contained/no-index path. */
   def bm25TopK(spark: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame =
-    Bm25.topK(Tables.documents(spark, dir), "doc_id", "text", terms, k)
+    graft.index.Bm25Index.topK(
+        spark, graft.index.Bm25Index.ensure(spark, dir), "doc_id", terms, k)
+      .withColumnRenamed("doc_id", "id")
+
+  /** V1/V2 text search over the prebuilt TF-IDF index (query embeds only
+    * the query string; doc vectors + idf are indexing-time artifacts). */
+  def tfidfSearch(spark: SparkSession, dir: String, query: String, k: Int): DataFrame =
+    graft.index.TfIdfIndex.searchText(
+        spark, graft.index.TfIdfIndex.ensure(spark, dir), "doc_id", query, k)
       .withColumnRenamed("doc_id", "id")
 
   /** Q7: hybrid — dense arm ∥ sparse arm (each oversampled 2×, like the
@@ -89,32 +100,45 @@ object SearchEngine {
     Fusion.rrf(dense, sparse, "id", 60, k)
   }
 
-  /** P1/P2 + O11: exact keyword match with field precedence. The reference
-    * checks partNumber (score 1.0) then mfrPartNumber (0.9) with an early
-    * exit (`app/services/search_service.py:216-245`); we encode precedence
-    * as score and take group-max — same result, no control flow. */
+  /** P1/P2 + O11: exact keyword match with field precedence, served from
+    * the [[graft.index.KeyIndex]] normalized-key layout. The reference
+    * normalizes only the QUERY and matches stored values exactly against
+    * its keyword payload indexes (`app/services/search_service.py:214`,
+    * `scripts/indexing.py:383-443`); here the stored side carries
+    * ingest-time-normalized key columns so the predicate is a bare
+    * `col === lit` that reaches the parquet scan — `PushedFilters:
+    * [EqualTo(source_norm, Q)]`, pruned further by the sort's row-group
+    * min/max stats and the per-key bloom filters (`PlanShapeSpec` pins
+    * this). Field precedence keeps the reference's early exit
+    * (`search_service.py:243-245`): the secondary field is consulted only
+    * when the primary field has no hits — gated by a broadcast 1-row
+    * count, not a driver round-trip. */
   def exactMatch(spark: SparkSession, dir: String, query: String, k: Int): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val q = upper(trim(lit(query)))
-    val primary = docs.where(upper(trim(col("source"))) === q)
+    val docs = graft.index.KeyIndex.read(spark, dir)
+    val q = lit(graft.index.KeyIndex.normalize(query))
+    val primary = docs.where(col("source_norm") === q)
       .select(col("doc_id").as("id"), lit(1.0).as("score"),
         lit("exact").as("search_type"))
-    val secondary = docs.where(upper(trim(col("lang"))) === q)
+    val secondary = docs.where(col("lang_norm") === q)
       .select(col("doc_id").as("id"), lit(0.9).as("score"),
         lit("exact_secondary").as("search_type"))
-    primary.unionByName(secondary)
-      .groupBy(col("id"))
-      .agg(max(col("score")).as("score"),
-        min(col("search_type")).as("search_type"))
+    val hasPrimary = primary.agg(count(lit(1)).as("n_primary"))
+    val gatedSecondary = secondary
+      .crossJoin(broadcast(hasPrimary))
+      .where(col("n_primary") === 0)
+      .drop("n_primary")
+    primary.unionByName(gatedSecondary)
       .orderBy(col("score").desc, col("id").asc)
       .limit(math.min(k, 10)) // reference caps exact scroll at 10 (T5)
   }
 
-  /** Q2: parallel fusion of exact ∪ vector arms (J1). */
+  /** Q2: parallel fusion of exact ∪ vector arms (J1). The vector arm
+    * carries the reference's 0.4 score floor inside fusion
+    * (`app/services/search_service.py:283`). */
   def searchFusion(spark: SparkSession, dir: String, query: String,
                    queryVecId: Long, k: Int): DataFrame = {
     val exact = exactMatch(spark, dir, query, k)
-    val vector = denseTopK(spark, dir, queryVecId, k * 2)
+    val vector = denseTopK(spark, dir, queryVecId, k * 2, minScore = 0.4)
       .withColumn("search_type", lit("vector"))
     Fusion.simple(Seq(exact, vector), "id", k)
   }

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.index.{Bm25Index, IndexCatalog, KeyIndex, TfIdfEmbedder, TfIdfIndex}
+import graft.search.Bm25
+import graft.tables.Tables
+
+/** The build/query index split: prebuilt layouts must give hash-exact the
+  * same answers as the self-contained paths, and their query plans must
+  * seek (pushed filters), not scan. */
+class IndexSpec extends SparkSpec {
+
+  test("bm25: indexed topK == direct topK (hash-exact)") {
+    val docs = Tables.documents(spark, Sf0001)
+    val out = Files.createTempDirectory("graft-bm25-idx").toString
+    Bm25Index.build(docs, "doc_id", "text", out)
+    val terms = Seq("spark", "join", "filter")
+    val direct = Bm25.topK(docs, "doc_id", "text", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = Bm25Index.topK(spark, out, "doc_id", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed == direct && direct.nonEmpty)
+  }
+
+  test("tfidf: indexed searchText == embedder searchText (hash-exact)") {
+    val docs = Tables.documents(spark, Sf0001)
+    val out = Files.createTempDirectory("graft-tfidf-idx").toString
+    TfIdfIndex.build(docs, "doc_id", "text", out)
+    val q = "spark join filter the data"
+    val direct = TfIdfEmbedder.searchText(docs, "doc_id", "text", q, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = TfIdfIndex.searchText(spark, out, "doc_id", q, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed == direct && direct.nonEmpty)
+  }
+
+  test("driver-side bucketOf matches the Column-side bucket hash for every corpus token") {
+    val toks = Tables.documents(spark, Sf0001)
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("tok"))
+      .distinct()
+      .select(col("tok"),
+        (graft.functions.HashOps.tokenHash32(col("tok")) % TfIdfIndex.Dim)
+          .cast("int").as("bucket"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    assert(toks.nonEmpty)
+    toks.foreach { case (tok, sparkBucket) =>
+      assert(TfIdfIndex.bucketOf(tok) == sparkBucket, s"token '$tok'")
+    }
+  }
+
+  test("key index: normalized columns round-trip and exact match equals a raw normalized filter") {
+    val dir = Sf0001
+    val docs = Tables.documents(spark, dir)
+    val viaIndex = graft.search.SearchEngine.exactMatch(spark, dir, " src7 ", 10)
+      .collect().map(_.getLong(0)).toSet
+    val raw = docs.where(upper(trim(col("source"))) === "SRC7")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // exactMatch caps at 10 (reference T5) ordered score desc, id asc
+    assert(viaIndex == raw.take(10).toSet && raw.nonEmpty)
+  }
+
+  test("exact match early exit: secondary arm drops when the primary arm has hits") {
+    // 'en' is a lang value, not a source value -> only the secondary
+    // (0.9-scored) arm matches; a source hit must suppress lang hits.
+    val secOnly = graft.search.SearchEngine.exactMatch(spark, Sf0001, "en", 10).collect()
+    assert(secOnly.nonEmpty && secOnly.forall(_.getDouble(1) == 0.9))
+    val primOnly = graft.search.SearchEngine.exactMatch(spark, Sf0001, "src7", 10).collect()
+    assert(primOnly.nonEmpty && primOnly.forall(_.getDouble(1) == 1.0))
+  }
+
+  test("catalog: build runs once per (dir, name); invalidate forces a rebuild") {
+    var builds = 0
+    val dir = Files.createTempDirectory("graft-cat").toString
+    def ensure() = IndexCatalog.ensure(spark, dir, "probe") { p =>
+      builds += 1
+      Files.createDirectories(java.nio.file.Paths.get(p))
+    }
+    val p1 = ensure(); val p2 = ensure()
+    assert(p1 == p2 && builds == 1)
+    IndexCatalog.invalidate(dir, "probe")
+    ensure()
+    assert(builds == 2)
+  }
+}

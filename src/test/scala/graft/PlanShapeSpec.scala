@@ -17,22 +17,38 @@ class PlanShapeSpec extends SparkSpec {
       s"query vector must be a literal, not a broadcast:\n$plan")
   }
 
-  test("bm25 prunes to query terms before the first shuffle") {
+  test("bm25 pushes its term list into the postings-index scan") {
     val plan = SearchEngine.bm25TopK(spark, Sf0001, Seq("spark", "join"), 10)
       .queryExecution.executedPlan.toString
-    val filterIdx = plan.indexOf("term#")
-    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
-    assert(filterIdx >= 0 && exchangeIdx >= 0)
-    // plan prints top-down: the exchange appears above (before) the
-    // term filter that feeds it from below
+    // the inverted-index seek: a pushed In(term, ...) on the postings scan
+    assert(plan.contains("PushedFilters: [In(term"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("bm25 direct (no-index) path still prunes to query terms before the first shuffle") {
+    val plan = graft.search.Bm25
+      .topK(graft.tables.Tables.documents(spark, Sf0001), "doc_id", "text",
+        Seq("spark", "join"), 10)
+      .queryExecution.executedPlan.toString
     assert(plan.indexOf(" IN (spark,join)") > 0, plan)
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
-  test("exact match pushes its predicates into the parquet scan") {
+  test("exact match pushes NON-EMPTY equality predicates into both key-index scans") {
     val plan = SearchEngine.exactMatch(spark, Sf0001, "src7", 10)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters"), plan)
-    assert(plan.contains("upper") || plan.contains("SRC7"), plan)
+    // bare equality on the ingest-normalized key columns reaches parquet —
+    // this is what lets row-group min/max + bloom filters prune at scale.
+    assert(plan.contains("EqualTo(source_norm,SRC7)"), plan)
+    assert(plan.contains("EqualTo(lang_norm,SRC7)"), plan)
+    assert(!plan.contains("PushedFilters: []"),
+      s"every scan in the exact-match plan must carry pushed filters:\n$plan")
+  }
+
+  test("tfidf search pushes its query buckets into the vectors-index scan") {
+    val plan = SearchEngine.tfidfSearch(spark, Sf0001, "spark join", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(bucket"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 }
