@@ -39,25 +39,31 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Every query gets ONE discarded warm-up (plan compile, codegen, cache
+    // fill, first-touch index builds), then warm timed runs: p50-of-3 for
+    // light queries, min-of-2 for heavy ones (>2.5 s warm-up) so heavy
+    // figures aren't single-sample noise while total bench time stays
+    // bounded. The per-query mode ships in the JSON so downstream
+    // comparison knows which regime each number came from.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t =
-        try {
-          val warm = timeOnce(fn) // warm-up: plan + codegen + cache fill
-          if (warm > 2.5) {
-            // heavy query: one timed run keeps total bench time bounded
-            timeOnce(fn)
-          } else {
-            val runs = Seq.fill(3)(timeOnce(fn)).sorted
-            runs(1) // median
-          }
-        } catch { case _: Throwable => -1.0 }
-      name -> t
+      try {
+        val warm = timeOnce(fn)
+        if (warm > 2.5) {
+          val runs = Seq.fill(2)(timeOnce(fn))
+          (name, runs.min, "warm_min_of_2")
+        } else {
+          val runs = Seq.fill(3)(timeOnce(fn)).sorted
+          (name, runs(1), "warm_p50_of_3")
+        }
+      } catch { case _: Throwable => (name, -1.0, "error") }
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val modes = results.map { case (k, _, m) => "\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","measurement":"warm (1 discarded warm-up; p50 of 3, heavy >2.5s: min of 2)","queries":$qs,"modes":$modes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -255,7 +255,8 @@ object QueriesPipeline {
 
     // SimHash fingerprint per doc (tf-weighted bit votes, pure int math).
     "d4_simhash" -> Q(
-      (s, d) => Dedup.simhash(docs(s, d), "doc_id", "text"),
+      (s, d) => Dedup.simhash(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")), // ordering lives at the query edge, not in the operator
       Some(s"""
         WITH tf AS (
           SELECT doc_id, term, count(*) AS tf

@@ -140,7 +140,13 @@ object Dedup {
     // Candidates by grouping each LSH bucket and expanding pairs inside it
     // — ONE pass over the signature pipeline and one shuffle, instead of a
     // self-join that recomputes the whole signature subtree for each side.
+    // Candidate pairs are consumed twice (broadcast prune + final confirm
+    // join) and sit atop the whole signature pipeline — persist them so the
+    // pipeline runs once, the same intermediate-materialization MLlib's
+    // iterative algorithms use internally. Candidates are a vanishing
+    // fraction of the corpus, so the cached footprint is trivial.
     val cand = bucketPairs(bands, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // True-Jaccard confirm, restricted to candidate docs first (broadcast
     // semi-join prune) then counted via the same inverted-index shape as
@@ -148,10 +154,14 @@ object Dedup {
     // this stage is near-free at any scale.
     val inv = shingleRows(docs.withColumn("__blk", lit(1)), idCol, textCol, "__blk", n)
       .select(col(idCol), col("shingle"))
-    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val candIds = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b").as(idCol))).distinct()
     val candInv = inv.join(broadcast(candIds), Seq(idCol))
+    // Shingle-set sizes only matter for candidate docs, so compute them
+    // from the ALREADY-PRUNED candInv — aggregating the full corpus here
+    // (the round-1 shape) paid a corpus-wide shuffle per LSH run for
+    // values that are discarded for every non-candidate doc.
+    val sizes = candInv.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val common = candInv.select(col(idCol).as("id_a"), col("shingle"))
       .join(candInv.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
       .where(col("id_a") < col("id_b"))
@@ -175,12 +185,26 @@ object Dedup {
     * kept prefix is deterministic). */
   val MaxBucketSize = 10000
 
+  /** Name of the observed-metrics node reporting bucket-cap truncation
+    * (columns: truncated_buckets, max_bucket_size). The cap silently
+    * changes results vs a capless oracle, so it must be attributable:
+    * after an action, read `df.queryExecution.observedMetrics` (or a
+    * QueryExecutionListener in production) and alarm when
+    * truncated_buckets > 0. */
+  val BucketStatsMetric = "graft_lsh_bucket_stats"
+
   /** Expand each (band_id, band) bucket into its member pairs:
-    * (id_a < id_b), distinct across buckets. */
+    * (id_a < id_b), distinct across buckets. Truncation by
+    * [[MaxBucketSize]] is counted in [[BucketStatsMetric]]. */
   private def bucketPairs(bands: DataFrame, idCol: String): DataFrame =
     bands
       .groupBy(col("band_id"), col("band"))
-      .agg(slice(array_sort(collect_list(col(idCol))), 1, MaxBucketSize).as("ids"))
+      .agg(array_sort(collect_list(col(idCol))).as("all_ids"))
+      .observe(BucketStatsMetric,
+        sum(when(size(col("all_ids")) > MaxBucketSize, 1L).otherwise(0L))
+          .as("truncated_buckets"),
+        max(size(col("all_ids"))).as("max_bucket_size"))
+      .select(slice(col("all_ids"), 1, MaxBucketSize).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
@@ -210,7 +234,12 @@ object Dedup {
       .select(col("m"), col("bb.band_id").as("band_id"), col("bb.band").as("band"))
     bands
       .groupBy(col("band_id"), col("band"))
-      .agg(slice(array_sort(collect_list(col("m"))), 1, MaxBucketSize).as("ms"))
+      .agg(array_sort(collect_list(col("m"))).as("all_ms"))
+      .observe(s"${BucketStatsMetric}_simhash",
+        sum(when(size(col("all_ms")) > MaxBucketSize, 1L).otherwise(0L))
+          .as("truncated_buckets"),
+        max(size(col("all_ms"))).as("max_bucket_size"))
+      .select(slice(col("all_ms"), 1, MaxBucketSize).as("ms"))
       .where(size(col("ms")) > 1)
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
@@ -224,7 +253,12 @@ object Dedup {
 
   /** 32-bit SimHash per document: tf-weighted ±1 vote per bit of the md5
     * token hash; bit set where the vote sum is positive. Pure integer
-    * arithmetic — deterministic across engines. */
+    * arithmetic — deterministic across engines.
+    *
+    * Output order is UNSPECIFIED: composed operators (simhashPairs)
+    * re-shuffle anyway, so an operator-level sort would only insert a
+    * useless full range-exchange; callers that need an ordering sort at
+    * the query edge (d4 does). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = docs
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
@@ -241,6 +275,6 @@ object Dedup {
     val assembled = (0 until 32)
       .map(bi => when(col(s"v$bi") > 0, lit(1L << bi)).otherwise(lit(0L)))
       .reduce(_ + _)
-    votes.select(col(idCol), assembled.as("simhash")).orderBy(col(idCol))
+    votes.select(col(idCol), assembled.as("simhash"))
   }
 }

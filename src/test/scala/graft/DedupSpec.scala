@@ -38,6 +38,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 101L && p._3 == 1.0))
   }
 
+  test("lsh bucket-cap truncation is observable via named metrics") {
+    val withClone = docs.union(
+      docs.where($"doc_id" === 1).withColumn("doc_id", $"doc_id" + 100))
+    val pairs = Dedup.minhashLsh(withClone, "doc_id", "text", 3, 0.5)
+    pairs.collect()
+    val m = pairs.queryExecution.observedMetrics
+    assert(m.contains(Dedup.BucketStatsMetric), m.keys.toSeq)
+    val row = m(Dedup.BucketStatsMetric)
+    // tiny corpus: nothing truncated, but the stats are live and sane
+    assert(row.getAs[Long]("truncated_buckets") == 0L)
+    assert(row.getAs[Int]("max_bucket_size") >= 2)
+  }
+
   test("simhash: identical texts share a hash; disjoint texts differ") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
