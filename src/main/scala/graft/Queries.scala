@@ -569,6 +569,36 @@ object Queries {
         ORDER BY score DESC, id ASC
       """)),
 
+    // F12/F14/F15: display projection — truncated text, absolute image
+    // URL, score quality label (the reference UI's result card,
+    // `search_ui/search.py:108-126,172-202`).
+    "s16_display_shape" -> Q(
+      (s, d) => search.SearchEngine.displayShape(
+        s, d, search.SearchEngine.denseTopK(s, d, QueryVecId, 10)),
+      Some(s"""
+        WITH ${denseCte("scored")},
+        hits AS (SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 10),
+        shaped AS (
+          SELECT h.id, doc.text, doc.source AS image, round(h.score, 3) AS score
+          FROM hits h JOIN documents doc ON h.id = doc.doc_id)
+        SELECT id,
+               CASE WHEN length(text) > 40
+                    THEN substr(text, 1, 37) || '...' ELSE text END AS text_display,
+               CASE WHEN image IS NULL OR image = '' THEN image
+                    WHEN starts_with(image, 'http') THEN image
+                    WHEN starts_with(image, '/') THEN 'http://img.example.com' || image
+                    ELSE 'http://img.example.com/' || image END AS image_url,
+               score,
+               CASE WHEN score >= 0.8::DOUBLE THEN 'Excellent'
+                    WHEN score >= 0.7::DOUBLE THEN 'Very Good'
+                    WHEN score >= 0.6::DOUBLE THEN 'Good'
+                    WHEN score >= 0.5::DOUBLE THEN 'Fair'
+                    WHEN score >= 0.4::DOUBLE THEN 'Poor'
+                    WHEN score >= 0.3::DOUBLE THEN 'Very Poor'
+                    ELSE 'No Match' END AS score_label
+        FROM shaped ORDER BY score DESC, id ASC
+      """)),
+
     // Q10: mode comparison — result count + best score per retrieval mode.
     "s12_compare_modes" -> Q(
       (s, d) => search.SearchEngine.compareModes(s, d, QueryVecId, QueryTerms, 10),

@@ -196,6 +196,22 @@ object SearchEngine {
         round(col("score"), 3).as("score"))
       .orderBy(col("score").desc, col("id").asc)
 
+  /** F12/F14/F15 display projection over [[resultShape]]: truncated text,
+    * absolute image URL, score quality label — the reference UI's result
+    * card fields (`search_ui/search.py:108-126,172-202`) as columns. */
+  def displayShape(spark: SparkSession, dir: String, hits: DataFrame,
+                   urlBase: String = "http://img.example.com",
+                   textLen: Int = 40): DataFrame = {
+    import graft.functions.DisplayOps
+    resultShape(spark, dir, hits)
+      .select(col("id"),
+        DisplayOps.truncateEllipsis(col("text"), textLen).as("text_display"),
+        DisplayOps.prefixUrl(col("image"), urlBase).as("image_url"),
+        col("score"),
+        DisplayOps.scoreLabel(col("score")).as("score_label"))
+      .orderBy(col("score").desc, col("id").asc)
+  }
+
   /** Q10 `/api/search/compare`: run the retrieval modes side by side and
     * report result counts + best score per mode (timings stay in Stats'
     * EWMA — they are not data). */

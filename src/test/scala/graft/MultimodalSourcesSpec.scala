@@ -68,4 +68,40 @@ class MultimodalSourcesSpec extends SparkSpec {
     val dirRead = JsonSource.readJsonDir(spark, dir.getAbsolutePath)
     assert(dirRead.count() == 2)
   }
+
+  test("tar.gz source: reads the first .json member per archive, end to end") {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
+
+    val dir = Files.createTempDirectory("graft-targz").toFile
+    def writeArchive(name: String, members: Seq[(String, String)]): Unit = {
+      val out = new TarArchiveOutputStream(new GzipCompressorOutputStream(
+        new java.io.FileOutputStream(new java.io.File(dir, name))))
+      members.foreach { case (memberName, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val e = new TarArchiveEntry(memberName)
+        e.setSize(bytes.length)
+        out.putArchiveEntry(e)
+        out.write(bytes)
+        out.closeArchiveEntry()
+      }
+      out.close()
+    }
+    // archive 1: readme + the JSON payload (reference picks the .json member)
+    writeArchive("products_a.tar.gz", Seq(
+      "README.txt" -> "not json",
+      "products.json" ->
+        """[{"partNumber": "P1", "description": "torch"},
+           {"partNumber": "P2", "description": "regulator"}]"""))
+    // archive 2: two .json members — FIRST one wins, like the reference
+    writeArchive("products_b.tar.gz", Seq(
+      "first.json" -> """[{"partNumber": "P3", "description": "hose"}]""",
+      "second.json" -> """[{"partNumber": "XX", "description": "ignored"}]"""))
+    // archive 3: no json member — contributes no rows, import continues
+    writeArchive("broken.tar.gz", Seq("data.csv" -> "a,b\n1,2"))
+
+    val df = JsonSource.readTarGzJson(spark, s"${dir.getAbsolutePath}/*.tar.gz")
+    val parts = df.select("partNumber").collect().map(_.getString(0)).sorted.toSeq
+    assert(parts == Seq("P1", "P2", "P3"))
+  }
 }

@@ -82,4 +82,27 @@ class TextHashOpsSpec extends SparkSpec {
     // pieces: hello , world ! x 3
     assert(r.getInt(1) == 6)
   }
+
+  test("display ops: truncation boundary, url prefixing cases, score labels") {
+    import graft.functions.DisplayOps
+    val t = Seq("12345678901234567890", "123456789012345678901").toDF("t")
+      .select(DisplayOps.truncateEllipsis(col("t"), 20))
+      .collect().map(_.getString(0))
+    assert(t(0) == "12345678901234567890")        // exactly maxLen: untouched
+    assert(t(1) == "12345678901234567..." && t(1).length == 20)
+
+    val urls = Seq("http://a/b.png", "/img/c.png", "img/d.png", "", null)
+      .toDF("u").select(DisplayOps.prefixUrl(col("u"), "http://base"))
+      .collect().map(_.getString(0))
+    assert(urls(0) == "http://a/b.png")
+    assert(urls(1) == "http://base/img/c.png")
+    assert(urls(2) == "http://base/img/d.png")
+    assert(urls(3) == "")
+    assert(urls(4) == null)
+
+    val labels = Seq(0.85, 0.8, 0.75, 0.65, 0.55, 0.45, 0.35, 0.1).toDF("s")
+      .select(DisplayOps.scoreLabel(col("s"))).collect().map(_.getString(0))
+    assert(labels.toSeq == Seq("Excellent", "Excellent", "Very Good", "Good",
+      "Fair", "Poor", "Very Poor", "No Match"))
+  }
 }
