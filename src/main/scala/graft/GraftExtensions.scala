@@ -17,8 +17,12 @@ import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct}
   * Column API (graft.functions.VectorOps) and raw SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.registrations.foreach(ext.injectFunction)
+    // O4c: serve ORDER BY cosine_sim(...) DESC LIMIT k from the persisted
+    // IVF index on opt-in scans (see graft.plans.IvfAnnRewrite).
+    ext.injectOptimizerRule(session => new graft.plans.IvfAnnRewrite(session))
+  }
 }
 
 object GraftFunctions {

@@ -459,6 +459,48 @@ object QueriesPipeline {
                  round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS score
           FROM asg a JOIN probes p ON a.cid = p.cid CROSS JOIN q)
         SELECT id, score FROM hits ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
+    // O4c: the SAME brute-force-shaped query, served from the persisted
+    // IVF index by the IvfAnnRewrite optimizer rule (the scan is tagged
+    // opt-in; threshold 0 so the rewrite fires at any sf). The oracle is
+    // the IVF semantics — identical SQL to a1 — so a green row proves the
+    // rewrite actually fired AND produced the indexed answer.
+    "a4_ann_rewrite" -> Q(
+      (s, d) => {
+        graft.index.IvfIndex.ensure(s, d)
+        graft.index.IvfIndex.enable(s)
+        val qv = typedlit(graft.search.SearchEngine.queryVecArray(s, d, Queries.QueryVecId))
+        graft.index.IvfIndex.readRewritable(s, d)
+          .select(col("vec_id").as("id"),
+            round(graft.functions.VectorOps.cosineSim(col("embedding"), qv), 6)
+              .as("score"))
+          .orderBy(col("score").desc, col("id").asc)
+          .limit(10)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        assign AS (
+          SELECT e.vec_id, c.cid, e.embedding,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                            c.cid ASC) AS rn
+          FROM embeddings e CROSS JOIN cent c),
+        asg AS (SELECT vec_id, cid, embedding FROM assign WHERE rn = 1),
+        probes AS (
+          SELECT cid FROM (
+            SELECT c.cid,
+                   round(list_cosine_similarity(c.cvec, q.qv), 6) AS qscore
+            FROM cent c CROSS JOIN q
+            ORDER BY qscore DESC, cid ASC LIMIT 3)),
+        hits AS (
+          SELECT a.vec_id AS id,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS score
+          FROM asg a JOIN probes p ON a.cid = p.cid CROSS JOIN q)
+        SELECT id, score FROM hits ORDER BY score DESC, id ASC LIMIT 10
       """)))
 
   /** TF-IDF bucket-space CTEs shared by the embed-search oracle. */

@@ -1,0 +1,85 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.search.Ann
+import graft.tables.Tables
+
+/** Persisted IVF index + the registry the [[graft.plans.IvfAnnRewrite]]
+  * optimizer rule consults (reference O4: Qdrant builds HNSW at indexing
+  * time, `scripts/indexing.py:326-340`, and the search engine transparently
+  * serves `ORDER BY similarity LIMIT k` from it, falling back to exact
+  * scan below `full_scan_threshold`).
+  *
+  * Build: vectors assigned to their nearest centroid, persisted
+  * PARTITIONED BY the centroid id — probing reads only the probed lists,
+  * and the probe join is on the partition column so dynamic partition
+  * pruning can skip whole directories.
+  *
+  * Query: nothing — users keep writing the brute-force form
+  * (`ORDER BY cosine_sim(embedding, q) DESC LIMIT k`) against a scan
+  * tagged with `option("graft.ivf.source", dir)`; the optimizer rule swaps
+  * in the index when one is registered and the relation is larger than the
+  * full-scan threshold.
+  */
+object IvfIndex {
+
+  val Name = "ivf"
+  val SourceOption = "graft.ivf.source"
+
+  /** Registered index artifacts for one data dir. `fullScanThresholdBytes`
+    * mirrors Qdrant's `full_scan_threshold`: below it, exact scan beats
+    * index traversal and the rewrite declines to fire. */
+  final case class Info(assignedPath: String, centroidsPath: String,
+                        nprobe: Int, fullScanThresholdBytes: Long)
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Info]()
+
+  def register(sourceKey: String, info: Info): Unit = registry.put(sourceKey, info)
+  def unregister(sourceKey: String): Unit = registry.remove(sourceKey)
+  def lookup(sourceKey: String): Option[Info] = Option(registry.get(sourceKey))
+
+  /** Build centroids + assignment for `dataDir`'s embeddings table and
+    * register them for the rewrite. Centroid choice mirrors the a1 query
+    * (first 10 stored vectors) so the rewritten plan is oracle-checkable
+    * against the same SQL. */
+  def ensure(spark: SparkSession, dataDir: String, nprobe: Int = 3,
+             fullScanThresholdBytes: Long = 0L): Info = {
+    val out = IndexCatalog.ensure(spark, dataDir, Name) { p =>
+      val emb = Tables.embeddings(spark, dataDir)
+      val centroids = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      centroids.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$p/centroids")
+      Ann.ivfAssign(emb, centroids)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("cid")
+        .parquet(s"$p/assigned")
+    }
+    val info = Info(s"$out/assigned", s"$out/centroids", nprobe,
+      fullScanThresholdBytes)
+    register(dataDir, info)
+    info
+  }
+
+  /** The embeddings scan TAGGED as rewritable: the option travels on the
+    * file relation, so the optimizer rule fires only on reads that opted
+    * in — an untagged `Tables.embeddings` scan (s1's exact path) is never
+    * silently made approximate. */
+  def readRewritable(spark: SparkSession, dataDir: String): DataFrame =
+    spark.read.option(SourceOption, dataDir)
+      .parquet(s"$dataDir/embeddings.parquet")
+
+  /** Idempotently attach the rewrite rule to an existing session (the
+    * config-based path is `spark.sql.extensions=graft.GraftExtensions`). */
+  def enable(spark: SparkSession): Unit = {
+    val has = spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[graft.plans.IvfAnnRewrite])
+    if (!has) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new graft.plans.IvfAnnRewrite(spark)
+    }
+  }
+}

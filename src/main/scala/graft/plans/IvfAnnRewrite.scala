@@ -1,0 +1,107 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.typedlit
+import org.apache.spark.sql.graft.CosineSimilarity
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+import graft.index.IvfIndex
+import graft.search.Ann
+
+/** Optimizer rule rewriting brute-force ANN onto the persisted IVF index
+  * (SURVEY O4c): a plan of the shape
+  *
+  *   ORDER BY round(cosine_sim(embedding, <literal qvec>), 6) DESC [, id]
+  *   LIMIT k
+  *
+  * over a parquet scan tagged `option("graft.ivf.source", dir)` is
+  * replaced by [[Ann.ivfTopKAssigned]] over the registered index — the
+  * declarative query stays brute-force-shaped, the physical execution
+  * probes `nprobe` centroid partitions. Mirrors Qdrant serving `search()`
+  * from HNSW once an index exists (`scripts/indexing.py:326-340`) with the
+  * same `full_scan_threshold` escape hatch: relations smaller than the
+  * threshold keep the exact scan, where brute force wins.
+  *
+  * The rewrite fires only when ALL of:
+  *  - the scan carries the opt-in option AND its dir has a registered
+  *    index ([[IvfIndex.lookup]]) — exact-path queries are never silently
+  *    made approximate;
+  *  - the sort's primary key is DESC on a projected
+  *    `round(cosine_sim(vectorColumn, literal), 6)`;
+  *  - the relation is at least `fullScanThresholdBytes`.
+  *
+  * Output attributes keep the original exprIds (re-aliased on top of the
+  * replacement subtree), so parent operators are untouched.
+  */
+class IvfAnnRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case gl: GlobalLimit => tryRewrite(gl).getOrElse(gl)
+  }
+
+  private def tryRewrite(gl: GlobalLimit): Option[LogicalPlan] = {
+    for {
+      k <- gl.maxRows.map(_.toInt).orElse(literalInt(gl.limitExpr))
+      ll <- Some(gl.child).collect { case l: LocalLimit => l }
+      sort <- Some(ll.child).collect { case s: Sort if s.global => s }
+      project <- Some(sort.child).collect { case p: Project => p }
+      rel <- Some(project.child).collect { case r: LogicalRelation => r }
+      fsRel <- Some(rel.relation).collect { case f: HadoopFsRelation => f }
+      sourceKey <- fsRel.options.get(IvfIndex.SourceOption)
+      info <- IvfIndex.lookup(sourceKey)
+      if rel.stats.sizeInBytes >= info.fullScanThresholdBytes
+      // the projected score: Alias over round(cosine_sim(attr, literal), _)
+      scoreAlias <- project.projectList.collectFirst {
+        case a: Alias if cosineOf(a.child).isDefined => a
+      }
+      cos <- cosineOf(scoreAlias.child)
+      qvec <- literalFloatArray(cos.right)
+      // primary sort key: DESC on that score
+      firstOrder <- sort.order.headOption
+      if firstOrder.direction == Descending &&
+        firstOrder.child.references == AttributeSet(scoreAlias.toAttribute)
+      idAttr <- project.projectList.collectFirst {
+        case a: Alias if a.child.isInstanceOf[AttributeReference] &&
+          cosineOf(a.child).isEmpty => a.toAttribute
+        case ar: AttributeReference => ar
+      }
+    } yield {
+      val assigned = spark.read.parquet(info.assignedPath)
+      val centroids = spark.read.parquet(info.centroidsPath)
+      val qdf = spark.range(1).select(typedlit(qvec).as("qvec"))
+      val replacement = Ann
+        .ivfTopKAssigned(assigned, centroids, qdf, info.nprobe, k)
+        .queryExecution.optimizedPlan
+      val Seq(repId, repScore) = replacement.output
+      logInfo(s"IVF rewrite fired: k=$k nprobe=${info.nprobe} " +
+        s"index=${info.assignedPath}")
+      Project(Seq(
+        Alias(repId, idAttr.name)(exprId = idAttr.exprId),
+        Alias(repScore, scoreAlias.name)(exprId = scoreAlias.exprId)),
+        replacement)
+    }
+  }
+
+  private def literalInt(e: Expression): Option[Int] = e match {
+    case Literal(v: Int, _) => Some(v)
+    case _ => None
+  }
+
+  /** Unwrap round()/casts down to a cosine_sim(vector, literal) call. */
+  private def cosineOf(e: Expression): Option[CosineSimilarity] = e match {
+    case c: CosineSimilarity => Some(c)
+    case Round(child, _, _) => cosineOf(child)
+    case Cast(child, _, _, _) => cosineOf(child)
+    case _ => None
+  }
+
+  private def literalFloatArray(e: Expression): Option[Array[Float]] = e match {
+    case Literal(v: ArrayData, ArrayType(FloatType, _)) => Some(v.toFloatArray)
+    case _ => None
+  }
+}

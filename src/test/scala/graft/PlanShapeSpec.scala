@@ -51,4 +51,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [In(bucket"), plan)
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("ivf rewrite: ORDER BY cosine LIMIT k is served from the index; threshold and opt-in guard it") {
+    import org.apache.spark.sql.functions._
+    import graft.index.IvfIndex
+
+    val info = IvfIndex.ensure(spark, Sf0001) // threshold 0: always rewrite
+    IvfIndex.enable(spark)
+    val qv = typedlit(SearchEngine.queryVecArray(spark, Sf0001, 0))
+    def bruteShaped(src: org.apache.spark.sql.DataFrame) = src
+      .select(col("vec_id").as("id"),
+        round(graft.functions.VectorOps.cosineSim(col("embedding"), qv), 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(10)
+
+    // 1. opt-in scan, registered, above threshold -> physical plan reads
+    //    the persisted assignment, not the raw embeddings
+    val rewritten = bruteShaped(IvfIndex.readRewritable(spark, Sf0001))
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(plan.contains("ivf/assigned"), plan)
+
+    //    and the result equals the inline IVF computation, column-exact
+    val emb = graft.tables.Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qdf = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val expected = graft.search.Ann.ivfTopK(emb, centroids, qdf, 3, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = rewritten.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected && got.nonEmpty)
+
+    // 2. un-tagged scan (the exact path) is never rewritten
+    val exactPlan = bruteShaped(emb).queryExecution.executedPlan.toString
+    assert(!exactPlan.contains("ivf/assigned"), exactPlan)
+    assert(exactPlan.contains("embeddings.parquet"), exactPlan)
+
+    // 3. below full_scan_threshold the exact scan is kept (Qdrant's
+    //    full_scan_threshold trade: brute force wins on small relations)
+    IvfIndex.register(Sf0001, info.copy(fullScanThresholdBytes = Long.MaxValue))
+    try {
+      val small = bruteShaped(IvfIndex.readRewritable(spark, Sf0001))
+        .queryExecution.executedPlan.toString
+      assert(!small.contains("ivf/assigned"), small)
+    } finally IvfIndex.register(Sf0001, info)
+  }
 }
