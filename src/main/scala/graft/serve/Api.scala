@@ -1,0 +1,228 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+import graft.index.{Bm25Index, TfIdfIndex}
+import graft.search.{Fusion, SearchEngine, Stats}
+import graft.tables.Tables
+
+/** Serving façade: the reference's HTTP surface (Q1–Q13;
+  * `app/main.py:50-160`, `app/api/endpoints/search.py:46-545`,
+  * `admin.py:19-111`) mapped onto the engine as request → DataFrame →
+  * JSON. Transport-agnostic by design — [[handle]] takes (path, params)
+  * and returns a status + JSON body, so the same dispatch serves an HTTP
+  * server, a CLI ([[ServeCli]]), or a test harness; the zero-egress build
+  * environment has no HTTP dependency to bind to.
+  *
+  * Text queries embed with the engine's deterministic stand-in encoders
+  * (TF-IDF index for the dense arm, BM25 postings for the sparse arm —
+  * the slot where a real ONNX encoder plugs in at deploy time), so the
+  * parameter SEMANTICS mirror the reference exactly: mode validation and
+  * dispatch (`search.py:63-72`), count bounds 1..100 (`search.py:107`),
+  * filter oversample 3× (`search_service.py:413-423`), fusion's exact
+  * early-exit + 0.4 vector floor (`search_service.py:243-283`), lean
+  * minimal projection (`search.py:231`).
+  */
+object Api {
+
+  final case class Response(status: Int, body: String)
+
+  /** EWMA latency cells, like the reference's performance-stats endpoint. */
+  val ewma = new Stats.Ewma()
+
+  def handle(spark: SparkSession, dir: String, path: String,
+             params: Map[String, String]): Response =
+    try route(spark, dir, path, params)
+    catch {
+      case e: IllegalArgumentException => Response(422, err(e.getMessage))
+      case e: Exception => Response(500, err(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    }
+
+  private def route(spark: SparkSession, dir: String, path: String,
+                    params: Map[String, String]): Response = path match {
+    case "/health" =>
+      val rows = ewma.timed("health")(Stats.healthCounts(spark, dir).collect())
+      val tables = rows.map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString(",")
+      ok(s"""{"status":"healthy","tables":{$tables}}""")
+
+    case "/api/query" => // Q8 mode dispatcher (search.py:51-97)
+      val q = require(params, "q")
+      val limit = intParam(params, "limit", 10, 1, 50)
+      val mode = params.getOrElse("mode", "hybrid")
+      if (!Set("dense", "sparse", "hybrid").contains(mode))
+        return Response(400, err(s"Invalid mode '$mode'. Must be 'dense', 'sparse', or 'hybrid'"))
+      val hits = ewma.timed(s"query_$mode")(search(spark, dir, q, mode, limit))
+      ok(envelope(q, hitsJson(hits), "mode" -> quote(mode)))
+
+    case "/api/search" => // Q3 search_with_details (search.py:104-132)
+      val q = require(params, "q")
+      val count = intParam(params, "count", 10, 1, 100)
+      val useFusion = params.get("use_fusion").exists(_.toBoolean)
+      val (ff, fv) = (params.get("filter_field"), params.get("filter_value"))
+      val base =
+        if (useFusion) fusionSearch(spark, dir, q, count)
+        else (ff, fv) match {
+          case (Some(f), Some(v)) => filteredSearch(spark, dir, q, f, v, count)
+          case _ => search(spark, dir, q, "hybrid", count)
+        }
+      val detailed = SearchEngine.resultShape(spark, dir, base.select("id", "score"))
+      ok(envelope(q, hitsJson(detailed, count), "count" -> count.toString))
+
+    case "/api/fusion-search" => // Q2 (search.py:200-224)
+      val q = require(params, "q")
+      val limit = intParam(params, "limit", 10, 1, 50)
+      ok(envelope(q, hitsJson(fusionSearch(spark, dir, q, limit))))
+
+    case "/api/lean-search" => // Q9 minimal projection (search.py:231-255)
+      val q = require(params, "q")
+      val limit = intParam(params, "limit", 10, 1, 50)
+      ok(envelope(q, hitsJson(search(spark, dir, q, "dense", limit).select("id", "score"))))
+
+    case "/api/search-dense" | "/api/search-sparse" | "/api/search-hybrid" =>
+      val q = require(params, "query")
+      val limit = intParam(params, "limit", 10, 1, 50)
+      val mode = path.stripPrefix("/api/search-") match {
+        case "sparse" => "sparse"; case "dense" => "dense"; case _ => "hybrid"
+      }
+      ok(envelope(q, hitsJson(search(spark, dir, q, mode, limit)), "mode" -> quote(mode)))
+
+    case "/api/search/compare" => // Q10 (search.py:293-349)
+      val q = require(params, "q")
+      val limit = intParam(params, "limit", 10, 1, 50)
+      val per = Seq("dense", "sparse", "hybrid").map { m =>
+        val rows = search(spark, dir, q, m, limit).collect()
+        val top = if (rows.isEmpty) "null" else rows.map(_.getDouble(1)).max.toString
+        s""""$m":{"n_results":${rows.length},"top_score":$top}"""
+      }
+      ok(s"""{"query":${quote(q)},"modes":{${per.mkString(",")}}}""")
+
+    case "/api/performance-stats" => // search.py:356-374
+      val cells = ewma.snapshot.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+      ok(s"""{"ewma_ms":{${cells.mkString(",")}}}""")
+
+    case "/api/collections" => // main.py:163 + Q13
+      val rows = Stats.collectionStats(spark, dir).collect()
+      val cols = rows.map(r =>
+        s"""{"source":${quote(r.getString(0))},"n_docs":${r.getLong(1)}}""").mkString(",")
+      ok(s"""{"collections":[$cols]}""")
+
+    case "/api/documents" => // Q11 point read
+      val id = require(params, "id").toLong
+      val rows = Tables.documents(spark, dir).where(col("doc_id") === id)
+        .toJSON.collect()
+      if (rows.isEmpty) Response(404, err(s"document $id not found"))
+      else ok(rows.head)
+
+    case "/api/admin/export" => // Q12 (admin.py:71)
+      val limit = intParam(params, "limit", 100, 1, 10000)
+      val docs = graft.ingest.Lifecycle.exportShape(
+        Tables.documents(spark, dir),
+        Seq("doc_id", "lang", "n_chars", "source", "text"), "doc_id", limit)
+      ok(s"""{"exported":${docs.count()},"documents":[${docs.toJSON.collect().mkString(",")}]}""")
+
+    case _ => Response(404, err(s"no route for $path"))
+  }
+
+  // ------------------------------------------------------------------
+  // engine dispatch
+  // ------------------------------------------------------------------
+
+  /** Mode dispatch with the engine's deterministic text encoders. */
+  def search(spark: SparkSession, dir: String, q: String, mode: String,
+             k: Int): DataFrame = mode match {
+    case "dense" => SearchEngine.tfidfSearch(spark, dir, q, k)
+    case "sparse" => bm25(spark, dir, q, k)
+    case _ => // hybrid: both arms oversampled 2x, RRF(60) — indexing.py:933,943
+      Fusion.rrf(SearchEngine.tfidfSearch(spark, dir, q, k * 2),
+        bm25(spark, dir, q, k * 2), "id", 60, k)
+  }
+
+  private def bm25(spark: SparkSession, dir: String, q: String, k: Int): DataFrame =
+    SearchEngine.bm25TopK(spark, dir, TfIdfIndex.tokensOf(q), k)
+
+  /** Fusion = exact arm (early-exit field precedence) ∪ dense arm with the
+    * 0.4 score floor (search_service.py:243-283). */
+  def fusionSearch(spark: SparkSession, dir: String, q: String, k: Int): DataFrame = {
+    val exact = SearchEngine.exactMatch(spark, dir, q, k)
+    val vector = SearchEngine.tfidfSearch(spark, dir, q, k * 2)
+      .where(col("score") >= 0.4)
+      .withColumn("search_type", lit("vector"))
+    Fusion.simple(Seq(exact, vector), "id", k)
+  }
+
+  /** Oversample 3×, post-filter on the payload field, head k
+    * (search_service.py:413-423). */
+  def filteredSearch(spark: SparkSession, dir: String, q: String,
+                     field: String, value: String, k: Int): DataFrame =
+    SearchEngine.tfidfSearch(spark, dir, q, k * 3)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"), col(field)), Seq("id"))
+      .where(col(field) === value)
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+
+  // ------------------------------------------------------------------
+  // JSON plumbing (tiny by intent: rows serialize via Spark's toJSON;
+  // the envelope is the only hand-built JSON)
+  // ------------------------------------------------------------------
+
+  private def hitsJson(df: DataFrame, cap: Int = Int.MaxValue): String =
+    s"[${df.limit(cap).toJSON.collect().mkString(",")}]"
+
+  private def envelope(q: String, results: String,
+                       extra: (String, String)*): String = {
+    val extras = extra.map { case (k, v) => s""","$k":$v""" }.mkString
+    s"""{"query":${quote(q)}$extras,"results":$results}"""
+  }
+
+  private def require(params: Map[String, String], key: String): String =
+    params.getOrElse(key,
+      throw new IllegalArgumentException(s"missing required parameter '$key'"))
+
+  private def intParam(params: Map[String, String], key: String,
+                       default: Int, lo: Int, hi: Int): Int = {
+    val v = params.get(key).map(_.toInt).getOrElse(default)
+    if (v < lo || v > hi)
+      throw new IllegalArgumentException(s"$key must be in [$lo, $hi], got $v")
+    v
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+
+  private def err(msg: String): String = s"""{"error":${quote(msg)}}"""
+
+  private def ok(body: String): Response = Response(200, body)
+}
+
+/** CLI transport for [[Api]]: one request per invocation.
+  *   runMain graft.serve.ServeCli <sfDir> <path> [key=value ...]       */
+object ServeCli {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val path = args.lift(1).getOrElse("/health")
+    val params = args.drop(2).flatMap { kv =>
+      kv.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
+    }.toMap
+    val spark = SparkSession.builder()
+      .appName("graft-serve").master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val r = Api.handle(spark, dir, path, params)
+    println(s"HTTP ${r.status}")
+    println(r.body)
+    spark.stop()
+  }
+}
