@@ -36,31 +36,33 @@ object AsOfJoin {
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1)) // left sorts AFTER right at equal times
     val leftCols = left.columns
-    val r = right.select(
-      (col(keyCol) +: col(rightTime).as("__t") +: lit(0).as("__side") +:
-        rightCols.map { case (from, to) => col(from).as(s"__r_$to") }.toSeq): _*)
+    // ALL carried right columns ride in ONE struct so the window carries
+    // them atomically: per-column independent last(ignoreNulls) calls (the
+    // round-1 shape) could mix values from DIFFERENT right rows when some
+    // carried columns are null. The struct is also the tie-break key for
+    // duplicate (key, rtime) right rows — field-by-field ordering, so the
+    // carried row is deterministic (the struct-max one). NOTE: SQL ASOF
+    // JOIN leaves the duplicate-(key, ts) winner unspecified, so oracle
+    // comparisons (q11) assume the reference side is duplicate-free per
+    // (key, ts); dedupe it first if it isn't.
+    val r = right.select(col(keyCol), col(rightTime).as("__t"),
+      lit(0).as("__side"),
+      struct(rightCols.map { case (from, to) => col(from).as(to) }.toSeq: _*)
+        .as("__r"))
 
     val unioned = l.select(
-        (leftCols.map(col) :+ col("__t") :+ col("__side")) ++
-          rightCols.values.map(to => lit(null).cast(
-            r.schema(s"__r_$to").dataType).as(s"__r_$to")): _*)
-      .unionByName(r.select(
-        (col(keyCol) +: col("__t") +: col("__side") +:
-          rightCols.values.map(to => col(s"__r_$to")).toSeq): _*),
-        allowMissingColumns = true)
+        (leftCols.map(col) :+ col("__t") :+ col("__side") :+
+          lit(null).cast(r.schema("__r").dataType).as("__r")): _*)
+      .unionByName(r, allowMissingColumns = true)
 
-    // Tie-break equal-time right rows on their carried columns so the
-    // carried value is deterministic even when the reference side has
-    // duplicate timestamps for a key.
-    val tieBreak = rightCols.values.map(to => col(s"__r_$to")).toSeq
     val w = Window.partitionBy(col(keyCol))
-      .orderBy((col("__t") +: col("__side") +: tieBreak): _*)
+      .orderBy(col("__t"), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightCols.values.foldLeft(unioned) { (df, to) =>
-      df.withColumn(to, last(col(s"__r_$to"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("__rc", last(col("__r"), ignoreNulls = true).over(w))
     carried
       .where(col("__side") === 1)
-      .select((leftCols.map(col) ++ rightCols.values.map(col)): _*)
+      .select((leftCols.map(col) ++
+        rightCols.values.map(to => col(s"__rc.$to").as(to))): _*)
   }
 }

@@ -32,6 +32,33 @@ class AsOfJoinSpec extends SparkSpec {
       1L -> Some(102L), 2L -> Some(103L), 3L -> None, 4L -> Some(105L)))
   }
 
+  test("multi-column carry is atomic: all carried values come from ONE right row") {
+    val left = Seq((1L, 10L, ts("2024-01-01 01:00:00"))).toDF("id", "user", "t")
+    // two right rows; the later one has a NULL aux column — a per-column
+    // independent carry would take aux from row A and rid from row B
+    val right = Seq(
+      (201L, 10L, ts("2024-01-01 00:10:00"), "from-201"),
+      (202L, 10L, ts("2024-01-01 00:20:00"), null.asInstanceOf[String])
+    ).toDF("rid", "user", "t", "aux")
+    val out = AsOfJoin.asof(left, right, "user", "t", "t",
+      Map("rid" -> "rid", "aux" -> "aux")).select("rid", "aux").head()
+    // latest prior row is 202, whose aux IS null — mixing 202/"from-201"
+    // would be a row that never existed
+    assert(out.getLong(0) == 202L && out.isNullAt(1), out.toString)
+  }
+
+  test("duplicate (key, ts) right rows carry the deterministic struct-max row") {
+    val left = Seq((1L, 10L, ts("2024-01-01 01:00:00"))).toDF("id", "user", "t")
+    val right = Seq(
+      (301L, 10L, ts("2024-01-01 00:10:00"), "a"),
+      (302L, 10L, ts("2024-01-01 00:10:00"), "b") // same (key, ts)
+    ).toDF("rid", "user", "t", "aux")
+    val out = AsOfJoin.asof(left, right, "user", "t", "t",
+      Map("rid" -> "rid", "aux" -> "aux")).select("rid", "aux").head()
+    // (302, "b") > (301, "a") field-by-field -> the carried pair is 302/b
+    assert(out.getLong(0) == 302L && out.getString(1) == "b", out.toString)
+  }
+
   test("asof join keeps every left row exactly once") {
     val left = (1 to 100).map(i => (i.toLong, (i % 5).toLong,
       ts(f"2024-01-01 00:${i % 60}%02d:00"))).toDF("id", "user", "t")

@@ -58,4 +58,41 @@ class LifecycleAnnSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out == out.sorted.reverse) // ranked desc
   }
+
+  test("mllib lsh join is SOUND vs exact pairwise distance and finds planted dups (recall bound)") {
+    // Turns the x2 smoke check into a real bound: approxSimilarityJoin
+    // post-filters candidates by TRUE distance, so its pair set must be a
+    // subset of the exact pair set at the same threshold (soundness), and
+    // identical vectors always collide in every hash table, so the planted
+    // clone pair is guaranteed recall at distance 0.
+    val base = Tables.documents(spark, Sf0001).limit(100)
+    val docs = base.union(base.where(col("doc_id") === 1)
+      .withColumn("doc_id", lit(9999L)))
+    val model = graft.index.MlIndex.fitEmbedder(docs, "text", 64)
+    val embedded = model.transform(docs).cache()
+
+    val feats = embedded.select("doc_id", "features").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray)
+    val maxD = 1.0
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val exact = (for {
+      (ia, va) <- feats; (ib, vb) <- feats
+      if ia < ib && dist(va, vb) <= maxD
+    } yield (ia, ib)).toSet
+
+    val ann = graft.index.MlIndex.fitAnn(embedded)
+    val approx = graft.index.MlIndex.approxNearDup(ann, embedded, embedded, maxD)
+      .selectExpr("datasetA.doc_id AS a", "datasetB.doc_id AS b")
+      .where(col("a") < col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(approx.subsetOf(exact),
+      s"unsound pairs: ${(approx -- exact).take(5)}")       // no false positives
+    assert(approx.contains((1L, 9999L)))                     // planted dup found
+    val recall = if (exact.isEmpty) 1.0 else approx.size.toDouble / exact.size
+    info(s"lsh recall at d<=$maxD: ${approx.size}/${exact.size} = $recall")
+    assert(recall >= 0.5, s"recall $recall collapsed")
+  }
 }
