@@ -183,6 +183,29 @@ object QueriesPipeline {
 
   private val tokensSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** SimHash hamming<=3 pair CTEs (shared by d6 and d7's cluster oracle).
+    * Produces `sim_pairs(id_a, id_b, hamming)`. */
+  private lazy val simhashPairsCtes = s"""
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest($tokensSql) AS term FROM documents)
+          GROUP BY doc_id, term),
+        h AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv FROM tf),
+        v AS (
+          SELECT doc_id, bi, sum(tf * (((hv >> bi) & 1) * 2 - 1)) AS votes
+          FROM h CROSS JOIN range(0, 32) r(bi)
+          GROUP BY doc_id, bi),
+        sh AS (
+          SELECT doc_id,
+                 sum(CASE WHEN votes > 0 THEN (1::BIGINT << bi) ELSE 0 END)::BIGINT AS simhash
+          FROM v GROUP BY doc_id),
+        sim_pairs AS (
+          SELECT * FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          WHERE hamming <= 3)"""
+
   val dedup: Map[String, Q] = Map(
     // Exact dedup on normalized token-set key (hash-groupBy; one shuffle).
     "d1_dedup_exact" -> Q(
@@ -277,24 +300,30 @@ object QueriesPipeline {
     "d6_simhash_pairs" -> Q(
       (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3),
       Some(s"""
-        WITH tf AS (
-          SELECT doc_id, term, count(*) AS tf
-          FROM (SELECT doc_id, unnest($tokensSql) AS term FROM documents)
-          GROUP BY doc_id, term),
-        h AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv FROM tf),
-        v AS (
-          SELECT doc_id, bi, sum(tf * (((hv >> bi) & 1) * 2 - 1)) AS votes
-          FROM h CROSS JOIN range(0, 32) r(bi)
-          GROUP BY doc_id, bi),
-        sh AS (
-          SELECT doc_id,
-                 sum(CASE WHEN votes > 0 THEN (1::BIGINT << bi) ELSE 0 END)::BIGINT AS simhash
-          FROM v GROUP BY doc_id)
-        SELECT * FROM (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        WHERE hamming <= 3 ORDER BY id_a, id_b
+        WITH $simhashPairsCtes
+        SELECT id_a, id_b, hamming FROM sim_pairs ORDER BY id_a, id_b
+      """)),
+
+    // Dedup cluster resolution: connected components over the simhash
+    // near-dup pairs, min id elected keeper — the keep/drop decision that
+    // pairwise output alone doesn't give. The oracle walks the transitive
+    // closure with a recursive CTE; Spark converges by min-label
+    // propagation (O(diameter) rounds).
+    "d7_dedup_clusters" -> Q(
+      (s, d) => Dedup.connectedComponents(
+        Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3), "id_a", "id_b"),
+      Some(s"""
+        WITH RECURSIVE $simhashPairsCtes,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM sim_pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM sim_pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS id, least(src, min(dst))::BIGINT AS keeper
+        FROM reach GROUP BY src ORDER BY keeper, id
       """)),
 
     // Embedding-cosine near-dup: exact top-1 neighbor within label block.

@@ -251,6 +251,54 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Dedup cluster resolution: connected components over near-dup pairs,
+    * with the component's MIN id as the elected keeper — the step that
+    * turns pairwise similarity into an actual keep/drop decision (every
+    * large-scale dedup pipeline ends here; pairs alone don't dedup).
+    *
+    * Iterative min-label propagation: each round, every node takes the
+    * minimum of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds — small for near-dup clusters, which are
+    * dense by construction. Each round is one equi-join + one
+    * partial-aggregated shuffle, and labels are `localCheckpoint`ed so
+    * lineage (and the plan) stays flat across iterations. At extreme
+    * diameters the same loop upgrades to the large-star/small-star
+    * formulation; the per-round plan shape is identical.
+    *
+    * Input: (aCol, bCol) pair rows. Output: (id, keeper) for every id that
+    * appears in a pair — keeper == id for the kept member. Deterministic.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.where(col("label") =!= col("old_label")).count()
+      labels = next.select(col("id"), col("label"))
+      iter += 1
+    }
+    edges.unpersist()
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id"), col("label").as("keeper"))
+      .orderBy(col("keeper"), col("id"))
+  }
+
   /** 32-bit SimHash per document: tf-weighted ±1 vote per bit of the md5
     * token hash; bit set where the vote sum is positive. Pure integer
     * arithmetic — deterministic across engines.

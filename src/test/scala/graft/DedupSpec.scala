@@ -38,6 +38,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 101L && p._3 == 1.0))
   }
 
+  test("connected components: chains, triangles and singles resolve to min-id keepers") {
+    // components: {1,2,3,4} (a chain), {10,11,12} (a triangle), {20,21}
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: long path needs multiple propagation rounds") {
+    // a 12-node path with the min id at one END — worst case for
+    // min-label propagation (label must walk the whole diameter)
+    val path = (1 to 11).map(i => (i.toLong + 100L, i.toLong + 101L))
+    val pairs = (path :+ ((112L, 1L))).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet == Set(1L)) // everything collapses to keeper 1
+    assert(cc.size == 13)
+  }
+
   test("lsh bucket-cap truncation is observable via named metrics") {
     val withClone = docs.union(
       docs.where($"doc_id" === 1).withColumn("doc_id", $"doc_id" + 100))
