@@ -256,14 +256,14 @@ object Dedup {
     * turns pairwise similarity into an actual keep/drop decision (every
     * large-scale dedup pipeline ends here; pairs alone don't dedup).
     *
-    * Iterative min-label propagation: each round, every node takes the
-    * minimum of its own label and its neighbors' labels; converges in
-    * O(component diameter) rounds — small for near-dup clusters, which are
-    * dense by construction. Each round is one equi-join + one
-    * partial-aggregated shuffle, and labels are `localCheckpoint`ed so
-    * lineage (and the plan) stays flat across iterations. At extreme
-    * diameters the same loop upgrades to the large-star/small-star
-    * formulation; the per-round plan shape is identical.
+    * Iterative min-label propagation WITH pointer jumping: each round,
+    * every node takes the minimum of its own label, its neighbors' labels,
+    * and its label's label (the jump — labels chase their own chain, so
+    * label distance doubles per round). Converges in O(log diameter)
+    * rounds, the same doubling trick as large-star/small-star. Each round
+    * is two equi-joins + one partial-aggregated shuffle over the (tiny)
+    * node set, and labels are `localCheckpoint`ed so lineage (and the
+    * plan) stays flat across iterations.
     *
     * Input: (aCol, bCol) pair rows. Output: (id, keeper) for every id that
     * appears in a pair — keeper == id for the kept member. Deterministic.
@@ -284,10 +284,14 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
+      val jump = labels.select(col("id").as("__lid"), col("label").as("__jump"))
       val next = labels
         .join(nbrMin, Seq("id"), "left")
+        .join(jump, col("label") === col("__lid"), "left")
         .select(col("id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("label"),
+            coalesce(col("nbr_min"), col("label")),
+            coalesce(col("__jump"), col("label"))).as("label"))
         .localCheckpoint()
       changed = next.where(col("label") =!= col("old_label")).count()
       labels = next.select(col("id"), col("label"))

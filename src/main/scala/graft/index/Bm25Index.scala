@@ -28,7 +28,9 @@ import graft.tables.Tables
   */
 object Bm25Index {
 
-  val Name = "bm25"
+  // versioned: v2 added the precomputed impact weight column — a layout
+  // change, so v1 artifacts must never be reused
+  val Name = "bm25_v2"
 
   def build(docs: DataFrame, idCol: String, textCol: String, out: String,
             numFiles: Int = 8): Unit = {
@@ -36,33 +38,28 @@ object Bm25Index {
       .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")))
 
-    val postings = base
+    val tf = base
       .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("term"), col(idCol), col("dl"))
       .agg(count(lit(1)).as("tf"))
-    Store.optimizeLayout(postings, s"$out/postings", Seq("term", idCol),
-      numFiles, bloomCols = Seq("term"))
 
-    // postings is distinct on (term, id): count(1) == countDistinct(id).
-    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // tf is distinct on (term, id): count(1) == countDistinct(id).
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     Store.optimizeLayout(dfreq, s"$out/termstats", Seq("term"), 1,
       bloomCols = Seq("term"))
 
-    base.agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
-      .write.mode("overwrite").parquet(s"$out/corpus")
-  }
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    stats.write.mode("overwrite").parquet(s"$out/corpus")
 
-  /** BM25 top-k against a prebuilt index. Identical math to [[Bm25.score]]
-    * (same idf/tf saturation, same rounding) — hash-exact same results. */
-  def topK(spark: SparkSession, indexDir: String, idCol: String,
-           terms: Seq[String], k: Int): DataFrame = {
-    val postings = spark.read.parquet(s"$indexDir/postings")
-      .where(col("term").isin(terms: _*)) // pushed: In(term, ...) + bloom
-    val dfreq = spark.read.parquet(s"$indexDir/termstats")
-      .where(col("term").isin(terms: _*))
-    val stats = spark.read.parquet(s"$indexDir/corpus")
-
-    postings.join(broadcast(dfreq), "term")
+    // Impact-ready postings: idf, tf saturation and length normalization
+    // depend only on (term, doc, corpus) — ALL known at build time — so the
+    // final per-(term, doc) BM25 weight is precomputed into the posting row
+    // (the classic impact-sorted-index design). A query is then one pushed
+    // scan + one partial-aggregated shuffle: no broadcast builds, no
+    // corpus-stats join, nothing per-query but the sum.
+    val postings = tf
+      .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
@@ -70,11 +67,23 @@ object Bm25Index {
         col("idf") * (col("tf") * lit(Bm25.K1 + 1)) /
           (col("tf") + lit(Bm25.K1) *
             (lit(1 - Bm25.B) + lit(Bm25.B) * col("dl") / col("avgdl"))))
+      .select(col("term"), col(idCol), col("dl"), col("tf"), col("w"))
+    Store.optimizeLayout(postings, s"$out/postings", Seq("term", idCol),
+      numFiles, bloomCols = Seq("term"))
+  }
+
+  /** BM25 top-k against a prebuilt index: scan the query terms' postings
+    * (pushed In + bloom), sum the precomputed impact weights per doc, take
+    * k. Identical math to [[Bm25.score]] (the weight formula runs at build
+    * with the same operations) — hash-exact same results. */
+  def topK(spark: SparkSession, indexDir: String, idCol: String,
+           terms: Seq[String], k: Int): DataFrame =
+    spark.read.parquet(s"$indexDir/postings")
+      .where(col("term").isin(terms: _*)) // pushed: In(term, ...) + bloom
       .groupBy(col(idCol))
       .agg(round(sum(col("w")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
-  }
 
   /** Ensure the documents-table index for `dataDir` exists (built once). */
   def ensure(spark: SparkSession, dataDir: String): String =

@@ -51,29 +51,47 @@ object TfIdfIndex {
   def tokensOf(query: String): Seq[String] =
     query.split(" ").toSeq.filter(_.nonEmpty)
 
-  /** Top-k text search against a prebuilt index. Hash-exact same results
-    * as `TfIdfEmbedder.searchText` on the same corpus. */
+  /** Per-index idf table cached on the driver (it is `dim` rows — 64 — and
+    * immutable once built; the same O10 pattern as the query-vector LRU:
+    * embedding the query is driver-side work, queries touch the cluster
+    * only to score). */
+  private val idfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Double]]()
+  def invalidateIdfCache(): Unit = idfCache.clear()
+  private def idfOf(spark: SparkSession, indexDir: String): Map[Int, Double] =
+    idfCache.computeIfAbsent(indexDir, _ =>
+      spark.read.parquet(s"$indexDir/idf").collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap)
+
+  /** The query embedded driver-side: bucket -> L2-normalized tf·idf.
+    * Buckets are md5 token hashes and idf is the cached table, so no
+    * cluster work happens here. Buckets absent from the corpus idf drop
+    * out — the same semantics as the corpus-side join. */
+  def queryWeights(spark: SparkSession, indexDir: String, query: String,
+                   dim: Int = Dim): Map[Int, Double] = {
+    val idf = idfOf(spark, indexDir)
+    val qtf = tokensOf(query).map(bucketOf(_, dim))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val w = qtf.toSeq.sortBy(_._1)
+      .flatMap { case (b, tf) => idf.get(b).map(i => b -> tf * i) }
+    val norm = math.sqrt(w.map { case (_, x) => x * x }.sum)
+    w.map { case (b, x) => b -> x / norm }.toMap
+  }
+
+  /** Top-k text search against a prebuilt index: ONE pushed-filter scan of
+    * the query's bucket ranges, weights applied via a literal map (no
+    * query-side joins at all), one partial-aggregated shuffle on id.
+    * Hash-exact same results as `TfIdfEmbedder.searchText`. */
   def searchText(spark: SparkSession, indexDir: String, idCol: String,
                  query: String, k: Int, dim: Int = Dim): DataFrame = {
-    val qbuckets = tokensOf(query).map(bucketOf(_, dim)).distinct
-    val idf = spark.read.parquet(s"$indexDir/idf")
-      .where(col("bucket").isin(qbuckets: _*))
-
-    // Query vector: literal tokens -> bucket tf -> x idf -> L2 normalize.
-    // Everything after the 1-row range is broadcast-sized.
-    val qtf = spark.range(1).select(lit(query).as("qtext"))
-      .select(explode(graft.functions.TextOps.tokens(col("qtext"))).as("tok"))
-      .select((graft.functions.HashOps.tokenHash32(col("tok")) % dim)
-        .cast("int").as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("tf"))
-    val qweighted = qtf.join(idf, "bucket").withColumn("w", col("tf") * col("idf"))
-    val qnorm = qweighted.agg(sqrt(sum(col("w") * col("w"))).as("norm"))
-    val qv = qweighted.crossJoin(broadcast(qnorm))
-      .select(col("bucket"), (col("w") / col("norm")).as("qw"))
-
-    spark.read.parquet(s"$indexDir/vectors")
-      .where(col("bucket").isin(qbuckets: _*)) // pushed: In(bucket, ...)
-      .join(broadcast(qv), "bucket")
+    val qw = queryWeights(spark, indexDir, query, dim)
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    if (qw.isEmpty) // no query token appears in the corpus -> empty result
+      return vectors.where(lit(false))
+        .groupBy(col(idCol)).agg(round(sum(col("w")), 6).as("score"))
+    vectors
+      .where(col("bucket").isin(qw.keys.toSeq: _*)) // pushed: In(bucket, ...)
+      .withColumn("qw", element_at(typedlit(qw), col("bucket")))
       .groupBy(col(idCol))
       .agg(round(sum(col("w") * col("qw")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
