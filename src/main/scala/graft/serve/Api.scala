@@ -123,6 +123,48 @@ object Api {
         Seq("doc_id", "lang", "n_chars", "source", "text"), "doc_id", limit)
       ok(s"""{"exported":${docs.count()},"documents":[${docs.toJSON.collect().mkString(",")}]}""")
 
+    case "/api/load-data" => // S4 upload import (main.py:106-160), staged-file model
+      val stagedPath = require(params, "path") // the uploaded file, staged to storage
+      val storeDir = require(params, "store_dir")
+      val collection = params.getOrElse("collection", "documents")
+      val cleanupOld = params.get("cleanup_old").forall(_.toBoolean)
+      val batchSize = intParam(params, "batch_size", 100, 1, 1000)
+      val raw =
+        if (stagedPath.endsWith(".tar.gz"))
+          graft.sources.JsonSource.readTarGzJson(spark, stagedPath)
+        else graft.sources.JsonSource.readJsonArray(spark, stagedPath)
+      // text backfill + stable id, exactly the reference's preprocessing
+      // (text from description ⊕ mfr part when absent; id from partNumber)
+      val withText =
+        if (raw.columns.contains("text")) raw
+        else graft.sources.JsonSource
+          .deriveTextColumns(raw, "description", "partNumber", "mfrPartNumber")
+          .withColumn("text", col("sparse_text"))
+      val incoming =
+        (if (withText.columns.contains("id")) withText
+         else graft.sources.JsonSource.withStableId(withText, "partNumber"))
+      val target = s"$storeDir/$collection"
+      val existing =
+        try Some(spark.read.parquet(target)) catch { case _: Exception => None }
+      // upsert-with-cleanup: replace by id, drop ids absent from the new
+      // data when cleanup_old (main.py:110,142-145)
+      val merged = existing match {
+        case Some(old) if !cleanupOld =>
+          // localCheckpoint cuts the scan of `target` out of the lineage so
+          // the overwrite below isn't writing a path it is reading from
+          incoming.unionByName(
+            old.join(incoming.select("id"), Seq("id"), "left_anti")
+              .localCheckpoint(),
+            allowMissingColumns = true)
+        case _ => incoming
+      }
+      val nRows = merged.count()
+      val partitions = math.max(1L, math.min(64L, nRows / batchSize + 1)).toInt
+      val (loaded, nullIds) = graft.ingest.Store.fullImportCounted(
+        merged, target, "id", partitions)
+      ok(s"""{"success":true,"documents_loaded":$loaded,"null_ids":$nullIds,""" +
+        s""""collection_name":${quote(collection)},"cleanup_old":$cleanupOld}""")
+
     case _ => Response(404, err(s"no route for $path"))
   }
 

@@ -84,6 +84,36 @@ class ServeApiSpec extends SparkSpec {
     assert(get("/api/nope").status == 404)
   }
 
+  test("load-data: staged upload imports with backfill+ids, upsert replaces, cleanup drops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-load").toFile
+    val f = new java.io.File(dir, "batch.json")
+    java.nio.file.Files.writeString(f.toPath,
+      """[{"partNumber": "P1", "description": "gas torch"},
+         {"partNumber": "P2", "description": "regulator"}]""")
+    val store = new java.io.File(dir, "store").getAbsolutePath
+
+    val r1 = get("/api/load-data", "path" -> f.getAbsolutePath, "store_dir" -> store)
+    assert(r1.status == 200 && r1.body.contains("\"documents_loaded\":2"), r1.body)
+    val loaded = spark.read.parquet(s"$store/documents")
+    assert(loaded.count() == 2)
+    assert(loaded.columns.contains("text") && loaded.columns.contains("id"))
+
+    // second batch drops P2, adds P3: cleanup_old=false keeps P2...
+    java.nio.file.Files.writeString(f.toPath,
+      """[{"partNumber": "P1", "description": "gas torch v2"},
+         {"partNumber": "P3", "description": "hose"}]""")
+    val r2 = get("/api/load-data", "path" -> f.getAbsolutePath,
+      "store_dir" -> store, "cleanup_old" -> "false")
+    assert(r2.status == 200 && r2.body.contains("\"documents_loaded\":3"), r2.body)
+
+    // ...cleanup_old=true (default) makes the store exactly the new batch
+    val r3 = get("/api/load-data", "path" -> f.getAbsolutePath, "store_dir" -> store)
+    assert(r3.status == 200 && r3.body.contains("\"documents_loaded\":2"), r3.body)
+    val parts = spark.read.parquet(s"$store/documents")
+      .select("partNumber").collect().map(_.getString(0)).sorted.toSeq
+    assert(parts == Seq("P1", "P3"))
+  }
+
   test("performance stats expose EWMA cells after traffic") {
     get("/api/query", "q" -> "spark", "mode" -> "dense")
     val r = get("/api/performance-stats")
