@@ -41,6 +41,22 @@ object DeltaStream {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming exact dedup: drop documents whose normalized dedup key
+    * (sorted distinct token set — the batch twin is `Dedup.exactGroups`)
+    * was already seen within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` keeps one state row per key and
+    * EXPIRES it past the watermark, so state is bounded by the horizon's
+    * key cardinality — the only formulation that survives an unbounded
+    * stream (plain `dropDuplicates` state grows forever). */
+  def streamingDedup(docs: DataFrame, textCol: String, tsCol: String,
+                     watermark: String): DataFrame =
+    docs
+      .withColumn("dedup_key", array_join(array_sort(array_distinct(
+        graft.functions.TextOps.tokens(col(textCol)))), " "))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("dedup_key")
+      .drop("dedup_key")
+
   final case class Event(ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(nEvents: Long, total: Double, lastTs: Long)

@@ -35,6 +35,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops reordered-token duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+
+    val q = DeltaStream.streamingDedup(docs, "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox", Timestamp.valueOf("2024-01-01 00:01:00")),
+        (2L, "completely different text", Timestamp.valueOf("2024-01-01 00:01:30")))
+      q.processAllAvailable()
+      input.addData( // same token SET as doc 1, reordered + repeated -> dup
+        (3L, "fox brown the quick the", Timestamp.valueOf("2024-01-01 00:02:00")),
+        (4L, "genuinely new content", Timestamp.valueOf("2024-01-01 00:03:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L)) // 3 deduped against 1's key
+    } finally q.stop()
+  }
+
   test("stateful sessionization accumulates per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DeltaStream.Event]
