@@ -326,6 +326,41 @@ object QueriesPipeline {
         FROM reach GROUP BY src ORDER BY keeper, id
       """)),
 
+    // Embedding near-dup at scale: hyperplane-LSH banded candidates +
+    // exact cosine confirm (the embedding-space twin of d6; candidate
+    // generation is an equi-join on 8-bit sign-signature bands).
+    "d8_embedding_lsh" -> Q(
+      (s, d) => Ann.lshNearDupPairs(Tables.embeddings(s, d), 0.4),
+      Some("""
+        WITH sigs AS (
+          SELECT vec_id, embedding,
+                 list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1))
+                             ELSE 0 END))::BIGINT AS sig_lo,
+                 list_sum(list_transform(range(33, 65),
+                   i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33))
+                             ELSE 0 END))::BIGINT AS sig_hi
+          FROM embeddings),
+        bands AS (
+          SELECT vec_id, b.b AS band_id,
+                 CASE WHEN b.b < 4 THEN (sig_lo >> (b.b * 8)) & 255
+                      ELSE (sig_hi >> ((b.b - 4) * 8)) & 255 END AS band
+          FROM sigs CROSS JOIN range(0, 8) b(b)),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band = b.band AND a.vec_id < b.vec_id),
+        pairs AS (
+          SELECT c.id_a, c.id_b,
+                 round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                              eb.embedding::DOUBLE[]), 6) AS score
+          FROM cand c
+          JOIN embeddings ea ON c.id_a = ea.vec_id
+          JOIN embeddings eb ON c.id_b = eb.vec_id)
+        SELECT id_a, id_b, score FROM pairs
+        WHERE score >= 0.4::DOUBLE ORDER BY id_a, id_b
+      """)),
+
     // Embedding-cosine near-dup: exact top-1 neighbor within label block.
     "d5_embedding_nn" -> Q(
       (s, d) => Ann.nearestWithinBlock(Tables.embeddings(s, d), "label"),

@@ -60,6 +60,42 @@ object Ann {
               nprobe: Int, k: Int): DataFrame =
     ivfTopKAssigned(ivfAssign(vectors, centroids), centroids, queryVec, nprobe, k)
 
+  /** Hyperplane-LSH embedding near-dup pairs: the 64 sign bits of each
+    * vector (random-hyperplane signature — `VectorOps.binarySignature32`)
+    * are cut into 8 bands of 8 bits; vectors sharing ANY band become
+    * candidates (equi-join on the band bucket, never all-pairs), then an
+    * exact cosine confirm keeps pairs >= threshold. The embedding-space
+    * twin of `Dedup.simhashPairs`: candidate cost scales with bucket
+    * occupancy, confirm cost with candidates — both vanishing fractions
+    * of N² at scale. Embeddings travel inside the bucket payload, so the
+    * scan pipeline is consumed exactly once (no join-backs). */
+  def lshNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val sigs = vectors.select(
+      struct(col("vec_id").as("id"), col("embedding").as("emb")).as("m"),
+      VectorOps.binarySignature32(col("embedding"), 0).as("sig_lo"),
+      VectorOps.binarySignature32(col("embedding"), 32).as("sig_hi"))
+    val bandStructs = (0 until 8).map { b =>
+      val word = if (b < 4) col("sig_lo") else col("sig_hi")
+      struct(lit(b).as("band_id"),
+        shiftright(word, (b % 4) * 8).bitwiseAND(lit(255L)).as("band"))
+    }
+    val bands = sigs
+      .select(col("m"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("m"), col("bb.band_id").as("band_id"), col("bb.band").as("band"))
+    bands
+      .groupBy(col("band_id"), col("band"))
+      .agg(array_sort(collect_list(col("m"))).as("ms"))
+      .where(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(VectorOps.cosineSim(col("a.emb"), col("b.emb")), 6).as("score"))
+      .distinct()
+      .where(col("score") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Blocked exact top-1 neighbor join: for each vector, its single nearest
     * neighbor within a blocking column (embedding-cosine near-dup
     * candidate generation — blocking bounds the pair count, the classic

@@ -59,6 +59,17 @@ class LifecycleAnnSpec extends SparkSpec {
     assert(out == out.sorted.reverse) // ranked desc
   }
 
+  test("hyperplane-lsh near-dup: identical vectors always pair at 1.0; all pairs meet the floor") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val planted = emb.union(emb.where(col("vec_id") === 1)
+      .withColumn("vec_id", lit(99999L)))
+    val pairs = Ann.lshNearDupPairs(planted, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // identical vectors share every band -> guaranteed candidate, cosine 1.0
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 99999L && p._3 == 1.0), pairs.toSeq)
+    assert(pairs.forall(_._3 >= 0.4))
+  }
+
   test("mllib lsh join is SOUND vs exact pairwise distance and finds planted dups (recall bound)") {
     // Turns the x2 smoke check into a real bound: approxSimilarityJoin
     // post-filters candidates by TRUE distance, so its pair set must be a
