@@ -472,6 +472,42 @@ object QueriesPipeline {
         FROM cands ORDER BY s
       """)),
 
+    // PII redaction (training-data scrub): deterministic synthetic PII is
+    // injected per doc, then redacted with the cross-engine regex chain;
+    // per-kind hit counts audit the scrub. Both engines build and scrub
+    // the identical string.
+    "t7_redact_pii" -> Q(
+      (s, d) => {
+        val dirty = docs(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 555-123-4567 see https://ex.com/p/"),
+            col("doc_id").cast("string")).as("dirty"))
+        val (nUrl, nEmail, nPhone) = TextOps.piiCounts(col("dirty"))
+        dirty.select(col("doc_id"),
+          nUrl.as("n_urls"), nEmail.as("n_emails"), nPhone.as("n_phones"),
+          TextOps.redactPii(col("dirty")).as("clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH dirty AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id::VARCHAR ||
+                 '@example.com or 555-123-4567 see https://ex.com/p/' ||
+                 doc_id::VARCHAR AS dirty
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(dirty, 'https?://[^ ]+'))::BIGINT AS n_urls,
+               len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+               len(regexp_extract_all(dirty, '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))::BIGINT AS n_phones,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(dirty, 'https?://[^ ]+', '<URL>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS clean
+        FROM dirty ORDER BY doc_id
+      """)),
+
     // JSON payload extraction over the events props column (the dynamic
     // payload map of the reference, §1.5).
     "t6_json_extract" -> Q(

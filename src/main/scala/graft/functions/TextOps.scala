@@ -86,6 +86,31 @@ object TextOps {
   def tokenCountRe(textCol: Column): Column =
     size(regexp_extract_all(textCol, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** PII scrub patterns (training-data redaction). Conservative regex
+    * subset chosen to behave identically under Java regex (Spark) and RE2
+    * (DuckDB oracle): no backrefs, no lookaround, no \b, literal
+    * character classes only. */
+  val UrlRe = "https?://[^ ]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** Redact URLs, emails and phone numbers with typed placeholders —
+    * URL first so an address inside a query string doesn't leave a
+    * partial match behind. Pure `regexp_replace` chain: codegen'd,
+    * pushdown-safe, no UDFs. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-kind PII hit counts (for corpus audits before/after scrubbing). */
+  def piiCounts(c: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(c, lit(UrlRe), lit(0))).cast("long"),
+    size(regexp_extract_all(c, lit(EmailRe), lit(0))).cast("long"),
+    size(regexp_extract_all(c, lit(PhoneRe), lit(0))).cast("long"))
+
   /** Polynomial rolling-hash fingerprint of the full text (base 31, mod
     * 1e9+7) — order-sensitive, unlike a bag-of-words hash. Modulus keeps
     * `acc * 31 + 255` far below 2^63, so the arithmetic is exact int64 in

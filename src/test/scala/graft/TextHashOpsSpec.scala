@@ -83,6 +83,20 @@ class TextHashOpsSpec extends SparkSpec {
     assert(r.getInt(1) == 6)
   }
 
+  test("pii redaction: typed placeholders, url-before-email order, clean text untouched") {
+    val df = Seq(
+      "mail me at jane.doe+x@corp.example.org today",
+      "call 555-123-4567 or +1 555.987.6543 now",
+      "docs at https://ex.com/a?user=bob@ex.com here",
+      "nothing sensitive in this one").toDF("t")
+    val out = df.select(TextOps.redactPii(col("t"))).collect().map(_.getString(0))
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1).contains("<PHONE>") && !out(1).matches(".*[0-9]{3}-[0-9]{3}.*"))
+    // URL swallowed first -> the embedded email never half-matches
+    assert(out(2) == "docs at <URL> here")
+    assert(out(3) == "nothing sensitive in this one")
+  }
+
   test("display ops: truncation boundary, url prefixing cases, score labels") {
     import graft.functions.DisplayOps
     val t = Seq("12345678901234567890", "123456789012345678901").toDF("t")
