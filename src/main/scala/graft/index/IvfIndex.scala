@@ -64,6 +64,31 @@ object IvfIndex {
     info
   }
 
+  /** Production IVF build: K-MEANS-TRAINED centroids (seeded, via
+    * `MlIndex.fitIvfCentroids`) instead of the a1/a4 oracle path's fixed
+    * stored-vector centroids. Trained centroids balance list sizes, which
+    * is what keeps nprobe/k recall stable as the corpus grows — the
+    * fixed-vector variant exists only because the DuckDB oracle needs
+    * engine-independent centroids. Returns (assignedPath, centroidsPath);
+    * `IvfRecallSpec`-style checks assert top-k recall vs brute force. */
+  def buildTrained(spark: SparkSession, dataDir: String, k: Int,
+                   out: String): (String, String) = {
+    val emb = Tables.embeddings(spark, dataDir)
+    val assembled = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("features",
+        org.apache.spark.ml.functions.array_to_vector(col("embedding")))
+    val model = graft.index.MlIndex.fitIvfCentroids(assembled, k)
+    val centroidRows = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i.toLong, c.toArray.map(_.toFloat))
+    }
+    import spark.implicits._
+    val centroids = centroidRows.toSeq.toDF("cid", "cvec")
+    centroids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/centroids")
+    graft.search.Ann.ivfAssign(emb, centroids)
+      .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(s"$out/assigned")
+    (s"$out/assigned", s"$out/centroids")
+  }
+
   /** The embeddings scan TAGGED as rewritable: the option travels on the
     * file relation, so the optimizer rule fires only on reads that opted
     * in — an untagged `Tables.embeddings` scan (s1's exact path) is never

@@ -71,6 +71,40 @@ class IndexSpec extends SparkSpec {
     assert(primOnly.nonEmpty && primOnly.forall(_.getDouble(1) == 1.0))
   }
 
+  test("trained IVF: kmeans centroids give bounded recall vs brute force") {
+    val out = Files.createTempDirectory("graft-ivf-trained").toString
+    val (assignedPath, centroidsPath) =
+      graft.index.IvfIndex.buildTrained(spark, Sf0001, k = 8, out)
+    val assigned = spark.read.parquet(assignedPath)
+    val centroids = spark.read.parquet(centroidsPath)
+    val emb = Tables.documents(spark, Sf0001).sparkSession
+      .read.parquet(s"$Sf0001/embeddings.parquet")
+    assert(assigned.count() == emb.count()) // every vector assigned
+    assert(centroids.count() == 8)
+
+    val qdf = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val brute = graft.search.SearchEngine.denseTopK(spark, Sf0001, 0, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = graft.search.Ann
+      .ivfTopKAssigned(assigned, centroids, qdf, nprobe = 4, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(s"trained-ivf recall@10 (nprobe=4/8): $recall")
+    assert(recall >= 0.5, s"recall collapsed: $recall")
+    // probing every list IS brute force
+    val full = graft.search.Ann
+      .ivfTopKAssigned(assigned, centroids, qdf, nprobe = 8, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == brute)
+  }
+
+  test("tfidf empty/whitespace query returns an empty frame, not an error") {
+    val out = Files.createTempDirectory("graft-tfidf-empty").toString
+    TfIdfIndex.build(Tables.documents(spark, Sf0001), "doc_id", "text", out)
+    assert(TfIdfIndex.searchText(spark, out, "doc_id", "", 5).collect().isEmpty)
+    assert(TfIdfIndex.searchText(spark, out, "doc_id", "   ", 5).collect().isEmpty)
+  }
+
   test("catalog: build runs once per (dir, name); invalidate forces a rebuild") {
     var builds = 0
     val dir = Files.createTempDirectory("graft-cat").toString
