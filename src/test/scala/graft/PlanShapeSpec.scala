@@ -52,6 +52,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("column pruning reaches the scans: minimal ReadSchema on the hot paths") {
+    // dense: only (vec_id, embedding) — reading label/meta would be wasted I/O
+    val dense = SearchEngine.denseTopK(spark, Sf0001, 0, 10)
+      .queryExecution.executedPlan.toString
+    assert(dense.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), dense)
+    // bm25 indexed: only (term, doc_id, w) — dl/tf are build-time diagnostics
+    val bm25 = SearchEngine.bm25TopK(spark, Sf0001, Seq("spark"), 10)
+      .queryExecution.executedPlan.toString
+    assert(bm25.contains("ReadSchema: struct<term:string,doc_id:bigint,w:double>"), bm25)
+  }
+
   test("ivf rewrite: ORDER BY cosine LIMIT k is served from the index; threshold and opt-in guard it") {
     import org.apache.spark.sql.functions._
     import graft.index.IvfIndex

@@ -82,6 +82,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents == union-find model on random graphs") {
+    // a handful of random edge sets, each checked against a driver-side
+    // union-find — one Spark run per graph (the operator is iterative),
+    // so keep the graph count small and the graphs varied
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+        if a != b
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield edges.distinct
+    samples(edgeGen, 5).filter(_.nonEmpty).foreach { edges =>
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val model = parent.keys.map(x => x -> find(x)).toMap
+      val got = graft.dedup.Dedup
+        .connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == model, s"CC mismatch on ${edges.take(10)}...")
+    }
+  }
+
   test("rrf rank monotonicity: better rank never scores lower") {
     // pure-model property of the fusion formula used in Fusion.rrf
     val ranks = samples(Gen.chooseNum(1, 1000), 200)

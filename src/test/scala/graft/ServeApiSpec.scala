@@ -119,4 +119,14 @@ class ServeApiSpec extends SparkSpec {
     val r = get("/api/performance-stats")
     assert(r.status == 200 && r.body.contains("query_dense"), r.body)
   }
+
+  test("malformed input surfaces as a 5xx error envelope, never an exception") {
+    // a non-numeric id is a client error (NumberFormatException is an
+    // IllegalArgumentException -> 422, FastAPI's validation semantics)
+    val bad = get("/api/documents", "id" -> "not-a-number")
+    assert(bad.status == 422 && bad.body.contains("error"), bad.body)
+    val badStore = get("/api/load-data", "path" -> "/nope/missing.json",
+      "store_dir" -> "/tmp/graft-nope")
+    assert(badStore.status == 500 && badStore.body.contains("error"), badStore.body)
+  }
 }
