@@ -285,16 +285,24 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
       val jump = labels.select(col("id").as("__lid"), col("label").as("__jump"))
-      val next = labels
+      // The changed-count rides the SAME action as the checkpoint (observe
+      // metrics collect during the localCheckpoint job) — one job per
+      // round instead of checkpoint + count.
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
+      labels = labels
         .join(nbrMin, Seq("id"), "left")
         .join(jump, col("label") === col("__lid"), "left")
-        .select(col("id"), col("label").as("old_label"),
+        .select(col("id"),
           least(col("label"),
             coalesce(col("nbr_min"), col("label")),
-            coalesce(col("__jump"), col("label"))).as("label"))
+            coalesce(col("__jump"), col("label"))).as("label"),
+          (least(col("label"),
+            coalesce(col("nbr_min"), col("label")),
+            coalesce(col("__jump"), col("label"))) =!= col("label")).as("__chg"))
+        .observe(obs, sum(col("__chg").cast("long")).as("n_changed"))
         .localCheckpoint()
-      changed = next.where(col("label") =!= col("old_label")).count()
-      labels = next.select(col("id"), col("label"))
+        .select(col("id"), col("label"))
+      changed = obs.get("n_changed").asInstanceOf[Long]
       iter += 1
     }
     edges.unpersist()
