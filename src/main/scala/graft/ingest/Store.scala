@@ -79,6 +79,9 @@ object Store {
       .repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
+      // zstd: ~30% smaller than snappy on sorted text/posting layouts —
+      // at 100 TB the index footprint is storage + scan bandwidth
+      .option("compression", "zstd")
     val blooms = if (bloomCols.nonEmpty) bloomCols else sortCols
     blooms.foldLeft(writer) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
