@@ -141,12 +141,13 @@ object Dedup {
     // — ONE pass over the signature pipeline and one shuffle, instead of a
     // self-join that recomputes the whole signature subtree for each side.
     // Candidate pairs are consumed twice (broadcast prune + final confirm
-    // join) and sit atop the whole signature pipeline — persist them so the
-    // pipeline runs once, the same intermediate-materialization MLlib's
-    // iterative algorithms use internally. Candidates are a vanishing
-    // fraction of the corpus, so the cached footprint is trivial.
-    val cand = bucketPairs(bands, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // join) and sit atop the whole signature pipeline — materialize them
+    // once with localCheckpoint. Unlike persist() (whose CacheManager
+    // entry lives until explicitly unpersisted — a leak per call from a
+    // long-lived service), checkpointed blocks are released by the
+    // ContextCleaner when the result becomes unreachable. Candidates are
+    // a vanishing fraction of the corpus, so the footprint is trivial.
+    val cand = bucketPairs(bands, idCol).localCheckpoint()
 
     // True-Jaccard confirm, restricted to candidate docs first (broadcast
     // semi-join prune) then counted via the same inverted-index shape as

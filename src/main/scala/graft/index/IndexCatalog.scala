@@ -59,10 +59,14 @@ object IndexCatalog {
     p
   }
 
-  /** Drop the memo (tests that rewrite a fixture dir in place). */
+  /** Drop the memo (tests that rewrite a fixture dir in place). Also
+    * clears driver-side caches derived from this index (the TF-IDF idf
+    * table) — a rebuilt index must never be queried with stale cached
+    * corpus statistics. */
   def invalidate(dataDir: String, name: String): Unit = {
     val p = Paths.get(path(dataDir, name))
     built.remove(p.toString)
+    TfIdfIndex.invalidateIdfCacheUnder(p.toString)
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))

@@ -58,6 +58,10 @@ object TfIdfIndex {
   private val idfCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Double]]()
   def invalidateIdfCache(): Unit = idfCache.clear()
+  /** Drop cached idf tables living under `root` (wired into
+    * `IndexCatalog.invalidate` so a rebuild can't serve stale idf). */
+  def invalidateIdfCacheUnder(root: String): Unit =
+    idfCache.keySet.removeIf(_.startsWith(root))
   private def idfOf(spark: SparkSession, indexDir: String): Map[Int, Double] =
     idfCache.computeIfAbsent(indexDir, _ =>
       spark.read.parquet(s"$indexDir/idf").collect()

@@ -55,20 +55,33 @@ class IvfAnnRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       sourceKey <- fsRel.options.get(IvfIndex.SourceOption)
       info <- IvfIndex.lookup(sourceKey)
       if rel.stats.sizeInBytes >= info.fullScanThresholdBytes
-      // the projected score: Alias over round(cosine_sim(attr, literal), _)
+      // the projection must be EXACTLY (id, score) — any extra projected
+      // column would vanish from the replacement's output (the index only
+      // stores id + vector), silently changing the query's schema
+      if project.projectList.size == 2
+      // the projected score: Alias over round(cosine_sim(attr, literal), 6)
+      // — the replacement computes round(...,6), so only that exact
+      // rounding may be served from the index
       scoreAlias <- project.projectList.collectFirst {
         case a: Alias if cosineOf(a.child).isDefined => a
       }
       cos <- cosineOf(scoreAlias.child)
       qvec <- literalFloatArray(cos.right)
-      // primary sort key: DESC on that score
-      firstOrder <- sort.order.headOption
-      if firstOrder.direction == Descending &&
-        firstOrder.child.references == AttributeSet(scoreAlias.toAttribute)
       idAttr <- project.projectList.collectFirst {
         case a: Alias if a.child.isInstanceOf[AttributeReference] &&
           cosineOf(a.child).isEmpty => a.toAttribute
         case ar: AttributeReference => ar
+      }
+      // sort must be score DESC with at most an `id ASC` tie-break — the
+      // replacement orders (score desc, id asc), so any other tie order
+      // would cut the LIMIT on different rows
+      firstOrder <- sort.order.headOption
+      if firstOrder.direction == Descending &&
+        firstOrder.child.references == AttributeSet(scoreAlias.toAttribute)
+      if sort.order.size <= 2
+      if sort.order.size < 2 || {
+        val o = sort.order(1)
+        o.direction == Ascending && o.child.references == AttributeSet(idAttr)
       }
     } yield {
       val assigned = spark.read.parquet(info.assignedPath)
@@ -92,11 +105,13 @@ class IvfAnnRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Unwrap round()/casts down to a cosine_sim(vector, literal) call. */
+  /** Match `round(cosine_sim(vector, literal), 6)` (or the bare cosine) —
+    * ONLY scale 6, because the replacement plan scores at 6dp; serving a
+    * round(...,2) query from the index would change the values and the
+    * tie-grouping the query asked for. */
   private def cosineOf(e: Expression): Option[CosineSimilarity] = e match {
     case c: CosineSimilarity => Some(c)
-    case Round(child, _, _) => cosineOf(child)
-    case Cast(child, _, _, _) => cosineOf(child)
+    case Round(child, Literal(6, _), _) => cosineOf(child)
     case _ => None
   }
 

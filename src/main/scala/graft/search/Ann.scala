@@ -108,9 +108,19 @@ object Ann {
     val bands = sigs
       .select(col("m"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("m"), col("bb.band_id").as("band_id"), col("bb.band").as("band"))
+    // Same degenerate-bucket guard as Dedup's LSH operators — and MORE
+    // load-bearing here, since each bucket member carries its full
+    // embedding: one hot band over a near-dup-heavy corpus would
+    // otherwise build an O(M) array of vectors in a single agg row.
+    // Truncation is observable via the same metric pattern.
     bands
       .groupBy(col("band_id"), col("band"))
-      .agg(array_sort(collect_list(col("m"))).as("ms"))
+      .agg(array_sort(collect_list(col("m"))).as("all_ms"))
+      .observe(s"${graft.dedup.Dedup.BucketStatsMetric}_emb",
+        sum(when(size(col("all_ms")) > graft.dedup.Dedup.MaxBucketSize, 1L)
+          .otherwise(0L)).as("truncated_buckets"),
+        max(size(col("all_ms"))).as("max_bucket_size"))
+      .select(slice(col("all_ms"), 1, graft.dedup.Dedup.MaxBucketSize).as("ms"))
       .where(size(col("ms")) > 1)
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))

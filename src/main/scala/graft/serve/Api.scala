@@ -47,14 +47,20 @@ object Api {
       val tables = rows.map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString(",")
       ok(s"""{"status":"healthy","tables":{$tables}}""")
 
-    case "/api/query" => // Q8 mode dispatcher (search.py:51-97)
+    case "/api/query" => // Q8 mode dispatcher (search.py:51-97): q, count 1..100, mode, filters
       val q = require(params, "q")
-      val limit = intParam(params, "limit", 10, 1, 50)
+      val count = intParam(params, "count", 10, 1, 100)
       val mode = params.getOrElse("mode", "hybrid")
       if (!Set("dense", "sparse", "hybrid").contains(mode))
         return Response(400, err(s"Invalid mode '$mode'. Must be 'dense', 'sparse', or 'hybrid'"))
-      val hits = ewma.timed(s"query_$mode")(search(spark, dir, q, mode, limit))
-      ok(envelope(q, hitsJson(hits), "mode" -> quote(mode)))
+      val base = (params.get("filter_field"), params.get("filter_value")) match {
+        case (Some(f), Some(v)) => filteredSearch(spark, dir, q, f, v, count)
+        case _ => search(spark, dir, q, mode, count)
+      }
+      // timed spans MATERIALIZATION — the reference times the search call,
+      // not the plan construction (search.py:75-80)
+      val body = ewma.timed(s"query_$mode")(hitsJson(base))
+      ok(envelope(q, body, "mode" -> quote(mode)))
 
     case "/api/search" => // Q3 search_with_details (search.py:104-132)
       val q = require(params, "q")
@@ -70,15 +76,17 @@ object Api {
       val detailed = SearchEngine.resultShape(spark, dir, base.select("id", "score"))
       ok(envelope(q, hitsJson(detailed, count), "count" -> count.toString))
 
-    case "/api/fusion-search" => // Q2 (search.py:200-224)
+    case "/api/fusion-search" => // Q2 (search.py:200-224): q, count 1..100
       val q = require(params, "q")
-      val limit = intParam(params, "limit", 10, 1, 50)
-      ok(envelope(q, hitsJson(fusionSearch(spark, dir, q, limit))))
+      val count = intParam(params, "count", 10, 1, 100)
+      ok(envelope(q,
+        ewma.timed("fusion")(hitsJson(fusionSearch(spark, dir, q, count)))))
 
-    case "/api/lean-search" => // Q9 minimal projection (search.py:231-255)
+    case "/api/lean-search" => // Q9 minimal projection (search.py:231-255): q, count 1..100
       val q = require(params, "q")
-      val limit = intParam(params, "limit", 10, 1, 50)
-      ok(envelope(q, hitsJson(search(spark, dir, q, "dense", limit).select("id", "score"))))
+      val count = intParam(params, "count", 10, 1, 100)
+      ok(envelope(q, ewma.timed("lean")(
+        hitsJson(search(spark, dir, q, "dense", count).select("id", "score")))))
 
     case "/api/search-dense" | "/api/search-sparse" | "/api/search-hybrid" =>
       val q = require(params, "query")
@@ -121,7 +129,8 @@ object Api {
       val docs = graft.ingest.Lifecycle.exportShape(
         Tables.documents(spark, dir),
         Seq("doc_id", "lang", "n_chars", "source", "text"), "doc_id", limit)
-      ok(s"""{"exported":${docs.count()},"documents":[${docs.toJSON.collect().mkString(",")}]}""")
+      val rows = docs.toJSON.collect() // one job; count comes from the rows
+      ok(s"""{"exported":${rows.length},"documents":[${rows.mkString(",")}]}""")
 
     case "/api/load-data" => // S4 upload import (main.py:106-160), staged-file model
       val stagedPath = require(params, "path") // the uploaded file, staged to storage
@@ -144,8 +153,13 @@ object Api {
         (if (withText.columns.contains("id")) withText
          else graft.sources.JsonSource.withStableId(withText, "partNumber"))
       val target = s"$storeDir/$collection"
+      // explicit existence probe: a transient/corrupt READ failure must
+      // surface as a 500, not silently masquerade as "no existing data"
+      // and let the overwrite drop documents the caller asked to keep
+      val targetPath = new org.apache.hadoop.fs.Path(target)
+      val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val existing =
-        try Some(spark.read.parquet(target)) catch { case _: Exception => None }
+        if (fs.exists(targetPath)) Some(spark.read.parquet(target)) else None
       // upsert-with-cleanup: replace by id, drop ids absent from the new
       // data when cleanup_old (main.py:110,142-145)
       val merged = existing match {

@@ -64,16 +64,39 @@ class DedupSpec extends SparkSpec {
   }
 
   test("lsh bucket-cap truncation is observable via named metrics") {
-    val withClone = docs.union(
-      docs.where($"doc_id" === 1).withColumn("doc_id", $"doc_id" + 100))
-    val pairs = Dedup.minhashLsh(withClone, "doc_id", "text", 3, 0.5)
-    pairs.collect()
-    val m = pairs.queryExecution.observedMetrics
-    assert(m.contains(Dedup.BucketStatsMetric), m.keys.toSeq)
-    val row = m(Dedup.BucketStatsMetric)
-    // tiny corpus: nothing truncated, but the stats are live and sane
-    assert(row.getAs[Long]("truncated_buckets") == 0L)
-    assert(row.getAs[Int]("max_bucket_size") >= 2)
+    // simhashPairs: the observe node sits in the final query, so the
+    // metrics ride the result's own QueryExecution
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+    sim.collect()
+    val m = sim.queryExecution.observedMetrics
+    val key = s"${Dedup.BucketStatsMetric}_simhash"
+    assert(m.contains(key), m.keys.toSeq)
+    assert(m(key).getAs[Long]("truncated_buckets") == 0L)
+    assert(m(key).getAs[Int]("max_bucket_size") >= 2)
+
+    // minhashLsh: candidates are materialized by localCheckpoint, so the
+    // metric fires on THAT execution — observable the production way, via
+    // a QueryExecutionListener (events deliver asynchronously; poll)
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        qe.observedMetrics.foreach { case (k, v) => seen.put(k, v) }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val withClone = docs.union(
+        docs.where($"doc_id" === 1).withColumn("doc_id", $"doc_id" + 100))
+      Dedup.minhashLsh(withClone, "doc_id", "text", 3, 0.5).collect()
+      val deadline = System.currentTimeMillis() + 30000
+      while (!seen.containsKey(Dedup.BucketStatsMetric) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(seen.containsKey(Dedup.BucketStatsMetric),
+        seen.keySet().toString)
+      assert(seen.get(Dedup.BucketStatsMetric).getAs[Long]("truncated_buckets") == 0L)
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("simhash: identical texts share a hash; disjoint texts differ") {

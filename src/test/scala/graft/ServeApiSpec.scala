@@ -19,7 +19,7 @@ class ServeApiSpec extends SparkSpec {
 
   test("query endpoint: all three modes return ranked hits; bad mode is a 400") {
     for (mode <- Seq("dense", "sparse", "hybrid")) {
-      val r = get("/api/query", "q" -> "spark join filter", "mode" -> mode, "limit" -> "5")
+      val r = get("/api/query", "q" -> "spark join filter", "mode" -> mode, "count" -> "5")
       assert(r.status == 200, s"$mode: ${r.body}")
       assert(r.body.contains(s""""mode":"$mode""""), r.body)
       assert(r.body.contains("\"score\":"), r.body)
@@ -28,10 +28,11 @@ class ServeApiSpec extends SparkSpec {
     assert(bad.status == 400 && bad.body.contains("Invalid mode"), bad.body)
   }
 
-  test("query endpoint: missing q is a 422; out-of-range limit is a 422") {
+  test("query endpoint: missing q is a 422; out-of-range count is a 422") {
     assert(get("/api/query").status == 422)
-    val r = get("/api/query", "q" -> "x", "limit" -> "0")
-    assert(r.status == 422 && r.body.contains("limit"), r.body)
+    val r = get("/api/query", "q" -> "x", "count" -> "0")
+    assert(r.status == 422 && r.body.contains("count"), r.body)
+    assert(get("/api/query", "q" -> "x", "count" -> "101").status == 422)
   }
 
   test("search endpoint: full details envelope, filter path, fusion path") {
@@ -51,14 +52,14 @@ class ServeApiSpec extends SparkSpec {
   }
 
   test("fusion: exact part-number hit ranks 1.0 ahead of vector hits") {
-    val r = get("/api/fusion-search", "q" -> "src7", "limit" -> "5")
+    val r = get("/api/fusion-search", "q" -> "src7", "count" -> "5")
     assert(r.status == 200, r.body)
     assert(r.body.contains("\"search_type\":\"exact\""), r.body)
     assert(r.body.contains("\"score\":1.0"), r.body)
   }
 
   test("lean search returns only id+score fields") {
-    val r = get("/api/lean-search", "q" -> "spark join", "limit" -> "3")
+    val r = get("/api/lean-search", "q" -> "spark join", "count" -> "3")
     assert(r.status == 200, r.body)
     assert(r.body.contains("\"id\":") && r.body.contains("\"score\":"))
     assert(!r.body.contains("\"text\"") && !r.body.contains("\"image\""))
