@@ -114,6 +114,37 @@ object Queries {
         WHERE rn <= 2 ORDER BY o_custkey, rn
       """)),
 
+    // Range join (point-in-interval) as a bucketized EQUI-join — the
+    // operator Spark would otherwise plan as a nested-loop. Overlapping
+    // price bands derived from nation; orders land in every band whose
+    // interval contains their total price.
+    "q14_range_join" -> Q(
+      (s, d) => {
+        val bands = Tables(s, d, "nation").select(
+          col("n_nationkey").cast("long").as("band_id"),
+          (col("n_nationkey") * 8000).cast("double").as("lo"),
+          (col("n_nationkey") * 8000 + 20000).cast("double").as("hi"))
+        graft.operators.RangeJoin.pointInInterval(
+            Tables(s, d, "orders").select(col("o_totalprice")),
+            "o_totalprice", bands, "lo", "hi", bucketWidth = 10000.0)
+          .groupBy(col("band_id"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(avg(col("o_totalprice")), 2).as("avg_price"))
+          .orderBy(col("band_id"))
+      },
+      Some("""
+        WITH bands AS (
+          SELECT n_nationkey::BIGINT AS band_id,
+                 (n_nationkey * 8000)::DOUBLE AS lo,
+                 (n_nationkey * 8000 + 20000)::DOUBLE AS hi
+          FROM nation)
+        SELECT band_id, count(*) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders JOIN bands
+          ON o_totalprice >= lo AND o_totalprice <= hi
+        GROUP BY band_id ORDER BY band_id
+      """)),
+
     // Gap-based sessionization, batch form (the streaming sessionizer's
     // deterministic twin): session starts where the gap to the previous
     // event of the same user exceeds 30 min (lag + cumulative sum).

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.AsOfJoin
 
 class AsOfJoinSpec extends SparkSpec {
@@ -57,6 +59,26 @@ class AsOfJoinSpec extends SparkSpec {
       Map("rid" -> "rid", "aux" -> "aux")).select("rid", "aux").head()
     // (302, "b") > (301, "a") field-by-field -> the carried pair is 302/b
     assert(out.getLong(0) == 302L && out.getString(1) == "b", out.toString)
+  }
+
+  test("range join: equi-join plan (no nested loop), pairs unique, equals naive theta join") {
+    import graft.operators.RangeJoin
+    val points = (1 to 200).map(i => (i.toLong, i * 7.3)).toDF("pid", "v")
+    val intervals = (0 to 30).map(i =>
+      (i.toLong, i * 40.0, i * 40.0 + 100.0)).toDF("iid", "lo", "hi") // overlapping
+    val joined = RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 25.0)
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$plan")
+
+    val got = joined.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length, "pair duplicated across buckets")
+    val naive = points.join(intervals,
+        col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == naive.toSet && got.nonEmpty)
   }
 
   test("asof join keeps every left row exactly once") {
