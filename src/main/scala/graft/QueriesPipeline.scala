@@ -472,6 +472,25 @@ object QueriesPipeline {
         FROM cands ORDER BY s
       """)),
 
+    // Deterministic stratified sampling (training-mix construction):
+    // per-language rates in basis points, decided per row by a stable
+    // md5 key hash — same rows every run, any engine, pushable predicate.
+    "t8_stratified_sample" -> Q(
+      (s, d) => graft.functions.Sampling.hashSampleBy(
+          docs(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", Map("en" -> 5000, "de" -> 2500, "fr" -> 1000))
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS hb
+          FROM documents)
+        SELECT doc_id, lang FROM b
+        WHERE hb < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                             WHEN 'fr' THEN 1000 ELSE 0 END
+        ORDER BY doc_id
+      """)),
+
     // PII redaction (training-data scrub): deterministic synthetic PII is
     // injected per doc, then redacted with the cross-engine regex chain;
     // per-kind hit counts audit the scrub. Both engines build and scrub

@@ -83,6 +83,23 @@ class TextHashOpsSpec extends SparkSpec {
     assert(r.getInt(1) == 6)
   }
 
+  test("hash sampling: stable across calls, split is disjoint+exhaustive, rate lands near target") {
+    import graft.functions.Sampling
+    val docs = graft.tables.Tables.documents(spark, Sf0001)
+    val s1 = Sampling.hashSample(docs, "doc_id", 3000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(docs, "doc_id", 3000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty) // deterministic: same rows every run
+    val n = docs.count().toDouble
+    assert(math.abs(s1.size / n - 0.30) < 0.15, s"rate ${s1.size / n}")
+
+    val (train, heldOut) = Sampling.split(docs, "doc_id", 1000)
+    val t = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val h = heldOut.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((t & h).isEmpty && (t ++ h).size == n.toLong) // leakage-free, total
+  }
+
   test("pii redaction: typed placeholders, url-before-email order, clean text untouched") {
     val df = Seq(
       "mail me at jane.doe+x@corp.example.org today",
