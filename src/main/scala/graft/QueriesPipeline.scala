@@ -326,6 +326,39 @@ object QueriesPipeline {
         FROM reach GROUP BY src ORDER BY keeper, id
       """)),
 
+    // Dedup APPLIED: the corpus after dropping every cluster member that
+    // is not its cluster's keeper — detect (simhash pairs) → resolve
+    // (connected components) → apply (anti-join), the full pipeline as
+    // one query. Survivors = keepers + docs in no cluster.
+    "d9_dedup_apply" -> Q(
+      (s, d) => {
+        val cc = Dedup.connectedComponents(
+          Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3), "id_a", "id_b")
+        val losers = cc.where(col("id") =!= col("keeper"))
+          .select(col("id").as("doc_id"))
+        docs(s, d).join(losers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE $simhashPairsCtes,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM sim_pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM sim_pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (
+          SELECT src AS id, least(src, min(dst))::BIGINT AS keeper
+          FROM reach GROUP BY src),
+        losers AS (SELECT id FROM comp WHERE id <> keeper)
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM losers)
+        ORDER BY doc_id
+      """)),
+
     // Embedding near-dup at scale: hyperplane-LSH banded candidates +
     // exact cosine confirm (the embedding-space twin of d6; candidate
     // generation is an equi-join on 8-bit sign-signature bands).
@@ -470,6 +503,38 @@ object QueriesPipeline {
            CASE WHEN length(s) > 20 THEN -1 ELSE 0 END) AS score,
           score >= 4 AS is_partno
         FROM cands ORDER BY s
+      """)),
+
+    // Sequence packing (pre-training batch construction): walk documents
+    // per language in id order, packing token counts into budget-B bins —
+    // bin id falls out of a cumulative-sum window, so packing is one
+    // window pass parallel across strata, not a driver loop. Reports
+    // per-bin doc counts and fill.
+    "t9_sequence_packing" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 200L
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            TextOps.tokenCountWs(col("text")).cast("long").as("n_tok"))
+          .withColumn("bin_id",
+            floor((sum(col("n_tok")).over(w) - col("n_tok")) / budget).cast("long"))
+          .groupBy(col("lang"), col("bin_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+          .orderBy(col("lang"), col("bin_id"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang, len($tokensSql)::BIGINT AS n_tok
+          FROM documents),
+        b AS (
+          SELECT doc_id, lang, n_tok,
+                 floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok) / 200)::BIGINT AS bin_id
+          FROM t)
+        SELECT lang, bin_id, count(*) AS n_docs, sum(n_tok)::BIGINT AS bin_tokens
+        FROM b GROUP BY lang, bin_id ORDER BY lang, bin_id
       """)),
 
     // Deterministic stratified sampling (training-mix construction):
