@@ -275,8 +275,12 @@ object Dedup {
       col(bCol).cast("long").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Seed with round 1 for free: label(id) = min(id, min direct
+    // neighbor) is one aggregation over the edge list — no join — and
+    // saves a full propagation round.
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(least(first(col("src")), min(col("dst"))).as("label"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
