@@ -129,7 +129,9 @@ object Queries {
             "o_totalprice", bands, "lo", "hi", bucketWidth = 10000.0)
           .groupBy(col("band_id"))
           .agg(count(lit(1)).as("n_orders"),
-            round(avg(col("o_totalprice")), 2).as("avg_price"))
+            // sum not avg: avg can land on a half-cent boundary where
+            // engine-dependent float summation order flips the rounding
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
           .orderBy(col("band_id"))
       },
       Some("""
@@ -139,7 +141,7 @@ object Queries {
                  (n_nationkey * 8000 + 20000)::DOUBLE AS hi
           FROM nation)
         SELECT band_id, count(*) AS n_orders,
-               round(avg(o_totalprice), 2) AS avg_price
+               round(sum(o_totalprice), 2) AS sum_price
         FROM orders JOIN bands
           ON o_totalprice >= lo AND o_totalprice <= hi
         GROUP BY band_id ORDER BY band_id
