@@ -88,6 +88,34 @@ object Store {
     }.parquet(path)
   }
 
+  /** Small-file compaction — the housekeeping a streamed/delta-written
+    * store needs: micro-batch writers leave thousands of tiny files whose
+    * per-file open/footer overhead dominates scans at scale. Rewrites the
+    * table at ~`targetBytes` per file (computed from the actual on-disk
+    * size), staging to a sibling dir and swapping so a failed rewrite
+    * never corrupts the live table. Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val dataFiles = fs.listStatus(p).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path)
+      .repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // swap: the staged rewrite becomes the live table
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    val after = fs.listStatus(p).count(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (dataFiles.length, after)
+  }
+
   /** N3: versioned upsert. Incoming rows replace matches (version bumped),
     * prior versions of replaced rows append to the history table with the
     * reference's `{id}_v{version}` key. Unmatched existing rows carry

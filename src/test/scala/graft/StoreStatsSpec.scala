@@ -60,4 +60,21 @@ class StoreStatsSpec extends SparkSpec {
     assert(h("documents") == 500)
     assert(h.values.forall(_ > 0))
   }
+
+  test("compact: many small files collapse, data identical, swap is atomic-shaped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val path = s"$dir/t"
+    val docs = graft.tables.Tables.documents(spark, Sf0001)
+    docs.repartition(37).write.parquet(path) // simulate micro-batch debris
+    val before = docs.collect().map(_.getLong(0)).sorted.toSeq
+
+    val (nBefore, nAfter) = graft.ingest.Store.compact(spark, path)
+    assert(nBefore == 37 && nAfter < nBefore, s"$nBefore -> $nAfter")
+    val after = spark.read.parquet(path)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before)
+    // staging dir cleaned up by the swap
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path + "__compact_tmp")))
+  }
 }
