@@ -280,7 +280,7 @@ object Dedup {
     // saves a full propagation round.
     var labels = edges
       .groupBy(col("src").as("id"))
-      .agg(least(first(col("src")), min(col("dst"))).as("label"))
+      .agg(least(min(col("src")), min(col("dst"))).as("label"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0

@@ -92,25 +92,52 @@ object Store {
     * store needs: micro-batch writers leave thousands of tiny files whose
     * per-file open/footer overhead dominates scans at scale. Rewrites the
     * table at ~`targetBytes` per file (computed from the actual on-disk
-    * size), staging to a sibling dir and swapping so a failed rewrite
-    * never corrupts the live table. Returns (filesBefore, filesAfter). */
+    * size), staging to a SIBLING dir and swapping live → backup →
+    * promote, so no failure mode loses the table (a crash mid-swap leaves
+    * either the live dir or the `__compact_old` backup intact).
+    *
+    * FLAT tables only: Hive-partitioned layouts (directory per partition
+    * value) are rejected — a naive rewrite would silently flatten the
+    * partition structure and destroy `PartitionFilters` pruning; compact
+    * each partition directory individually instead. Pass `sortCols` to
+    * preserve a sorted point-lookup layout ([[optimizeLayout]] semantics:
+    * range-partitioned + sorted within files); compression stays zstd,
+    * matching the index layouts. Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, path: String,
-              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val dataFiles = fs.listStatus(p).filter(f =>
+              targetBytes: Long = 128L * 1024 * 1024,
+              sortCols: Seq[String] = Nil): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path) // normalizes trailing slash
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(p)
+    val subDirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    require(subDirs.isEmpty,
+      s"compact requires a flat table; found partition-style subdirectories " +
+        s"${subDirs.take(3).mkString(", ")} under $p — compact per partition")
+    val dataFiles = entries.filter(f =>
       f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
-    spark.read.parquet(path)
-      .repartition(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // swap: the staged rewrite becomes the live table
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__compact_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val shaped =
+      if (sortCols.nonEmpty)
+        spark.read.parquet(p.toString)
+          .repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else spark.read.parquet(p.toString).repartition(nOut)
+    shaped.write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(tmp.toString)
+
+    // live -> backup, staged -> live, drop backup; every rename checked
+    require(fs.rename(p, old), s"compact: could not move live table aside ($p)")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // restore
+      throw new IllegalStateException(s"compact: promote failed, restored $p")
+    }
+    fs.delete(old, true)
     val after = fs.listStatus(p).count(f =>
       f.isFile && f.getPath.getName.endsWith(".parquet"))
     (dataFiles.length, after)

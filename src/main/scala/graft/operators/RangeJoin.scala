@@ -21,21 +21,42 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  private val BucketCol = "__graft_range_bucket"
+
   private def bucketOf(c: Column, width: Double): Column =
     floor(c.cast("double") / width).cast("long")
 
   /** Join each left row (with `pointCol`) to every right row (with
     * `loCol`..`hiCol`, inclusive both ends) whose interval contains the
-    * point. Output: left.* ++ right.* (right columns must not collide). */
+    * point. Output: left.* ++ right.* (right columns must not collide).
+    *
+    * Semantics parity with the theta join: an invalid interval
+    * (`lo > hi`) matches nothing (it is dropped before the explode — the
+    * raw two-arg `sequence` would otherwise auto-step -1 and explode a
+    * huge useless DESCENDING bucket list). `maxBucketsPerInterval` turns
+    * the pathological wide-interval case (one row asking for millions of
+    * replicas — an executor OOM) into an immediate, attributable error;
+    * raise `bucketWidth` or cap the intervals to proceed. */
   def pointInInterval(left: DataFrame, pointCol: String,
                       right: DataFrame, loCol: String, hiCol: String,
-                      bucketWidth: Double): DataFrame = {
-    val l = left.withColumn("__bucket", bucketOf(col(pointCol), bucketWidth))
-    val r = right.withColumn("__bucket",
-      explode(sequence(bucketOf(col(loCol), bucketWidth),
-        bucketOf(col(hiCol), bucketWidth))))
-    l.join(r, Seq("__bucket"))
+                      bucketWidth: Double,
+                      maxBucketsPerInterval: Long = 100000L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!(left.columns ++ right.columns).contains(BucketCol),
+      s"inputs must not contain the reserved column $BucketCol")
+    val lb = bucketOf(col(loCol), bucketWidth)
+    val hb = bucketOf(col(hiCol), bucketWidth)
+    val l = left.withColumn(BucketCol, bucketOf(col(pointCol), bucketWidth))
+    val r = right
+      .where(col(loCol) <= col(hiCol)) // invalid intervals match nothing
+      .withColumn(BucketCol, explode(sequence(lb,
+        when(hb - lb >= maxBucketsPerInterval,
+          raise_error(concat(lit(s"range join interval wider than " +
+            s"$maxBucketsPerInterval buckets (bucketWidth=$bucketWidth) at "),
+            col(loCol), lit(".."), col(hiCol))))
+          .otherwise(hb))))
+    l.join(r, Seq(BucketCol))
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
-      .drop("__bucket")
+      .drop(BucketCol)
   }
 }

@@ -81,6 +81,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.toSet == naive.toSet && got.nonEmpty)
   }
 
+  test("range join guards: inverted intervals match nothing; runaway width raises a clear error") {
+    import graft.operators.RangeJoin
+    val points = Seq((1L, 50.0)).toDF("pid", "v")
+    // lo > hi: theta-join semantics = no match (NOT a descending explode)
+    val inverted = Seq((1L, 100.0, 0.0)).toDF("iid", "lo", "hi")
+    assert(RangeJoin.pointInInterval(points, "v", inverted, "lo", "hi", 10.0)
+      .collect().isEmpty)
+    // a pathologically wide interval fails attributably instead of OOMing
+    val wide = Seq((1L, 0.0, 1e12)).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "v", wide, "lo", "hi", 10.0,
+        maxBucketsPerInterval = 1000L).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("asof join keeps every left row exactly once") {
     val left = (1 to 100).map(i => (i.toLong, (i % 5).toLong,
       ts(f"2024-01-01 00:${i % 60}%02d:00"))).toDF("id", "user", "t")

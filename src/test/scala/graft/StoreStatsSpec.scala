@@ -73,8 +73,28 @@ class StoreStatsSpec extends SparkSpec {
     val after = spark.read.parquet(path)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(after == before)
-    // staging dir cleaned up by the swap
+    // staging/backup dirs cleaned up by the swap
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(path + "__compact_tmp")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path + "__compact_old")))
+
+    // trailing slash normalizes instead of nesting the staging dir
+    val (b2, a2) = graft.ingest.Store.compact(spark, path + "/")
+    assert(b2 == nAfter && a2 >= 1)
+
+    // sorted compaction preserves a point-lookup layout (pushdown intact)
+    graft.ingest.Store.compact(spark, path, sortCols = Seq("source"))
+    val plan = spark.read.parquet(path).where(
+      org.apache.spark.sql.functions.col("source") === "src7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(source), EqualTo(source,src7)]"), plan)
+
+    // partitioned layouts are refused, not silently flattened
+    val partPath = s"$dir/part_t"
+    docs.write.partitionBy("lang").parquet(partPath)
+    intercept[IllegalArgumentException] {
+      graft.ingest.Store.compact(spark, partPath)
+    }
   }
 }
