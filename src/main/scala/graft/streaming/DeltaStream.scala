@@ -57,6 +57,19 @@ object DeltaStream {
       .dropDuplicatesWithinWatermark("dedup_key")
       .drop("dedup_key")
 
+  /** Declarative gap-sessionization: Spark's native `session_window`
+    * (watermarked, state managed by the engine) — the zero-custom-code
+    * twin of [[sessionize]]; use mapGroupsWithState only when the session
+    * payload outgrows what an aggregate can express. */
+  def sessionWindows(events: DataFrame, watermark: String,
+                     gap: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
   final case class Event(ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
