@@ -59,6 +59,22 @@ class LifecycleAnnSpec extends SparkSpec {
     assert(out == out.sorted.reverse) // ranked desc
   }
 
+  test("hll sketch: approx distinct within the documented relative error of exact") {
+    // x1 is rows-only in the oracle gate (sketches aren't cross-engine
+    // reproducible); this pins its accuracy instead: Spark's HLL++ at the
+    // default rsd=0.05 must land within a conservative 3*rsd of exact.
+    val ev = Tables.events(spark, Sf0001)
+    val both = ev.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(both.nonEmpty)
+    both.foreach { case (k, approx, exact) =>
+      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.15).toLong),
+        s"$k: approx=$approx exact=$exact")
+    }
+  }
+
   test("hyperplane-lsh near-dup: identical vectors always pair at 1.0; all pairs meet the floor") {
     val emb = Tables.embeddings(spark, Sf0001)
     val planted = emb.union(emb.where(col("vec_id") === 1)
