@@ -179,6 +179,13 @@ object Api {
       ok(s"""{"success":true,"documents_loaded":$loaded,"null_ids":$nullIds,""" +
         s""""collection_name":${quote(collection)},"cleanup_old":$cleanupOld}""")
 
+    case "/api/admin/reload_whitelist" =>
+      // Q12's whitelist-reload endpoint is DEAD CODE in the reference:
+      // admin.py:111-134 calls search_service.reload_whitelist(), which
+      // exists nowhere in the codebase (the import would fail at call
+      // time). Mirrored honestly as a surface-complete stub.
+      ok("""{"success":true,"message":"whitelist reload is a stub (dead code in the reference)","whitelist_count":0}""")
+
     case _ => Response(404, err(s"no route for $path"))
   }
 

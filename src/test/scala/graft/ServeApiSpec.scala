@@ -83,6 +83,9 @@ class ServeApiSpec extends SparkSpec {
     assert(r.status == 200, r.body)
     assert(r.body.contains("\"exported\":3"), r.body)
     assert(get("/api/nope").status == 404)
+    // whitelist reload: dead code upstream, surface-complete stub here
+    val wl = get("/api/admin/reload_whitelist")
+    assert(wl.status == 200 && wl.body.contains("stub"), wl.body)
   }
 
   test("load-data: staged upload imports with backfill+ids, upsert replaces, cleanup drops") {
