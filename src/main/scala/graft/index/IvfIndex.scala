@@ -30,9 +30,13 @@ object IvfIndex {
 
   /** Registered index artifacts for one data dir. `fullScanThresholdBytes`
     * mirrors Qdrant's `full_scan_threshold`: below it, exact scan beats
-    * index traversal and the rewrite declines to fire. */
+    * index traversal and the rewrite declines to fire. `idCol`/`vecCol`
+    * name the indexed columns of the source relation — the rewrite only
+    * fires when the query's id projection and cosine argument resolve to
+    * exactly these columns (the index stores nothing else). */
   final case class Info(assignedPath: String, centroidsPath: String,
-                        nprobe: Int, fullScanThresholdBytes: Long)
+                        nprobe: Int, fullScanThresholdBytes: Long,
+                        idCol: String = "vec_id", vecCol: String = "embedding")
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Info]()

@@ -67,21 +67,34 @@ class IvfAnnRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       cos <- cosineOf(scoreAlias.child)
       qvec <- literalFloatArray(cos.right)
-      idAttr <- project.projectList.collectFirst {
+      // the cosine's vector argument must be the relation's INDEXED vector
+      // column — a cosine over any other array column cannot be served
+      // from this index
+      vecAttr <- Some(cos.left).collect { case ar: AttributeReference => ar }
+      if vecAttr.name == info.vecCol && rel.outputSet.contains(vecAttr)
+      // the id projection must resolve to the relation's indexed id column
+      // (by underlying attribute, not output name — a projected `label`
+      // would otherwise be silently served index vec_ids)
+      idPair <- project.projectList.collectFirst {
         case a: Alias if a.child.isInstanceOf[AttributeReference] &&
-          cosineOf(a.child).isEmpty => a.toAttribute
-        case ar: AttributeReference => ar
+          cosineOf(a.child).isEmpty =>
+          (a.toAttribute, a.child.asInstanceOf[AttributeReference])
+        case ar: AttributeReference => (ar, ar)
       }
-      // sort must be score DESC with at most an `id ASC` tie-break — the
-      // replacement orders (score desc, id asc), so any other tie order
-      // would cut the LIMIT on different rows
+      (idAttr, idSource) = idPair
+      if idSource.name == info.idCol && rel.outputSet.contains(idSource)
+      // sort must be BARE score DESC with at most a BARE `id ASC`
+      // tie-break — semantic equality, not reference-set equality, so an
+      // expression OVER the score (e.g. `-score DESC`) never matches: the
+      // replacement orders (score desc, id asc) and any other order would
+      // cut the LIMIT on different rows
       firstOrder <- sort.order.headOption
       if firstOrder.direction == Descending &&
-        firstOrder.child.references == AttributeSet(scoreAlias.toAttribute)
+        firstOrder.child.semanticEquals(scoreAlias.toAttribute)
       if sort.order.size <= 2
       if sort.order.size < 2 || {
         val o = sort.order(1)
-        o.direction == Ascending && o.child.references == AttributeSet(idAttr)
+        o.direction == Ascending && o.child.semanticEquals(idAttr)
       }
     } yield {
       val assigned = spark.read.parquet(info.assignedPath)

@@ -70,10 +70,9 @@ object Ann {
       .join(broadcast(probes), Seq("cid"))
       .crossJoin(broadcast(qq))
       .select(col("vec_id").as("id"),
-        round(VectorOps.cosineSim(
-          VectorOps.quantizeInt8(col("embedding")).getField("q")
-            .cast("array<float>"),
-          col("qq").cast("array<float>")), 6).as("score"))
+        round(VectorOps.cosineSimInt8(
+          VectorOps.quantizeInt8(col("embedding")).getField("q"),
+          col("qq")), 6).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }

@@ -106,4 +106,51 @@ class PlanShapeSpec extends SparkSpec {
       assert(!small.contains("ivf/assigned"), small)
     } finally IvfIndex.register(Sf0001, info)
   }
+
+  test("ivf rewrite declines on semantic mismatches (sort expr, id identity, vector identity)") {
+    import org.apache.spark.sql.functions._
+    import graft.index.IvfIndex
+    IvfIndex.ensure(spark, Sf0001)
+    IvfIndex.enable(spark)
+    val qv = typedlit(SearchEngine.queryVecArray(spark, Sf0001, 0))
+    val src = IvfIndex.readRewritable(spark, Sf0001)
+    def score = round(
+      graft.functions.VectorOps.cosineSim(col("embedding"), qv), 6).as("score")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+
+    // (a) sort on an expression OVER the score: `-score DESC` is
+    //     ascending-by-score — serving index top-k here would be wrong rows
+    val negSort = src.select(col("vec_id").as("id"), score)
+      .orderBy(negate(col("score")).desc, col("id").asc).limit(10)
+    assert(!planOf(negSort).contains("ivf/assigned"), planOf(negSort))
+
+    // (b) projected column that is NOT the indexed id column
+    val wrongId = src.select(col("embedding").as("id"), score)
+      .orderBy(col("score").desc).limit(10)
+    assert(!planOf(wrongId).contains("ivf/assigned"), planOf(wrongId))
+
+    // (c) derived id projection (expression, not a bare column)
+    val derivedId = src.select((col("vec_id") * 2).as("id"), score)
+      .orderBy(col("score").desc, col("id").asc).limit(10)
+    assert(!planOf(derivedId).contains("ivf/assigned"), planOf(derivedId))
+
+    // (d) cosine over a derived vector, not the indexed embedding column
+    val derivedVec = src.select(col("vec_id").as("id"),
+      round(graft.functions.VectorOps.cosineSim(reverse(col("embedding")), qv), 6)
+        .as("score"))
+      .orderBy(col("score").desc, col("id").asc).limit(10)
+    assert(!planOf(derivedVec).contains("ivf/assigned"), planOf(derivedVec))
+
+    // (e) tie-break direction other than id ASC
+    val descTie = src.select(col("vec_id").as("id"), score)
+      .orderBy(col("score").desc, col("id").desc).limit(10)
+    assert(!planOf(descTie).contains("ivf/assigned"), planOf(descTie))
+
+    // (f) the negated sort still computes the right answer via brute force:
+    //     ascending order by score (bottom-k), impossible to serve from the
+    //     descending index path
+    val rows = negSort.collect().map(_.getDouble(1)).toSeq
+    assert(rows == rows.sorted, s"expected ascending scores, got $rows")
+  }
 }
