@@ -93,8 +93,17 @@ object Store {
     * per-file open/footer overhead dominates scans at scale. Rewrites the
     * table at ~`targetBytes` per file (computed from the actual on-disk
     * size), staging to a SIBLING dir and swapping live → backup →
-    * promote, so no failure mode loses the table (a crash mid-swap leaves
+    * promote, so no failure mode loses DATA (a crash mid-swap leaves
     * either the live dir or the `__compact_old` backup intact).
+    *
+    * AVAILABILITY caveat: the swap is two renames, and between them the
+    * live path briefly does not exist — a concurrent read in a long-lived
+    * serving JVM can fail during that window, and a crash exactly between
+    * the renames needs a manual restore from `__compact_old`. Raw
+    * filesystems cannot atomically replace a non-empty directory, so run
+    * compaction in a maintenance window (or point readers at a catalog
+    * indirection that flips after the promote). A table format with
+    * atomic commits is the structural fix at cluster scale.
     *
     * FLAT tables only: Hive-partitioned layouts (directory per partition
     * value) are rejected — a naive rewrite would silently flatten the

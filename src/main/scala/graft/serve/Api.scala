@@ -37,6 +37,11 @@ object Api {
     try route(spark, dir, path, params)
     catch {
       case e: IllegalArgumentException => Response(422, err(e.getMessage))
+      // request-shaped analysis failures (unknown filter_field, un-inferable
+      // upload schema) are CLIENT errors, matching the reference's 400 for
+      // JSONDecodeError / bad field names — not a 500 from the engine
+      case e: org.apache.spark.sql.AnalysisException =>
+        Response(400, err(s"invalid request: ${e.getMessage}"))
       case e: Exception => Response(500, err(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
     }
 
@@ -142,6 +147,11 @@ object Api {
         if (stagedPath.endsWith(".tar.gz"))
           graft.sources.JsonSource.readTarGzJson(spark, stagedPath)
         else graft.sources.JsonSource.readJsonArray(spark, stagedPath)
+      // malformed JSON parses to the lone _corrupt_record column (or no
+      // columns at all) — the reference returns 400 for JSONDecodeError
+      // (main.py:131-135), not a 500 from deep in the pipeline
+      if (raw.columns.isEmpty || raw.columns.sameElements(Array("_corrupt_record")))
+        return Response(400, err("malformed JSON upload: could not parse any records"))
       // text backfill + stable id, exactly the reference's preprocessing
       // (text from description ⊕ mfr part when absent; id from partNumber)
       val withText =

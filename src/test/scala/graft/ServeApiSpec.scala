@@ -124,13 +124,31 @@ class ServeApiSpec extends SparkSpec {
     assert(r.status == 200 && r.body.contains("query_dense"), r.body)
   }
 
-  test("malformed input surfaces as a 5xx error envelope, never an exception") {
+  test("malformed input surfaces as a 4xx error envelope, never an exception") {
     // a non-numeric id is a client error (NumberFormatException is an
     // IllegalArgumentException -> 422, FastAPI's validation semantics)
     val bad = get("/api/documents", "id" -> "not-a-number")
     assert(bad.status == 422 && bad.body.contains("error"), bad.body)
+    // a client-named staged path that doesn't exist is a client error
+    // (AnalysisException PATH_NOT_FOUND -> 400)
     val badStore = get("/api/load-data", "path" -> "/nope/missing.json",
       "store_dir" -> "/tmp/graft-nope")
-    assert(badStore.status == 500 && badStore.body.contains("error"), badStore.body)
+    assert(badStore.status == 400 && badStore.body.contains("error"), badStore.body)
+  }
+
+  test("malformed JSON upload is a 400, like the reference's JSONDecodeError") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-badjson").toFile
+    val f = new java.io.File(dir, "bad.json")
+    java.nio.file.Files.writeString(f.toPath, """{not json at all][""")
+    val store = new java.io.File(dir, "store").getAbsolutePath
+    val r = get("/api/load-data", "path" -> f.getAbsolutePath, "store_dir" -> store)
+    assert(r.status == 400 && r.body.contains("malformed JSON"), s"${r.status}: ${r.body}")
+    assert(!new java.io.File(store).exists(), "a rejected upload must not create the store")
+  }
+
+  test("unknown filter_field is a 400 validation error, not a 500") {
+    val r = get("/api/query", "q" -> "spark join",
+      "filter_field" -> "no_such_column", "filter_value" -> "x")
+    assert(r.status == 400 && r.body.contains("error"), s"${r.status}: ${r.body}")
   }
 }
