@@ -342,6 +342,53 @@ object Queries {
                event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         FROM events
         GROUP BY 1, 2 ORDER BY hour, event_type
+      """)),
+
+    // Skew-salted aggregation (functions/Salting): two-phase partial-on-
+    // (key, salt) then final-on-key. The salt is positional and carries no
+    // semantics, so the result is EXACTLY the plain GROUP BY — which is
+    // the oracle. event_type is the suite's hot key (5 values over the
+    // whole table, the shape salting exists for).
+    "q15_salted_agg" -> Q(
+      (s, d) => graft.functions.Salting
+        .saltedCount(Tables.events(s, d).select(col("event_type")), "event_type", 8)
+        .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type, count(*) AS n FROM events
+        GROUP BY event_type ORDER BY event_type
+      """)),
+
+    // EWMA as a DISTRIBUTED column fold (A4's statistic, computed over
+    // data instead of driver-side request latencies): per event type,
+    // s_0 = x_0, s_i = 0.3 x_i + 0.7 s_{i-1} over values ordered by
+    // event_id. A sequential fold is exact in both engines because the
+    // evaluation ORDER is pinned — Spark `aggregate` and DuckDB
+    // `list_reduce` (seeded with the first element) execute the identical
+    // double-precision chain. The merge lambda touches only (acc, x) —
+    // no outer column refs — so the lambda-CSE trap doesn't apply.
+    "q16_ewma" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("event_id"), col("value"))))
+          .as("xs"))
+        .select(col("event_type"),
+          expr("transform(xs, p -> p.value)").as("vals"))
+        .select(col("event_type"),
+          round(expr(
+            "aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)), " +
+              "element_at(vals, 1), " +
+              "(acc, x) -> 0.3D * x + 0.7D * acc)"), 6).as("ewma"),
+          size(col("vals")).cast("long").as("n"))
+        .orderBy(col("event_type")),
+      Some("""
+        WITH seq AS (
+          SELECT event_type, list(value ORDER BY event_id) AS vals
+          FROM events GROUP BY event_type)
+        SELECT event_type,
+               round(list_reduce(vals,
+                 (acc, x) -> 0.3::DOUBLE * x + 0.7::DOUBLE * acc), 6) AS ewma,
+               len(vals)::BIGINT AS n
+        FROM seq ORDER BY event_type
       """)))
 
   // ---------------------------------------------------------------------

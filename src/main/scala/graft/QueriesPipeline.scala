@@ -179,6 +179,60 @@ object QueriesPipeline {
         SELECT lang, count(*) AS n, round(avg(n_chars::DOUBLE), 6) AS avg_chars,
                count(DISTINCT source) AS n_sources
         FROM documents GROUP BY lang ORDER BY lang
+      """)),
+
+    // S5/J6/N3: exists-check versioned upsert as ONE full-outer join
+    // (Store.upsertVersioned) — replaced rows bump version, new ids enter
+    // at version 1, untouched rows carry over. The incoming batch is
+    // derived deterministically from documents (every 3rd doc re-texted,
+    // every 97th doc cloned as a brand-new id).
+    "i11_upsert" -> Q(
+      (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"), lit(1).cast("int").as("version"), col("text"))
+        val incoming = docs(s, d).where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), upper(col("text")).as("text"))
+          .unionByName(docs(s, d).where(col("doc_id") % 97 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(lit("new "), col("text")).as("text")))
+        val (newMain, _) = graft.ingest.Store
+          .upsertVersioned(base, incoming, "doc_id", Seq("text"))
+        newMain.orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH base AS (SELECT doc_id, 1 AS version, text FROM documents),
+        inc AS (
+          SELECT doc_id, upper(text) AS text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+          FROM documents WHERE doc_id % 97 = 0)
+        SELECT coalesce(b.doc_id, i.doc_id) AS doc_id,
+               (CASE WHEN i.doc_id IS NOT NULL THEN coalesce(b.version + 1, 1)
+                     ELSE b.version END)::INT AS version,
+               CASE WHEN i.doc_id IS NOT NULL THEN i.text ELSE b.text END AS text
+        FROM base b FULL OUTER JOIN inc i ON b.doc_id = i.doc_id
+        ORDER BY doc_id
+      """)),
+
+    // S3/S8 round trip: streamed JSONL export of the documents table read
+    // back through the JSON source (distributed on both sides — no driver
+    // materialization). The export is built once per data dir via the
+    // IndexCatalog marker, like any derived layout; the oracle is the
+    // original table, which is exactly what a lossless round trip must
+    // reproduce.
+    "i12_json_roundtrip" -> Q(
+      (s, d) => {
+        val out = graft.index.IndexCatalog.ensure(s, d, "json_roundtrip_v1") { p =>
+          docs(s, d).select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(s"$p/docs")
+        }
+        graft.sources.JsonSource.readJsonLines(s, s"$out/docs")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars").cast("long").as("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id
       """)))
 
   private val tokensSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -740,6 +794,33 @@ object QueriesPipeline {
                  round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS score
           FROM asg a JOIN probes p ON a.cid = p.cid CROSS JOIN q)
         SELECT id, score FROM hits ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
+    // O4 with TRAINED centroids — the production IVF build (seeded MLlib
+    // kmeans balances list sizes, which is what keeps nprobe/k recall
+    // stable as the corpus grows; the a1/a4 fixed-vector centroids exist
+    // only so the DuckDB oracle can reproduce the routing). Probing ALL
+    // K lists makes the result EXACTLY brute-force top-k — every vector
+    // lives in exactly one list, and scoring is exact cosine of the
+    // original embeddings — so the oracle needs no knowledge of the
+    // centroids. The sublinear regime (nprobe < K) is recall-asserted in
+    // IndexSpec against brute force.
+    "a6_ivf_trained" -> Q(
+      (s, d) => {
+        val (assignedPath, centroidsPath) =
+          graft.index.IvfIndex.ensureTrained(s, d, k = 8)
+        val qv = Tables.embeddings(s, d)
+          .where(col("vec_id") === Queries.QueryVecId)
+          .select(col("embedding").as("qvec"))
+        Ann.ivfTopKAssigned(s.read.parquet(assignedPath),
+          s.read.parquet(centroidsPath), qv, nprobe = 8, k = 10)
+      },
+      Some("""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id AS id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+        FROM embeddings e CROSS JOIN q
+        ORDER BY score DESC, id ASC LIMIT 10
       """)))
 
   /** TF-IDF bucket-space CTEs shared by the embed-search oracle. */

@@ -93,6 +93,19 @@ object IvfIndex {
     (s"$out/assigned", s"$out/centroids")
   }
 
+  val TrainedName = "ivf_trained_v1"
+
+  /** Memoized trained-centroid build (the production path): kmeans
+    * centroids via [[buildTrained]], persisted once per data dir through
+    * [[IndexCatalog.ensure]]. Returns (assignedPath, centroidsPath). */
+  def ensureTrained(spark: SparkSession, dataDir: String, k: Int = 8)
+      : (String, String) = {
+    val out = IndexCatalog.ensure(spark, dataDir, TrainedName) { p =>
+      buildTrained(spark, dataDir, k, p); ()
+    }
+    (s"$out/assigned", s"$out/centroids")
+  }
+
   /** The embeddings scan TAGGED as rewritable: the option travels on the
     * file relation, so the optimizer rule fires only on reads that opted
     * in — an untagged `Tables.embeddings` scan (s1's exact path) is never

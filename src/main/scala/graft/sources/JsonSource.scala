@@ -24,6 +24,14 @@ object JsonSource {
   def readJsonDir(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("multiLine", "true").json(s"$dir/*.json")
 
+  /** S3b: directory of line-delimited JSON (one record per line) — the
+    * bulk-pipeline sibling of [[readJsonDir]]'s array files, and the
+    * format Spark's own streamed JSON export (S8) produces. Splittable
+    * per LINE, not per file, so a 100 TB import parallelizes within
+    * files too. */
+  def readJsonLines(spark: SparkSession, dir: String): DataFrame =
+    spark.read.json(dir)
+
   /** S2: `.tar.gz` archives whose payload is a JSON array member
     * (`scripts/indexing.py:174-207`): per archive, take the FIRST member
     * named `*.json` (the reference warns and uses the first on multiples)
