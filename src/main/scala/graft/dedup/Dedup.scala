@@ -65,7 +65,10 @@ object Dedup {
     * impossible N² comparison. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    blockCol: String, n: Int, threshold: Double): DataFrame = {
-    val inv = shingleRows(docs, idCol, textCol, blockCol, n)
+    // The inverted index feeds BOTH self-join sides and the sizes agg —
+    // three evaluations of the tokenize+shingle pipeline without this
+    // checkpoint (self-joins don't share scans).
+    val inv = shingleRows(docs, idCol, textCol, blockCol, n).localCheckpoint()
     val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val common = inv.select(col(blockCol), col(idCol).as("id_a"), col("shingle"))
       .join(inv.select(col(blockCol), col(idCol).as("id_b"), col("shingle")),
@@ -271,8 +274,16 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
+    // Materialize the pair pipeline ONCE before symmetrizing: `fwd` feeds
+    // both union arms, and without the checkpoint the (potentially
+    // expensive) upstream candidate-generation pipeline would run twice
+    // just to build the edge cache — measured 2x the whole pairs cost at
+    // sf0.1. The edge list itself is small relative to the corpus (it is
+    // the candidate-pair output), so local materialization is the cheap
+    // side of the trade.
     val fwd = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
+      .localCheckpoint()
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Seed with round 1 for free: label(id) = min(id, min direct
