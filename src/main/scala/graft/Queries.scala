@@ -389,6 +389,55 @@ object Queries {
                  (acc, x) -> 0.3::DOUBLE * x + 0.7::DOUBLE * acc), 6) AS ewma,
                len(vals)::BIGINT AS n
         FROM seq ORDER BY event_type
+      """)),
+
+    // Exact interpolated percentiles (latency-SLO style reporting over the
+    // event stream). Spark's `percentile` and DuckDB's `quantile_cont`
+    // both implement the R-7 estimator (pos = p*(n-1), linear
+    // interpolation), so the values agree to the bit after rounding. The
+    // exact form sorts within each group — at 100 TB you'd reach for
+    // approx_percentile (x-queries cover the sketch trade-off); for SLO
+    // reporting over bounded groups the exact sort is the right tool.
+    "q17_percentiles" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9D)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99D)"), 6).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99,
+               count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+      """)),
+
+    // Multi-dimensional pruning layout: the same table z-ordered on
+    // (n_chars, doc_id) via Store.zorderLayout, scanned with a predicate
+    // on BOTH dimensions. The layout changes which row groups the scan
+    // can skip, never the answer — so the oracle is the plain filter on
+    // the original table. ZorderSpec asserts the clustering property
+    // itself (per-file min/max spans tight on both columns at once).
+    "q18_zorder_scan" -> Q(
+      (s, d) => {
+        val out = graft.index.IndexCatalog.ensure(s, d, "zorder_v1") { p =>
+          graft.ingest.Store.zorderLayout(
+            Tables.documents(s, d), s"$p/docs", "n_chars", "doc_id", 16)
+        }
+        s.read.parquet(s"$out/docs")
+          .where(col("n_chars") >= 400 && col("n_chars") <= 600 &&
+            col("doc_id") < 250)
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, n_chars, lang FROM documents
+        WHERE n_chars BETWEEN 400 AND 600 AND doc_id < 250
+        ORDER BY doc_id
       """)))
 
   // ---------------------------------------------------------------------

@@ -660,6 +660,53 @@ object QueriesPipeline {
                sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
                round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k
         FROM events GROUP BY event_type ORDER BY event_type
+      """)),
+
+    // Benchmark-contamination check — the eval-set n-gram-overlap scan
+    // every serious training-data pipeline runs before shipping a corpus:
+    // for each train doc, the fraction of its distinct 3-gram shingles
+    // that appear anywhere in the (stand-in) eval set. The eval shingle
+    // set is small by construction, so the membership join broadcasts;
+    // the train side is one explode + two aggregations — never an
+    // all-pairs comparison against eval docs.
+    "t10_contamination" -> Q(
+      (s, d) => {
+        def sh(df: DataFrame) = df
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+          .select(col("doc_id"),
+            explode(TextOps.shingles(col("__toks"), 3)).as("shingle"))
+        val evalSh = sh(docs(s, d).where(col("doc_id") % 50 === 0))
+          .select(col("shingle")).distinct()
+        val trainSh = sh(docs(s, d).where(col("doc_id") % 50 =!= 0))
+          .localCheckpoint() // feeds both the sizes agg and the hits join
+        val sizes = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("total"))
+        val hits = trainSh.join(broadcast(evalSh), Seq("shingle"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+        sizes.join(hits, Seq("doc_id"))
+          .withColumn("rate",
+            round(col("hits").cast("double") / col("total"), 6))
+          .where(col("hits").cast("double") / col("total") >= 0.05)
+          .select(col("doc_id"), col("hits"), col("total"), col("rate"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+          FROM t WHERE len(toks) >= 3),
+        ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 50 = 0),
+        tr AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 50 <> 0),
+        sizes AS (SELECT doc_id, count(*) AS total FROM tr GROUP BY doc_id),
+        hits AS (
+          SELECT tr.doc_id, count(*) AS hits
+          FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id)
+        SELECT s.doc_id, h.hits, s.total,
+               round(h.hits::DOUBLE / s.total, 6) AS rate
+        FROM sizes s JOIN hits h USING (doc_id)
+        WHERE h.hits::DOUBLE / s.total >= 0.05
+        ORDER BY doc_id
       """)))
 
   val ann: Map[String, Q] = Map(

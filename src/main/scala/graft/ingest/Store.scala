@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet-backed document store: the write side of the lifecycle
@@ -86,6 +86,51 @@ object Store {
     blooms.foldLeft(writer) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }.parquet(path)
+  }
+
+  /** Z-order (Morton-curve) multi-column clustering layout — the
+    * two-dimensional sibling of [[optimizeLayout]]: a single-column sort
+    * gives tight parquet row-group min/max stats on ONE column and
+    * near-useless stats on every other; interleaving the bits of both
+    * columns' bucket ranks clusters rows so stats stay tight on BOTH.
+    * At 100 TB this is what lets `WHERE lang = 'de' AND n_chars > 900`
+    * skip most row groups when either predicate alone is unselective —
+    * the same trick Delta/Iceberg OPTIMIZE ZORDER applies.
+    *
+    * Bucket ranks are equi-width over each column's (min, max), computed
+    * in one 1-row aggregate (broadcast, no per-row driver traffic). For
+    * heavily skewed columns the classic refinement is quantile-based
+    * boundaries; equi-width keeps the build one pass and is what the
+    * synthetic corpus needs. `bits` per column bounds the interleave at
+    * 2·bits <= 62. */
+  def zorderLayout(df: DataFrame, path: String, colA: String, colB: String,
+                   numFiles: Int, bits: Int = 10): Unit = {
+    require(2 * bits <= 62, s"bits=$bits would overflow the interleaved key")
+    val maxBucket = (1L << bits) - 1
+    val bounds = df.agg(
+      min(col(colA).cast("double")).as("min_a"),
+      max(col(colA).cast("double")).as("max_a"),
+      min(col(colB).cast("double")).as("min_b"),
+      max(col(colB).cast("double")).as("max_b"))
+    def bucket(c: Column, lo: Column, hi: Column): Column =
+      least(lit(maxBucket), greatest(lit(0L),
+        floor((c.cast("double") - lo) / (hi - lo + lit(1e-12)) * (maxBucket + 1))
+          .cast("long")))
+    val interleaved = (0 until bits).map { i =>
+      (shiftright(col("__ba"), i).bitwiseAND(lit(1L)) * lit(2L) +
+        shiftright(col("__bb"), i).bitwiseAND(lit(1L))) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__ba", bucket(col(colA), col("min_a"), col("max_a")))
+      .withColumn("__bb", bucket(col(colB), col("min_b"), col("max_b")))
+      .withColumn("__zkey", interleaved)
+      .drop("min_a", "max_a", "min_b", "max_b", "__ba", "__bb")
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(path)
   }
 
   /** Small-file compaction — the housekeeping a streamed/delta-written
