@@ -233,6 +233,49 @@ object QueriesPipeline {
       },
       Some("""
         SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id
+      """)),
+
+    // P8/F1: ingest-time derived text columns with null backfill — the
+    // mfr-part column is ABSENT from the input, so deriveTextColumns
+    // backfills it as a typed null and the null-skipping concat builds
+    // sparse_text from the surviving fields (reference preprocessing,
+    // scripts/indexing.py:225-241).
+    "i13_derive_text" -> Q(
+      (s, d) => {
+        val raw = docs(s, d).select(col("doc_id"),
+          col("text").as("description"), col("source").as("partNumber"))
+        graft.sources.JsonSource
+          .deriveTextColumns(raw, "description", "partNumber", "mfrPartNumber")
+          .select(col("doc_id"), col("dense_text"), col("sparse_text"),
+            col("searchable_text"), col("mfrPartNumber").as("mfr_backfill"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, text AS dense_text,
+               concat_ws(' ', text, source) AS sparse_text,
+               concat_ws(' ', text, source) AS searchable_text,
+               NULL::VARCHAR AS mfr_backfill
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // A7/N1: import counters ride the write pass via `observe` — no
+    // second scan to count. The query runs a REAL fullImport into a temp
+    // target (nulls injected on every 25th id) and reports the observed
+    // metrics; the oracle recomputes both counts declaratively.
+    "i14_import_counters" -> Q(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-imp").toString
+        val incoming = docs(s, d).withColumn("id",
+          when(col("doc_id") % 25 === 0, lit(null)).otherwise(col("doc_id")))
+        val (nRows, nNull) = graft.ingest.Store
+          .fullImportCounted(incoming, s"$tmp/t", "id", 4)
+        import s.implicits._
+        Seq((nRows, nNull)).toDF("n_rows", "n_null_ids")
+      },
+      Some("""
+        SELECT count(*) AS n_rows,
+               count(*) FILTER (doc_id % 25 = 0) AS n_null_ids
+        FROM documents
       """)))
 
   private val tokensSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -968,6 +1011,20 @@ object QueriesPipeline {
         FROM v CROSS JOIN range(0, 8) r(frame_idx)
         WHERE length(substr(hx, ((frame_idx * length(hx)) // 8)::INT + 1, 24)) > 0
         ORDER BY media_id, frame_idx
+      """)),
+
+    // V6: zero-vector cosine is 0.0, not NaN — the fallback the reference
+    // codes explicitly (cosine against a zero query must not poison
+    // rankings). Cross-engine: the oracle states the CONTRACT (0.0).
+    "s18_zero_vector" -> Q(
+      (s, d) => Tables.embeddings(s, d).where(col("vec_id") < 5)
+        .select(col("vec_id"),
+          graft.functions.VectorOps.cosineSim(col("embedding"),
+            typedlit(Array.fill(64)(0.0f))).as("score"))
+        .orderBy(col("vec_id")),
+      Some("""
+        SELECT vec_id, 0.0::DOUBLE AS score FROM embeddings
+        WHERE vec_id < 5 ORDER BY vec_id
       """)))
 
   /** Queries with no SQL-expressible oracle (implementation-defined
