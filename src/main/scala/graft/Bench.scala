@@ -77,11 +77,21 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"warm_p50","queries":$qs,"sf":"$sfName"}"""
     }
     val full = mkLine(results)
+    // over budget: keep the headline search/ANN/dedup queries individual
+    // and collapse the rest into per-prefix subtotals (q_total = the
+    // relational q1..qN block, etc.) so no time goes unreported
     val line =
       if (full.length <= 1900) full
-      else mkLine(results.filter { case (k, _) =>
-        k.startsWith("s") || k.startsWith("a") || k.startsWith("d")
-      })
+      else {
+        val (head, rest) = results.partition { case (k, _) =>
+          k.startsWith("s") || k.startsWith("a") || k.startsWith("d")
+        }
+        val groups = rest.filter(_._2 >= 0)
+          .groupBy { case (k, _) => k.takeWhile(_.isLetter) }
+          .toSeq.map { case (p, kvs) => (s"${p}_total", kvs.map(_._2).sum) }
+          .sortBy(_._1)
+        mkLine(head ++ groups)
+      }
     // Full-fidelity copy on disk in case stdout is truncated anyway.
     try {
       val precise = results

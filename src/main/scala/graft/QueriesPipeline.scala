@@ -911,6 +911,68 @@ object QueriesPipeline {
                round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
         FROM embeddings e CROSS JOIN q
         ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
+    // The full production serving stack composed: IVF pruning -> int8
+    // candidate scoring -> k*3 candidate cut -> EXACT re-rank of just the
+    // candidates. Final scores are full-precision cosine; quantization
+    // only influences which 30 candidates survive (both cuts order by
+    // rounded score + id, so candidate sets are engine-independent).
+    "a7_ivf_reranked" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val qv = emb.where(col("vec_id") === Queries.QueryVecId)
+          .select(col("embedding").as("qvec"))
+        Ann.ivfTopKReranked(Ann.ivfAssign(emb, centroids), centroids, qv, 3, 10)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        assign AS (
+          SELECT e.vec_id, c.cid, e.embedding,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                            c.cid ASC) AS rn
+          FROM embeddings e CROSS JOIN cent c),
+        asg AS (SELECT vec_id, cid, embedding FROM assign WHERE rn = 1),
+        probes AS (
+          SELECT cid FROM (
+            SELECT c.cid,
+                   round(list_cosine_similarity(c.cvec, q.qv), 6) AS qscore
+            FROM cent c CROSS JOIN q
+            ORDER BY qscore DESC, cid ASC LIMIT 3)),
+        qz AS (
+          SELECT a.vec_id, a.embedding,
+                 list_transform(a.embedding::DOUBLE[],
+                   x -> round(x / (greatest(list_max(list_transform(a.embedding::DOUBLE[],
+                        y -> abs(y))), 1e-30) / 127.0))::BIGINT) AS zq
+          FROM asg a JOIN probes p ON a.cid = p.cid),
+        qq AS (
+          SELECT list_transform(qv,
+                   x -> round(x / (greatest(list_max(list_transform(qv,
+                        y -> abs(y))), 1e-30) / 127.0))::BIGINT) AS zq
+          FROM q),
+        iscore AS (
+          SELECT z.vec_id, z.embedding,
+                 round(CASE WHEN list_dot_product(z.zq::DOUBLE[], z.zq::DOUBLE[]) = 0
+                              OR list_dot_product(qq.zq::DOUBLE[], qq.zq::DOUBLE[]) = 0
+                            THEN 0.0::DOUBLE
+                            ELSE list_dot_product(z.zq::DOUBLE[], qq.zq::DOUBLE[]) /
+                                 (sqrt(list_dot_product(z.zq::DOUBLE[], z.zq::DOUBLE[])) *
+                                  sqrt(list_dot_product(qq.zq::DOUBLE[], qq.zq::DOUBLE[])))
+                       END, 6) AS iscore
+          FROM qz z CROSS JOIN qq),
+        cand AS (
+          SELECT vec_id, embedding FROM iscore
+          ORDER BY iscore DESC, vec_id ASC LIMIT 30)
+        SELECT c.vec_id AS id,
+               round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS score
+        FROM cand c CROSS JOIN q
+        ORDER BY score DESC, id ASC LIMIT 10
       """)))
 
   /** TF-IDF bucket-space CTEs shared by the embed-search oracle. */

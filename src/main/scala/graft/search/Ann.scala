@@ -77,6 +77,39 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF + int8 candidates + EXACT re-rank — the full production serving
+    * stack: probe nprobe lists, score candidates from the 4×-smaller
+    * quantized codes, keep `k · oversample` by quantized score, then
+    * re-rank just those with full-precision cosine. Quantization error
+    * can only cost recall at the CANDIDATE cut (mitigated by
+    * oversampling), never wrong final scores — the returned scores are
+    * exact. Both cuts order by (rounded score, id), so the result is
+    * deterministic and oracle-reproducible. */
+  def ivfTopKReranked(assigned: DataFrame, centroids: DataFrame,
+                      queryVec: DataFrame, nprobe: Int, k: Int,
+                      oversample: Int = 3): DataFrame = {
+    val probes = centroids.crossJoin(broadcast(queryVec))
+      .withColumn("qscore", round(VectorOps.cosineSim(col("cvec"), col("qvec")), 6))
+      .orderBy(col("qscore").desc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid"))
+    val qboth = queryVec.select(col("qvec"),
+      VectorOps.quantizeInt8(col("qvec")).getField("q").as("qq"))
+    val cand = assigned
+      .join(broadcast(probes), Seq("cid"))
+      .crossJoin(broadcast(qboth))
+      .select(col("vec_id"), col("embedding"), col("qvec"),
+        round(VectorOps.cosineSimInt8(
+          VectorOps.quantizeInt8(col("embedding")).getField("q"),
+          col("qq")), 6).as("iscore"))
+      .orderBy(col("iscore").desc, col("vec_id").asc)
+      .limit(k * oversample)
+    cand.select(col("vec_id").as("id"),
+      round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Convenience form that assigns inline — for tests/oracles; production
     * queries should pass a persisted assignment to [[ivfTopKAssigned]],
     * otherwise every query pays the O(N·k) assignment cost it is supposed

@@ -48,6 +48,23 @@ class LifecycleAnnSpec extends SparkSpec {
     assert(ivfAll == brute)
   }
 
+  test("reranked quantized ivf: exact final scores, brute-force-equal at full probe") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val reranked = Ann
+      .ivfTopKReranked(Ann.ivfAssign(emb, centroids), centroids, qv,
+        nprobe = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = graft.search.SearchEngine.denseTopK(spark, Sf0001, 0, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // int8 quantization decides only the 30-candidate cut; with all lists
+    // probed the exact top-10 must survive it and the SCORES must be the
+    // full-precision cosines, not quantized ones
+    assert(reranked == brute)
+  }
+
   test("ivf with fewer probes returns a subset of candidates, still ranked") {
     val emb = Tables.embeddings(spark, Sf0001)
     val centroids = emb.where(col("vec_id") < 10)
