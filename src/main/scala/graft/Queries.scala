@@ -438,6 +438,62 @@ object Queries {
         SELECT doc_id, n_chars, lang FROM documents
         WHERE n_chars BETWEEN 400 AND 600 AND doc_id < 250
         ORDER BY doc_id
+      """)),
+
+    // Time-series gap fill: hourly event counts per type INCLUDING empty
+    // hours (count 0) across each type's observed span — the resample
+    // step every monitoring/feature pipeline needs before windowed math.
+    // The hour spine is generated per type with `sequence` (no driver
+    // loop, no cross join against a global calendar).
+    "q19_gapfill" -> Q(
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val spine = hourly.groupBy(col("event_type"))
+          .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+          .select(col("event_type"),
+            explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+        spine.join(hourly, Seq("event_type", "hour"), "left")
+          .select(col("event_type"),
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        spine AS (
+          SELECT event_type, unnest(generate_series(min(hour), max(hour),
+            INTERVAL 1 HOUR)) AS hour
+          FROM hourly GROUP BY event_type)
+        SELECT s.event_type, strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+               coalesce(h.n, 0) AS n
+        FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+        ORDER BY event_type, hour
+      """)),
+
+    // Pivot: event types to columns, one row per user-id bucket — the
+    // wide feature-matrix shape. Pivot values are EXPLICIT (deterministic
+    // column set; a discovery pivot would add a driver-side distinct job
+    // and make the schema data-dependent).
+    "q20_pivot" -> Q(
+      (s, d) => Tables.events(s, d)
+        .withColumn("bucket", col("user_id") % 10)
+        .groupBy(col("bucket"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("bucket")),
+      Some("""
+        SELECT user_id % 10 AS bucket,
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'view') AS view,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup') AS signup,
+               count(*) FILTER (event_type = 'error') AS error
+        FROM events GROUP BY 1 ORDER BY bucket
       """)))
 
   // ---------------------------------------------------------------------
