@@ -31,6 +31,18 @@ object PlanDump {
     dump("tfidf_search_indexed", SearchEngine.tfidfSearch(spark, dir, "spark join filter the data", 10))
     dump("minhash_lsh", graft.dedup.Dedup.minhashLsh(
       graft.tables.Tables.documents(spark, dir), "doc_id", "text", 3, 0.5))
+    dump("zorder_scan", {
+      import org.apache.spark.sql.functions._
+      val out = graft.index.IndexCatalog.ensure(spark, dir, "zorder_v1") { p =>
+        graft.ingest.Store.zorderLayout(
+          graft.tables.Tables.documents(spark, dir), s"$p/docs",
+          "n_chars", "doc_id", 16)
+      }
+      spark.read.parquet(s"$out/docs")
+        .where(col("n_chars") >= 400 && col("n_chars") <= 600 &&
+          col("doc_id") < 250)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+    })
 
     spark.stop()
   }

@@ -1107,7 +1107,15 @@ object QueriesPipeline {
     // path (d3_minhash_lsh) is the one that scales with the data.
     "x2_mllib_lsh_neardup" -> Q(
       (s, d) => {
-        val docs = Tables.documents(s, d).orderBy(col("doc_id")).limit(500)
+        // DISCLOSED COVERAGE CAP: this rows-only MLlib demo fits its
+        // pipeline on the first 500 docs (the observed metric makes the
+        // truncation visible in query metadata, not just this comment).
+        // The production-scale LSH path is d3/d8, which cover the full
+        // corpus; LifecycleAnnSpec bounds this one's recall instead.
+        val docs = Tables.documents(s, d)
+          .observe("x2_coverage_cap",
+            sum(lit(1L)).as("corpus_docs"), max(lit(500L)).as("cap"))
+          .orderBy(col("doc_id")).limit(500)
         val model = graft.index.MlIndex.fitEmbedder(docs, "text", 64)
         val embedded = model.transform(docs)
         val ann = graft.index.MlIndex.fitAnn(embedded)
