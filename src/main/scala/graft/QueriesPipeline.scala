@@ -750,6 +750,39 @@ object QueriesPipeline {
         FROM sizes s JOIN hits h USING (doc_id)
         WHERE h.hits::DOUBLE / s.total >= 0.05
         ORDER BY doc_id
+      """)),
+
+    // Temperature-based source mixing (alpha = 0.5): per-source sampling
+    // shares proportional to n^alpha — the standard rebalancing that keeps
+    // head sources from drowning tail sources in a training mix. The
+    // weight NORMALIZATION is the cross-engine trap: a plain sum of
+    // per-source doubles is summation-order-dependent, so the total is
+    // computed as an ORDERED fold over the weight list (both engines
+    // execute the identical left-to-right addition chain — same device as
+    // q16's EWMA).
+    "t11_mixture_weights" -> Q(
+      (s, d) => {
+        val per = docs(s, d).groupBy(col("source"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("w", sqrt(col("n").cast("double")))
+        val tot = per
+          .agg(array_sort(collect_list(struct(col("source"), col("w")))).as("xs"))
+          .select(expr("aggregate(xs, 0D, (acc, x) -> acc + x.w)").as("wsum"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n"),
+            round(col("w") / col("wsum"), 6).as("share"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT source, count(*) AS n, sqrt(count(*)::DOUBLE) AS w
+          FROM documents GROUP BY source),
+        tot AS (
+          SELECT list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY source)),
+                             (acc, x) -> acc + x) AS wsum
+          FROM s)
+        SELECT source, n, round(w / wsum, 6) AS share
+        FROM s CROSS JOIN tot ORDER BY source
       """)))
 
   val ann: Map[String, Q] = Map(

@@ -104,10 +104,19 @@ object Api {
     case "/api/search/compare" => // Q10 (search.py:293-349)
       val q = require(params, "q")
       val limit = intParam(params, "limit", 10, 1, 50)
-      val per = Seq("dense", "sparse", "hybrid").map { m =>
-        val rows = search(spark, dir, q, m, limit).collect()
-        val top = if (rows.isEmpty) "null" else rows.map(_.getDouble(1)).max.toString
-        s""""$m":{"n_results":${rows.length},"top_score":$top}"""
+      // all three arms in ONE unioned plan -> one job, not three
+      // sequential collects (each extra job pays the scheduling floor)
+      val summary = Seq("dense", "sparse", "hybrid")
+        .map { m =>
+          search(spark, dir, q, m, limit)
+            .agg(lit(m).as("method"), count(lit(1)).as("n_results"),
+              max(col("score")).as("top_score"))
+        }
+        .reduce(_ unionByName _)
+        .collect()
+      val per = summary.sortBy(_.getString(0)).map { r =>
+        val top = if (r.isNullAt(2)) "null" else r.getDouble(2).toString
+        s""""${r.getString(0)}":{"n_results":${r.getLong(1)},"top_score":$top}"""
       }
       ok(s"""{"query":${quote(q)},"modes":{${per.mkString(",")}}}""")
 

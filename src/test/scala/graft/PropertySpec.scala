@@ -57,6 +57,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ewma ordered fold == independent scala fold for random sequences") {
+    val seqs = samples(Gen.nonEmptyListOf(Gen.chooseNum(-1000.0, 1000.0)), 60)
+    def model(xs: List[Double]): Double =
+      xs.tail.foldLeft(xs.head)((acc, x) => 0.3 * x + 0.7 * acc)
+    val got = seqs.zipWithIndex.map { case (xs, i) => (i, xs) }
+      .toDF("id", "vals")
+      .select(col("id"), expr(
+        "aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)), " +
+          "element_at(vals, 1), (acc, x) -> 0.3D * x + 0.7D * acc)").as("ewma"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    seqs.zipWithIndex.foreach { case (xs, i) =>
+      assert(got(i) == model(xs), s"ewma fold diverged for seq $i")
+    }
+  }
+
+  test("zorder layout is lossless for random two-column tables") {
+    val rows = samples(Gen.zip(Gen.chooseNum(-5000L, 5000L),
+      Gen.chooseNum(0L, 100000L)), 400).distinct
+    val df = rows.toDF("a", "b")
+    val out = java.nio.file.Files.createTempDirectory("graft-zprop").toString
+    graft.ingest.Store.zorderLayout(df, s"$out/t", "a", "b", numFiles = 8)
+    val back = spark.read.parquet(s"$out/t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back == rows.toSet, "z-order write/read must preserve exactly the rows")
+  }
+
   test("codegen cosine == scalar model; bounded in [-1,1]; symmetric") {
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-10f, 10f))
     val pairs = samples(Gen.zip(vecGen, vecGen), 100)
