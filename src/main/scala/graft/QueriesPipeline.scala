@@ -1120,6 +1120,27 @@ object QueriesPipeline {
       Some("""
         SELECT vec_id, 0.0::DOUBLE AS score FROM embeddings
         WHERE vec_id < 5 ORDER BY vec_id
+      """)),
+
+    // Typo-tolerant key match: edit distance <= 1 against the normalized
+    // query — the fuzzy fallback a part-number search wants when exact
+    // match misses. Levenshtein is a codegen'd per-row op against a
+    // LITERAL here; at 100 TB the arm composes with the key index the
+    // same way exact match does (prefix/length blocking before pairwise
+    // distance — never all-pairs).
+    "s19_fuzzy_match" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), upper(trim(col("source"))).as("src"))
+        .withColumn("dist", levenshtein(col("src"), lit("SRC7")))
+        .where(col("dist") <= 1)
+        .select(col("doc_id"), col("src"), col("dist").cast("long").as("dist"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, upper(trim(source)) AS src,
+               levenshtein(upper(trim(source)), 'SRC7')::BIGINT AS dist
+        FROM documents
+        WHERE levenshtein(upper(trim(source)), 'SRC7') <= 1
+        ORDER BY doc_id
       """)))
 
   /** Queries with no SQL-expressible oracle (implementation-defined
