@@ -46,4 +46,15 @@ class ZorderSpec extends SparkSpec {
     assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(n_chars"),
       plan)
   }
+
+  test("z-order handles a constant column (degenerate bounds) losslessly") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (42L, i)).toDF("a", "b")
+    val out = java.nio.file.Files.createTempDirectory("graft-zconst").toString
+    graft.ingest.Store.zorderLayout(df, s"$out/t", "a", "b", numFiles = 4)
+    val back = spark.read.parquet(s"$out/t")
+    assert(back.count() == 100)
+    assert(back.agg(org.apache.spark.sql.functions.sum(col("b"))).head.getLong(0)
+      == (1L to 100L).sum)
+  }
 }
