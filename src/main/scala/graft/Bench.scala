@@ -71,10 +71,17 @@ object Bench {
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = sfDir.split('/').lastOption.getOrElse(sfDir)
+    // Errored queries (-1) are always named explicitly: the full line keeps
+    // them as -1 entries, and the compact fallback lists them in "errors" —
+    // a failure must never be silently absorbed into a prefix subtotal.
+    val errored = results.collect { case (k, v) if v < 0 => k }
+    val errField =
+      if (errored.isEmpty) ""
+      else errored.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     def mkLine(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"warm_p50","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"warm_p50","queries":$qs$errField,"sf":"$sfName"}"""
     }
     val full = mkLine(results)
     // over budget: keep the headline search/ANN/dedup queries individual

@@ -62,7 +62,11 @@ object Dedup {
     * Only pairs that actually share a shingle ever materialize — at sf0.1
     * that's ~326k intermediate rows vs ~2.4M array-intersect pairs, and
     * at 100 TB it's the difference between a shuffle join and an
-    * impossible N² comparison. */
+    * impossible N² comparison.
+    *
+    * The inverted index is `localCheckpoint`ed (eager + executor-local) to
+    * evaluate the shingle pipeline once; see [[connectedComponents]] for
+    * the cluster-scale fault-tolerance caveat and alternatives. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    blockCol: String, n: Int, threshold: Double): DataFrame = {
     // The inverted index feeds BOTH self-join sides and the sizes agg —
@@ -268,6 +272,15 @@ object Dedup {
     * is two equi-joins + one partial-aggregated shuffle over the (tiny)
     * node set, and labels are `localCheckpoint`ed so lineage (and the
     * plan) stays flat across iterations.
+    *
+    * Fault-tolerance note: `localCheckpoint` is EAGER (the input pipeline
+    * materializes when this DataFrame is constructed, even if the caller
+    * only inspects the plan) and its blocks are executor-LOCAL — on a real
+    * cluster a lost executor fails the job instead of recomputing from
+    * lineage. That is the right trade in this single-JVM harness; at
+    * cluster scale swap the iteration-truncation sites for
+    * `persist(MEMORY_AND_DISK) + count()` (replicated, lineage kept) or a
+    * reliable `checkpoint()` to a DFS.
     *
     * Input: (aCol, bCol) pair rows. Output: (id, keeper) for every id that
     * appears in a pair — keeper == id for the kept member. Deterministic.

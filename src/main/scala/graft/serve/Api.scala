@@ -37,13 +37,24 @@ object Api {
     try route(spark, dir, path, params)
     catch {
       case e: IllegalArgumentException => Response(422, err(e.getMessage))
-      // request-shaped analysis failures (unknown filter_field, un-inferable
-      // upload schema) are CLIENT errors, matching the reference's 400 for
-      // JSONDecodeError / bad field names — not a 500 from the engine
-      case e: org.apache.spark.sql.AnalysisException =>
+      // Only request-DERIVED analysis failures (unknown filter_field, bad
+      // store path in the request, un-inferable upload schema) are client
+      // errors — the reference 400s JSONDecodeError / bad field names only.
+      // Any other AnalysisException (corrupt store, internal column bug) is
+      // an operator-actionable 500, not a client 400.
+      case e: org.apache.spark.sql.AnalysisException
+          if clientErrorConditions.exists(
+            Option(e.getCondition).getOrElse("").startsWith) =>
         Response(400, err(s"invalid request: ${e.getMessage}"))
       case e: Exception => Response(500, err(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
     }
+
+  /** Spark error-class prefixes that can only arise from bad request input
+    * on this API surface: a filter_field that is not a column, a request
+    * path that does not exist, or an upload whose JSON yields no schema.
+    */
+  private val clientErrorConditions = Seq(
+    "UNRESOLVED_COLUMN", "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
 
   private def route(spark: SparkSession, dir: String, path: String,
                     params: Map[String, String]): Response = path match {
