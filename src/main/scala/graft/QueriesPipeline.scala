@@ -1006,6 +1006,33 @@ object QueriesPipeline {
                round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS score
         FROM cand c CROSS JOIN q
         ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
+    // O4c + production build composed: the TRAINED kmeans index served
+    // through the SAME declarative rewrite as a4 — the query is written
+    // brute-force-shaped, the optimizer swaps in the persisted trained
+    // index (registered under its own scan tag, so the fixed-vector a4
+    // index and this one coexist). nprobe = k probes every list, which is
+    // exactly brute force, so the oracle needs no centroid knowledge; the
+    // sublinear nprobe<k regime is recall-asserted in IndexSpec.
+    "a8_rewrite_trained" -> Q(
+      (s, d) => {
+        graft.index.IvfIndex.ensureTrainedRegistered(s, d, k = 8, nprobe = 8)
+        graft.index.IvfIndex.enable(s)
+        val qv = typedlit(graft.search.SearchEngine.queryVecArray(s, d, Queries.QueryVecId))
+        graft.index.IvfIndex.readRewritableTrained(s, d)
+          .select(col("vec_id").as("id"),
+            round(graft.functions.VectorOps.cosineSim(col("embedding"), qv), 6)
+              .as("score"))
+          .orderBy(col("score").desc, col("id").asc)
+          .limit(10)
+      },
+      Some("""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id AS id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+        FROM embeddings e CROSS JOIN q
+        ORDER BY score DESC, id ASC LIMIT 10
       """)))
 
   /** TF-IDF bucket-space CTEs shared by the embed-search oracle. */

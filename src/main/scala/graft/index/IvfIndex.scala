@@ -114,6 +114,33 @@ object IvfIndex {
     spark.read.option(SourceOption, dataDir)
       .parquet(s"$dataDir/embeddings.parquet")
 
+  /** Registry key for the trained-centroid index of a data dir. Distinct
+    * from the bare `dataDir` key so the oracle-reproducible fixed-vector
+    * index ([[ensure]]) and the production kmeans index can coexist, each
+    * reachable through its own scan tag. */
+  def trainedKey(dataDir: String): String = s"$dataDir#trained"
+
+  /** [[ensureTrained]] + registration for the optimizer rewrite: the
+    * production serving wiring. Queries keep the brute-force declarative
+    * shape against [[readRewritableTrained]]; execution probes `nprobe`
+    * of the `k` kmeans lists. `nprobe = k` is exactly brute force (every
+    * vector is in exactly one list, scoring is exact cosine), which is
+    * what lets a rewritten query stay oracle-checkable with no centroid
+    * knowledge on the oracle side. */
+  def ensureTrainedRegistered(spark: SparkSession, dataDir: String,
+                              k: Int = 8, nprobe: Int = 8,
+                              fullScanThresholdBytes: Long = 0L): Info = {
+    val (assigned, centroids) = ensureTrained(spark, dataDir, k)
+    val info = Info(assigned, centroids, nprobe, fullScanThresholdBytes)
+    register(trainedKey(dataDir), info)
+    info
+  }
+
+  /** Embeddings scan tagged to be served from the TRAINED index. */
+  def readRewritableTrained(spark: SparkSession, dataDir: String): DataFrame =
+    spark.read.option(SourceOption, trainedKey(dataDir))
+      .parquet(s"$dataDir/embeddings.parquet")
+
   /** Idempotently attach the rewrite rule to an existing session (the
     * config-based path is `spark.sql.extensions=graft.GraftExtensions`). */
   def enable(spark: SparkSession): Unit = {

@@ -107,6 +107,35 @@ class PlanShapeSpec extends SparkSpec {
     } finally IvfIndex.register(Sf0001, info)
   }
 
+  test("trained-ivf rewrite: production kmeans index serves the same declarative shape") {
+    import org.apache.spark.sql.functions._
+    import graft.index.IvfIndex
+
+    IvfIndex.ensureTrainedRegistered(spark, Sf0001, k = 8, nprobe = 8)
+    IvfIndex.enable(spark)
+    val qv = typedlit(SearchEngine.queryVecArray(spark, Sf0001, 0))
+    val rewritten = IvfIndex.readRewritableTrained(spark, Sf0001)
+      .select(col("vec_id").as("id"),
+        round(graft.functions.VectorOps.cosineSim(col("embedding"), qv), 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(10)
+
+    // physical plan reads the TRAINED assignment, not raw embeddings and
+    // not the fixed-vector a4 index
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(plan.contains("ivf_trained_v1"), plan)
+
+    // nprobe = k probes every list -> exactly brute-force top-k
+    val emb = graft.tables.Tables.embeddings(spark, Sf0001)
+    val expected = emb
+      .select(col("vec_id").as("id"),
+        round(graft.functions.VectorOps.cosineSim(col("embedding"), qv), 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = rewritten.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("ivf rewrite declines on semantic mismatches (sort expr, id identity, vector identity)") {
     import org.apache.spark.sql.functions._
     import graft.index.IvfIndex
