@@ -504,6 +504,33 @@ object QueriesPipeline {
         r AS (SELECT *, row_number() OVER (PARTITION BY id_a
                 ORDER BY score DESC, id_b ASC) AS rn FROM p)
         SELECT id_a, id_b, score FROM r WHERE rn = 1 ORDER BY id_a
+      """)),
+
+    // Passage-level exact dedup (CCNet-style): fixed 4-token chunks, a
+    // chunk survives iff it is the corpus-wide first occurrence of its
+    // text (min doc_id, then min chunk index); docs reassemble from
+    // survivors. Catches boilerplate repeated ACROSS documents that
+    // whole-document dedup (d1/d3) cannot.
+    "d10_chunk_dedup" -> Q(
+      (s, d) => Dedup.chunkDedup(docs(s, d), chunkSize = 4)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokensSql AS arr FROM documents),
+        ch AS (
+          SELECT doc_id,
+                 unnest(range(0, (len(arr) + 3) // 4)) AS ci,
+                 unnest(list_transform(range(0, (len(arr) + 3) // 4),
+                   i -> array_to_string(list_slice(arr, i * 4 + 1, i * 4 + 4), ' '))) AS ct
+          FROM t),
+        k AS (
+          SELECT doc_id, ci, ct,
+                 row_number() OVER (PARTITION BY ct ORDER BY doc_id, ci) AS rn
+          FROM ch)
+        SELECT doc_id, count(*) AS n_chunks,
+               sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               coalesce(string_agg(CASE WHEN rn = 1 THEN ct END, ' ' ORDER BY ci), '')
+                 AS dedup_text
+        FROM k GROUP BY doc_id ORDER BY doc_id
       """)))
 
   val text: Map[String, Q] = Map(
@@ -783,6 +810,60 @@ object QueriesPipeline {
           FROM s)
         SELECT source, n, round(w / wsum, 6) AS share
         FROM s CROSS JOIN tot ORDER BY source
+      """)),
+
+    // Gopher-style repetition quality filters: top-unigram share,
+    // duplicated-token share, top-bigram share, composed keep verdict.
+    // All fractions are integer-count divisions rounded 6dp, and `keep`
+    // compares the rounded values — engine-independent at the boundary.
+    "t12_repetition" -> Q(
+      (s, d) => graft.functions.CorpusStats.repetitionMetrics(docs(s, d))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokensSql AS arr FROM documents),
+        toks AS (SELECT doc_id, unnest(arr) AS tok FROM t),
+        uni AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        ua AS (
+          SELECT doc_id, sum(c)::BIGINT AS n, max(c) AS maxc, count(*) AS nd,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dupc
+          FROM uni GROUP BY doc_id),
+        bg AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(arr)),
+            i -> list_extract(arr, i) || ' ' || list_extract(arr, i + 1))) AS b
+          FROM t),
+        bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        ba AS (SELECT doc_id, max(c) AS maxb, sum(c)::BIGINT AS nb
+               FROM bc GROUP BY doc_id),
+        m AS (
+          SELECT ua.doc_id, ua.n AS n_tokens, ua.nd AS distinct_tokens,
+                 round(ua.maxc / ua.n, 6) AS top_token_frac,
+                 round(ua.dupc / ua.n, 6) AS dup_token_frac,
+                 round(coalesce(ba.maxb / ba.nb, 0.0::DOUBLE), 6) AS top_bigram_frac
+          FROM ua LEFT JOIN ba USING (doc_id))
+        SELECT *, (top_token_frac <= 0.11 AND top_bigram_frac <= 0.05
+                   AND dup_token_frac <= 0.9) AS keep
+        FROM m ORDER BY doc_id
+      """)),
+
+    // Unigram-LM surprisal (the distributed stand-in for perplexity
+    // bucketing): corpus token frequencies define p(tok); each doc scores
+    // mean -ln p. Per-token log-probs round to 9dp, per-doc sums use the
+    // ordered fold (cross-engine bit-exact — Queries.scala rules).
+    "t13_unigram_lm" -> Q(
+      (s, d) => graft.functions.CorpusStats.unigramSurprisal(docs(s, d))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+        c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT sum(cnt) AS tot FROM c),
+        lp AS (SELECT tok, round(ln(cnt / tot), 9) AS lp
+               FROM c CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(-list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY lp)),
+                                  (acc, x) -> acc + x) / count(*), 6) AS surprisal
+        FROM toks JOIN lp USING (tok)
+        GROUP BY doc_id ORDER BY doc_id
       """)))
 
   val ann: Map[String, Q] = Map(

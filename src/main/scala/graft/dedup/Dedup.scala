@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashOps, TextOps}
@@ -365,5 +366,47 @@ object Dedup {
       .map(bi => when(col(s"v$bi") > 0, lit(1L << bi)).otherwise(lit(0L)))
       .reduce(_ + _)
     votes.select(col(idCol), assembled.as("simhash"))
+  }
+
+  /** Sub-document (passage-level) exact dedup, CCNet-style: documents are
+    * cut into fixed `chunkSize`-token chunks, a chunk is kept iff it is
+    * the corpus-wide FIRST occurrence of its text (min doc id, then min
+    * chunk index), and each document is reassembled from its surviving
+    * chunks. This removes boilerplate repeated ACROSS documents, which
+    * whole-document dedup (d1/d3) can never catch.
+    *
+    * Output per input doc: (doc_id, n_chunks, n_kept, dedup_text).
+    *
+    * Shape: one groupBy (doc_id, chunk), one window partitioned by chunk
+    * TEXT (the dedup key — high cardinality, well spread), one groupBy
+    * doc_id. No all-pairs comparison anywhere; at 100 TB the chunk-text
+    * shuffle is the cost, and it's the same shuffle any exact dedup pays.
+    * Skewed boilerplate chunks (the same banner ×10⁶) land in one
+    * partition's window — salt-and-restitch via [[graft.functions.Salting]]
+    * if a corpus exhibits that; the keeper election only needs the global
+    * min, which salting preserves.
+    */
+  def chunkDedup(docs: DataFrame, chunkSize: Int = 4): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(expr("filter(split(text, ' '), t -> t != '')")))
+      .toDF("doc_id", "pos", "tok")
+    val chunks = toks
+      .withColumn("ci", expr(s"pos div $chunkSize").cast("long"))
+      .groupBy("doc_id", "ci")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          _.getField("tok")), " ").as("ct"))
+    val firstOccurrence =
+      row_number().over(Window.partitionBy("ct").orderBy("doc_id", "ci"))
+    chunks
+      .withColumn("kept", firstOccurrence === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("ci"), col("ct"))))),
+            _.getField("ct")), " ").as("dedup_text"))
   }
 }

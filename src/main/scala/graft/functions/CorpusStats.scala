@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text statistics for training-data curation: repetition
+  * quality filters (the Gopher-rule family) and unigram-LM surprisal
+  * scoring (the cheap, fully-distributed stand-in for model-based
+  * perplexity bucketing). Both are pure relational pipelines — exploded
+  * tokens, partial-aggregated shuffles, broadcast joins for the tiny
+  * vocabulary side — so they scale as ordinary groupBys: no UDFs, no
+  * driver loops, no per-document lambdas (the lambda-CSE trap).
+  */
+object CorpusStats {
+
+  /** (doc_id, pos, tok) exploded whitespace tokens; empties filtered.
+    * The token array materializes once per row inside the Generate —
+    * the explode is the CSE barrier. */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(expr("filter(split(text, ' '), t -> t != '')")))
+      .toDF("doc_id", "pos", "tok")
+
+  /** Gopher-style repetition metrics per document:
+    *  - `top_token_frac`: share of the most frequent unigram;
+    *  - `dup_token_frac`: share of tokens whose unigram occurs >1 time;
+    *  - `top_bigram_frac`: share of the most frequent bigram;
+    *  - `keep`: the composed filter verdict.
+    * Thresholds are calibrated to the corpus (p50 splits) the way Gopher's
+    * were to MassiveText. All fractions are integer-count divisions
+    * rounded to 6dp, and `keep` compares the ROUNDED values — so the
+    * verdict is engine-independent at the boundary.
+    *
+    * Shape: two shuffles on (doc_id, gram) + one on doc_id; the bigram
+    * window is partitioned by doc_id. Survives 100×: everything is
+    * partial-aggregated, keys are document-local.
+    */
+  def repetitionMetrics(docs: DataFrame,
+                        maxTopTokenFrac: Double = 0.11,
+                        maxTopBigramFrac: Double = 0.05,
+                        maxDupTokenFrac: Double = 0.9): DataFrame = {
+    val toks = tokens(docs)
+    val uni = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val ua = uni.groupBy("doc_id").agg(
+      sum("c").as("n"),
+      max("c").as("maxc"),
+      count(lit(1)).as("nd"),
+      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupc"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val ba = toks
+      .withColumn("nxt", lead("tok", 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("maxb"), sum("c").as("nb"))
+    ua.join(ba, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n").as("n_tokens"),
+        col("nd").as("distinct_tokens"),
+        round(col("maxc") / col("n"), 6).as("top_token_frac"),
+        round(col("dupc") / col("n"), 6).as("dup_token_frac"),
+        round(coalesce(col("maxb") / col("nb"), lit(0.0)), 6).as("top_bigram_frac"))
+      .withColumn("keep",
+        col("top_token_frac") <= maxTopTokenFrac &&
+          col("top_bigram_frac") <= maxTopBigramFrac &&
+          col("dup_token_frac") <= maxDupTokenFrac)
+  }
+
+  /** Unigram-LM surprisal per document: the corpus defines p(tok) =
+    * count/total, each document scores mean −ln p over its token
+    * occurrences. The distributed analogue of CCNet's LM perplexity
+    * bucketing, with the corpus itself as the LM. Per-token log-probs are
+    * rounded to 9dp and summed via ordered fold (sort, then left fold) so
+    * the float total is identical regardless of engine or partitioning —
+    * see the determinism rules in Queries.scala.
+    *
+    * Shape: one vocabulary agg (tiny — broadcast back), one doc-id agg.
+    * The vocabulary side is a broadcast join, never a shuffle of the
+    * corpus.
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = tokens(docs).select("doc_id", "tok")
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("tot"))
+    val lp = vocab.crossJoin(broadcast(total))
+      .select(col("tok"), round(log(col("cnt") / col("tot")), 9).as("lp"))
+    toks.join(broadcast(lp), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("aggregate(array_sort(collect_list(lp)), cast(0 as double), (a, x) -> a + x)")
+          .as("slp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-col("slp") / col("n_tokens"), 6).as("surprisal"))
+  }
+}

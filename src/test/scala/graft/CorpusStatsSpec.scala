@@ -1,0 +1,61 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.CorpusStats
+
+/** Hand-computed fixtures for the corpus-curation operators: repetition
+  * quality filters, unigram-LM surprisal, passage-level chunk dedup.
+  * Oracle parity at sf scale is covered by t12/t13/d10 driver rows. */
+class CorpusStatsSpec extends SparkSpec {
+
+  private def docsOf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("repetitionMetrics: fractions and keep verdict match hand computation") {
+    val docs = docsOf(
+      1L -> "a a a b", // maxc 3/4, dup 3/4, bigrams: "a a"x2 "a b"x1 -> 2/3
+      2L -> (1 to 25).map(i => s"t$i").mkString(" ")) // all unique
+    val m = CorpusStats.repetitionMetrics(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val d1 = m(1L)
+    assert(d1.getLong(1) == 4 && d1.getLong(2) == 2) // n_tokens, distinct
+    assert(d1.getDouble(3) == 0.75) // top_token_frac
+    assert(d1.getDouble(4) == 0.75) // dup_token_frac
+    assert(d1.getDouble(5) == 0.666667) // top_bigram_frac
+    assert(!d1.getBoolean(6))
+
+    val d2 = m(2L)
+    assert(d2.getDouble(3) == 0.04) // 1/25
+    assert(d2.getDouble(4) == 0.0)
+    assert(d2.getDouble(5) == 0.041667) // 1/24
+    assert(d2.getBoolean(6), "all-unique doc must pass the filter")
+  }
+
+  test("unigramSurprisal: uniform corpus scores ln(1/p) exactly") {
+    // corpus: a x2, b x2 -> p = 0.5 for both; every doc scores -ln(0.5)
+    val docs = docsOf(1L -> "a a b", 2L -> "b")
+    val rows = CorpusStats.unigramSurprisal(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, 3L, 0.693147), (2L, 1L, 0.693147)), rows)
+  }
+
+  test("chunkDedup: first occurrence wins, docs reassemble from survivors") {
+    val docs = docsOf(1L -> "w x y z", 2L -> "w x q")
+    val out = Dedup.chunkDedup(docs, chunkSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((2L, 2L, "w x y z")))
+    assert(out(2L) == ((2L, 1L, "q")), "doc 2's 'w x' chunk is a duplicate of doc 1's")
+  }
+
+  test("chunkDedup: within-doc repeats also collapse to the first chunk") {
+    val docs = docsOf(5L -> "p q p q p q")
+    val out = Dedup.chunkDedup(docs, chunkSize = 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getString(3)) == ((3L, 1L, "p q")))
+  }
+}
