@@ -168,13 +168,25 @@ object Store {
     require(subDirs.isEmpty,
       s"compact requires a flat table; found partition-style subdirectories " +
         s"${subDirs.take(3).mkString(", ")} under $p — compact per partition")
-    val dataFiles = entries.filter(f =>
+    compactLeaf(spark, fs, p, targetBytes, sortCols, hidden = false)
+  }
+
+  /** Compact ONE directory of parquet files in place (the body shared by
+    * [[compact]] and [[compactPartitioned]]). `hidden` dot-prefixes the
+    * staging/backup dirs so that, when the leaf is a partition INSIDE a
+    * live table, concurrent readers listing the table never see the
+    * transient dirs as phantom partitions (Spark skips `.`/`_` names). */
+  private def compactLeaf(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path, targetBytes: Long,
+                          sortCols: Seq[String], hidden: Boolean): (Int, Int) = {
+    val dataFiles = fs.listStatus(p).filter(f =>
       f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__compact_old")
+    val prefix = if (hidden) "." else ""
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, prefix + p.getName + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(p.getParent, prefix + p.getName + "__compact_old")
     fs.delete(tmp, true); fs.delete(old, true)
     val shaped =
       if (sortCols.nonEmpty)
@@ -195,6 +207,45 @@ object Store {
     val after = fs.listStatus(p).count(f =>
       f.isFile && f.getPath.getName.endsWith(".parquet"))
     (dataFiles.length, after)
+  }
+
+  /** Per-partition compaction for hive-partitioned layouts (the
+    * [[writePartitioned]] maintenance twin): each leaf partition directory
+    * compacts independently with [[compactLeaf]], so the directory
+    * structure — and with it `PartitionFilters` pruning — survives, and a
+    * failure window is confined to the single partition being promoted.
+    * Partitions already at `minFiles` or fewer files are skipped: on a
+    * 100 TB store the streaming writer touches a handful of recent
+    * partitions and historical ones stay compact, so a maintenance pass
+    * must not rewrite the whole table.
+    *
+    * Returns (partitionsCompacted, filesBefore, filesAfter) over the
+    * partitions actually rewritten.
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         targetBytes: Long = 128L * 1024 * 1024,
+                         sortCols: Seq[String] = Nil,
+                         minFiles: Int = 1): (Int, Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val subs = fs.listStatus(dir).filter(e => e.isDirectory &&
+        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+      if (subs.isEmpty) Seq(dir) else subs.toSeq.flatMap(s => leaves(s.getPath))
+    }
+    val parts = leaves(root)
+    require(parts != Seq(root),
+      s"$path has no partition subdirectories — use compact() for flat tables")
+    var (touched, before, after) = (0, 0, 0)
+    parts.foreach { lp =>
+      val n = fs.listStatus(lp).count(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (n > minFiles) {
+        val (b, a) = compactLeaf(spark, fs, lp, targetBytes, sortCols, hidden = true)
+        touched += 1; before += b; after += a
+      }
+    }
+    (touched, before, after)
   }
 
   /** N3: versioned upsert. Incoming rows replace matches (version bumped),

@@ -70,6 +70,30 @@ object DeltaStream {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join (the impression⋈click shape of a
+    * training-data event pipeline): each left row matches right rows with
+    * the same key whose timestamp lands in [left.ts, left.ts + horizon].
+    * BOTH sides carry watermarks and the join predicate bounds the time
+    * range, so the state store can evict rows once the watermark passes
+    * their horizon — the only stream-stream join formulation with bounded
+    * state. Inner join: unmatched rows drop (use left-outer + watermark
+    * for emit-on-timeout semantics).
+    *
+    * Columns of `left`/`right` must be pre-aliased distinctly (e.g.
+    * `l_ts`/`r_ts`); `keyCols` is the (left name, right name) equi-key.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   keyCols: (String, String),
+                   tsCols: (String, String),
+                   watermark: String, horizon: String): DataFrame = {
+    val l = left.withWatermark(tsCols._1, watermark)
+    val r = right.withWatermark(tsCols._2, watermark)
+    l.join(r,
+      col(keyCols._1) === col(keyCols._2) &&
+        col(tsCols._2) >= col(tsCols._1) &&
+        col(tsCols._2) <= col(tsCols._1) + expr(s"INTERVAL $horizon"))
+  }
+
   final case class Event(ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(nEvents: Long, total: Double, lastTs: Long)

@@ -97,4 +97,42 @@ class StoreStatsSpec extends SparkSpec {
       graft.ingest.Store.compact(spark, partPath)
     }
   }
+
+  test("compactPartitioned: leaves collapse independently, pruning survives, compact leaves skip") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-part").toString
+    val path = s"$dir/t"
+    val docs = graft.tables.Tables.documents(spark, Sf0001)
+    // micro-batch debris inside each lang partition
+    docs.repartition(9).write.partitionBy("lang").parquet(path)
+    val before = docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    val (touched, nBefore, nAfter) = graft.ingest.Store.compactPartitioned(spark, path)
+    assert(touched > 0 && nAfter < nBefore, s"$touched partitions, $nBefore -> $nAfter")
+
+    // data identical, partition column intact
+    val after = spark.read.parquet(path)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before)
+
+    // the hive structure survived: partition pruning still fires
+    val plan = spark.read.parquet(path).where(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang#"), plan)
+    // no phantom partitions leaked from staging/backup dirs
+    val langs = spark.read.parquet(path).select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs == docs.select("lang").distinct().collect().map(_.getString(0)).toSet)
+
+    // a second pass finds every leaf already at 1 file and rewrites nothing
+    val (touched2, _, _) = graft.ingest.Store.compactPartitioned(spark, path)
+    assert(touched2 == 0, s"re-compacted $touched2 already-compact partitions")
+
+    // flat tables are refused, pointed at compact()
+    val flat = s"$dir/flat"
+    docs.limit(10).write.parquet(flat)
+    intercept[IllegalArgumentException] {
+      graft.ingest.Store.compactPartitioned(spark, flat)
+    }
+  }
 }

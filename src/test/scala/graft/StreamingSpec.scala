@@ -79,6 +79,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks to impressions within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val impIn = MemoryStream[(Long, Timestamp)]
+    val clkIn = MemoryStream[(Long, Timestamp, Double)]
+    val imps = impIn.toDF().toDF("i_user", "i_ts")
+    val clks = clkIn.toDF().toDF("c_user", "c_ts", "c_value")
+
+    val joined = DeltaStream.intervalJoin(imps, clks,
+      keyCols = ("i_user", "c_user"), tsCols = ("i_ts", "c_ts"),
+      watermark = "10 minutes", horizon = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      impIn.addData(
+        (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, Timestamp.valueOf("2024-01-01 00:00:00")))
+      clkIn.addData(
+        (1L, Timestamp.valueOf("2024-01-01 00:03:00"), 1.5), // in horizon
+        (2L, Timestamp.valueOf("2024-01-01 00:09:00"), 9.9), // past 5m: no match
+        (3L, Timestamp.valueOf("2024-01-01 00:01:00"), 7.0)) // no impression
+      q.processAllAvailable()
+      val out = spark.table("attrib")
+        .select("i_user", "c_value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(out == Set((1L, 1.5)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization accumulates per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DeltaStream.Event]
