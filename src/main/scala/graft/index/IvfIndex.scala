@@ -141,6 +141,27 @@ object IvfIndex {
     spark.read.option(SourceOption, trainedKey(dataDir))
       .parquet(s"$dataDir/embeddings.parquet")
 
+  /** Incremental index maintenance: assign a batch of NEW vectors to the
+    * existing centroids and append their lists in place — the
+    * `foreachBatch` body of a streaming upsert pipeline. Centroids are
+    * NOT retrained (that is a periodic rebuild, exactly Qdrant's
+    * optimizer-segment model): a drifting corpus degrades list balance,
+    * not correctness, since assignment is always nearest-centroid at
+    * append time and queries probe by centroid distance.
+    *
+    * `newVecs` must be (vec_id, embedding) rows with ids NOT already in
+    * the index — this is an append, not an upsert; replacing an existing
+    * id requires a rebuild (or a versioned assignment layout). Each
+    * append writes only the partitions its batch touches.
+    */
+  def appendAssign(spark: SparkSession, info: Info, newVecs: DataFrame): Unit = {
+    val centroids = spark.read.parquet(info.centroidsPath)
+    Ann.ivfAssign(newVecs, centroids)
+      .write.mode(SaveMode.Append)
+      .partitionBy("cid")
+      .parquet(info.assignedPath)
+  }
+
   /** Idempotently attach the rewrite rule to an existing session (the
     * config-based path is `spark.sql.extensions=graft.GraftExtensions`). */
   def enable(spark: SparkSession): Unit = {

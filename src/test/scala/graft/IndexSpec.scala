@@ -98,6 +98,35 @@ class IndexSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("appendAssign: new vectors enter their nearest list and are served, corpus untouched") {
+    import graft.index.IvfIndex
+    import graft.search.Ann
+    val out = Files.createTempDirectory("graft-ivf-append").toString
+    val (assigned, centroids) = IvfIndex.buildTrained(spark, Sf0001, k = 4, out)
+    val info = IvfIndex.Info(assigned, centroids, nprobe = 4, 0L)
+    val nBefore = spark.read.parquet(assigned).count()
+
+    // append two fresh vectors: one clone of vec 7 (id 900007), one of vec 3
+    val emb = Tables.embeddings(spark, Sf0001)
+    val fresh = emb.where(col("vec_id").isin(7L, 3L))
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    IvfIndex.appendAssign(spark, info, fresh)
+
+    val after = spark.read.parquet(assigned)
+    assert(after.count() == nBefore + 2)
+    // each append touched exactly one list; the partition column survived
+    assert(after.where(col("vec_id") === 900007L).count() == 1)
+
+    // a query AT vec 7 now returns both the original and the appended clone
+    // at identical (rounded) score, ahead of everything else
+    val qv = emb.where(col("vec_id") === 7L).select(col("embedding").as("qvec"))
+    val top = Ann.ivfTopKAssigned(after, spark.read.parquet(centroids), qv,
+      nprobe = 4, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top.map(_._1).toSet == Set(7L, 900007L), top)
+    assert(top.forall(_._2 == 1.0), top)
+  }
+
   test("tfidf empty/whitespace query returns an empty frame, not an error") {
     val out = Files.createTempDirectory("graft-tfidf-empty").toString
     TfIdfIndex.build(Tables.documents(spark, Sf0001), "doc_id", "text", out)

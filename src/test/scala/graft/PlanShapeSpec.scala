@@ -107,6 +107,33 @@ class PlanShapeSpec extends SparkSpec {
     } finally IvfIndex.register(Sf0001, info)
   }
 
+  test("corpus-curation plans: partitioned shuffles and broadcast vocab joins, never cartesian") {
+    val docs = graft.tables.Tables.documents(spark, Sf0001)
+
+    // t12: token/bigram aggs shuffle on keys; the bigram window is
+    // partitioned by doc_id (never a single-partition global window)
+    val rep = graft.functions.CorpusStats.repetitionMetrics(docs)
+      .queryExecution.executedPlan.toString
+    assert(!rep.contains("CartesianProduct"), rep)
+    assert(rep.contains("hashpartitioning(doc_id"), rep)
+    assert(!rep.contains("Exchange SinglePartition"),
+      s"repetition metrics must not funnel through one partition:\n$rep")
+
+    // t13: the vocabulary side joins BROADCAST — the corpus is never
+    // shuffled against the (tiny) vocab
+    val lm = graft.functions.CorpusStats.unigramSurprisal(docs)
+      .queryExecution.executedPlan.toString
+    assert(lm.contains("BroadcastHashJoin"), lm)
+    assert(!lm.contains("SortMergeJoin"),
+      s"vocab join must broadcast, not sort-merge:\n$lm")
+
+    // d10: keeper election shuffles on chunk TEXT (the dedup key)
+    val cd = graft.dedup.Dedup.chunkDedup(docs)
+      .queryExecution.executedPlan.toString
+    assert(!cd.contains("CartesianProduct"), cd)
+    assert(cd.contains("hashpartitioning(ct"), cd)
+  }
+
   test("trained-ivf rewrite: production kmeans index serves the same declarative shape") {
     import org.apache.spark.sql.functions._
     import graft.index.IvfIndex
