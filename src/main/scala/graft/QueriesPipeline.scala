@@ -531,6 +531,38 @@ object QueriesPipeline {
                coalesce(string_agg(CASE WHEN rn = 1 THEN ct END, ' ' ORDER BY ci), '')
                  AS dedup_text
         FROM k GROUP BY doc_id ORDER BY doc_id
+      """)),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup with pairwise cosine
+    // bounded by embedding clusters — drop a vector when a lower-id
+    // cluster-mate sits at >= 0.35 similarity. Clusters come from the
+    // fixed-vector centroid assignment (the a1/a4 oracle device), so the
+    // oracle reproduces the routing with no engine-private state.
+    "d11_semdedup" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Ann.semDedup(emb, centroids, tau = 0.35).orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        assign AS (
+          SELECT e.vec_id, c.cid, e.embedding::DOUBLE[] AS ev,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                            c.cid ASC) AS rn
+          FROM embeddings e CROSS JOIN cent c),
+        asg AS (SELECT vec_id, cid, ev FROM assign WHERE rn = 1),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.ev, b.ev), 6) >= 0.35)
+        SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS kept
+        FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+        ORDER BY a.vec_id
       """)))
 
   val text: Map[String, Q] = Map(

@@ -183,4 +183,31 @@ object Ann {
       .select(col("id_a"), col("id_b"), col("score"))
       .orderBy(col("id_a"))
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup with the pairwise
+    * comparison bounded by embedding clusters. Vectors assign to their
+    * nearest centroid ([[ivfAssign]]); cosine pairs are computed only
+    * WITHIN a cluster; a vector is dropped when a lower-id cluster-mate
+    * sits at `>= tau` similarity. The cluster join is an equi-join on
+    * `cid` — the quadratic term is (cluster size)², never N², which is
+    * exactly the paper's scalability argument; at 100 TB the centroid
+    * count is chosen so lists fit an executor.
+    *
+    * Output: (vec_id, cid, kept) for every input vector — callers
+    * anti-join their corpus on `kept = false` to apply it.
+    */
+  def semDedup(vectors: DataFrame, centroids: DataFrame,
+               tau: Double): DataFrame = {
+    val asg = ivfAssign(vectors, centroids)
+    val dropped = asg.select(col("cid"), col("vec_id").as("ia"), col("embedding").as("ea"))
+      .join(asg.select(col("cid"), col("vec_id").as("ib"), col("embedding").as("eb")),
+        Seq("cid"))
+      .where(col("ia") < col("ib") &&
+        round(VectorOps.cosineSim(col("ea"), col("eb")), 6) >= tau)
+      .select(col("ib").as("vec_id"))
+      .distinct()
+    asg.select("vec_id", "cid")
+      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("hit").isNull.as("kept"))
+  }
 }
