@@ -1146,6 +1146,63 @@ object QueriesPipeline {
                round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
         FROM embeddings e CROSS JOIN q
         ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
+    // Product quantization (O5's third compression point after int8 and
+    // binary): 4 subspaces x 16 dims, 16 codewords each (the subvector
+    // slices of the first 16 stored vectors — the fixed-vector oracle
+    // device), ADC scoring from a per-query LUT, candidate cut k*3, exact
+    // cosine re-rank. 4 code-bytes per vector vs 256 raw. L2 assignment
+    // uses the dot identity (a*a - 2a*b + b*b) — cross-engine exact where
+    // elementwise f32 subtraction would not be; the ADC sum folds in
+    // subspace order.
+    "a9_pq_reranked" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val codebooks = Ann.pqCodebooks(emb, m = 4, subDim = 16, k = 16)
+        val qv = emb.where(col("vec_id") === Queries.QueryVecId)
+          .select(col("embedding").as("qvec"))
+        Ann.pqTopKReranked(emb, codebooks, qv, m = 4, subDim = 16, k = 10)
+      },
+      Some("""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        ss AS (SELECT unnest(range(0, 4)) AS s),
+        cb AS (
+          SELECT ss.s, e.vec_id AS cid,
+                 list_slice(e.embedding::DOUBLE[], ss.s * 16 + 1, ss.s * 16 + 16) AS cw
+          FROM embeddings e CROSS JOIN ss WHERE e.vec_id < 16),
+        subs AS (
+          SELECT e.vec_id, ss.s,
+                 list_slice(e.embedding::DOUBLE[], ss.s * 16 + 1, ss.s * 16 + 16) AS sub
+          FROM embeddings e CROSS JOIN ss),
+        dist AS (
+          SELECT su.vec_id, su.s, cb.cid,
+                 round(list_dot_product(su.sub, su.sub)
+                       - 2 * list_dot_product(su.sub, cb.cw)
+                       + list_dot_product(cb.cw, cb.cw), 6) AS dist2
+          FROM subs su JOIN cb ON su.s = cb.s),
+        asgn AS (
+          SELECT vec_id, s, cid FROM (
+            SELECT vec_id, s, cid,
+                   row_number() OVER (PARTITION BY vec_id, s
+                     ORDER BY dist2 ASC, cid ASC) AS rn
+            FROM dist) WHERE rn = 1),
+        lut AS (
+          SELECT cb.s, cb.cid,
+                 round(list_dot_product(cb.cw,
+                   list_slice(q.qv, cb.s * 16 + 1, cb.s * 16 + 16)), 6) AS lut
+          FROM cb CROSS JOIN q),
+        approx AS (
+          SELECT a.vec_id,
+                 round(list_reduce(list_prepend(0.0::DOUBLE, list(l.lut ORDER BY a.s)),
+                                   (acc, x) -> acc + x), 6) AS approx
+          FROM asgn a JOIN lut l ON a.s = l.s AND a.cid = l.cid
+          GROUP BY a.vec_id),
+        cand AS (SELECT vec_id FROM approx ORDER BY approx DESC, vec_id ASC LIMIT 30)
+        SELECT e.vec_id AS id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+        FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+        ORDER BY score DESC, id ASC LIMIT 10
       """)))
 
   /** TF-IDF bucket-space CTEs shared by the embed-search oracle. */

@@ -184,6 +184,86 @@ object Ann {
       .orderBy(col("id_a"))
   }
 
+  /** (vec_id, s, sub): the `m` contiguous `subDim`-dim subvectors of each
+    * vector — the slicing shared by the PQ build and query paths. The
+    * slice array is generated and consumed inside one Generate, so it
+    * materializes once per row. */
+  private def pqSubvectors(vectors: DataFrame, m: Int, subDim: Int): DataFrame =
+    vectors.select(col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(embedding, s * $subDim + 1, $subDim))")))
+      .toDF("vec_id", "s", "sub")
+
+  /** Product-quantization codebooks: per subspace `s`, the `k` codewords
+    * are the subvector slices of the first `k` stored vectors — the same
+    * fixed-vector determinism device as the a1/a4 IVF centroids, so an
+    * external oracle can reproduce the codebooks with no engine-private
+    * state. A production build swaps in per-subspace trained kmeans (the
+    * `IvfIndex.buildTrained` pattern); everything downstream is
+    * unchanged. Output: (s, cid, cw). */
+  def pqCodebooks(vectors: DataFrame, m: Int, subDim: Int, k: Int): DataFrame =
+    pqSubvectors(vectors.where(col("vec_id") < k), m, subDim)
+      .select(col("s"), col("vec_id").as("cid"), col("sub").as("cw"))
+
+  /** PQ encoding: each (vector, subspace) takes the L2-nearest codeword.
+    * Distances use the dot identity ‖a−b‖² = a·a − 2a·b + b·b over the
+    * codegen [[VectorOps.dot]] (each float promoted to double before
+    * multiplying, sequential accumulation — the cross-engine-exact form;
+    * elementwise float32 subtraction would NOT reproduce in a double
+    * engine), rounded 6dp before the argmin so tie-breaks are
+    * engine-independent. At scale this runs once at build time and
+    * persists: `m · log2(k)` bits per vector — 4 bytes here vs 256 for
+    * the raw floats. Output: (vec_id, s, cid). */
+  def pqAssign(vectors: DataFrame, codebooks: DataFrame,
+               m: Int, subDim: Int): DataFrame = {
+    val scored = pqSubvectors(vectors, m, subDim)
+      .join(broadcast(codebooks), Seq("s"))
+      .withColumn("dist2", round(
+        VectorOps.dot(col("sub"), col("sub"))
+          - lit(2.0) * VectorOps.dot(col("sub"), col("cw"))
+          + VectorOps.dot(col("cw"), col("cw")), 6))
+    val w = Window.partitionBy("vec_id", "s")
+      .orderBy(col("dist2").asc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("vec_id", "s", "cid")
+  }
+
+  /** PQ-ADC search with exact re-rank: build the per-query lookup table
+    * (codeword · query-subvector — `m·k` dots, broadcast), score every
+    * encoded vector as the ordered-fold sum of its codewords' LUT entries
+    * (asymmetric distance computation), keep `k · oversample` candidates
+    * by approximate score, then re-rank just those with full-precision
+    * cosine. Like [[ivfTopKReranked]], quantization error can only cost
+    * recall at the candidate cut — returned scores are exact. The ADC sum
+    * folds in subspace order, so the approximate scores (and hence the
+    * candidate set) are engine-reproducible. */
+  def pqTopKReranked(vectors: DataFrame, codebooks: DataFrame,
+                     queryVec: DataFrame, m: Int, subDim: Int, k: Int,
+                     oversample: Int = 3): DataFrame = {
+    val assigned = pqAssign(vectors, codebooks, m, subDim)
+    val qsubs = pqSubvectors(
+      queryVec.select(lit(0L).as("vec_id"), col("qvec").as("embedding")),
+      m, subDim)
+      .select(col("s"), col("sub").as("qs"))
+    val lut = codebooks.join(broadcast(qsubs), Seq("s"))
+      .select(col("s"), col("cid"),
+        round(VectorOps.dot(col("cw"), col("qs")), 6).as("lut"))
+    val approx = assigned.join(broadcast(lut), Seq("s", "cid"))
+      .groupBy("vec_id")
+      .agg(expr("round(aggregate(array_sort(collect_list(struct(s, lut))), " +
+        "cast(0 as double), (a, x) -> a + x.lut), 6)").as("approx"))
+    val cand = approx
+      .orderBy(col("approx").desc, col("vec_id").asc)
+      .limit(k * oversample)
+      .select("vec_id")
+    vectors.join(broadcast(cand), Seq("vec_id"))
+      .crossJoin(broadcast(queryVec))
+      .select(col("vec_id").as("id"),
+        round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup with the pairwise
     * comparison bounded by embedding clusters. Vectors assign to their
     * nearest centroid ([[ivfAssign]]); cosine pairs are computed only

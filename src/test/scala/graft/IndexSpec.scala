@@ -98,6 +98,45 @@ class IndexSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("pq: every (vector, subspace) encodes; ADC re-rank holds recall vs brute force") {
+    import graft.search.Ann
+    val emb = Tables.documents(spark, Sf0001).sparkSession
+      .read.parquet(s"$Sf0001/embeddings.parquet")
+    val codebooks = Ann.pqCodebooks(emb, m = 4, subDim = 16, k = 16)
+    assert(codebooks.count() == 4 * 16)
+
+    val assigned = Ann.pqAssign(emb, codebooks, m = 4, subDim = 16)
+    assert(assigned.count() == emb.count() * 4) // one code per (vector, subspace)
+    // codes are valid codebook ids
+    val cids = assigned.select("cid").distinct().collect().map(_.getLong(0))
+    assert(cids.forall(c => c >= 0 && c < 16))
+
+    val qdf = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val brute = graft.search.SearchEngine.denseTopK(spark, Sf0001, 0, 10)
+      .collect().map(_.getLong(0)).toSet
+    val pq = Ann.pqTopKReranked(emb, codebooks, qdf, m = 4, subDim = 16, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    info(s"pq-adc recall@10 (m=4, k*3 oversample): $recall")
+    // 16 codewords/subspace on RANDOM vectors is a high-distortion regime;
+    // measured 0.4 here. The floor guards collapse, not quality — quality
+    // comes from oversampling (next assertion) and, in production, trained
+    // codebooks.
+    assert(recall >= 0.3, s"recall collapsed: $recall")
+    // candidate cut spanning the whole corpus -> EXACTLY brute force (the
+    // PQ analogue of nprobe = K)
+    val full = Ann.pqTopKReranked(emb, codebooks, qdf, m = 4, subDim = 16,
+      k = 10, oversample = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == brute)
+    // the returned scores are exact cosine, never quantized values
+    val scores = Ann.pqTopKReranked(emb, codebooks, qdf, m = 4, subDim = 16, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val exact = graft.search.SearchEngine.denseTopK(spark, Sf0001, 0, 500)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    scores.foreach { case (id, s) => assert(s == exact(id), s"score drift for $id") }
+  }
+
   test("appendAssign: new vectors enter their nearest list and are served, corpus untouched") {
     import graft.index.IvfIndex
     import graft.search.Ann
