@@ -107,6 +107,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming vector ingest keeps the IVF index fresh via foreachBatch appendAssign") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+
+    // a private trained index copy (never the shared memoized one)
+    val out = Files.createTempDirectory("graft-stream-ivf").toString
+    val (assigned, centroids) =
+      graft.index.IvfIndex.buildTrained(spark, Sf0001, k = 4, out)
+    val info = graft.index.IvfIndex.Info(assigned, centroids, nprobe = 4, 0L)
+    val nBefore = spark.read.parquet(assigned).count()
+
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val fresh = emb.where(col("vec_id") < 3)
+      .select(col("vec_id") + 800000L, col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.index.IvfIndex.appendAssign(spark, info,
+          batch.select(col("vec_id"),
+            col("embedding").cast("array<float>").as("embedding")))
+      }
+      .start()
+    try {
+      input.addData(fresh.take(2)); q.processAllAvailable()
+      input.addData(fresh.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+
+    val after = spark.read.parquet(assigned)
+    assert(after.count() == nBefore + 3)
+    // a query at vec 1 is now served its streamed twin at score 1.0
+    val qv = emb.where(col("vec_id") === 1L).select(col("embedding").as("qvec"))
+    val top = graft.search.Ann.ivfTopKAssigned(after,
+      spark.read.parquet(centroids), qv, nprobe = 4, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top.map(_._1).toSet == Set(1L, 800001L), top)
+    assert(top.forall(_._2 == 1.0), top)
+  }
+
   test("stateful sessionization accumulates per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DeltaStream.Event]
