@@ -896,7 +896,61 @@ object QueriesPipeline {
                                   (acc, x) -> acc + x) / count(*), 6) AS surprisal
         FROM toks JOIN lp USING (tok)
         GROUP BY doc_id ORDER BY doc_id
-      """)))
+      """)),
+
+    // The capstone: the composed per-document curation pipeline (lang-ID
+    // + quality + repetition + LM surprisal -> keep/drop with the first
+    // failing rule as the reason). Every metric is an already-rounded
+    // value from its own oracle-proven operator, so the composition stays
+    // engine-independent at every threshold boundary.
+    "t14_curation_pipeline" -> Q(
+      (s, d) => graft.functions.CorpusStats.curationVerdict(docs(s, d))
+        .orderBy(col("doc_id")),
+      Some {
+        val arms = TextOps.langLexicons.map { case (lang, words) =>
+          val lst = words.map(w => s"'$w'").mkString(", ")
+          s"""SELECT doc_id, '$lang' AS lang,
+              len(list_filter($tokensSql, x -> list_contains([$lst], x))) AS hits
+              FROM documents"""
+        }.mkString("\n UNION ALL ")
+        s"""
+        WITH arms AS ($arms),
+        langpick AS (
+          SELECT doc_id, lang AS pred_lang FROM (
+            SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+              ORDER BY hits DESC, lang ASC) AS rn FROM arms) WHERE rn = 1),
+        tq AS (
+          SELECT doc_id, CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE ELSE round(
+            0.3::DOUBLE * (len(list_distinct(toks))::DOUBLE / len(toks)) +
+            0.3::DOUBLE * (1.0::DOUBLE - len(list_filter(toks,
+              x -> list_contains(['the','a','of','and','is'], x)))::DOUBLE / len(toks)) +
+            0.4::DOUBLE * least(length(array_to_string(toks, ''))::DOUBLE / len(toks)
+                                / 8.0::DOUBLE, 1.0::DOUBLE), 6) END AS quality
+          FROM (SELECT doc_id, $tokensSql AS toks FROM documents)),
+        toks AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+        uni AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        ua AS (
+          SELECT doc_id, round(max(c) / sum(c)::BIGINT, 6) AS top_token_frac
+          FROM uni GROUP BY doc_id),
+        cc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT sum(cnt) AS tot FROM cc),
+        lp AS (SELECT tok, round(ln(cnt / tot), 9) AS lp FROM cc CROSS JOIN tot),
+        lm AS (
+          SELECT doc_id,
+                 round(-list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY lp)),
+                                    (acc, x) -> acc + x) / count(*), 6) AS surprisal
+          FROM toks JOIN lp USING (tok) GROUP BY doc_id),
+        v AS (
+          SELECT l.doc_id, l.pred_lang, q.quality, ua.top_token_frac, lm.surprisal,
+                 CASE WHEN q.quality < 0.62 THEN 'low_quality'
+                      WHEN ua.top_token_frac > 0.13 THEN 'repetitive'
+                      WHEN lm.surprisal > 3.41 THEN 'surprising'
+                      ELSE 'ok' END AS reason
+          FROM langpick l JOIN tq q USING (doc_id)
+            JOIN ua USING (doc_id) JOIN lm USING (doc_id))
+        SELECT *, (reason = 'ok') AS keep FROM v ORDER BY doc_id
+        """
+      }))
 
   val ann: Map[String, Q] = Map(
     // O4 scale path: IVF partition-pruned ANN (centroids = first 10

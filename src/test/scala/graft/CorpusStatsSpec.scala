@@ -42,6 +42,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows == Set((1L, 3L, 0.693147), (2L, 1L, 0.693147)), rows)
   }
 
+  test("curationVerdict: first failing rule wins, slack thresholds keep all") {
+    val docs = docsOf(1L -> "a a a b", 2L -> "the quick brown fox jumps")
+
+    def reasons(minQ: Double, maxRep: Double, maxSurp: Double) =
+      CorpusStats.curationVerdict(docs, minQ, maxRep, maxSurp)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("reason"), r.getAs[Boolean]("keep"))).toMap
+
+    // quality rule fires first even when the doc is also repetitive
+    val lowQ = reasons(minQ = 2.0, maxRep = 0.0, maxSurp = -1.0)
+    assert(lowQ.values.forall(_ == (("low_quality", false))), lowQ)
+    // next in line: repetition
+    val rep = reasons(minQ = 0.0, maxRep = 0.0, maxSurp = -1.0)
+    assert(rep.values.forall(_ == (("repetitive", false))), rep)
+    // then surprisal
+    val surp = reasons(minQ = 0.0, maxRep = 1.1, maxSurp = -1.0)
+    assert(surp.values.forall(_ == (("surprising", false))), surp)
+    // all slack -> keep
+    val ok = reasons(minQ = 0.0, maxRep = 1.1, maxSurp = 1e9)
+    assert(ok.values.forall(_ == (("ok", true))), ok)
+  }
+
   test("chunkDedup: first occurrence wins, docs reassemble from survivors") {
     val docs = docsOf(1L -> "w x y z", 2L -> "w x q")
     val out = Dedup.chunkDedup(docs, chunkSize = 2)
