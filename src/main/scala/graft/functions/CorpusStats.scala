@@ -107,11 +107,19 @@ object CorpusStats {
     *
     * Shape: one vocabulary agg (tiny — broadcast back), one doc-id agg.
     * The vocabulary side is a broadcast join, never a shuffle of the
-    * corpus.
+    * corpus. The vocab aggregate feeds BOTH the corpus total and the
+    * per-token log-probs; without the localCheckpoint Catalyst re-expands
+    * the subtree and the full corpus tokenize+aggregate runs twice — at
+    * 100 TB that is an entire extra pass over the data to compute one
+    * scalar. The checkpoint materializes only vocab-sized rows (same
+    * trade, and same disclosure, as ngramJaccard's inverted-index
+    * checkpoint: executor-local blocks, lineage cut — prefer reliable
+    * checkpoint on a real cluster if executor loss matters).
     */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val toks = tokens(docs).select("doc_id", "tok")
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val total = vocab.agg(sum("cnt").as("tot"))
     val lp = vocab.crossJoin(broadcast(total))
       .select(col("tok"), round(log(col("cnt") / col("tot")), 9).as("lp"))

@@ -38,6 +38,8 @@ object PlanDump {
           val cent = emb.where(col("vec_id") < 10)
             .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
           plan(graft.search.Ann.semDedup(emb, cent, 0.35))
+        case "curation" =>
+          plan(graft.functions.CorpusStats.curationVerdict(docs))
         case other => s"(unknown plan name: $other)"
       }
       println(s"=== $n ===")

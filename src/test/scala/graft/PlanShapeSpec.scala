@@ -120,12 +120,17 @@ class PlanShapeSpec extends SparkSpec {
       s"repetition metrics must not funnel through one partition:\n$rep")
 
     // t13: the vocabulary side joins BROADCAST — the corpus is never
-    // shuffled against the (tiny) vocab
+    // shuffled against the (tiny) vocab — and the corpus parquet is
+    // scanned exactly ONCE (the checkpointed vocab agg feeds both the
+    // total and the log-probs; re-expansion would cost a full extra pass)
     val lm = graft.functions.CorpusStats.unigramSurprisal(docs)
       .queryExecution.executedPlan.toString
     assert(lm.contains("BroadcastHashJoin"), lm)
     assert(!lm.contains("SortMergeJoin"),
       s"vocab join must broadcast, not sort-merge:\n$lm")
+    val lmScans = "FileScan parquet".r.findAllIn(lm).length
+    assert(lmScans == 1,
+      s"surprisal must read the corpus once, saw $lmScans scans:\n$lm")
 
     // d10: keeper election shuffles on chunk TEXT (the dedup key)
     val cd = graft.dedup.Dedup.chunkDedup(docs)
