@@ -267,12 +267,12 @@ object Dedup {
     *
     * Iterative min-label propagation WITH pointer jumping: each round,
     * every node takes the minimum of its own label, its neighbors' labels,
-    * and its label's label (the jump — labels chase their own chain, so
-    * label distance doubles per round). Converges in O(log diameter)
-    * rounds, the same doubling trick as large-star/small-star. Each round
-    * is two equi-joins + one partial-aggregated shuffle over the (tiny)
-    * node set, and labels are `localCheckpoint`ed so lineage (and the
-    * plan) stays flat across iterations.
+    * and two chained label-of-label hops (the jumps — labels chase their
+    * own chain, so label distance quadruples per round). Converges in
+    * O(log diameter) rounds with half the edge joins of single-hop
+    * doubling. Each round is three equi-joins + one partial-aggregated
+    * shuffle over the (tiny) node set, and labels are `localCheckpoint`ed
+    * so lineage (and the plan) stays flat across iterations.
     *
     * Fault-tolerance note: `localCheckpoint` is EAGER (the input pipeline
     * materializes when this DataFrame is constructed, even if the caller
@@ -315,6 +315,13 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
       val jump = labels.select(col("id").as("__lid"), col("label").as("__jump"))
+      val jump2 = labels.select(col("id").as("__lid2"), col("label").as("__jump2"))
+      // Two CHAINED jumps per round (label ← min over jump(label) AND
+      // jump(jump(label))): label distance ×4 per round instead of ×2,
+      // so the expensive edge join runs ~half as many times on long
+      // chains. The second hop joins the node-sized labels table again —
+      // at corpus scale that is far cheaper than another edges round.
+      val hop1 = coalesce(col("__jump"), col("label"))
       // The changed-count rides the SAME action as the checkpoint (observe
       // metrics collect during the localCheckpoint job) — one job per
       // round instead of checkpoint + count.
@@ -322,13 +329,14 @@ object Dedup {
       labels = labels
         .join(nbrMin, Seq("id"), "left")
         .join(jump, col("label") === col("__lid"), "left")
-        .select(col("id"),
+        .join(jump2, hop1 === col("__lid2"), "left")
+        .select(col("id"), col("label").as("__old"),
           least(col("label"),
             coalesce(col("nbr_min"), col("label")),
-            coalesce(col("__jump"), col("label"))).as("label"),
-          (least(col("label"),
-            coalesce(col("nbr_min"), col("label")),
-            coalesce(col("__jump"), col("label"))) =!= col("label")).as("__chg"))
+            hop1,
+            coalesce(col("__jump2"), hop1)).as("label"))
+        .select(col("id"), col("label"),
+          (col("label") =!= col("__old")).as("__chg"))
         .observe(obs, sum(col("__chg").cast("long")).as("n_changed"))
         .localCheckpoint()
         .select(col("id"), col("label"))
