@@ -385,14 +385,14 @@ object Dedup {
     *
     * Output per input doc: (doc_id, n_chunks, n_kept, dedup_text).
     *
-    * Shape: one groupBy (doc_id, chunk), one window partitioned by chunk
-    * TEXT (the dedup key — high cardinality, well spread), one groupBy
-    * doc_id. No all-pairs comparison anywhere; at 100 TB the chunk-text
-    * shuffle is the cost, and it's the same shuffle any exact dedup pays.
-    * Skewed boilerplate chunks (the same banner ×10⁶) land in one
-    * partition's window — salt-and-restitch via [[graft.functions.Salting]]
-    * if a corpus exhibits that; the keeper election only needs the global
-    * min, which salting preserves.
+    * Shape: one groupBy (doc_id, chunk), one MIN-aggregate on chunk TEXT
+    * (the dedup key), one groupBy doc_id, one doc_id join against a plain
+    * docs-scan projection. No all-pairs comparison anywhere; at 100 TB the
+    * chunk-text shuffle is the cost, and it's the same shuffle any exact
+    * dedup pays. Skew-immune by construction: the keeper election is a
+    * partial-aggregated min, so even a boilerplate chunk repeated 10⁶
+    * times ships one row per map task — no window, no single hot
+    * partition, no salting needed.
     */
   def chunkDedup(docs: DataFrame, chunkSize: Int = 4): DataFrame = {
     val toks = docs.select(col("doc_id"),
@@ -404,17 +404,32 @@ object Dedup {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
           _.getField("tok")), " ").as("ct"))
-    val firstOccurrence =
-      row_number().over(Window.partitionBy("ct").orderBy("doc_id", "ci"))
-    chunks
-      .withColumn("kept", firstOccurrence === 1)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+    // Keeper election as a MIN-aggregate, not a window: min(struct(doc_id,
+    // ci)) per chunk text is the same "first occurrence" rule as
+    // row_number()=1 ordered by (doc_id, ci), but hash aggregation
+    // partial-aggregates map-side — the same banner repeated 10⁶ times
+    // collapses to ONE row per map task before the shuffle, so a skewed
+    // boilerplate chunk can never funnel a whole partition through a
+    // single window task. Survivors are the winning (doc_id, ci) rows
+    // themselves; no join back to the full chunk set is needed.
+    val survivors = chunks.groupBy("ct")
+      .agg(min(struct(col("doc_id"), col("ci"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.ci").as("ci"), col("ct"))
+    val kept = survivors.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
         array_join(
-          transform(
-            array_sort(collect_list(when(col("kept"),
-              struct(col("ci"), col("ct"))))),
+          transform(array_sort(collect_list(struct(col("ci"), col("ct")))),
             _.getField("ct")), " ").as("dedup_text"))
+    // Per-doc chunk counts come straight off the docs scan — no second
+    // pass over the exploded chunk rows. Docs with zero tokens never had
+    // chunk rows, so they stay absent (matching the explode semantics).
+    val perDoc = docs.select(col("doc_id"),
+      expr(s"cast((size(filter(split(text, ' '), t -> t != '')) " +
+        s"+ $chunkSize - 1) div $chunkSize as bigint)").as("n_chunks"))
+      .where(col("n_chunks") > 0)
+    perDoc.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 }

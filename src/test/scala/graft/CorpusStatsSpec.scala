@@ -80,4 +80,14 @@ class CorpusStatsSpec extends SparkSpec {
     val r = out.head
     assert((r.getLong(1), r.getLong(2), r.getString(3)) == ((3L, 1L, "p q")))
   }
+
+  test("chunkDedup: empty docs stay absent; a doc can lose every chunk") {
+    val docs = docsOf(1L -> "w x", 2L -> "w x", 3L -> "  ")
+    val out = Dedup.chunkDedup(docs, chunkSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == Set(1L, 2L), "zero-token doc must not appear")
+    assert(out(1L) == ((1L, 1L, "w x")))
+    assert(out(2L) == ((1L, 0L, "")), "doc 2 loses its only chunk to doc 1")
+  }
 }

@@ -132,11 +132,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(lmScans == 1,
       s"surprisal must read the corpus once, saw $lmScans scans:\n$lm")
 
-    // d10: keeper election shuffles on chunk TEXT (the dedup key)
+    // d10: keeper election shuffles on chunk TEXT (the dedup key) as a
+    // partial-aggregated MIN — no Window node anywhere, so a boilerplate
+    // chunk repeated 10⁶ times can never funnel through one task
     val cd = graft.dedup.Dedup.chunkDedup(docs)
       .queryExecution.executedPlan.toString
     assert(!cd.contains("CartesianProduct"), cd)
     assert(cd.contains("hashpartitioning(ct"), cd)
+    assert(!cd.contains("Window"),
+      s"chunk keeper election must be an aggregate, not a window:\n$cd")
   }
 
   test("trained-ivf rewrite: production kmeans index serves the same declarative shape") {
