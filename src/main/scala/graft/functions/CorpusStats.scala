@@ -82,12 +82,26 @@ object CorpusStats {
   def curationVerdict(docs: DataFrame,
                       minQuality: Double = 0.62,
                       maxTopTokenFrac: Double = 0.13,
-                      maxSurprisal: Double = 3.41): DataFrame = {
+                      maxSurprisal: Double = 3.41): DataFrame =
+    curationVerdictWithLm(docs, unigramLogProbs(docs),
+      minQuality, maxTopTokenFrac, maxSurprisal)
+
+  /** [[curationVerdict]] against a SUPPLIED language model — the serving
+    * form: train the LM once on the reference corpus, freeze it, score
+    * any later batch (or every streaming micro-batch; see
+    * `DeltaStream.curationIngest`) against the same probabilities.
+    * Documents whose tokens are all out-of-vocabulary score no surprisal
+    * and drop out (inner join) — the same semantics as the self-trained
+    * composition, where OOV cannot occur. */
+  def curationVerdictWithLm(docs: DataFrame, lp: DataFrame,
+                            minQuality: Double = 0.62,
+                            maxTopTokenFrac: Double = 0.13,
+                            maxSurprisal: Double = 3.41): DataFrame = {
     val base = docs.select(col("doc_id"),
       TextOps.langId(TextOps.tokens(col("text"))).as("pred_lang"),
       TextOps.qualityScore(col("text")).as("quality"))
     val rep = repetitionMetrics(docs).select("doc_id", "top_token_frac")
-    val lm = unigramSurprisal(docs).select("doc_id", "surprisal")
+    val lm = surprisalWithLm(docs, lp).select("doc_id", "surprisal")
     base.join(rep, Seq("doc_id")).join(lm, Seq("doc_id"))
       .withColumn("reason",
         when(col("quality") < minQuality, lit("low_quality"))
@@ -107,28 +121,42 @@ object CorpusStats {
     *
     * Shape: one vocabulary agg (tiny — broadcast back), one doc-id agg.
     * The vocabulary side is a broadcast join, never a shuffle of the
-    * corpus. The vocab aggregate feeds BOTH the corpus total and the
-    * per-token log-probs; without the localCheckpoint Catalyst re-expands
-    * the subtree and the full corpus tokenize+aggregate runs twice — at
+    * corpus.
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame =
+    surprisalWithLm(docs, unigramLogProbs(docs))
+
+  /** The trained unigram LM: (tok, lp) with lp = ln(count/total) rounded
+    * to 9dp. This is the frozen artifact a serving/streaming path scores
+    * against — persist it like any other index.
+    *
+    * The vocab aggregate feeds BOTH the corpus total and the per-token
+    * log-probs; without the localCheckpoint Catalyst re-expands the
+    * subtree and the full corpus tokenize+aggregate runs twice — at
     * 100 TB that is an entire extra pass over the data to compute one
     * scalar. The checkpoint materializes only vocab-sized rows (same
     * trade, and same disclosure, as ngramJaccard's inverted-index
     * checkpoint: executor-local blocks, lineage cut — prefer reliable
-    * checkpoint on a real cluster if executor loss matters).
-    */
-  def unigramSurprisal(docs: DataFrame): DataFrame = {
-    val toks = tokens(docs).select("doc_id", "tok")
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    * checkpoint on a real cluster if executor loss matters). */
+  def unigramLogProbs(docs: DataFrame): DataFrame = {
+    val vocab = tokens(docs).groupBy("tok").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val total = vocab.agg(sum("cnt").as("tot"))
-    val lp = vocab.crossJoin(broadcast(total))
+    vocab.crossJoin(broadcast(total))
       .select(col("tok"), round(log(col("cnt") / col("tot")), 9).as("lp"))
-    toks.join(broadcast(lp), Seq("tok"))
+  }
+
+  /** Per-doc mean −ln p against a supplied (tok, lp) model; ordered-fold
+    * summation keeps the float total partition-invariant. Unknown tokens
+    * are skipped (inner join) — identical to the self-trained form, where
+    * they cannot occur. */
+  def surprisalWithLm(docs: DataFrame, lp: DataFrame): DataFrame =
+    tokens(docs).select("doc_id", "tok")
+      .join(broadcast(lp), Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         expr("aggregate(array_sort(collect_list(lp)), cast(0 as double), (a, x) -> a + x)")
           .as("slp"))
       .select(col("doc_id"), col("n_tokens"),
         round(-col("slp") / col("n_tokens"), 6).as("surprisal"))
-  }
 }

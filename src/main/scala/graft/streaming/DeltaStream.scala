@@ -57,6 +57,28 @@ object DeltaStream {
       .dropDuplicatesWithinWatermark("dedup_key")
       .drop("dedup_key")
 
+  /** Streaming corpus curation: score every micro-batch of documents
+    * against a FROZEN, batch-trained unigram LM (`CorpusStats
+    * .unigramLogProbs` — train once on the reference corpus, persist,
+    * reload) and hand the per-doc keep/drop verdicts to `sink`. The LM
+    * join is stream-static and broadcast, the repetition/quality metrics
+    * are micro-batch-local aggregations — exactly the batch
+    * `curationVerdictWithLm`, so streamed verdicts are bit-identical to
+    * what a batch re-run over the same documents would produce.
+    * Micro-batch docs whose tokens are all outside the trained
+    * vocabulary score no surprisal and are dropped by the LM join —
+    * retrain or widen the LM if the stream drifts. */
+  def curationIngest(docs: DataFrame, lp: DataFrame, checkpoint: String)
+                    (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.functions.CorpusStats.curationVerdictWithLm(batch, lp),
+          batchId)
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+
   /** Declarative gap-sessionization: Spark's native `session_window`
     * (watermarked, state managed by the engine) — the zero-custom-code
     * twin of [[sessionize]]; use mapGroupsWithState only when the session

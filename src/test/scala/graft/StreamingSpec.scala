@@ -107,6 +107,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation verdicts are bit-identical to the batch run under a frozen LM") {
+    import scala.collection.mutable
+    implicit val sqlCtx = spark.sqlContext
+
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "a model of data and text is built from tokens and the corpus counts"),
+      (3L, "spam spam spam spam spam spam")).toDF("doc_id", "text")
+    // the frozen artifact: train once, reuse across every micro-batch
+    val lp = graft.functions.CorpusStats.unigramLogProbs(train).localCheckpoint()
+
+    val scored = mutable.Map[Long, org.apache.spark.sql.Row]()
+    val input = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-curate").toString
+    val q = DeltaStream.curationIngest(
+      input.toDF().toDF("doc_id", "text"), lp, ckpt) { (verdicts, _) =>
+      verdicts.collect().foreach(r => scored(r.getAs[Long]("doc_id")) = r)
+    }
+    // doc 13 repeats one long token but keeps heuristic quality high, so
+    // the repetition rule (not low_quality) is what rejects it
+    val repetitive =
+      "database database database engine pipeline throughput the scheduler"
+    try {
+      input.addData((10L, "the quick brown fox jumps over the lazy dog")); q.processAllAvailable()
+      input.addData((11L, "spam spam spam spam"), (12L, "unseen words only"),
+        (13L, repetitive)); q.processAllAvailable()
+    } finally q.stop()
+
+    // doc 12 is fully out-of-vocabulary -> no surprisal -> dropped by the LM join
+    assert(scored.keySet == Set(10L, 11L, 13L), scored.keySet)
+    assert(scored(11L).getAs[String]("reason") == "low_quality")
+    assert(scored(13L).getAs[String]("reason") == "repetitive")
+
+    // the streamed verdicts equal a batch re-run over the same docs + LM
+    val batch = graft.functions.CorpusStats.curationVerdictWithLm(
+      Seq((10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "spam spam spam spam"), (13L, repetitive))
+        .toDF("doc_id", "text"), lp)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- Seq(10L, 11L, 13L))
+      assert(scored(id).toSeq == batch(id).toSeq, s"doc $id diverged")
+  }
+
   test("streaming vector ingest keeps the IVF index fresh via foreachBatch appendAssign") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
