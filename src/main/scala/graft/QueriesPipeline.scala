@@ -563,6 +563,28 @@ object QueriesPipeline {
         SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS kept
         FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
         ORDER BY a.vec_id
+      """)),
+
+    // Corpus-duplicated n-gram profile (Lee et al. 2022 substring dedup
+    // at trigram granularity): dup_frac = share of a doc's distinct
+    // trigrams that occur in at least one OTHER doc; >= 0.8 flags
+    // boilerplate. One gram-count shuffle + one join-back — no pairs.
+    "d12_dup_ngrams" -> Q(
+      (s, d) => Dedup.duplicatedNgrams(docs(s, d), "doc_id", "text", 3, 0.8)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+          FROM t WHERE len(toks) >= 3),
+        nd AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram),
+        per AS (
+          SELECT doc_id, count(*) AS n_grams,
+                 round(avg(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE, 6) AS dup_frac
+          FROM g JOIN nd USING (gram) GROUP BY doc_id)
+        SELECT * FROM per WHERE dup_frac >= 0.8 ORDER BY doc_id
       """)))
 
   val text: Map[String, Q] = Map(
@@ -950,7 +972,24 @@ object QueriesPipeline {
             JOIN ua USING (doc_id) JOIN lm USING (doc_id))
         SELECT *, (reason = 'ok') AS keep FROM v ORDER BY doc_id
         """
-      }))
+      }),
+
+    // Per-source document cap (RefinedWeb-style per-domain caps): keep
+    // the 10 longest docs per source, ties by doc_id — the two-phase
+    // salted election in Sampling.capPerGroup, exact vs the naive
+    // single-window oracle.
+    "t15_source_caps" -> Q(
+      (s, d) => graft.functions.Sampling.capPerGroup(
+          docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "n_chars", "doc_id", cap = 10)
+        .orderBy(col("source"), col("doc_id")),
+      Some("""
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents) WHERE rn <= 10 ORDER BY source, doc_id
+      """)))
 
   val ann: Map[String, Q] = Map(
     // O4 scale path: IVF partition-pruned ANN (centroids = first 10

@@ -432,4 +432,50 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
+
+  /** Corpus-duplicated n-gram profile — the n-gram-granular cousin of
+    * exact substring dedup (Lee et al. 2022): an n-gram is "duplicated"
+    * when it occurs in more than one document, and a document's
+    * `dup_frac` is the duplicated share of its DISTINCT n-grams. Docs
+    * at/above `minFrac` are flagged as boilerplate/templated content.
+    * Complements [[chunkDedup]]: chunks measure exact fixed-window
+    * repetition, this measures what fraction of a doc's phrasing exists
+    * anywhere else in the corpus, independent of alignment.
+    *
+    * Reference scope: the reference app has no corpus-level text dedup
+    * (per-query search only) — this is part of the training-pipeline
+    * extension suite alongside d1–d11.
+    *
+    * Output: (doc_id, n_grams, dup_frac) for flagged docs; docs with
+    * fewer than `n` tokens have no grams and never appear.
+    *
+    * Shape at scale: explode to distinct (doc, gram) rows, ONE
+    * gram-keyed COUNT with full map-side partial aggregation, join the
+    * per-gram doc-counts back (the agg output is already hash-partitioned
+    * by gram, so only the probe side exchanges), then ONE doc-keyed
+    * aggregation. No self-join, no pair explosion — cost is linear in
+    * corpus grams, and a boilerplate gram repeated 10⁶ times ships one
+    * count row, not 10⁶ pair rows. At 100 TB the gram key would be
+    * `xxhash64(gram)` (8-byte shuffle keys, collision odds ~n²/2⁶⁴);
+    * the string key here keeps the result bit-exact against the SQL
+    * oracle.
+    */
+  def duplicatedNgrams(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minFrac: Double): DataFrame = {
+    // Feeds both the per-gram count and the join-back probe: without the
+    // checkpoint the tokenize+shingle explode runs twice (self-joins
+    // don't share scans). Same trade as `ngramJaccard`'s inverted index —
+    // see the fault-tolerance note on connectedComponents.
+    val grams = docs.select(col(idCol),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("gram"))
+      .localCheckpoint()
+    // shingles() is array_distinct per doc, so count(*) per gram ==
+    // number of distinct docs containing it — no countDistinct needed.
+    val docsPerGram = grams.groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+    grams.join(docsPerGram, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(when(col("nd") > 1, 1.0d).otherwise(0.0d)), 6).as("dup_frac"))
+      .where(col("dup_frac") >= minFrac)
+  }
 }

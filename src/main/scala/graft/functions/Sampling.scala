@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based sampling for training-data pipelines.
@@ -41,5 +42,35 @@ object Sampling {
   def split(df: DataFrame, keyCol: String, heldOutBps: Int): (DataFrame, DataFrame) = {
     val b = hashBucket(col(keyCol))
     (df.where(b >= heldOutBps), df.where(b < heldOutBps))
+  }
+
+  /** Per-group row cap (RefinedWeb/C4-style per-DOMAIN caps): keep the
+    * top `cap` rows of each group by `orderCol` DESC, ties broken by
+    * `idCol` ASC — fully deterministic, so the kept set is reproducible
+    * across runs and engines.
+    *
+    * Skew design: web corpora have power-law domains — one hot domain
+    * can hold 1%+ of the corpus, and a single `row_number` window over
+    * `groupCol` would funnel all of it through ONE task. Phase 1 salts
+    * each group into `salts` shards by row-id hash and takes the local
+    * top-`cap` per shard (parallel across the cluster); only the
+    * ≤ salts·cap survivors per group reach the phase-2 exact window.
+    * The result is IDENTICAL to the naive single-window form — any row
+    * in the global top-cap is necessarily in the top-cap of its own
+    * shard — but the heavy pass is skew-free and the exact pass sees
+    * O(salts·cap) rows per group regardless of group size.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+                  idCol: String, cap: Int, salts: Int = 8): DataFrame = {
+    val shard = pmod(HashOps.tokenHash32(col(idCol).cast("string")), lit(salts.toLong))
+    val local = Window.partitionBy(col(groupCol), shard)
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    val exact = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("__rl", row_number().over(local))
+      .where(col("__rl") <= cap)
+      .withColumn("__rg", row_number().over(exact))
+      .where(col("__rg") <= cap)
+      .drop("__rl", "__rg")
   }
 }

@@ -108,6 +108,23 @@ class DedupSpec extends SparkSpec {
     assert(h.values.forall(v => v >= 0 && v <= 0xFFFFFFFFL))
   }
 
+  test("duplicated ngrams: shared trigrams raise dup_frac, unique docs stay clean") {
+    // doc 1 vs 3 share all but the final trigram ("over the lazy dog/cat");
+    // doc 4 and 5 share nothing with anyone.
+    val all = Dedup.duplicatedNgrams(docs, "doc_id", "text", 3, 0.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // 7 distinct trigrams each; 6 shared between docs 1 and 3 (all but
+    // the final "the lazy dog" / "the lazy cat") -> round(6/7, 6)
+    assert(all(1L) == ((7L, 0.857143)))
+    assert(all(3L) == ((7L, 0.857143)))
+    assert(all(4L)._2 == 0.0)
+    assert(all(5L)._2 == 0.0)
+    // threshold filters to exactly the boilerplate-heavy docs
+    val flagged = Dedup.duplicatedNgrams(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.intersect(Set(4L, 5L)).isEmpty && flagged.contains(1L))
+  }
+
   test("minhash signatures are permutation-count complete and stable") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3)
     val counts = sigs.groupBy("doc_id").count().collect()

@@ -100,6 +100,24 @@ class TextHashOpsSpec extends SparkSpec {
     assert((t & h).isEmpty && (t ++ h).size == n.toLong) // leakage-free, total
   }
 
+  test("capPerGroup: salted two-phase election equals the naive window under 90% skew") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Sampling
+    import spark.implicits._
+    // one hot group with 900 rows (and score ties), many cold singletons
+    val rows = (0 until 900).map(i => (i.toLong, "hot", (i % 7).toLong)) ++
+      (900 until 1000).map(i => (i.toLong, s"cold$i", i.toLong))
+    val df = rows.toDF("id", "grp", "score")
+    val got = Sampling.capPerGroup(df, "grp", "score", "id", cap = 5, salts = 4)
+      .select("id", "grp").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val naive = df.withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy($"grp").orderBy($"score".desc, $"id".asc)))
+      .where($"rn" <= 5).select("id", "grp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == naive)
+    assert(got.count(_._2 == "hot") == 5 && got.size == 105)
+  }
+
   test("pii redaction: typed placeholders, url-before-email order, clean text untouched") {
     val df = Seq(
       "mail me at jane.doe+x@corp.example.org today",
