@@ -989,6 +989,22 @@ object QueriesPipeline {
                  row_number() OVER (PARTITION BY source
                                     ORDER BY n_chars DESC, doc_id) AS rn
           FROM documents) WHERE rn <= 10 ORDER BY source, doc_id
+      """)),
+
+    // Tokenizer-coverage analysis: corpus top-100 vocab (count desc, token
+    // asc — a deterministic total order), per-doc OOV occurrence rate.
+    "t16_vocab_oov" -> Q(
+      (s, d) => graft.functions.CorpusStats.vocabOovRates(docs(s, d), 100)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+        cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 100)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE, 6)
+                 AS oov_rate
+        FROM toks LEFT JOIN vocab v USING (tok)
+        GROUP BY doc_id ORDER BY doc_id
       """)))
 
   val ann: Map[String, Q] = Map(

@@ -159,4 +159,35 @@ object CorpusStats {
           .as("slp"))
       .select(col("doc_id"), col("n_tokens"),
         round(-col("slp") / col("n_tokens"), 6).as("surprisal"))
+
+  /** Tokenizer-coverage analysis: build the corpus top-`vocabSize`
+    * unigram vocabulary (ties broken by token ascending, so the vocab
+    * set is engine-reproducible) and score every document's OOV rate —
+    * the share of its token OCCURRENCES outside the vocabulary. The
+    * pre-tokenizer-training question "what % of the corpus does a
+    * V-entry vocab cover, and which docs are full of junk tokens?".
+    *
+    * Output: (doc_id, n_tokens, oov_rate); docs with zero tokens never
+    * appear (no occurrences to classify).
+    *
+    * Shape at scale: ONE token-count shuffle with full map-side combine
+    * (the vocab agg), a top-V sort over the VOCABULARY (|vocab| ≪
+    * corpus — a few million rows even web-scale, and Spark plans
+    * orderBy+limit as TakeOrdered: per-partition heaps, never a global
+    * sort-exchange), then a BROADCAST left-semi-style join of the tiny
+    * vocab against the token stream and ONE doc-keyed aggregation. The
+    * corpus is scanned twice (count pass + score pass) — the same two
+    * passes any tokenizer trainer makes.
+    */
+  def vocabOovRates(docs: DataFrame, vocabSize: Int = 100): DataFrame = {
+    val counts = tokens(docs).groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val vocab = counts.orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize).select(col("tok"), lit(1).as("in_vocab"))
+    tokens(docs)
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(when(col("in_vocab").isNull, 1.0d).otherwise(0.0d)), 6)
+          .as("oov_rate"))
+  }
 }

@@ -90,4 +90,19 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(1L) == ((1L, 1L, "w x")))
     assert(out(2L) == ((1L, 0L, "")), "doc 2 loses its only chunk to doc 1")
   }
+
+  test("vocabOovRates: top-V vocab with deterministic tie-break, occurrence-share OOV") {
+    // counts: a=3, b=2, c=2, d=1, e=1 -> V=3 vocab {a, b, c} (c beats d
+    // on count; b beats c only lexically — the tie-break under test)
+    val docs = docsOf(1L -> "a a b c d", 2L -> "a b c e", 3L -> "")
+    val out = CorpusStats.vocabOovRates(docs, vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 2L), "zero-token doc must not appear")
+    assert(out(1L) == ((5L, 0.2))) // only "d" of 5 occurrences is OOV
+    assert(out(2L) == ((4L, 0.25))) // only "e" of 4
+    // shrinking the vocab flips c's occurrences to OOV in both docs
+    val v2 = CorpusStats.vocabOovRates(docs, vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(v2(1L) == 0.4 && v2(2L) == 0.5)
+  }
 }
