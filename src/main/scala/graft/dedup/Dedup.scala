@@ -126,14 +126,13 @@ object Dedup {
       .select(col(idCol), col("j").cast("int").as("j"), col("sig"))
   }
 
-  /** MinHash + LSH near-dup pairs: band-bucket join proposes candidates,
-    * true shingle Jaccard >= threshold confirms. Output
-    * (id_a, id_b, jaccard), deterministic ordering. */
-  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 n: Int, threshold: Double): DataFrame = {
-    // Band keys assembled from the wide signature row — 4 band rows per
-    // doc, each a "jj:sig,..." string (format matches the SQL oracle's
-    // string_agg ordered by j).
+  /** LSH band rows (id, band_id, band) for a document set: 4 band rows
+    * per doc, each a "jj:sig,..." string (format matches the SQL oracle's
+    * string_agg ordered by j). Shared by [[minhashLsh]] (batch pair
+    * mining) and `DeltaStream.lshDedupIngest` (streaming ingest gate,
+    * which joins fresh band rows against a persisted store of them). */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
     val nBands = MinhashPerms / MinhashBandRows
     val bandStructs = (0 until nBands).map { b =>
       val key = concat_ws(",", (0 until MinhashBandRows).map { r =>
@@ -142,9 +141,17 @@ object Dedup {
       }: _*)
       struct(lit(b).as("band_id"), key.as("band"))
     }
-    val bands = minhashSignaturesWide(docs, idCol, textCol, n)
+    minhashSignaturesWide(docs, idCol, textCol, n)
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band_id").as("band_id"), col("bb.band").as("band"))
+  }
+
+  /** MinHash + LSH near-dup pairs: band-bucket join proposes candidates,
+    * true shingle Jaccard >= threshold confirms. Output
+    * (id_a, id_b, jaccard), deterministic ordering. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int, threshold: Double): DataFrame = {
+    val bands = minhashBands(docs, idCol, textCol, n)
     // Candidates by grouping each LSH bucket and expanding pairs inside it
     // — ONE pass over the signature pipeline and one shuffle, instead of a
     // self-join that recomputes the whole signature subtree for each side.
@@ -449,33 +456,51 @@ object Dedup {
     * Output: (doc_id, n_grams, dup_frac) for flagged docs; docs with
     * fewer than `n` tokens have no grams and never appear.
     *
-    * Shape at scale: explode to distinct (doc, gram) rows, ONE
-    * gram-keyed COUNT with full map-side partial aggregation, join the
-    * per-gram doc-counts back (the agg output is already hash-partitioned
-    * by gram, so only the probe side exchanges), then ONE doc-keyed
-    * aggregation. No self-join, no pair explosion — cost is linear in
-    * corpus grams, and a boilerplate gram repeated 10⁶ times ships one
-    * count row, not 10⁶ pair rows. At 100 TB the gram key would be
-    * `xxhash64(gram)` (8-byte shuffle keys, collision odds ~n²/2⁶⁴);
-    * the string key here keeps the result bit-exact against the SQL
-    * oracle.
+    * Shape at scale — INVERTED so the gram stream is consumed exactly
+    * once, with no join-back: `dup_frac = 1 − unique/total`, where a
+    * doc's "unique" grams are those whose corpus occurrence count is 1
+    * (and whose sole holder is therefore that doc). One gram-keyed
+    * `count + min(doc)` aggregation with full map-side combine (a
+    * boilerplate gram repeated 10⁶ times collapses to one row per map
+    * task — skew-immune, same election as [[chunkDedup]]), filtered to
+    * count==1, re-keyed by the winning doc (≤ one row per UNIQUE gram,
+    * aggregating to ≤ one row per doc), then a doc-sized join against
+    * per-doc totals computed straight off the docs scan
+    * (`size(shingles(...))` — no explode, no shuffle). The heavy explode
+    * is evaluated once and never materialized; every post-shuffle
+    * dataset is vocabulary- or corpus-row-sized, not gram-stream-sized.
     */
   def duplicatedNgrams(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, minFrac: Double): DataFrame = {
-    // Feeds both the per-gram count and the join-back probe: without the
-    // checkpoint the tokenize+shingle explode runs twice (self-joins
-    // don't share scans). Same trade as `ngramJaccard`'s inverted index —
-    // see the fault-tolerance note on connectedComponents.
-    val grams = docs.select(col(idCol),
-        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("gram"))
-      .localCheckpoint()
-    // shingles() is array_distinct per doc, so count(*) per gram ==
-    // number of distinct docs containing it — no countDistinct needed.
-    val docsPerGram = grams.groupBy(col("gram")).agg(count(lit(1)).as("nd"))
-    grams.join(docsPerGram, Seq("gram"))
+    // Stage the token array in its OWN projection (the shingleRows
+    // trick): shingles() references its input many times inside a
+    // higher-order lambda, where Catalyst neither CSEs nor collapses —
+    // passing the raw tokenize tree would re-split the text per
+    // element_at (measured 150×: ~5 s instead of ~0.3 s at sf0.1 for
+    // the explode alone).
+    val staged = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    // shingles() is array_distinct per doc, so a gram's row count ==
+    // number of distinct docs containing it — no countDistinct needed,
+    // and when that count is 1, min(doc) IS the unique holder.
+    val uniqPerDoc = staged
+      .select(col(idCol), explode(TextOps.shingles(col("__toks"), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("nd"), min(col(idCol)).as(idCol))
+      .where(col("nd") === 1)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        round(avg(when(col("nd") > 1, 1.0d).otherwise(0.0d)), 6).as("dup_frac"))
+      .agg(count(lit(1)).as("uniq"))
+    // Filter on the CHEAP equivalent predicate (>= n tokens ⟺ >= 1 gram)
+    // BEFORE computing the shingle count: `where(n_grams > 0)` would be
+    // pushed below the projection with the whole shingle transform
+    // substituted inline — the 150× re-evaluation again, this time inside
+    // a scan-level Filter.
+    val totals = staged.where(size(col("__toks")) >= n)
+      .select(col(idCol),
+        size(TextOps.shingles(col("__toks"), n)).cast("long").as("n_grams"))
+    totals.join(uniqPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        round((col("n_grams") - coalesce(col("uniq"), lit(0L)))
+          .cast("double") / col("n_grams"), 6).as("dup_frac"))
       .where(col("dup_frac") >= minFrac)
   }
 }

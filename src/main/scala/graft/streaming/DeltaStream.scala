@@ -79,6 +79,56 @@ object DeltaStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Streaming NEAR-dup gate at ingest: every micro-batch is MinHash-
+    * banded (`Dedup.minhashBands` — same signatures as the batch d3
+    * path) and checked against a persisted band store; a doc is dropped
+    * when any of its band keys is already present (an LSH candidate =
+    * near-dup suspect; the ingest gate errs toward dropping, like a
+    * bloom gate — run the batch confirm join offline if precision
+    * matters). Within a batch the same rule applies against smaller doc
+    * ids: collision losers drop in ONE pass (a loser's own bands don't
+    * suppress later docs until it wins elsewhere — the standard greedy
+    * LSH-dedup approximation; deterministic on ids, not arrival order).
+    * Survivors append their band rows to the store, so the gate's state
+    * grows with the KEPT corpus only and is shared, restartable parquet
+    * — not per-executor memory. At scale, partition the store by
+    * `band_id` and z-order/sort by `band` so the per-batch semi-join
+    * prunes to the probed row groups.
+    *
+    * `sink` receives the surviving raw doc rows per batch. */
+  def lshDedupIngest(docs: DataFrame, bandStore: String, checkpoint: String,
+                     n: Int = 3)
+                    (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.dedup.Dedup.minhashBands(batch, "doc_id", "text", n)
+          .localCheckpoint() // three consumers below; bands are tiny (4/doc)
+        val stored =
+          try spark.read.parquet(bandStore).select(col("band_id"), col("band"))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.emptyDataFrame.select(lit(0).as("band_id"), lit("").as("band"))
+              .limit(0) }
+        val hitStore = fresh.join(stored, Seq("band_id", "band"), "left_semi")
+          .select(col("doc_id"))
+        // intra-batch: a band's keeper is its min doc_id (partial-agg min,
+        // skew-immune); every other doc holding that band drops.
+        val intraLosers = fresh
+          .join(fresh.groupBy(col("band_id"), col("band"))
+              .agg(min(col("doc_id")).as("keeper")),
+            Seq("band_id", "band"))
+          .where(col("doc_id") =!= col("keeper"))
+          .select(col("doc_id"))
+        val dropIds = hitStore.union(intraLosers).distinct()
+        val survivors = batch.join(dropIds, Seq("doc_id"), "left_anti")
+        fresh.join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .write.mode("append").parquet(bandStore)
+        sink(survivors, batchId)
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+
   /** Declarative gap-sessionization: Spark's native `session_window`
     * (watermarked, state managed by the engine) — the zero-custom-code
     * twin of [[sessionize]]; use mapGroupsWithState only when the session

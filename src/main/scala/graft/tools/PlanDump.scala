@@ -40,6 +40,14 @@ object PlanDump {
           plan(graft.search.Ann.semDedup(emb, cent, 0.35))
         case "curation" =>
           plan(graft.functions.CorpusStats.curationVerdict(docs))
+        case "dup_ngrams" =>
+          plan(graft.dedup.Dedup.duplicatedNgrams(docs, "doc_id", "text", 3, 0.8))
+        case "vocab_oov" =>
+          plan(graft.functions.CorpusStats.vocabOovRates(docs, 100))
+        case "source_caps" =>
+          plan(graft.functions.Sampling.capPerGroup(
+            docs.select(col("doc_id"), col("source"), col("n_chars")),
+            "source", "n_chars", "doc_id", 10))
         case other => s"(unknown plan name: $other)"
       }
       println(s"=== $n ===")

@@ -150,6 +150,42 @@ class StreamingSpec extends SparkSpec {
       assert(scored(id).toSeq == batch(id).toSeq, s"doc $id diverged")
   }
 
+  test("lshDedupIngest: near-dups drop across and within batches; state survives restart") {
+    import scala.collection.mutable
+    implicit val sqlCtx = spark.sqlContext
+    val kept = mutable.Map[Long, String]()
+    val store = java.nio.file.Files.createTempDirectory("graft-lsh-store").toString + "/bands"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lsh-ck").toString
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    val nearDup = "the quick brown fox jumps over the lazy dog today" // shares most shingles
+    val fresh = "completely different content about spark catalyst optimizer internals"
+    val input = MemoryStream[(Long, String)]
+    val q = DeltaStream.lshDedupIngest(
+      input.toDF().toDF("doc_id", "text"), store, ckpt) { (batch, _) =>
+      batch.collect().foreach(r => kept(r.getAs[Long]("doc_id")) = r.getAs[String]("text"))
+    }
+    try {
+      // batch 1: base + an identical twin -> intra-batch keeper is min id
+      input.addData((1L, base), (2L, base)); q.processAllAvailable()
+      // batch 2: near-dup of doc 1 (store hit) + genuinely new content
+      input.addData((3L, nearDup), (4L, fresh)); q.processAllAvailable()
+    } finally q.stop()
+    assert(kept.keySet == Set(1L, 4L), kept.keySet)
+
+    // restart against the same band store: the gate state is the parquet
+    // store, not JVM memory — a re-sent near-dup still drops
+    val kept2 = mutable.Map[Long, String]()
+    val input2 = MemoryStream[(Long, String)]
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-lsh-ck2").toString
+    val q2 = DeltaStream.lshDedupIngest(
+      input2.toDF().toDF("doc_id", "text"), store, ckpt2) { (batch, _) =>
+      batch.collect().foreach(r => kept2(r.getAs[Long]("doc_id")) = r.getAs[String]("text"))
+    }
+    try { input2.addData((5L, base), (6L, "another entirely novel document body")); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(kept2.keySet == Set(6L), kept2.keySet)
+  }
+
   test("streaming vector ingest keeps the IVF index fresh via foreachBatch appendAssign") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
