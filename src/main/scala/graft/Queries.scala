@@ -217,6 +217,27 @@ object Queries {
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
       """)),
 
+    // Arbitrary GROUPING SETS (the general form behind q7's rollup and
+    // q12's cube): per-status totals, per-priority totals, and the grand
+    // total in ONE pass — one shuffle serves all three groupings via
+    // Expand, instead of three scans + a union.
+    "q21_grouping_sets" -> Q(
+      (s, d) => Tables(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+      """)),
+
     // U3-style set algebra: INTERSECT and EXCEPT over id sets, tagged.
     "q13_set_ops" -> Q(
       (s, d) => {

@@ -1005,6 +1005,33 @@ object QueriesPipeline {
                  AS oov_rate
         FROM toks LEFT JOIN vocab v USING (tok)
         GROUP BY doc_id ORDER BY doc_id
+      """)),
+
+    // DSIR importance weights: unigram log-likelihood ratio between the
+    // lang='en' target slice and the raw corpus, Laplace-smoothed; a
+    // doc's score is its mean token LLR (ordered-fold, bit-exact).
+    "t17_dsir_weights" -> Q(
+      (s, d) => graft.functions.CorpusStats
+        .dsirWeights(docs(s, d), col("lang") === "en")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest($tokensSql) AS tok FROM documents),
+        cnt AS (
+          SELECT tok, count(*) AS cr,
+                 coalesce(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0) AS ct
+          FROM toks GROUP BY tok),
+        tot AS (SELECT count(*) AS v, sum(cr) AS tr, sum(ct) AS tt FROM cnt),
+        llr AS (
+          SELECT tok,
+                 round(ln(((ct + 1) / (tt + v)::DOUBLE) /
+                          ((cr + 1) / (tr + v)::DOUBLE)), 9) AS w
+          FROM cnt CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY w)),
+                                 (acc, x) -> acc + x) / count(*), 6) AS dsir_score
+        FROM toks JOIN llr USING (tok)
+        GROUP BY doc_id ORDER BY doc_id
       """)))
 
   val ann: Map[String, Q] = Map(
@@ -1312,6 +1339,42 @@ object QueriesPipeline {
                round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
         FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
         ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
+    // MMR diversity re-rank: greedy λ-blend of relevance vs redundancy
+    // over the top-20 arm; the oracle replays the exact greedy loop as a
+    // recursive CTE on the same 6dp-rounded cosines.
+    "a10_mmr_rerank" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qv = emb.where(col("vec_id") === Queries.QueryVecId)
+          .select(col("embedding").as("qvec"))
+        Ann.mmrRerank(emb, qv, m = 20, k = 10, lambda = 0.7)
+          .orderBy(col("mmr_rank"))
+      },
+      Some("""
+        WITH RECURSIVE
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        cand AS (
+          SELECT vec_id AS id,
+                 round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS rel,
+                 embedding::DOUBLE[] AS v
+          FROM embeddings CROSS JOIN q
+          ORDER BY rel DESC, id LIMIT 20),
+        sel AS (
+          SELECT 1 AS mmr_rank, id, round(0.7 * rel, 9) AS mmr_score, [id] AS chosen
+          FROM (SELECT * FROM cand ORDER BY rel DESC, id LIMIT 1)
+          UNION ALL
+          SELECT s.mmr_rank + 1, p.id, p.mmr, list_append(s.chosen, p.id)
+          FROM sel s CROSS JOIN LATERAL (
+            SELECT c.id,
+                   round(0.7 * c.rel - 0.3 * (
+                     SELECT max(round(list_cosine_similarity(c.v, c2.v), 6))
+                     FROM cand c2 WHERE list_contains(s.chosen, c2.id)), 9) AS mmr
+            FROM cand c WHERE NOT list_contains(s.chosen, c.id)
+            ORDER BY mmr DESC, c.id ASC LIMIT 1) p
+          WHERE s.mmr_rank < 10)
+        SELECT mmr_rank, id, mmr_score FROM sel ORDER BY mmr_rank
       """)))
 
   /** TF-IDF bucket-space CTEs shared by the embed-search oracle. */

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -159,6 +159,44 @@ object CorpusStats {
           .as("slp"))
       .select(col("doc_id"), col("n_tokens"),
         round(-col("slp") / col("n_tokens"), 6).as("surprisal"))
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"), unigram variant:
+    * every token gets a Laplace-smoothed log-likelihood ratio
+    * `ln(p_target / p_raw)` between a TARGET subset (rows where
+    * `isTarget`) and the full raw corpus, and a document's score is its
+    * mean token LLR — high-scoring docs "look like" the target domain
+    * and are what importance resampling keeps. Deterministic: integer
+    * counts, LLR rounded to 9dp, per-doc sum as an ordered fold (the
+    * same bit-exactness discipline as [[unigramSurprisal]]).
+    *
+    * Shape at scale: ONE token-count aggregation carrying both raw and
+    * target counts (`sum(is_t)` rides the same shuffle as the count —
+    * the target pass is free), checkpointed so the totals row doesn't
+    * re-expand the corpus aggregate, then a broadcast vocab join and a
+    * doc-keyed fold. At web scale the token key would be a hash bucket
+    * (DSIR's 10k-bucket trick) — same plan, smaller vocab table.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val toks = docs.select(col("doc_id"), isTarget.cast("long").as("is_t"),
+        posexplode(expr("filter(split(text, ' '), t -> t != '')")))
+      .toDF("doc_id", "is_t", "pos", "tok")
+    val cnt = toks.groupBy("tok")
+      .agg(count(lit(1)).as("cr"), sum(col("is_t")).as("ct"))
+      .localCheckpoint()
+    val tot = cnt.agg(count(lit(1)).as("v"), sum("cr").as("tr"), sum("ct").as("tt"))
+    val llr = cnt.crossJoin(broadcast(tot))
+      .select(col("tok"), round(log(
+        ((col("ct") + 1) / (col("tt") + col("v"))) /
+          ((col("cr") + 1) / (col("tr") + col("v")))), 9).as("w"))
+    toks.join(broadcast(llr), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("aggregate(array_sort(collect_list(w)), cast(0 as double), (a, x) -> a + x)")
+          .as("sw"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sw") / col("n_tokens"), 6).as("dsir_score"))
+  }
 
   /** Tokenizer-coverage analysis: build the corpus top-`vocabSize`
     * unigram vocabulary (ties broken by token ascending, so the vocab

@@ -290,4 +290,67 @@ object Ann {
       .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"), col("hit").isNull.as("kept"))
   }
+
+  /** Maximal Marginal Relevance diversity re-rank (Carbonell & Goldstein
+    * 1998): greedily select `k` of the top-`m` candidates, each step
+    * maximizing `λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)` — relevance
+    * traded against redundancy with what is already selected, the
+    * standard answer to "my top-10 is ten copies of the same passage".
+    *
+    * Determinism contract: candidate relevances and pairwise sims round
+    * to 6dp IN SPARK (the same `VectorOps.cosineSim` + round the s1/a1
+    * oracles pin), the MMR objective to 9dp, ties break on id ascending
+    * — so a SQL engine replaying the greedy loop (recursive CTE) lands
+    * on the identical selection. `1−λ` is derived in decimal arithmetic
+    * so it equals the SQL literal (IEEE `1.0 - 0.7` is NOT `0.3`).
+    *
+    * Scale shape: everything corpus-sized is distributed (the top-m arm
+    * is TakeOrdered); the greedy loop itself runs on the DRIVER over the
+    * bounded m-candidate set — m rels + m·m/2 rounded sims collected,
+    * k·m comparisons. That is the same bounded-head driver traffic as
+    * any top-k re-rank; there is nothing distributed left to do once
+    * only m≈tens of rows remain.
+    */
+  def mmrRerank(vectors: DataFrame, queryVec: DataFrame, m: Int, k: Int,
+                lambda: Double): DataFrame = {
+    val spark = vectors.sparkSession
+    val mu = (BigDecimal(1) - BigDecimal(lambda)).toDouble
+    val cand = vectors.crossJoin(broadcast(queryVec))
+      .select(col("vec_id").cast("long").as("id"),
+        round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("rel"),
+        col("embedding"))
+      .orderBy(col("rel").desc, col("id").asc)
+      .limit(m)
+      .localCheckpoint() // two consumers (rel head + pair matrix), m rows
+    val rels = cand.select(col("id"), col("rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val simRows = cand.select(col("id").as("id_a"), col("embedding").as("va"))
+      .crossJoin(cand.select(col("id").as("id_b"), col("embedding").as("vb")))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorOps.cosineSim(col("va"), col("vb")), 6).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def sim(a: Long, b: Long): Double = if (a < b) simRows((a, b)) else simRows((b, a))
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val remaining = scala.collection.mutable.LinkedHashMap(rels: _*)
+    val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
+    while (picked.size < math.min(k, rels.length)) {
+      val chosen = picked.map(_._2)
+      var bestId = -1L
+      var bestScore = Double.NegativeInfinity
+      remaining.foreach { case (id, rel) =>
+        val pen = if (chosen.isEmpty) 0.0 else chosen.map(s => sim(id, s)).max
+        val score = round9(lambda * rel - mu * pen)
+        if (score > bestScore || (score == bestScore && id < bestId)) {
+          bestId = id; bestScore = score
+        }
+      }
+      picked += ((picked.size + 1, bestId, bestScore))
+      remaining.remove(bestId)
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("mmr_rank", "id", "mmr_score")
+  }
 }

@@ -105,4 +105,23 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(v2(1L) == 0.4 && v2(2L) == 0.5)
   }
+
+  test("dsirWeights: target==corpus scores exactly zero; target-like docs rank higher") {
+    import org.apache.spark.sql.functions._
+    val docs = docsOf(
+      1L -> "alpha beta alpha gamma",
+      2L -> "alpha beta delta",
+      3L -> "omega psi chi omega")
+    // p_target == p_raw when every doc is the target -> every LLR is
+    // ln(1) = 0 and every score is exactly 0.0
+    val zero = CorpusStats.dsirWeights(docs, lit(true))
+      .collect().map(r => r.getDouble(2))
+    assert(zero.forall(_ == 0.0), zero.toList.toString)
+    // target = docs 1,2 -> their shared alpha/beta vocab carries positive
+    // LLR, doc 3's omega/psi/chi vocab negative
+    val w = CorpusStats.dsirWeights(docs, col("doc_id") < 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > 0 && w(2L) > 0 && w(3L) < 0, w.toString)
+    assert(w(3L) < w(1L) && w(3L) < w(2L))
+  }
 }

@@ -186,4 +186,39 @@ class IndexSpec extends SparkSpec {
     ensure()
     assert(builds == 2)
   }
+
+  test("mmr: lambda=1 reduces to plain top-k; selection is reproducible") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.04f)),
+      (3L, Array(0.6f, 0.8f)),
+      (4L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val qv = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("qvec")
+    val plain = graft.search.Ann.mmrRerank(vecs, qv, m = 4, k = 3, lambda = 1.0)
+      .collect().map(_.getLong(1)).toList
+    assert(plain == List(1L, 2L, 3L), plain.toString)
+    def run() = graft.search.Ann.mmrRerank(vecs, qv, m = 4, k = 4, lambda = 0.5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toList
+    val a = run(); val b = run()
+    assert(a == b, "greedy selection must be deterministic")
+    assert(a.map(_._1) == List(1, 2, 3, 4))
+  }
+
+  test("mmr: near-dup of the first pick is demoted below a diverse candidate") {
+    import spark.implicits._
+    // q != v10, so sim(11,10) ~ 1 EXCEEDS rel(11) and the penalty bites:
+    //   11: 0.5*0.971 - 0.5*0.999 < 0   (near-dup of the winner)
+    //   12: 0.5*0.600 - 0.5*0.588 > 0   (diverse arm)
+    val vecs = Seq(
+      (10L, Array(0.98f, 0.2f, 0.0f)),
+      (11L, Array(0.97f, 0.24f, 0.0f)), // near-dup of 10
+      (12L, Array(0.6f, 0.0f, 0.8f))    // diverse
+    ).toDF("vec_id", "embedding")
+    val qv = Seq(Tuple1(Array(1.0f, 0.0f, 0.0f))).toDF("qvec")
+    val out = graft.search.Ann.mmrRerank(vecs, qv, m = 3, k = 3, lambda = 0.5)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toList
+    assert(out.map(_._2) == List(10L, 12L, 11L), out.toString)
+  }
 }
