@@ -1549,6 +1549,23 @@ object QueriesPipeline {
           .orderBy(col("dist"), col("id_a"), col("id_b"))
           .limit(50)
       },
+      None),
+    // Mergeable-sketch quantiles (distribution monitoring at 100 TB:
+    // t-digest-style approx_percentile needs one pass + tiny merges,
+    // where the exact q17 path must full-sort each group). Rows-only:
+    // sketches aren't bit-reproducible across engines — the oracle gate
+    // records rows, and LifecycleAnnSpec bounds the error against the
+    // exact interpolated percentiles instead.
+    "x3_approx_quantile" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_percentile(col("value"),
+            array(lit(0.5), lit(0.95), lit(0.99)), lit(1000)).as("q_approx"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          col("q_approx")(0).as("p50"), col("q_approx")(1).as("p95"),
+          col("q_approx")(2).as("p99"), col("n"))
+        .orderBy(col("event_type")),
       None))
 
   /** Int8-quantized cosine top-k (O5): scale cancels in cosine, so the

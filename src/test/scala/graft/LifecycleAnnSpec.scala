@@ -92,6 +92,30 @@ class LifecycleAnnSpec extends SparkSpec {
     }
   }
 
+  test("approx quantile sketch: p50/p95/p99 within rank error of exact percentiles") {
+    // x3 is rows-only in the oracle gate (sketch internals aren't
+    // cross-engine reproducible); this bounds it instead: with accuracy
+    // 1000 the rank error is ~1/1000, so against the exact per-group
+    // value distribution each approximate quantile must sit within a
+    // generous +-2% RANK window of its target.
+    val ev = Tables.events(spark, Sf0001)
+    val groups = ev.select("event_type").distinct()
+      .collect().map(_.getString(0))
+    for (g <- groups) {
+      val vals = ev.where(col("event_type") === g)
+        .select("value").collect().map(_.getDouble(0)).sorted
+      val approx = ev.where(col("event_type") === g)
+        .agg(approx_percentile(col("value"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(1000)))
+        .collect()(0).getSeq[Double](0)
+      for (((p, a), i) <- Seq(0.5, 0.95, 0.99).zip(approx).zipWithIndex) {
+        val lo = vals(math.max(0, ((p - 0.02) * (vals.length - 1)).toInt))
+        val hi = vals(math.min(vals.length - 1, math.ceil((p + 0.02) * (vals.length - 1)).toInt))
+        assert(a >= lo && a <= hi, s"$g p$p[$i]: $a outside [$lo, $hi]")
+      }
+    }
+  }
+
   test("hyperplane-lsh near-dup: identical vectors always pair at 1.0; all pairs meet the floor") {
     val emb = Tables.embeddings(spark, Sf0001)
     val planted = emb.union(emb.where(col("vec_id") === 1)
