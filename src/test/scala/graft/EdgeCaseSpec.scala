@@ -60,4 +60,36 @@ class EdgeCaseSpec extends SparkSpec {
     val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
     assert(lines == Seq("""{"doc_id":1,"text":"a"}""", """{"doc_id":2,"text":"b"}"""))
   }
+
+  test("duplicatedNgrams on short/empty docs: below-n docs absent, singleton corpus all-unique") {
+    val docs = Seq((1L, "one two"), (2L, ""), (3L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedNgrams(docs, "doc_id", "text", 3, 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // docs 1 (2 tokens) and 2 (0 tokens) have no trigrams -> absent;
+    // doc 3's grams exist nowhere else -> dup_frac 0
+    assert(out == Map(3L -> 0.0), out.toString)
+  }
+
+  test("capPerGroup with cap larger than every group keeps everything") {
+    import graft.functions.Sampling
+    val df = Seq((1L, "a", 5L), (2L, "a", 3L), (3L, "b", 9L)).toDF("id", "grp", "v")
+    assert(Sampling.capPerGroup(df, "grp", "v", "id", cap = 10).count() == 3)
+  }
+
+  test("vocabOovRates with vocab larger than the corpus vocabulary: zero OOV everywhere") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = graft.functions.CorpusStats.vocabOovRates(docs, vocabSize = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out == Map(1L -> 0.0, 2L -> 0.0), out.toString)
+  }
+
+  test("mmr with k and m exceeding the corpus returns every vector once, ranked") {
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val qv = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("qvec")
+    val out = graft.search.Ann.mmrRerank(vecs, qv, m = 50, k = 50, lambda = 0.7)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.toList == List((1, 1L), (2, 2L)), out.toList.toString)
+  }
 }
