@@ -1375,6 +1375,63 @@ object QueriesPipeline {
             ORDER BY mmr DESC, c.id ASC LIMIT 1) p
           WHERE s.mmr_rank < 10)
         SELECT mmr_rank, id, mmr_score FROM sel ORDER BY mmr_rank
+      """)),
+
+    // Full diversity serving stack: IVF partition pruning feeds the MMR
+    // head — candidates come from the nprobe probed lists only (reads
+    // nprobe/k of the corpus), the greedy diversity re-rank sees 20 rows.
+    "a11_ivf_mmr" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val qv = emb.where(col("vec_id") === Queries.QueryVecId)
+          .select(col("embedding").as("qvec"))
+        val cand = Ann.ivfTopK(emb, centroids, qv, 3, 20).select(col("id"))
+        val candVecs = emb.join(cand, emb("vec_id") === cand("id"))
+          .select(col("vec_id"), col("embedding"))
+        Ann.mmrRerank(candVecs, qv, m = 20, k = 10, lambda = 0.7)
+          .orderBy(col("mmr_rank"))
+      },
+      Some("""
+        WITH RECURSIVE
+        cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        assign AS (
+          SELECT e.vec_id, c.cid, e.embedding,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                            c.cid ASC) AS rn
+          FROM embeddings e CROSS JOIN cent c),
+        asg AS (SELECT vec_id, cid, embedding FROM assign WHERE rn = 1),
+        probes AS (
+          SELECT cid FROM (
+            SELECT c.cid,
+                   round(list_cosine_similarity(c.cvec, q.qv), 6) AS qscore
+            FROM cent c CROSS JOIN q
+            ORDER BY qscore DESC, cid ASC LIMIT 3)),
+        cand AS (
+          SELECT a.vec_id AS id,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS rel,
+                 a.embedding::DOUBLE[] AS v
+          FROM asg a JOIN probes p ON a.cid = p.cid CROSS JOIN q
+          ORDER BY rel DESC, id ASC LIMIT 20),
+        sel AS (
+          SELECT 1 AS mmr_rank, id, round(0.7 * rel, 9) AS mmr_score, [id] AS chosen
+          FROM (SELECT * FROM cand ORDER BY rel DESC, id LIMIT 1)
+          UNION ALL
+          SELECT s.mmr_rank + 1, p.id, p.mmr, list_append(s.chosen, p.id)
+          FROM sel s CROSS JOIN LATERAL (
+            SELECT c.id,
+                   round(0.7 * c.rel - 0.3 * (
+                     SELECT max(round(list_cosine_similarity(c.v, c2.v), 6))
+                     FROM cand c2 WHERE list_contains(s.chosen, c2.id)), 9) AS mmr
+            FROM cand c WHERE NOT list_contains(s.chosen, c.id)
+            ORDER BY mmr DESC, c.id ASC LIMIT 1) p
+          WHERE s.mmr_rank < 10)
+        SELECT mmr_rank, id, mmr_score FROM sel ORDER BY mmr_rank
       """)))
 
   /** TF-IDF bucket-space CTEs shared by the embed-search oracle. */
