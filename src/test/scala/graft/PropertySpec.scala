@@ -148,4 +148,37 @@ class PropertySpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("capPerGroup == naive single-window model on random skewed tables") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = samples(for {
+      id <- Gen.chooseNum(0L, 5000L)
+      grp <- Gen.frequency(6 -> Gen.const("hot"), 4 -> Gen.oneOf("a", "b", "c", "d"))
+      v <- Gen.chooseNum(0L, 20L) // narrow range -> many ties
+    } yield (id, grp, v), 600).distinctBy(_._1)
+    val df = rows.toDF("id", "grp", "v")
+    for (cap <- Seq(1, 3, 17); salts <- Seq(1, 4)) {
+      val got = graft.functions.Sampling.capPerGroup(df, "grp", "v", "id", cap, salts)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val naive = df.withColumn("rn", row_number().over(
+          Window.partitionBy(col("grp")).orderBy(col("v").desc, col("id").asc)))
+        .where(col("rn") <= cap).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == naive, s"cap=$cap salts=$salts")
+    }
+  }
+
+  test("duplicatedNgrams: cloning the corpus drives every doc to dup_frac 1.0") {
+    val texts = samples(asciiText.suchThat(_.trim.split("\\s+").count(_.nonEmpty) >= 3), 40)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // every doc duplicated under a fresh id -> every gram occurs in >= 2 docs
+    val cloned = docs.union(docs.withColumn("doc_id", col("doc_id") + 10000L))
+    val fr = graft.dedup.Dedup.duplicatedNgrams(cloned, "doc_id", "text", 3, 0.0)
+      .collect().map(r => r.getDouble(2))
+    assert(fr.nonEmpty && fr.forall(_ == 1.0))
+    // and fractions are always within [0, 1] on the un-cloned corpus
+    val solo = graft.dedup.Dedup.duplicatedNgrams(docs, "doc_id", "text", 3, 0.0)
+      .collect().map(r => r.getDouble(2))
+    assert(solo.forall(f => f >= 0.0 && f <= 1.0))
+  }
 }
