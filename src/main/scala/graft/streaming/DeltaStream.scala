@@ -122,7 +122,14 @@ object DeltaStream {
           .select(col("doc_id"))
         val dropIds = hitStore.union(intraLosers).distinct()
         val survivors = batch.join(dropIds, Seq("doc_id"), "left_anti")
+        // One file per micro-batch append (band rows are 4/doc — tiny):
+        // a steady stream would otherwise shed shuffle-partition-many
+        // small files per trigger and the store's read side would choke
+        // on file count long before data size. Periodic `Store.compact`
+        // on the band store is the long-run answer; coalesce keeps the
+        // interval between compactions long.
         fresh.join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .coalesce(1)
           .write.mode("append").parquet(bandStore)
         sink(survivors, batchId)
       }
