@@ -143,6 +143,61 @@ class PlanShapeSpec extends SparkSpec {
       s"chunk keeper election must be an aggregate, not a window:\n$cd")
   }
 
+  test("round-4 curation plans: staged lambdas, group limits, vocabulary-only sorts") {
+    val docs = graft.tables.Tables.documents(spark, Sf0001)
+
+    // d12: the gram stream is consumed ONCE (inverted form, no join-back
+    // of exploded rows) and the expensive shingle transform appears in a
+    // Project/Generate, never inside a scan-level Filter (the pushed-down
+    // re-expansion that cost 150× before the staged-projection fix); the
+    // uniq-count side joins BROADCAST (doc-row-sized, not gram-sized)
+    val dn = graft.dedup.Dedup.duplicatedNgrams(docs, "doc_id", "text", 3, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(dn.contains("BroadcastHashJoin"), dn)
+    assert(!dn.contains("SortMergeJoin"), dn)
+    val dnGenerates = "Generate explode".r.findAllIn(dn).length
+    assert(dnGenerates == 1,
+      s"gram stream must be exploded exactly once, saw $dnGenerates:\n$dn")
+    // the scan-side filter must be the CHEAP size(tokens) form, not the
+    // re-expanded shingle transform
+    val scanFilter = dn.linesIterator.filter(_.contains("DataFilters"))
+      .mkString("\n")
+    assert(!scanFilter.contains("transform"),
+      s"scan filter must not re-expand the shingle lambda:\n$scanFilter")
+
+    // t15: both window phases carry Spark's partial WindowGroupLimit —
+    // every input partition is cut to its local top-cap BEFORE each
+    // exchange, so a hot domain cannot funnel its rows into one task
+    val caps = graft.functions.Sampling.capPerGroup(
+        docs.select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("n_chars")),
+        "source", "n_chars", "doc_id", 10)
+      .queryExecution.executedPlan.toString
+    val partials = "WindowGroupLimit".r.findAllIn(caps).length
+    assert(partials >= 4, // (Partial + Final) × two phases
+      s"both cap phases must carry group limits, saw $partials:\n$caps")
+
+    // t16: the top-V select runs over the VOCABULARY via TakeOrdered
+    // (per-partition heaps), never a global Sort+Exchange of the corpus;
+    // the vocab only ever broadcasts
+    val oov = graft.functions.CorpusStats.vocabOovRates(docs, 100)
+      .queryExecution.executedPlan.toString
+    assert(oov.contains("TakeOrderedAndProject(limit=100"), oov)
+    assert(oov.contains("BroadcastHashJoin"), oov)
+    assert(!oov.contains("SortMergeJoin"), oov)
+
+    // t17: target counts ride the raw-count shuffle (one partial_sum in
+    // the same aggregate), LLR joins broadcast, corpus scanned twice at
+    // most (count pass + score pass)
+    val dsir = graft.functions.CorpusStats.dsirWeights(docs,
+        org.apache.spark.sql.functions.col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(dsir.contains("BroadcastHashJoin"), dsir)
+    assert(!dsir.contains("SortMergeJoin"), dsir)
+    assert(!dsir.contains("CartesianProduct"), dsir)
+  }
+
   test("trained-ivf rewrite: production kmeans index serves the same declarative shape") {
     import org.apache.spark.sql.functions._
     import graft.index.IvfIndex
