@@ -585,6 +585,36 @@ object QueriesPipeline {
                  round(avg(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE, 6) AS dup_frac
           FROM g JOIN nd USING (gram) GROUP BY doc_id)
         SELECT * FROM per WHERE dup_frac >= 0.8 ORDER BY doc_id
+      """)),
+
+    // Winnowing fingerprints (MOSS): positional trigram hashes, window-4
+    // minima, distinct selection; the digest is an order-free XOR fold.
+    // Pure per-row array expressions — zero shuffles in the whole plan.
+    "d13_winnowing" -> Q(
+      (s, d) => Dedup.winnowedFingerprints(docs(s, d), "doc_id", "text", 3, 4)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+          FROM t WHERE len(toks) >= 6),
+        h AS (
+          SELECT doc_id,
+                 list_transform(grams, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+          FROM g),
+        m AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3])) AS mins
+          FROM h),
+        f AS (
+          SELECT doc_id, len(mins)::BIGINT AS n_windows,
+                 list_sort(list_distinct(mins)) AS fps
+          FROM m)
+        SELECT doc_id, n_windows, len(fps)::BIGINT AS n_fps,
+               list_reduce(list_prepend(0::BIGINT, fps), (a, x) -> xor(a, x)) AS fp_digest
+        FROM f ORDER BY doc_id
       """)))
 
   val text: Map[String, Q] = Map(

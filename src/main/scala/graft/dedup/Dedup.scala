@@ -503,4 +503,47 @@ object Dedup {
           .cast("double") / col("n_grams"), 6).as("dup_frac"))
       .where(col("dup_frac") >= minFrac)
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * the MOSS algorithm): hash every POSITIONAL k-gram, slide a window
+    * of `w` consecutive hashes, keep each window's minimum — the selected
+    * distinct values are the document's fingerprint set. Winnowing
+    * guarantees any shared substring of length >= w + k − 1 tokens
+    * yields at least one shared fingerprint, at a ~2/(w+1) sampling
+    * rate — the principled fingerprint-density trade, where [[TextOps
+    * .fingerprint]] is a single whole-document rolling hash.
+    *
+    * Output: (id, n_windows, n_fps, fp_digest) — the digest is an
+    * XOR fold of the distinct fingerprints (order-free, so it is a
+    * stable engine-independent set digest). Docs shorter than
+    * k + w − 1 tokens have no full window and are absent.
+    *
+    * Shape at scale: the ENTIRE computation is per-row array expressions
+    * inside one projection chain — no explode, no shuffle, no join; cost
+    * is linear in corpus tokens and embarrassingly parallel. Each array
+    * stage (tokens → hashes → window minima → distinct) is staged as its
+    * own projection: every stage's lambda references its input many
+    * times, and an inline tree would be re-evaluated per element (the
+    * d12 lesson, pinned in PlanShapeSpec).
+    */
+  def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, w: Int = 4): DataFrame =
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= k + w - 1)
+      .select(col(idCol), transform(
+          sequence(lit(0), size(col("__toks")) - k),
+          i => HashOps.tokenHash32(concat_ws(" ",
+            (1 to k).map(j => element_at(col("__toks"), i + j)): _*)))
+        .as("__hs"))
+      .select(col(idCol), transform(
+          sequence(lit(0), size(col("__hs")) - w),
+          i => array_min(slice(col("__hs"), i + 1, lit(w))))
+        .as("__mins"))
+      .select(col(idCol), size(col("__mins")).cast("long").as("n_windows"),
+        array_sort(array_distinct(col("__mins"))).as("__fps"))
+      .select(col(idCol), col("n_windows"),
+        size(col("__fps")).cast("long").as("n_fps"),
+        expr("aggregate(__fps, cast(0 as bigint), (a, x) -> a ^ x)")
+          .as("fp_digest"))
 }

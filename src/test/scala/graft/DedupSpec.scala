@@ -125,6 +125,25 @@ class DedupSpec extends SparkSpec {
     assert(flagged.intersect(Set(4L, 5L)).isEmpty && flagged.contains(1L))
   }
 
+  test("winnowing: window-count formula, identical texts share digests, short docs absent") {
+    import spark.implicits._
+    val w = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // 9 tokens
+      (2L, "the quick brown fox jumps over the lazy dog"), // identical twin
+      (3L, "completely different words about spark catalyst internals here"), // 8 tokens
+      (4L, "too short here")) // 3 tokens < k + w - 1 = 6
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowedFingerprints(w, "doc_id", "text", 3, 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "short doc must be absent")
+    // n_windows = n_grams - w + 1 = (n_tokens - k + 1) - w + 1
+    assert(out(1L)._1 == 4 && out(3L)._1 == 3, out.toString)
+    assert(out(1L) == out(2L), "identical texts must fingerprint identically")
+    assert(out(1L)._3 != out(3L)._3, "different texts should digest differently")
+    // fingerprints are a subset of window minima: 1 <= n_fps <= n_windows
+    out.values.foreach { case (nw, nf, _) => assert(nf >= 1 && nf <= nw) }
+  }
+
   test("minhash signatures are permutation-count complete and stable") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3)
     val counts = sigs.groupBy("doc_id").count().collect()

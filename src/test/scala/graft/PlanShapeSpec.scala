@@ -187,6 +187,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(oov.contains("BroadcastHashJoin"), oov)
     assert(!oov.contains("SortMergeJoin"), oov)
 
+    // d13: winnowing is pure per-row array math — the plan must contain
+    // NO exchange, no generate, no join of any kind
+    val win = graft.dedup.Dedup.winnowedFingerprints(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!win.contains("Exchange"),
+      s"winnowing must be shuffle-free:\n$win")
+    assert(!win.contains("Join") && !win.contains("Generate"), win)
+
     // t17: target counts ride the raw-count shuffle (one partial_sum in
     // the same aggregate), LLR joins broadcast, corpus scanned twice at
     // most (count pass + score pass)
