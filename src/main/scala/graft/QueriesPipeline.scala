@@ -615,6 +615,33 @@ object QueriesPipeline {
         SELECT doc_id, n_windows, len(fps)::BIGINT AS n_fps,
                list_reduce(list_prepend(0::BIGINT, fps), (a, x) -> xor(a, x)) AS fp_digest
         FROM f ORDER BY doc_id
+      """)),
+
+    // Winnowing MATCH step (the MOSS report): pairs sharing >= 5 winnowed
+    // fingerprints, via the inverted-index bucket join — never all-pairs.
+    "d14_winnow_pairs" -> Q(
+      (s, d) => Dedup.winnowingPairs(docs(s, d), "doc_id", "text", 3, 4, 5)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+          FROM t WHERE len(toks) >= 6),
+        h AS (
+          SELECT doc_id,
+                 list_transform(grams, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+          FROM g),
+        m AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3])) AS mins
+          FROM h),
+        f AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 5
+        ORDER BY id_a, id_b
       """)))
 
   val text: Map[String, Q] = Map(

@@ -528,6 +528,16 @@ object Dedup {
     */
   def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
                            k: Int = 3, w: Int = 4): DataFrame =
+    winnowArrays(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("n_windows"),
+        size(col("__fps")).cast("long").as("n_fps"),
+        expr("aggregate(__fps, cast(0 as bigint), (a, x) -> a ^ x)")
+          .as("fp_digest"))
+
+  /** (id, n_windows, __fps sorted-distinct array) — the shared winnowing
+    * pipeline behind [[winnowedFingerprints]] and [[winnowingPairs]]. */
+  private def winnowArrays(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int, w: Int): DataFrame =
     docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= k + w - 1)
@@ -542,8 +552,38 @@ object Dedup {
         .as("__mins"))
       .select(col(idCol), size(col("__mins")).cast("long").as("n_windows"),
         array_sort(array_distinct(col("__mins"))).as("__fps"))
-      .select(col(idCol), col("n_windows"),
-        size(col("__fps")).cast("long").as("n_fps"),
-        expr("aggregate(__fps, cast(0 as bigint), (a, x) -> a ^ x)")
-          .as("fp_digest"))
+
+  /** Observed-metrics name for [[winnowingPairs]] bucket truncation —
+    * same alarm discipline as [[BucketStatsMetric]], distinct name so
+    * both can compose inside one query. */
+  val WinnowBucketStatsMetric = "graft_winnow_bucket_stats"
+
+  /** Winnowing near-dup pairs — the MOSS match step: two docs pair when
+    * they share at least `minShared` winnowed fingerprints. Inverted-
+    * index shape: fingerprints group into buckets (ONE shuffle with the
+    * doc lists collected per fingerprint), pairs expand INSIDE each
+    * bucket, then one pair-keyed count. Never an all-pairs comparison;
+    * bucket fan-out is capped at [[MaxBucketSize]] with the truncation
+    * count observable via [[WinnowBucketStatsMetric]] (a corpus-wide
+    * boilerplate fingerprint would otherwise expand quadratically — the
+    * same disclosure-not-silence rule as the LSH bucket cap).
+    */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, w: Int = 4, minShared: Int = 5): DataFrame =
+    winnowArrays(docs, idCol, textCol, k, w)
+      .select(col(idCol), explode(col("__fps")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(array_sort(collect_list(col(idCol))).as("all_ids"))
+      .observe(WinnowBucketStatsMetric,
+        sum(when(size(col("all_ids")) > MaxBucketSize, 1L).otherwise(0L))
+          .as("truncated_buckets"),
+        max(size(col("all_ids"))).as("max_bucket_size"))
+      .select(slice(col("all_ids"), 1, MaxBucketSize).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
 }

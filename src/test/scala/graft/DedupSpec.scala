@@ -144,6 +144,25 @@ class DedupSpec extends SparkSpec {
     out.values.foreach { case (nw, nf, _) => assert(nf >= 1 && nf <= nw) }
   }
 
+  test("winnowing pairs: identical twins share every fingerprint, unrelated docs never pair") {
+    import spark.implicits._
+    val w = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight again"), // twin of 1
+      (3L, "totally unrelated content about catalyst expression codegen rules"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowedFingerprints(w, "doc_id", "text", 3, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val pairs = Dedup.winnowingPairs(w, "doc_id", "text", 3, 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)), pairs.toString)
+    assert(pairs((1L, 2L)) == fps(1L), "twins must share every fingerprint")
+    // raising the threshold above the twin's fingerprint count empties it
+    val none = Dedup.winnowingPairs(w, "doc_id", "text", 3, 4,
+      minShared = fps(1L).toInt + 1).count()
+    assert(none == 0)
+  }
+
   test("minhash signatures are permutation-count complete and stable") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3)
     val counts = sigs.groupBy("doc_id").count().collect()
