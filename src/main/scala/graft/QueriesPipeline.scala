@@ -280,6 +280,53 @@ object QueriesPipeline {
 
   private val tokensSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** The full curation-verdict CTE chain (lang-ID arms → quality →
+    * repetition → surprisal → first-failing-rule verdict `v`). Shared by
+    * the t14 oracle and the t19 manifest oracle, which filters `v` to
+    * reason = 'ok'. */
+  private lazy val curationCtesSql: String = {
+    val arms = TextOps.langLexicons.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id, '$lang' AS lang,
+          len(list_filter($tokensSql, x -> list_contains([$lst], x))) AS hits
+          FROM documents"""
+    }.mkString("\n UNION ALL ")
+    s"""arms AS ($arms),
+        langpick AS (
+          SELECT doc_id, lang AS pred_lang FROM (
+            SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+              ORDER BY hits DESC, lang ASC) AS rn FROM arms) WHERE rn = 1),
+        tq AS (
+          SELECT doc_id, CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE ELSE round(
+            0.3::DOUBLE * (len(list_distinct(toks))::DOUBLE / len(toks)) +
+            0.3::DOUBLE * (1.0::DOUBLE - len(list_filter(toks,
+              x -> list_contains(['the','a','of','and','is'], x)))::DOUBLE / len(toks)) +
+            0.4::DOUBLE * least(length(array_to_string(toks, ''))::DOUBLE / len(toks)
+                                / 8.0::DOUBLE, 1.0::DOUBLE), 6) END AS quality
+          FROM (SELECT doc_id, $tokensSql AS toks FROM documents)),
+        toks AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+        uni AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        ua AS (
+          SELECT doc_id, round(max(c) / sum(c)::BIGINT, 6) AS top_token_frac
+          FROM uni GROUP BY doc_id),
+        cc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT sum(cnt) AS tot FROM cc),
+        lp AS (SELECT tok, round(ln(cnt / tot), 9) AS lp FROM cc CROSS JOIN tot),
+        lm AS (
+          SELECT doc_id,
+                 round(-list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY lp)),
+                                    (acc, x) -> acc + x) / count(*), 6) AS surprisal
+          FROM toks JOIN lp USING (tok) GROUP BY doc_id),
+        v AS (
+          SELECT l.doc_id, l.pred_lang, q.quality, ua.top_token_frac, lm.surprisal,
+                 CASE WHEN q.quality < 0.62 THEN 'low_quality'
+                      WHEN ua.top_token_frac > 0.13 THEN 'repetitive'
+                      WHEN lm.surprisal > 3.41 THEN 'surprising'
+                      ELSE 'ok' END AS reason
+          FROM langpick l JOIN tq q USING (doc_id)
+            JOIN ua USING (doc_id) JOIN lm USING (doc_id))"""
+  }
+
   /** SimHash hamming<=3 pair CTEs (shared by d6 and d7's cluster oracle).
     * Produces `sim_pairs(id_a, id_b, hamming)`. */
   private lazy val simhashPairsCtes = s"""
@@ -985,51 +1032,10 @@ object QueriesPipeline {
     "t14_curation_pipeline" -> Q(
       (s, d) => graft.functions.CorpusStats.curationVerdict(docs(s, d))
         .orderBy(col("doc_id")),
-      Some {
-        val arms = TextOps.langLexicons.map { case (lang, words) =>
-          val lst = words.map(w => s"'$w'").mkString(", ")
-          s"""SELECT doc_id, '$lang' AS lang,
-              len(list_filter($tokensSql, x -> list_contains([$lst], x))) AS hits
-              FROM documents"""
-        }.mkString("\n UNION ALL ")
-        s"""
-        WITH arms AS ($arms),
-        langpick AS (
-          SELECT doc_id, lang AS pred_lang FROM (
-            SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
-              ORDER BY hits DESC, lang ASC) AS rn FROM arms) WHERE rn = 1),
-        tq AS (
-          SELECT doc_id, CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE ELSE round(
-            0.3::DOUBLE * (len(list_distinct(toks))::DOUBLE / len(toks)) +
-            0.3::DOUBLE * (1.0::DOUBLE - len(list_filter(toks,
-              x -> list_contains(['the','a','of','and','is'], x)))::DOUBLE / len(toks)) +
-            0.4::DOUBLE * least(length(array_to_string(toks, ''))::DOUBLE / len(toks)
-                                / 8.0::DOUBLE, 1.0::DOUBLE), 6) END AS quality
-          FROM (SELECT doc_id, $tokensSql AS toks FROM documents)),
-        toks AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
-        uni AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
-        ua AS (
-          SELECT doc_id, round(max(c) / sum(c)::BIGINT, 6) AS top_token_frac
-          FROM uni GROUP BY doc_id),
-        cc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
-        tot AS (SELECT sum(cnt) AS tot FROM cc),
-        lp AS (SELECT tok, round(ln(cnt / tot), 9) AS lp FROM cc CROSS JOIN tot),
-        lm AS (
-          SELECT doc_id,
-                 round(-list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY lp)),
-                                    (acc, x) -> acc + x) / count(*), 6) AS surprisal
-          FROM toks JOIN lp USING (tok) GROUP BY doc_id),
-        v AS (
-          SELECT l.doc_id, l.pred_lang, q.quality, ua.top_token_frac, lm.surprisal,
-                 CASE WHEN q.quality < 0.62 THEN 'low_quality'
-                      WHEN ua.top_token_frac > 0.13 THEN 'repetitive'
-                      WHEN lm.surprisal > 3.41 THEN 'surprising'
-                      ELSE 'ok' END AS reason
-          FROM langpick l JOIN tq q USING (doc_id)
-            JOIN ua USING (doc_id) JOIN lm USING (doc_id))
+      Some(s"""
+        WITH $curationCtesSql
         SELECT *, (reason = 'ok') AS keep FROM v ORDER BY doc_id
-        """
-      }),
+        """)),
 
     // Per-source document cap (RefinedWeb-style per-domain caps): keep
     // the 10 longest docs per source, ties by doc_id — the two-phase
@@ -1089,6 +1095,54 @@ object QueriesPipeline {
                                  (acc, x) -> acc + x) / count(*), 6) AS dsir_score
         FROM toks JOIN llr USING (tok)
         GROUP BY doc_id ORDER BY doc_id
+      """)),
+
+    // End-to-end training-set manifest: curation verdict ∩ exact-dedup
+    // keepers → per-source caps → leakage-free hash split. The composed
+    // pipeline a training run actually consumes, as ONE oracle-checked
+    // declarative plan.
+    "t19_training_manifest" -> Q(
+      (s, dd) => {
+        import graft.functions.{CorpusStats, Sampling}
+        val d = docs(s, dd)
+        val curated = CorpusStats.curationVerdict(d)
+          .where(col("keep")).select(col("doc_id"))
+        val keepers = d
+          .withColumn("dk", array_join(array_sort(array_distinct(
+            TextOps.tokens(col("text")))), " "))
+          .groupBy(col("dk")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val survivors = d.join(curated, Seq("doc_id"), "left_semi")
+          .join(keepers, Seq("doc_id"), "left_semi")
+        Sampling.capPerGroup(
+            survivors.select(col("doc_id"), col("source"), col("n_chars")),
+            "source", "n_chars", "doc_id", cap = 15)
+          .withColumn("split",
+            when(Sampling.hashBucket(col("doc_id")) < 2000, "valid")
+              .otherwise("train"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $curationCtesSql,
+        dkt AS (
+          SELECT doc_id, source, n_chars,
+                 array_to_string(list_sort(list_distinct($tokensSql)), ' ') AS dkey
+          FROM documents),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM dkt GROUP BY dkey),
+        surv AS (
+          SELECT d.doc_id, d.source, d.n_chars FROM dkt d
+          JOIN keepers USING (doc_id)
+          JOIN (SELECT doc_id FROM v WHERE reason = 'ok') c USING (doc_id)),
+        capped AS (
+          SELECT doc_id, source, n_chars FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+                        ORDER BY n_chars DESC, doc_id) AS rn
+            FROM surv) WHERE rn <= 15)
+        SELECT doc_id, source, n_chars,
+               CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                         % 10000 < 2000
+                    THEN 'valid' ELSE 'train' END AS split
+        FROM capped ORDER BY doc_id
       """)))
 
   val ann: Map[String, Q] = Map(
