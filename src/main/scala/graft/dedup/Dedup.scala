@@ -571,6 +571,14 @@ object Dedup {
   def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, w: Int = 4, minShared: Int = 5): DataFrame =
     winnowArrays(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("__fps"))
+      // Materialization barrier: under the explode, column pruning strips
+      // the multi-reference columns that keep winnowArrays' stages apart,
+      // and the collapsed single-expression pipeline re-evaluates the
+      // k-gram hash array PER WINDOW (O(n²) md5s per doc — measured 280 s
+      // instead of ~1 s at sf0.1). The checkpoint is one fingerprint
+      // array per doc — corpus-row-sized, trivially small.
+      .localCheckpoint()
       .select(col(idCol), explode(col("__fps")).as("fp"))
       .groupBy(col("fp"))
       .agg(array_sort(collect_list(col(idCol))).as("all_ids"))
