@@ -48,6 +48,10 @@ object PlanDump {
           plan(graft.functions.Sampling.capPerGroup(
             docs.select(col("doc_id"), col("source"), col("n_chars")),
             "source", "n_chars", "doc_id", 10))
+        case "winnowing" =>
+          plan(graft.dedup.Dedup.winnowedFingerprints(docs, "doc_id", "text"))
+        case "winnow_pairs" =>
+          plan(graft.dedup.Dedup.winnowingPairs(docs, "doc_id", "text"))
         case other => s"(unknown plan name: $other)"
       }
       println(s"=== $n ===")
