@@ -13,8 +13,12 @@ Test / fork := true
 run / fork := true
 // Pass the forked JVM's stdout through verbatim (no "[info] " prefix):
 // Bench/Verify print machine-parsed JSON lines that a log-prefixed echo
-// would corrupt for downstream line-oriented JSON parsers.
-run / outputStrategy := Some(StdoutOutput)
+// would corrupt for downstream line-oriented JSON parsers. Must be set
+// UNSCOPED: `runMain` (how the driver invokes Bench/Verify) does not
+// delegate to the `run`-task-scoped key, so a `run / outputStrategy`
+// setting leaves runMain output "[info] "-prefixed — exactly the
+// corruption observed in BENCH_r01..r03 ("parsed": null).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
