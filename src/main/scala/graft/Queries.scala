@@ -189,6 +189,56 @@ object Queries {
         ORDER BY user_id, session_no
       """)),
 
+    // SCD Type-2 dimension build: turn a change stream into effective-
+    // dated rows (valid_from/valid_to + current flag), with consecutive
+    // no-op changes compressed out first (the real SCD2 subtlety — a
+    // reloaded-but-unchanged attribute must NOT open a new version).
+    // One window shuffle on the dimension key, no joins; at 100 TB the
+    // change stream is a sliver of the fact volume, so this is cheap by
+    // construction and the effective ranges then serve q11-style as-of
+    // lookups without re-sorting history per query.
+    "q22_scd2" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val changes = Tables.events(s, d)
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            round(col("value"), 2).as("attr"))
+          .withColumn("prev_attr", lag(col("attr"), 1).over(byUser))
+          .where(col("prev_attr").isNull || col("attr") =!= col("prev_attr"))
+        changes
+          .withColumn("valid_to_ts", lead(col("ts"), 1).over(byUser))
+          .select(col("user_id"), col("attr"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+            date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+            when(col("valid_to_ts").isNull, 1L).otherwise(0L).as("is_current"))
+          .orderBy(col("user_id"), col("valid_from"))
+      },
+      Some("""
+        WITH src AS (
+          SELECT user_id, ts, event_id, round(value, 2) AS attr
+          FROM events WHERE event_type = 'purchase'),
+        dedup AS (
+          SELECT * FROM (
+            SELECT user_id, ts, event_id, attr,
+                   lag(attr) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS prev_attr
+            FROM src)
+          WHERE prev_attr IS NULL OR attr <> prev_attr),
+        ranged AS (
+          SELECT user_id, attr, ts,
+                 lead(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS valid_to_ts
+          FROM dedup)
+        SELECT user_id, attr,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+               strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+               CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END::BIGINT AS is_current
+        FROM ranged ORDER BY user_id, valid_from
+      """)),
+
     // Rollup aggregation (multi-level totals in one pass — the shape every
     // reporting layer over 100 TB wants instead of K separate scans).
     "q7_rollup" -> Q(

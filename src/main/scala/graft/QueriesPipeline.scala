@@ -689,6 +689,53 @@ object QueriesPipeline {
         FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 5
         ORDER BY id_a, id_b
+      """)),
+
+    // Bloom-gated blocklist drop: keep every document whose text is NOT
+    // in the blocklist (here: all src3 texts, standing in for an eval/
+    // takedown set). Spark runs the two-arm bloom plan (sketch literal +
+    // confirm anti-join on the flagged sliver); the oracle is the plain
+    // set difference the gate must equal exactly.
+    "d15_bloom_gate" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val blocklist = dd.where(col("source") === "src3").select(col("text"))
+        graft.functions.BloomGate
+          .blocklistDrop(dd, col("text"), blocklist, col("text"),
+            expectedItems = 1000L)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE text NOT IN (SELECT text FROM documents WHERE source = 'src3')
+        ORDER BY doc_id
+      """)),
+
+    // Frequency-based boilerplate strip (CCNet/RefinedWeb rule at chunk
+    // granularity): a chunk text present in >= 2 distinct docs is
+    // boilerplate and ALL its occurrences drop — complements d10's
+    // first-occurrence-wins dedup.
+    "d16_boilerplate" -> Q(
+      (s, d) => Dedup.boilerplateStrip(docs(s, d), chunkSize = 4, maxDocs = 2)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokensSql AS arr FROM documents),
+        ch AS (
+          SELECT doc_id,
+                 unnest(range(0, (len(arr) + 3) // 4)) AS ci,
+                 unnest(list_transform(range(0, (len(arr) + 3) // 4),
+                   i -> array_to_string(list_slice(arr, i * 4 + 1, i * 4 + 4), ' '))) AS ct
+          FROM t),
+        stats AS (
+          SELECT ct, (count(DISTINCT doc_id) >= 2) AS boiler
+          FROM ch GROUP BY ct)
+        SELECT doc_id, count(*) AS n_chunks,
+               sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+               coalesce(string_agg(CASE WHEN NOT boiler THEN ct END,
+                                   ' ' ORDER BY ci), '') AS clean_text
+        FROM ch JOIN stats USING (ct)
+        GROUP BY doc_id ORDER BY doc_id
       """)))
 
   val text: Map[String, Q] = Map(
@@ -1101,6 +1148,26 @@ object QueriesPipeline {
     // keepers → per-source caps → leakage-free hash split. The composed
     // pipeline a training run actually consumes, as ONE oracle-checked
     // declarative plan.
+    // Systematic PPS sampling: 5 picks per source, selection decided by
+    // integer cumulative-weight arithmetic — long docs proportionally
+    // favored, bit-identical on any engine.
+    "t18_pps_sample" -> Q(
+      (s, d) => graft.functions.Sampling
+        .ppsSystematic(
+          docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "n_chars", "doc_id", n = 5)
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, source, n_chars,
+                 sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum,
+                 sum(n_chars) OVER (PARTITION BY source) AS total
+          FROM documents)
+        SELECT doc_id, source, n_chars FROM w
+        WHERE (cum * 5) // total > ((cum - n_chars) * 5) // total
+        ORDER BY doc_id
+      """)),
+
     "t19_training_manifest" -> Q(
       (s, dd) => {
         import graft.functions.{CorpusStats, Sampling}
@@ -1180,6 +1247,53 @@ object QueriesPipeline {
                  round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS score
           FROM asg a JOIN probes p ON a.cid = p.cid CROSS JOIN q)
         SELECT id, score FROM hits ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
+    // Batched multi-query ANN: 8 queries answered by ONE plan over the
+    // shared IVF assignment (per-query probe lists broadcast, single
+    // pass, partial-window top-k per query). The throughput-serving
+    // counterpart of a1's single-query latency path.
+    "a12_batched_ann" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val queries = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Ann.ivfTopKBatched(Ann.ivfAssign(emb, centroids), centroids,
+          queries, nprobe = 3, k = 5)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        qs AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 8),
+        assign AS (
+          SELECT e.vec_id, c.cid, e.embedding,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                            c.cid ASC) AS rn
+          FROM embeddings e CROSS JOIN cent c),
+        asg AS (SELECT vec_id, cid, embedding FROM assign WHERE rn = 1),
+        probes AS (
+          SELECT qid, cid, qv FROM (
+            SELECT q.qid, c.cid, q.qv,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY round(list_cosine_similarity(c.cvec, q.qv), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM cent c CROSS JOIN qs q) WHERE rn <= 3),
+        hits AS (
+          SELECT p.qid, a.vec_id AS id,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], p.qv), 6) AS score
+          FROM asg a JOIN probes p ON a.cid = p.cid)
+        SELECT qid, id, score FROM (
+          SELECT qid, id, score,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, id ASC) AS rn
+          FROM hits) WHERE rn <= 5
+        ORDER BY qid ASC, score DESC, id ASC
       """)),
 
     // O4+O5 composed: IVF partition pruning AND int8-quantized scoring

@@ -440,6 +440,48 @@ object Dedup {
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 
+  /** Frequency-based boilerplate removal (CCNet/RefinedWeb line-dedup
+    * rule, applied at fixed-chunk granularity since this corpus has no
+    * line structure): a chunk text occurring in at least `maxDocs`
+    * DISTINCT documents is boilerplate (headers, banners, navigation,
+    * license blurbs), and EVERY occurrence is dropped — unlike
+    * [[chunkDedup]], which keeps the first occurrence. The two are
+    * complementary curation passes: chunkDedup de-duplicates content,
+    * this strips content that was never document-specific to begin with.
+    *
+    * Output per doc: (doc_id, n_chunks, n_dropped, clean_text).
+    *
+    * Shape: one groupBy(ct) with a distinct-doc count (partial-aggregated;
+    * the hottest banner collapses map-side), then the chunk rows join the
+    * per-ct verdict ON ct — co-partitioned with the aggregate's exchange,
+    * so Spark reuses the shuffle rather than re-partitioning — and one
+    * groupBy(doc_id) reassembles survivors. No pairs, no windows; the
+    * chunk-text shuffle is the whole cost, same class as exact dedup.
+    */
+  def boilerplateStrip(docs: DataFrame, chunkSize: Int = 4,
+                       maxDocs: Int = 2): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(expr("filter(split(text, ' '), t -> t != '')")))
+      .toDF("doc_id", "pos", "tok")
+    val chunks = toks
+      .withColumn("ci", expr(s"pos div $chunkSize").cast("long"))
+      .groupBy("doc_id", "ci")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          _.getField("tok")), " ").as("ct"))
+    val verdicts = chunks.groupBy("ct")
+      .agg((countDistinct(col("doc_id")) >= maxDocs).as("boiler"))
+    chunks.join(verdicts, Seq("ct"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("boiler"), struct(col("ci"), col("ct"))))),
+            _.getField("ct")), " "), lit("")).as("clean_text"))
+  }
+
   /** Corpus-duplicated n-gram profile — the n-gram-granular cousin of
     * exact substring dedup (Lee et al. 2022): an n-gram is "duplicated"
     * when it occurs in more than one document, and a document's

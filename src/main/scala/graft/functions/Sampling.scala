@@ -73,4 +73,41 @@ object Sampling {
       .where(col("__rg") <= cap)
       .drop("__rl", "__rg")
   }
+
+  /** Systematic PPS (probability-proportional-to-size) sampling, per
+    * stratum: select `n` positions per stratum by walking the cumulative
+    * weight line and picking every row whose weight interval covers a
+    * multiple of `total/n` — big documents are proportionally more likely
+    * to be hit, which is exactly the size-bias a token-budgeted training
+    * mix wants (sampling DOCUMENTS uniformly under-weights long ones).
+    *
+    * Entirely INTEGER arithmetic: row selected iff
+    * `floor(cum·n / total) > floor((cum−w)·n / total)` with bigint
+    * division — no float thresholds, so the selected set is bit-identical
+    * on any engine (the `HashOps` determinism discipline). Rows are walked
+    * in `idCol` order; a fixed universe gives a fixed sample, and adding a
+    * shard of new ids changes only selections after the insertion point.
+    *
+    * Shape: two windows per stratum (running sum + stratum total), both
+    * partitioned by `strataCol` — parallel across strata, no global
+    * window. A single 100 TB stratum would swap the running sum for the
+    * standard two-phase form (per-partition partials + broadcast offsets);
+    * the selection rule is unchanged since it only needs (cum, w, total).
+    *
+    * Weights must be positive integers (token counts, byte sizes).
+    * Output: input rows that were selected, with their `__pick` multiple
+    * dropped. A row wider than `total/n` can cover several multiples but
+    * is emitted once.
+    */
+  def ppsSystematic(df: DataFrame, strataCol: String, weightCol: String,
+                    idCol: String, n: Int): DataFrame = {
+    val byStratum = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+    val whole = Window.partitionBy(col(strataCol))
+    df.withColumn("__w", col(weightCol).cast("long"))
+      .withColumn("__cum", sum(col("__w")).over(byStratum))
+      .withColumn("__total", sum(col("__w")).over(whole))
+      .where(expr(s"(__cum * ${n}L) div __total") >
+             expr(s"((__cum - __w) * ${n}L) div __total"))
+      .drop("__w", "__cum", "__total")
+  }
 }

@@ -110,6 +110,45 @@ object Ann {
       .limit(k)
   }
 
+  /** Batched multi-query IVF ANN — the serving-at-scale shape. One plan
+    * answers a whole TABLE of queries: per-query probe lists come from a
+    * (queries × centroids) broadcast ranking, the probed (qid, cid, qvec)
+    * set — Q·nprobe rows — broadcasts into a single pass over the
+    * assignment, and the per-query top-k is a rank window that Spark's
+    * WindowGroupLimit pushes partial (each list partition emits at most k
+    * rows per query before the shuffle).
+    *
+    * Why this matters at 100 TB: the reference serves queries one at a
+    * time against a RAM-resident graph (`app/services/search_service
+    * .py:120-180`); on a cluster the fixed per-job cost (scheduling, scan
+    * setup) dominates single-query latency, so throughput serving batches
+    * Q queries into ONE job — the assignment is still read once (and only
+    * the union of probed lists of it), not Q times.
+    *
+    * queries: (qid, qvec). Output: (qid, id, score), ≤ k rows per qid,
+    * scores rounded to 6dp for cross-engine determinism. */
+  def ivfTopKBatched(assigned: DataFrame, centroids: DataFrame,
+                     queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("qscore").desc, col("cid").asc)
+    val probed = queries.crossJoin(broadcast(centroids))
+      .withColumn("qscore", round(VectorOps.cosineSim(col("cvec"), col("qvec")), 6))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe)
+      .select(col("qid"), col("cid"), col("qvec"))
+
+    val wTopK = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    assigned
+      .join(broadcast(probed), Seq("cid")) // one pass; only probed lists
+      .select(col("qid"), col("vec_id").as("id"),
+        round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+      .withColumn("rn", row_number().over(wTopK))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("id"), col("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
   /** Convenience form that assigns inline — for tests/oracles; production
     * queries should pass a persisted assignment to [[ivfTopKAssigned]],
     * otherwise every query pays the O(N·k) assignment cost it is supposed

@@ -163,6 +163,47 @@ class DedupSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("boilerplate strip drops every occurrence of cross-doc chunks, keeps unique tails") {
+    // chunkSize=4: docs 1 and 3 share chunks "the quick brown fox" and
+    // "jumps over the lazy"; their tails ("dog"/"cat") are unique. Doc 2
+    // is a scramble — every chunk unique.
+    val out = Dedup.boilerplateStrip(docs, chunkSize = 4, maxDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 2L, "dog")), out(1L).toString)
+    assert(out(3L) == ((3L, 2L, "cat")), out(3L).toString)
+    assert(out(2L)._2 == 0L && out(2L)._3.nonEmpty) // scramble untouched
+    assert(out(4L)._2 == 0L && out(5L)._2 == 0L)
+  }
+
+  test("bloom gate equals the exact anti-join; flags no false negatives and only a sliver") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.BloomGate
+    val corpus = graft.tables.Tables.documents(spark, Sf0001)
+    val blocklist = corpus.where(col("source") === "src3").select(col("text"))
+    val gate = BloomGate.blocklistDrop(corpus, col("text"), blocklist, col("text"), 1000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = corpus
+      .join(blocklist.withColumnRenamed("text", "bt"), col("text") === col("bt"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gate == exact && exact.nonEmpty)
+
+    val total = corpus.count()
+    val blocked = total - exact.size
+    assert(blocked > 0, "fixture must block something")
+    val bloom = BloomGate.build(blocklist, col("text"), 1000L).get
+    val flagged = corpus.where(BloomGate.mightContain(bloom, col("text"))).count()
+    assert(flagged >= blocked, "bloom false negative: a blocked row escaped the flag")
+    // confirm-join input is blocked + fpp-sized noise, not the corpus
+    assert(flagged <= blocked + math.max(8L, (0.05 * total).toLong),
+      s"bloom barely prunes: flagged=$flagged blocked=$blocked total=$total")
+
+    // empty blocklist: degenerate gate keeps everything
+    val kept = BloomGate.blocklistDrop(corpus, col("text"), blocklist.limit(0),
+      col("text"), 10L).count()
+    assert(kept == total)
+  }
+
   test("minhash signatures are permutation-count complete and stable") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3)
     val counts = sigs.groupBy("doc_id").count().collect()

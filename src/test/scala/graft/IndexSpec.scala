@@ -98,6 +98,29 @@ class IndexSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("batched ANN: one plan over Q queries == per-query ivfTopKAssigned loop") {
+    import graft.search.Ann
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned = Ann.ivfAssign(emb, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    val batched = Ann.ivfTopKBatched(assigned, centroids, queries, nprobe = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+
+    (0L until 8L).foreach { qid =>
+      val qv = emb.where(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val single = Ann.ivfTopKAssigned(assigned, centroids, qv, nprobe = 3, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batched(qid) == single && single.nonEmpty, s"qid=$qid")
+    }
+    assigned.unpersist()
+  }
+
   test("pq: every (vector, subspace) encodes; ADC re-rank holds recall vs brute force") {
     import graft.search.Ann
     val emb = Tables.documents(spark, Sf0001).sparkSession

@@ -118,6 +118,35 @@ class TextHashOpsSpec extends SparkSpec {
     assert(got.count(_._2 == "hot") == 5 && got.size == 105)
   }
 
+  test("ppsSystematic: n picks per stratum, heavy rows guaranteed, multiple-cover collapses") {
+    import graft.functions.Sampling
+    val corpus = graft.tables.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val picks = Sampling.ppsSystematic(corpus, "source", "n_chars", "doc_id", n = 5)
+    val perSource = picks.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every stratum yields picks; at most n rows each (exactly n unless a
+    // single row spans several step multiples)
+    assert(perSource.nonEmpty && perSource.values.forall(c => c >= 1 && c <= 5))
+    // deterministic: re-running selects the identical set
+    val a = picks.collect().map(_.getLong(0)).toSet
+    val b = Sampling.ppsSystematic(corpus, "source", "n_chars", "doc_id", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+
+    // handcrafted: one row heavier than the step covers BOTH multiples and
+    // is emitted once; light rows before it are skipped
+    val tiny = Seq((1L, "s", 1L), (2L, "s", 1L), (3L, "s", 1L), (4L, "s", 97L))
+      .toDF("doc_id", "source", "n_chars")
+    val sel = Sampling.ppsSystematic(tiny, "source", "n_chars", "doc_id", n = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(sel == Seq(4L))
+    // a row wider than total/n can never be missed (pigeonhole)
+    val withHeavy = Sampling.ppsSystematic(tiny, "source", "n_chars", "doc_id", n = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(withHeavy.contains(4L))
+  }
+
   test("pii redaction: typed placeholders, url-before-email order, clean text untouched") {
     val df = Seq(
       "mail me at jane.doe+x@corp.example.org today",
