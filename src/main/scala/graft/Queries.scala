@@ -147,6 +147,63 @@ object Queries {
         GROUP BY band_id ORDER BY band_id
       """)),
 
+    // Interval-OVERLAP join (q14's interval×interval sibling): which user
+    // pairs had concurrently-active sessions, and how often. Session
+    // intervals come from the q6 sessionizer; the overlap join is
+    // bucketized to an equi-join with first-shared-bucket emission (no
+    // nested loop, no dedup shuffle) and the oracle is the plain theta
+    // join it must equal.
+    "q23_interval_overlap" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val iv = Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+              .otherwise(0))
+          .withColumn("session_no",
+            sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_no"))
+          .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+        val a = iv.select(col("user_id").as("user_a"),
+          col("lo").as("lo_a"), col("hi").as("hi_a"))
+        val b = iv.select(col("user_id").as("user_b"),
+          col("lo").as("lo_b"), col("hi").as("hi_b"))
+        graft.operators.RangeJoin
+          .intervalOverlap(a, "lo_a", "hi_a", b, "lo_b", "hi_b",
+            bucketWidth = 3600.0)
+          .where(col("user_a") < col("user_b"))
+          .groupBy(col("user_a"), col("user_b"))
+          .agg(count(lit(1)).as("n_overlaps"))
+          .orderBy(col("user_a"), col("user_b"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events),
+        m AS (
+          SELECT user_id, ts,
+                 CASE WHEN prev_ts IS NULL
+                        OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM g),
+        s AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+          FROM m),
+        iv AS (
+          SELECT user_id, min(ts) AS lo, max(ts) AS hi
+          FROM s GROUP BY user_id, session_no)
+        SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_overlaps
+        FROM iv a JOIN iv b
+          ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+        GROUP BY 1, 2 ORDER BY user_a, user_b
+      """)),
+
     // Gap-based sessionization, batch form (the streaming sessionizer's
     // deterministic twin): session starts where the gap to the previous
     // event of the same user exceeds 30 min (lag + cumulative sum).

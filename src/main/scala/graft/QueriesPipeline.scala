@@ -1148,6 +1148,32 @@ object QueriesPipeline {
     // keepers → per-source caps → leakage-free hash split. The composed
     // pipeline a training run actually consumes, as ONE oracle-checked
     // declarative plan.
+    // Uniform k-per-group sample (the distributed stand-in for per-group
+    // reservoir sampling): rank rows inside each group by their key HASH
+    // and keep the top k — a fixed uniform-ish pick that is reproducible
+    // across runs, engines and re-shards (a true reservoir's pick depends
+    // on encounter order, which a distributed scan does not have). Rides
+    // capPerGroup, so the heavy pass is the same salted skew-proof
+    // two-phase election as t15.
+    "t21_group_sample" -> Q(
+      (s, d) => graft.functions.Sampling.capPerGroup(
+          docs(s, d).select(col("doc_id"), col("source"),
+            graft.functions.Sampling.hashBucket(col("doc_id")).as("hb")),
+          "source", "hb", "doc_id", cap = 3)
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, source,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS hb
+          FROM documents),
+        r AS (
+          SELECT doc_id, source, hb,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY hb DESC, doc_id ASC) AS rn
+          FROM b)
+        SELECT doc_id, source, hb FROM r WHERE rn <= 3 ORDER BY doc_id
+      """)),
+
     // Systematic PPS sampling: 5 picks per source, selection decided by
     // integer cumulative-weight arithmetic — long docs proportionally
     // favored, bit-identical on any engine.

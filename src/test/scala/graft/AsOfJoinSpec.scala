@@ -81,6 +81,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.toSet == naive.toSet && got.nonEmpty)
   }
 
+  test("interval overlap: equi-join plan, pairs unique, equals naive theta join incl. touching ends") {
+    import graft.operators.RangeJoin
+    // overlapping, nested, touching-at-endpoint, disjoint and inverted cases
+    val lhs = Seq((1L, 0.0, 100.0), (2L, 50.0, 60.0), (3L, 200.0, 300.0),
+      (4L, 400.0, 350.0)).toDF("aid", "lo_a", "hi_a") // 4 is inverted
+    val rhs = Seq((10L, 90.0, 150.0), (11L, 55.0, 58.0), (12L, 300.0, 310.0),
+      (13L, 500.0, 600.0), (14L, 360.0, 390.0)).toDF("bid", "lo_b", "hi_b")
+    val joined = RangeJoin.intervalOverlap(lhs, "lo_a", "hi_a",
+      rhs, "lo_b", "hi_b", bucketWidth = 40.0)
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"overlap join must stay an equi-join:\n$plan")
+
+    val got = joined.select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length, "pair duplicated across shared buckets")
+    val naive = lhs.where(col("lo_a") <= col("hi_a")).join(rhs,
+        col("lo_a") <= col("hi_b") && col("lo_b") <= col("hi_a"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == naive.toSet && got.nonEmpty)
+    // endpoint touch (3: 200..300 vs 12: 300..310) is an overlap; inverted (4) is not
+    assert(got.toSet.contains((3L, 12L)))
+    assert(!got.exists(_._1 == 4L))
+  }
+
   test("range join guards: inverted intervals match nothing; runaway width raises a clear error") {
     import graft.operators.RangeJoin
     val points = Seq((1L, 50.0)).toDF("pid", "v")

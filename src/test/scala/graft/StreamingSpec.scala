@@ -227,6 +227,43 @@ class StreamingSpec extends SparkSpec {
     assert(top.forall(_._2 == 1.0), top)
   }
 
+  test("streaming ANN serve: per-batch answers equal the batch ivfTopKBatched plan") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned = graft.search.Ann.ivfAssign(emb, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val queries = emb.where(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val ckpt = Files.createTempDirectory("graft-ann-serve").toString
+    val q = DeltaStream.annServe(
+      input.toDF().toDF("qid", "qvec")
+        .select(col("qid"), col("qvec").cast("array<float>").as("qvec")),
+      assigned, centroids, ckpt, nprobe = 3, k = 5) { (res, _) =>
+      got ++= res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try {
+      input.addData(queries.take(3)); q.processAllAvailable()
+      input.addData(queries.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+
+    val batchAll = graft.search.Ann.ivfTopKBatched(assigned, centroids,
+        emb.where(col("vec_id") < 6)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        nprobe = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == batchAll.toSet && got.size == batchAll.length)
+    assigned.unpersist()
+  }
+
   test("stateful sessionization accumulates per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DeltaStream.Event]
