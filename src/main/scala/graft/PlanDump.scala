@@ -31,6 +31,34 @@ object PlanDump {
     dump("tfidf_search_indexed", SearchEngine.tfidfSearch(spark, dir, "spark join filter the data", 10))
     dump("minhash_lsh", graft.dedup.Dedup.minhashLsh(
       graft.tables.Tables.documents(spark, dir), "doc_id", "text", 3, 0.5))
+    dump("batched_ann", {
+      import org.apache.spark.sql.functions._
+      val emb = graft.tables.Tables.embeddings(spark, dir)
+      val centroids = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.search.Ann.ivfTopKBatched(
+        graft.search.Ann.ivfAssign(emb, centroids), centroids, queries, 3, 5)
+    })
+    dump("bloom_gate", {
+      import org.apache.spark.sql.functions._
+      val docs = graft.tables.Tables.documents(spark, dir)
+      graft.functions.BloomGate.blocklistDrop(
+        docs, col("text"),
+        docs.where(col("source") === "src3").select(col("text")),
+        col("text"), expectedItems = 1000L)
+    })
+    dump("interval_overlap", {
+      import org.apache.spark.sql.functions._
+      val iv = graft.tables.Tables.events(spark, dir)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      graft.operators.RangeJoin.intervalOverlap(
+        iv.select(col("user_id").as("user_a"), col("lo").as("lo_a"), col("hi").as("hi_a")),
+        "lo_a", "hi_a",
+        iv.select(col("user_id").as("user_b"), col("lo").as("lo_b"), col("hi").as("hi_b")),
+        "lo_b", "hi_b", bucketWidth = 86400.0)
+    })
     dump("zorder_scan", {
       import org.apache.spark.sql.functions._
       val out = graft.index.IndexCatalog.ensure(spark, dir, "zorder_v1") { p =>

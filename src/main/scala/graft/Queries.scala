@@ -167,6 +167,9 @@ object Queries {
             sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
           .groupBy(col("user_id"), col("session_no"))
           .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          // both overlap arms read the interval set: materialize the
+          // sessionizer ONCE (intervals are session-count-sized, tiny)
+          .localCheckpoint()
         val a = iv.select(col("user_id").as("user_a"),
           col("lo").as("lo_a"), col("hi").as("hi_a"))
         val b = iv.select(col("user_id").as("user_b"),
