@@ -276,6 +276,57 @@ object QueriesPipeline {
         SELECT count(*) AS n_rows,
                count(*) FILTER (doc_id % 25 = 0) AS n_null_ids
         FROM documents
+      """)),
+
+    // CDC changelog apply: a synthesized I/U/D op log (with a same-key
+    // U-then-D sequence to exercise last-writer-wins) folded into the
+    // base snapshot as ONE partial-aggregated election + full-outer join.
+    "i15_cdc_apply" -> Q(
+      (s, d) => {
+        val base = docs(s, d)
+        def ops(pred: org.apache.spark.sql.Column, seq: Long, op: String,
+                text: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+          base.where(pred).select(key.as("doc_id"), lit(seq).as("seq"),
+            lit(op).as("op"), text.as("text"), col("lang"), col("source"),
+            col("n_chars"))
+        val changes =
+          ops(col("doc_id") % 10 === 3, 1L, "D", col("text"), col("doc_id"))
+            .unionByName(ops(col("doc_id") % 10 === 4, 1L, "U",
+              upper(col("text")), col("doc_id")))
+            .unionByName(ops(col("doc_id") % 20 === 4, 2L, "D",
+              col("text"), col("doc_id"))) // outranks the seq-1 update
+            .unionByName(ops(col("doc_id") % 10 === 6, 1L, "I",
+              col("text"), col("doc_id") + 1000000L))
+        graft.ingest.Lifecycle
+          .applyChangelog(base, changes, "doc_id", "seq", "op")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH changes AS (
+          SELECT doc_id, 1::BIGINT AS seq, 'D' AS op, text, lang, source, n_chars
+          FROM documents WHERE doc_id % 10 = 3
+          UNION ALL
+          SELECT doc_id, 1, 'U', upper(text), lang, source, n_chars
+          FROM documents WHERE doc_id % 10 = 4
+          UNION ALL
+          SELECT doc_id, 2, 'D', text, lang, source, n_chars
+          FROM documents WHERE doc_id % 20 = 4
+          UNION ALL
+          SELECT doc_id + 1000000, 1, 'I', text, lang, source, n_chars
+          FROM documents WHERE doc_id % 10 = 6),
+        winner AS (
+          SELECT doc_id, arg_max(op, seq) AS op, arg_max(text, seq) AS text,
+                 arg_max(lang, seq) AS lang, arg_max(source, seq) AS source,
+                 arg_max(n_chars, seq) AS n_chars
+          FROM changes GROUP BY doc_id)
+        SELECT coalesce(b.doc_id, w.doc_id) AS doc_id,
+               CASE WHEN w.op IS NOT NULL THEN w.text ELSE b.text END AS text,
+               CASE WHEN w.op IS NOT NULL THEN w.lang ELSE b.lang END AS lang,
+               CASE WHEN w.op IS NOT NULL THEN w.source ELSE b.source END AS source,
+               CASE WHEN w.op IS NOT NULL THEN w.n_chars ELSE b.n_chars END AS n_chars
+        FROM documents b FULL OUTER JOIN winner w ON b.doc_id = w.doc_id
+        WHERE w.op IS NULL OR w.op <> 'D'
+        ORDER BY doc_id
       """)))
 
   private val tokensSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -1784,6 +1835,36 @@ object QueriesPipeline {
         WHERE length(substr(hx, ((frame_idx * length(hx)) // 8)::INT + 1, 24)) > 0
         ORDER BY media_id, frame_idx
       """)),
+
+    // Multimodal retrieval end-to-end: payload -> deterministic stand-in
+    // embedding (16-bin nibble histogram, pure Column exprs) -> cosine
+    // top-k. The full media search path with the model call stubbed at
+    // exactly the slot a real encoder drops into.
+    "m3_media_ann" -> Q(
+      (s, d) => {
+        val media = graft.multimodal.Multimodal
+          .attachMedia(docs(s, d), "doc_id", "text")
+          .select(col("doc_id").as("media_id"),
+            graft.multimodal.Multimodal.byteHistogram(col("payload")).as("hvec"))
+        val qv = media.where(col("media_id") === 0)
+          .select(col("hvec").as("qvec"))
+        media.crossJoin(broadcast(qv))
+          .select(col("media_id"),
+            round(graft.functions.VectorOps.cosineSim(col("hvec"), col("qvec")), 6)
+              .as("score"))
+          .orderBy(col("score").desc, col("media_id").asc)
+          .limit(10)
+      },
+      Some {
+        val binsSql = "0123456789ABCDEF"
+          .map(c => s"length(hx) - length(replace(hx, '$c', ''))").mkString(", ")
+        s"""
+        WITH h AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx FROM documents),
+        e AS (SELECT media_id, [$binsSql]::DOUBLE[] AS v FROM h),
+        q AS (SELECT v AS qv FROM e WHERE media_id = 0)
+        SELECT e.media_id, round(list_cosine_similarity(e.v, q.qv), 6) AS score
+        FROM e CROSS JOIN q ORDER BY score DESC, media_id ASC LIMIT 10
+      """}),
 
     // V6: zero-vector cosine is 0.0, not NaN — the fallback the reference
     // codes explicitly (cosine against a zero query must not poison

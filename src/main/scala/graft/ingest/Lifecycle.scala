@@ -71,6 +71,52 @@ object Lifecycle {
         concat(col(idCol).cast("string"), lit("_v"), col("version").cast("string")))
   }
 
+  /** CDC changelog apply — fold a stream of keyed I/U/D operations into a
+    * base snapshot and return the next snapshot (the lakehouse MERGE
+    * shape; the reference replays its import log one document at a time,
+    * `document_service.py:477-526` — at 100 TB the replay must be a
+    * set operation).
+    *
+    * `changes` carries (key, seqCol, opCol, <payload = base columns>);
+    * per key the HIGHEST seq wins (last-writer-wins). The winner election
+    * is `max(struct(seq, payload...))` — a partial-aggregated MIN/MAX,
+    * not a window, so a hot key (one document updated 10⁶ times in the
+    * batch) collapses map-side instead of funneling a partition. Apply is
+    * then one full-outer join against the base:
+    *
+    *  - key only in base            → unchanged base row
+    *  - winner op 'D'               → dropped (even if absent from base)
+    *  - winner op 'I'/'U' (upsert)  → the winner's payload
+    *
+    * `seqCol` values must be unique per key (any total order: log offset,
+    * commit LSN, file+row position) — required for a deterministic fold,
+    * and true of every real changelog. Payload columns must match
+    * `base.columns` minus nothing: full-row images (Debezium-style after
+    * images), not column deltas.
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame, idCol: String,
+                     seqCol: String, opCol: String): DataFrame = {
+    val payload = base.columns.toSeq
+    require(payload.contains(idCol), s"base must carry $idCol")
+    require(!payload.contains(seqCol) && !payload.contains(opCol),
+      s"base columns must not collide with $seqCol/$opCol")
+    // last-writer-wins election rides ONE partial aggregate: struct
+    // ordering is field-by-field, so putting seq first makes max() pick
+    // the highest-seq row and carry its op+payload atomically
+    val winner = changes
+      .groupBy(col(idCol))
+      .agg(max(struct((col(seqCol) +: col(opCol) +:
+        payload.filterNot(_ == idCol).map(col)): _*)).as("w"))
+      .select(col(idCol) +:
+        col(s"w.$opCol") +:
+        payload.filterNot(_ == idCol).map(c => col(s"w.$c").as(s"__c_$c")): _*)
+    base.join(winner, Seq(idCol), "full_outer")
+      .where(col(opCol).isNull || col(opCol) =!= "D")
+      .select(col(idCol) +: payload.filterNot(_ == idCol).map { c =>
+        when(col(opCol).isNotNull, col(s"__c_$c")).otherwise(col(c)).as(c)
+      }: _*)
+  }
+
   /** Validation predicate + quarantine split (P7,
     * `document_service.py:166-190`): a doc is valid iff it has an id and a
     * non-empty text field. Returns the full set tagged `is_valid` so both

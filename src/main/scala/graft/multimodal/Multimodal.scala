@@ -81,6 +81,22 @@ object Multimodal {
     }
   }
 
+  /** Deterministic 16-bin nibble histogram of a binary payload, as a
+    * float vector — the STAND-IN embedding for multimodal retrieval (a
+    * real deployment replaces this Column with a model call in the
+    * decode stage; everything downstream — ANN, dedup, fusion — is
+    * embedding-agnostic and unchanged). Pure Column expressions: hex the
+    * payload once, count each hex digit via length-after-translate —
+    * 16 codegen'd scalar ops, no UDF, no shuffle, reproducible on any
+    * engine. */
+  def byteHistogram(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val hx = hex(payload)
+    val bins = "0123456789ABCDEF".map { c =>
+      (length(hx) - length(translate(hx, c.toString, ""))).cast("double")
+    }
+    array(bins: _*).cast("array<float>")
+  }
+
   /** Deterministic frame sampling for video payloads: n evenly spaced
     * byte windows across the WHOLE payload — frame i starts at byte
     * floor(i·size/n), each frame is `frameBytes` bytes. Hex-encoded (hex,

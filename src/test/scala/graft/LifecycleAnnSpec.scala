@@ -25,6 +25,22 @@ class LifecycleAnnSpec extends SparkSpec {
     assert(out == Seq(1L, 3L))
   }
 
+  test("applyChangelog: last-writer-wins fold with insert, update, delete and absent-key delete") {
+    import graft.ingest.Lifecycle
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("id", "text")
+    val changes = Seq(
+      (1L, 1L, "U", "one-upd"),   // superseded by the seq-2 delete below
+      (1L, 2L, "D", "x"),
+      (2L, 1L, "D", "x"),
+      (3L, 1L, "U", "three-upd"),
+      (4L, 1L, "I", "four"),      // insert of a new key
+      (99L, 1L, "D", "x")         // delete of an absent key: a no-op
+    ).toDF("id", "seq", "op", "text")
+    val out = Lifecycle.applyChangelog(base, changes, "id", "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(3L -> "three-upd", 4L -> "four"), out.toString)
+  }
+
   test("latest/history version views split an append-only table") {
     val v = Seq((1L, 1, "old"), (1L, 2, "new"), (2L, 1, "only"))
       .toDF("id", "version", "text")
