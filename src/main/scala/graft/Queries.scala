@@ -147,6 +147,31 @@ object Queries {
         GROUP BY band_id ORDER BY band_id
       """)),
 
+    // UNPIVOT/melt (the inverse of q20's pivot): a wide per-source metric
+    // row reshaped to long (source, metric, value) — how monitoring and
+    // feature stores want their tables. One aggregate pass builds the
+    // wide row; the melt is a zero-shuffle Expand.
+    "q24_unpivot" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(avg(col("n_chars")).as("m_avg_chars"),
+          count(lit(1)).cast("double").as("m_docs"),
+          countDistinct(col("lang")).cast("double").as("m_langs"))
+        .unpivot(Array(col("source")),
+          Array(col("m_avg_chars"), col("m_docs"), col("m_langs")),
+          "metric", "value")
+        .orderBy(col("source"), col("metric")),
+      Some("""
+        WITH wide AS (
+          SELECT source, avg(n_chars) AS m_avg_chars,
+                 count(*)::DOUBLE AS m_docs,
+                 count(DISTINCT lang)::DOUBLE AS m_langs
+          FROM documents GROUP BY source)
+        SELECT source, metric, value
+        FROM wide UNPIVOT (value FOR metric IN (m_avg_chars, m_docs, m_langs))
+        ORDER BY source, metric
+      """)),
+
     // Interval-OVERLAP join (q14's interval×interval sibling): which user
     // pairs had concurrently-active sessions, and how often. Session
     // intervals come from the q6 sessionizer; the overlap join is

@@ -278,6 +278,47 @@ object QueriesPipeline {
         FROM documents
       """)),
 
+    // Data-quality audit: the constraint checks every pipeline gate runs
+    // before publishing a snapshot — null/empty keys, duplicate keys,
+    // range violations, referential integrity — as ONE declarative report
+    // (rule, n_violations). Single-table rules ride one aggregate pass
+    // over each table (melted to long form); the RI rule is an anti-join
+    // count. No collects: the report is itself a DataFrame.
+    "i16_dq_audit" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val docRules = dd.agg(
+            sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+              .otherwise(0L)).as("doc_empty_text"),
+            (count(lit(1)) - countDistinct(col("doc_id"))).as("doc_dup_id"),
+            sum(when(col("n_chars") =!= length(col("text")), 1L)
+              .otherwise(0L)).as("doc_bad_n_chars"))
+          .unpivot(Array.empty[org.apache.spark.sql.Column],
+            Array(col("doc_empty_text"), col("doc_dup_id"),
+              col("doc_bad_n_chars")), "rule", "n_violations")
+        val li = Tables(s, d, "lineitem")
+        val ord = Tables(s, d, "orders").select(col("o_orderkey"))
+        val ri = li.select(col("l_orderkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("lineitem_orphan_order").as("rule"), col("n_violations"))
+        docRules.unionByName(ri).orderBy(col("rule"))
+      },
+      Some("""
+        SELECT 'doc_empty_text' AS rule,
+               count(*) FILTER (text IS NULL OR length(text) = 0)::BIGINT AS n_violations
+        FROM documents
+        UNION ALL
+        SELECT 'doc_dup_id', (count(*) - count(DISTINCT doc_id))::BIGINT FROM documents
+        UNION ALL
+        SELECT 'doc_bad_n_chars',
+               count(*) FILTER (n_chars <> length(text))::BIGINT FROM documents
+        UNION ALL
+        SELECT 'lineitem_orphan_order', count(*)::BIGINT
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        ORDER BY rule
+      """)),
+
     // CDC changelog apply: a synthesized I/U/D op log (with a same-key
     // U-then-D sequence to exercise last-writer-wins) folded into the
     // base snapshot as ONE partial-aggregated election + full-outer join.

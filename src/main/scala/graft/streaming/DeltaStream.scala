@@ -136,6 +136,39 @@ object DeltaStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Streaming CDC ingest: a continuous I/U/D changelog folded into a
+    * parquet snapshot per micro-batch via
+    * [[graft.ingest.Lifecycle.applyChangelog]] — the streaming half of
+    * i15. Within a batch the highest `seqCol` wins; across batches the
+    * later batch rewrites the snapshot, so the end state equals one batch
+    * apply of the whole log as long as `seqCol` is monotone over the
+    * stream (true of any real changelog: log offset, LSN).
+    *
+    * The next snapshot is `localCheckpoint`ed BEFORE the overwrite — the
+    * plan reads the same path it is about to replace, so it must
+    * materialize first (lazy execution would scan half-deleted files).
+    * On a real cluster the sink would be a MERGE-capable table format;
+    * the fold itself is format-agnostic.
+    */
+  def cdcIngest(changes: DataFrame, basePath: String, checkpoint: String,
+                idCol: String, seqCol: String, opCol: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val payloadCols = batch.columns.filterNot(c => c == seqCol || c == opCol)
+        val base =
+          try spark.read.parquet(basePath)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            batch.select(payloadCols.map(col): _*).limit(0) }
+        graft.ingest.Lifecycle
+          .applyChangelog(base, batch, idCol, seqCol, opCol)
+          .localCheckpoint()
+          .write.mode("overwrite").parquet(basePath)
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+
   /** Streaming ANN serving: a continuous stream of (qid, qvec) query rows
     * answered per micro-batch by ONE batched IVF plan over a PERSISTED
     * assignment ([[graft.search.Ann.ivfTopKBatched]]). The index is the

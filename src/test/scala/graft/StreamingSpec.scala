@@ -227,6 +227,33 @@ class StreamingSpec extends SparkSpec {
     assert(top.forall(_._2 == 1.0), top)
   }
 
+  test("streaming CDC ingest: two micro-batches fold to the same state as one batch apply") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+
+    val basePath = Files.createTempDirectory("graft-cdc").toString + "/t"
+    Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("id", "text")
+      .write.parquet(basePath)
+
+    val input = MemoryStream[(Long, Long, String, String)]
+    val ckpt = Files.createTempDirectory("graft-cdc-ck").toString
+    val q = DeltaStream.cdcIngest(
+      input.toDF().toDF("id", "seq", "op", "text"),
+      basePath, ckpt, "id", "seq", "op")
+    try {
+      // batch 1: update 1, insert 4
+      input.addData((1L, 1L, "U", "one-v1"), (4L, 2L, "I", "four"))
+      q.processAllAvailable()
+      // batch 2: delete 2, re-update 1 (later seq), delete absent 99
+      input.addData((2L, 3L, "D", "x"), (1L, 4L, "U", "one-v2"), (99L, 5L, "D", "x"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(basePath)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "one-v2", 3L -> "three", 4L -> "four"), got.toString)
+  }
+
   test("streaming ANN serve: per-batch answers equal the batch ivfTopKBatched plan") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
