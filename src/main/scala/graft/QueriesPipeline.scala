@@ -981,6 +981,39 @@ object QueriesPipeline {
     // injected per doc, then redacted with the cross-engine regex chain;
     // per-kind hit counts audit the scrub. Both engines build and scrub
     // the identical string.
+    // Text canonicalization (the pre-dedup normalize pass): deterministic
+    // casing/punctuation mess is injected per doc, normalized back, and
+    // the round-trip must land exactly on the original token stream —
+    // proving the canonical form is insensitive to the noise dedup must
+    // ignore.
+    "t22_normalize" -> Q(
+      (s, d) => {
+        val messy = docs(s, d).select(col("doc_id"), col("text"),
+          concat(lit("  >>"), upper(col("text")), lit("!!!  ("),
+            col("doc_id").cast("string"), lit(")  ")).as("messy"))
+        messy.select(col("doc_id"),
+          TextOps.normalizeText(col("messy")).as("norm"),
+          (TextOps.normalizeText(col("messy")) ===
+            concat(col("text"), lit(" "), col("doc_id").cast("string")))
+            .as("roundtrip"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH messy AS (
+          SELECT doc_id, text,
+                 '  >>' || upper(text) || '!!!  (' || doc_id::VARCHAR || ')  ' AS messy
+          FROM documents),
+        n AS (
+          SELECT doc_id, text,
+                 trim(regexp_replace(
+                   regexp_replace(lower(messy), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS norm
+          FROM messy)
+        SELECT doc_id, norm,
+               (norm = text || ' ' || doc_id::VARCHAR) AS roundtrip
+        FROM n ORDER BY doc_id
+      """)),
+
     "t7_redact_pii" -> Q(
       (s, d) => {
         val dirty = docs(s, d).select(col("doc_id"),
@@ -1411,6 +1444,46 @@ object QueriesPipeline {
                  row_number() OVER (PARTITION BY qid
                    ORDER BY score DESC, id ASC) AS rn
           FROM hits) WHERE rn <= 5
+        ORDER BY qid ASC, score DESC, id ASC
+      """)),
+
+    // Hard-negative mining (contrastive-training data): for each anchor,
+    // the top-3 most-similar vectors with a DIFFERENT label — the
+    // batched-ANN shape with the label predicate pushed below the top-k
+    // cut (anchors broadcast, one candidate pass, partial-window rank).
+    "a13_hard_negatives" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, d)
+        val anchors = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlabel"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("id").asc)
+        emb.crossJoin(broadcast(anchors))
+          .where(col("label") =!= col("qlabel"))
+          .select(col("qid"), col("vec_id").as("id"), col("label"),
+            round(graft.functions.VectorOps
+              .cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select(col("qid"), col("id"), col("label"), col("score"))
+          .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+      },
+      Some("""
+        WITH anchors AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlabel
+          FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT a.qid, e.vec_id AS id, e.label,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], a.qv), 6) AS score
+          FROM embeddings e CROSS JOIN anchors a
+          WHERE e.label <> a.qlabel)
+        SELECT qid, id, label, score FROM (
+          SELECT qid, id, label, score,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, id ASC) AS rn
+          FROM scored) WHERE rn <= 3
         ORDER BY qid ASC, score DESC, id ASC
       """)),
 

@@ -115,6 +115,16 @@ object TextOps {
     * 1e9+7) — order-sensitive, unlike a bag-of-words hash. Modulus keeps
     * `acc * 31 + 255` far below 2^63, so the arithmetic is exact int64 in
     * any engine. */
+  /** Text canonicalization for dedup keys and tokenizer input: lowercase,
+    * strip everything outside [a-z0-9 ], collapse whitespace runs, trim.
+    * The standard pre-pass before exact/fuzzy dedup — two near-identical
+    * crawls of a page differ in casing/punctuation long before they
+    * differ in words. Pure codegen'd string expressions (ASCII-level; a
+    * real crawl pipeline would add unicode NFC at the decode stage). */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
   def fingerprint(textCol: Column): Column = {
     val p = 1000000007L
     aggregate(
