@@ -107,6 +107,40 @@ class PlanShapeSpec extends SparkSpec {
     } finally IvfIndex.register(Sf0001, info)
   }
 
+  test("batched ANN: probes broadcast into one assignment pass, partial window group limit") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // persisted-assignment serving shape: assignment is a plain table
+    val assigned = graft.search.Ann.ivfAssign(emb, centroids).localCheckpoint()
+    val queries = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val plan = graft.search.Ann
+      .ivfTopKBatched(assigned, centroids, queries, 3, 5)
+      .queryExecution.executedPlan.toString
+    // per-query top-k cuts BEFORE the qid shuffle
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
+    // the probed (qid, cid, qvec) set broadcasts — the assignment is read once
+    assert(plan.contains("BroadcastHashJoin [cid"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("bloom gate: clean arm is a scan-side might_contain filter, confirm arm an anti-join") {
+    import org.apache.spark.sql.functions._
+    val corpus = graft.tables.Tables.documents(spark, Sf0001)
+    val blocklist = corpus.where(col("source") === "src3").select(col("text"))
+    val plan = graft.functions.BloomGate
+      .blocklistDrop(corpus, col("text"), blocklist, col("text"), 1000L)
+      .queryExecution.executedPlan.toString
+    // clean arm: the sketch literal probes right at the filter, no join
+    assert(plan.contains("NOT might_contain"), plan)
+    // flagged sliver: exact confirming anti-join
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"confirm join over the sliver should broadcast at this scale:\n$plan")
+  }
+
   test("corpus-curation plans: partitioned shuffles and broadcast vocab joins, never cartesian") {
     val docs = graft.tables.Tables.documents(spark, Sf0001)
 
