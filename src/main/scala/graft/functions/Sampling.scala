@@ -103,9 +103,12 @@ object Sampling {
                     idCol: String, n: Int): DataFrame = {
     val byStratum = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
     val whole = Window.partitionBy(col(strataCol))
+    // greatest(total, 1): an all-zero-weight stratum has cum = 0 everywhere
+    // so nothing selects regardless of the divisor — but ANSI mode would
+    // otherwise throw on the div-by-zero before reaching that conclusion
     df.withColumn("__w", col(weightCol).cast("long"))
       .withColumn("__cum", sum(col("__w")).over(byStratum))
-      .withColumn("__total", sum(col("__w")).over(whole))
+      .withColumn("__total", greatest(sum(col("__w")).over(whole), lit(1L)))
       .where(expr(s"(__cum * ${n}L) div __total") >
              expr(s"((__cum - __w) * ${n}L) div __total"))
       .drop("__w", "__cum", "__total")

@@ -84,6 +84,46 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out == Map(1L -> 0.0, 2L -> 0.0), out.toString)
   }
 
+  test("applyChangelog with an empty changelog returns the base unchanged") {
+    import org.apache.spark.sql.functions.col
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val empty = Seq.empty[(Long, Long, String, String)].toDF("id", "seq", "op", "text")
+    val out = graft.ingest.Lifecycle.applyChangelog(base, empty, "id", "seq", "op")
+      .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("boilerplateStrip: empty corpus yields nothing; singleton corpus keeps all chunks") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.boilerplateStrip(empty, 4, 2).count() == 0)
+    val one = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.boilerplateStrip(one, 4, 2).collect().head
+    assert(r.getLong(1) == 2 && r.getLong(2) == 0 && r.getString(3) == "a b c d e f")
+  }
+
+  test("batched ANN with an empty query table is empty, not an error") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val noQueries = emb.where(col("vec_id") < 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = graft.search.Ann.ivfTopKBatched(
+      graft.search.Ann.ivfAssign(emb, centroids), centroids, noQueries, 3, 5)
+    assert(out.count() == 0)
+  }
+
+  test("ppsSystematic: zero-weight rows are never selected; all-zero stratum yields nothing") {
+    // the zero-weight row's interval is empty — it cannot cover a multiple
+    val df = Seq((1L, "s", 0L), (2L, "s", 10L), (3L, "z", 0L), (4L, "z", 0L))
+      .toDF("doc_id", "source", "n_chars")
+    // all-zero stratum: total = 0 -> integer division guard matters
+    val sel = graft.functions.Sampling
+      .ppsSystematic(df, "source", "n_chars", "doc_id", n = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(sel == Seq(2L), sel.toString)
+  }
+
   test("mmr with k and m exceeding the corpus returns every vector once, ranked") {
     val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
