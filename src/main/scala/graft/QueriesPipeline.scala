@@ -534,7 +534,8 @@ object QueriesPipeline {
     // SimHash near-dup pairs: lossless 4-band candidates + hamming verify.
     // The oracle brute-forces all pairs — identical result by pigeonhole.
     "d6_simhash_pairs" -> Q(
-      (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3),
+      (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3)
+        .orderBy(col("id_a"), col("id_b")),
       Some(s"""
         WITH $simhashPairsCtes
         SELECT id_a, id_b, hamming FROM sim_pairs ORDER BY id_a, id_b
@@ -547,7 +548,8 @@ object QueriesPipeline {
     // propagation (O(diameter) rounds).
     "d7_dedup_clusters" -> Q(
       (s, d) => Dedup.connectedComponents(
-        Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3), "id_a", "id_b"),
+        Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3), "id_a", "id_b")
+        .orderBy(col("keeper"), col("id")),
       Some(s"""
         WITH RECURSIVE $simhashPairsCtes,
         edges AS (

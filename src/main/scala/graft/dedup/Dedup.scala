@@ -128,9 +128,10 @@ object Dedup {
 
   /** LSH band rows (id, band_id, band) for a document set: 4 band rows
     * per doc, each a "jj:sig,..." string (format matches the SQL oracle's
-    * string_agg ordered by j). Shared by [[minhashLsh]] (batch pair
-    * mining) and `DeltaStream.lshDedupIngest` (streaming ingest gate,
-    * which joins fresh band rows against a persisted store of them). */
+    * string_agg ordered by j). Used by `DeltaStream.lshDedupIngest` (the
+    * streaming ingest gate, which joins fresh band rows against a
+    * persisted store of them); [[minhashLsh]] builds the same band keys
+    * inline with the signature array carried alongside. */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame = {
     val nBands = MinhashPerms / MinhashBandRows
@@ -151,7 +152,23 @@ object Dedup {
     * (id_a, id_b, jaccard), deterministic ordering. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int, threshold: Double): DataFrame = {
-    val bands = minhashBands(docs, idCol, textCol, n)
+    // Bands built locally (not via minhashBands) so each member carries
+    // its full signature array into the bucket payload: pair expansion
+    // tests first-shared-band emission against earlier bands' slices,
+    // which needs the sigs next to the id.
+    val nBands = MinhashPerms / MinhashBandRows
+    val bandStructs = (0 until nBands).map { b =>
+      val key = concat_ws(",", (0 until MinhashBandRows).map { r =>
+        val j = b * MinhashBandRows + r
+        format_string("%02d:%d", lit(j), col(s"sig$j"))
+      }: _*)
+      struct(lit(b).as("band_id"), key.as("band"))
+    }
+    val sigArr = array((0 until MinhashPerms).map(j => col(s"sig$j")): _*)
+    val bands = minhashSignaturesWide(docs, idCol, textCol, n)
+      .select(struct(col(idCol).as("id"), sigArr.as("sigs")).as("m"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("m"), col("bb.band_id").as("band_id"), col("bb.band").as("band"))
     // Candidates by grouping each LSH bucket and expanding pairs inside it
     // — ONE pass over the signature pipeline and one shuffle, instead of a
     // self-join that recomputes the whole signature subtree for each side.
@@ -162,7 +179,7 @@ object Dedup {
     // long-lived service), checkpointed blocks are released by the
     // ContextCleaner when the result becomes unreachable. Candidates are
     // a vanishing fraction of the corpus, so the footprint is trivial.
-    val cand = bucketPairs(bands, idCol).localCheckpoint()
+    val cand = bucketPairs(bands).localCheckpoint()
 
     // True-Jaccard confirm, restricted to candidate docs first (broadcast
     // semi-join prune) then counted via the same inverted-index shape as
@@ -209,30 +226,54 @@ object Dedup {
     * truncated_buckets > 0. */
   val BucketStatsMetric = "graft_lsh_bucket_stats"
 
-  /** Expand each (band_id, band) bucket into its member pairs:
-    * (id_a < id_b), distinct across buckets. Truncation by
-    * [[MaxBucketSize]] is counted in [[BucketStatsMetric]]. */
-  private def bucketPairs(bands: DataFrame, idCol: String): DataFrame =
+  /** Expand each (band_id, band) bucket into its member pairs
+    * (id_a < id_b). Input rows are (m: struct(id, sigs), band_id, band).
+    *
+    * A pair sharing SEVERAL buckets is emitted only at its first shared
+    * band: for every earlier band the two signatures' band slices must
+    * differ — a pure expression over the carried sigs. The expanded pair
+    * set (the largest intermediate of an LSH run at corpus scale) is
+    * therefore distinct by construction and never pays a dedup
+    * re-shuffle. Truncation by [[MaxBucketSize]] is counted in
+    * [[BucketStatsMetric]]; a pair whose first shared bucket was
+    * truncated is dropped even if a later shared bucket kept both
+    * members (truncated_buckets > 0 already flags results as partial).
+    */
+  private def bucketPairs(bands: DataFrame): DataFrame = {
+    val nBands = MinhashPerms / MinhashBandRows
+    val priorShared = (0 until nBands - 1).map { j =>
+      (col("band_id") > lit(j)) &&
+        (slice(col("a.sigs"), j * MinhashBandRows + 1, MinhashBandRows) ===
+         slice(col("b.sigs"), j * MinhashBandRows + 1, MinhashBandRows))
+    }.reduce(_ || _)
     bands
       .groupBy(col("band_id"), col("band"))
-      .agg(array_sort(collect_list(col(idCol))).as("all_ids"))
+      .agg(array_sort(collect_list(col("m"))).as("all_ms"))
       .observe(BucketStatsMetric,
-        sum(when(size(col("all_ids")) > MaxBucketSize, 1L).otherwise(0L))
+        sum(when(size(col("all_ms")) > MaxBucketSize, 1L).otherwise(0L))
           .as("truncated_buckets"),
-        max(size(col("all_ids"))).as("max_bucket_size"))
-      .select(slice(col("all_ids"), 1, MaxBucketSize).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+        max(size(col("all_ms"))).as("max_bucket_size"))
+      .select(col("band_id"), slice(col("all_ms"), 1, MaxBucketSize).as("ms"))
+      .where(size(col("ms")) > 1)
+      .select(col("band_id"), explode(col("ms")).as("a"), col("ms"))
+      .select(col("band_id"), col("a"), explode(col("ms")).as("b"))
+      .where(col("a.id") < col("b.id") && !priorShared)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (must be
     * < 4): candidates come from 4 byte-bands of the 32-bit simhash — by
     * pigeonhole, <= 3 differing bits can touch at most 3 of the 4 bands,
     * so two near-dups ALWAYS agree on at least one band. The banding is
     * therefore lossless: the band-bucket join yields exactly the pairs a
-    * quadratic scan would, at equi-join cost. */
+    * quadratic scan would, at equi-join cost.
+    *
+    * Output order is UNSPECIFIED (callers composing into
+    * [[connectedComponents]] re-shuffle anyway; d6 sorts at the query
+    * edge). A pair agreeing on several bands is emitted only at the
+    * FIRST shared band — earlier bands' bytes must differ, a pure
+    * expression over the carried sigs — so pairs are distinct by
+    * construction with no dedup re-shuffle of the expanded pair set. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "4 byte-bands are only lossless below 4 bits")
@@ -255,16 +296,18 @@ object Dedup {
         sum(when(size(col("all_ms")) > MaxBucketSize, 1L).otherwise(0L))
           .as("truncated_buckets"),
         max(size(col("all_ms"))).as("max_bucket_size"))
-      .select(slice(col("all_ms"), 1, MaxBucketSize).as("ms"))
+      .select(col("band_id"), slice(col("all_ms"), 1, MaxBucketSize).as("ms"))
       .where(size(col("ms")) > 1)
-      .select(explode(col("ms")).as("a"), col("ms"))
-      .select(col("a"), explode(col("ms")).as("b"))
-      .where(col("a.id") < col("b.id"))
+      .select(col("band_id"), explode(col("ms")).as("a"), col("ms"))
+      .select(col("band_id"), col("a"), explode(col("ms")).as("b"))
+      .where(col("a.id") < col("b.id") && !(0 until 3).map { j =>
+        (col("band_id") > lit(j)) &&
+          (shiftright(col("a.sig"), j * 8).bitwiseAND(lit(255L)) ===
+           shiftright(col("b.sig"), j * 8).bitwiseAND(lit(255L)))
+      }.reduce(_ || _))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Dedup cluster resolution: connected components over near-dup pairs,
@@ -291,7 +334,10 @@ object Dedup {
     * reliable `checkpoint()` to a DFS.
     *
     * Input: (aCol, bCol) pair rows. Output: (id, keeper) for every id that
-    * appears in a pair — keeper == id for the kept member. Deterministic.
+    * appears in a pair — keeper == id for the kept member. Values are
+    * deterministic; row ORDER is unspecified (d9 anti-joins the result,
+    * d7 sorts at the query edge — an operator-level sort would insert a
+    * full range exchange that every composing caller re-shuffles away).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
@@ -353,7 +399,6 @@ object Dedup {
     edges.unpersist()
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id"), col("label").as("keeper"))
-      .orderBy(col("keeper"), col("id"))
   }
 
   /** 32-bit SimHash per document: tf-weighted ±1 vote per bit of the md5
