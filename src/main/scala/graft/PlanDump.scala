@@ -31,6 +31,8 @@ object PlanDump {
     dump("tfidf_search_indexed", SearchEngine.tfidfSearch(spark, dir, "spark join filter the data", 10))
     dump("minhash_lsh", graft.dedup.Dedup.minhashLsh(
       graft.tables.Tables.documents(spark, dir), "doc_id", "text", 3, 0.5))
+    dump("simhash_pairs", graft.dedup.Dedup.simhashPairs(
+      graft.tables.Tables.documents(spark, dir), "doc_id", "text", 3))
     dump("batched_ann", {
       import org.apache.spark.sql.functions._
       val emb = graft.tables.Tables.embeddings(spark, dir)
