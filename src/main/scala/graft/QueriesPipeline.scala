@@ -1016,6 +1016,42 @@ object QueriesPipeline {
         FROM n ORDER BY doc_id
       """)),
 
+    // Leakage-safe train/held-out split: route by the hash of the dedup
+    // CLUSTER keeper (simhash near-dup components), so a held-out doc's
+    // 99%-similar twin can never land in train. Docs in no cluster split
+    // by their own id. The oracle recomputes the components with the d7
+    // recursive CTE and applies the same md5 bucket rule.
+    "t23_cluster_split" -> Q(
+      (s, d) => graft.functions.Sampling.clusterSafeSplit(
+        docs(s, d).select(col("doc_id"), col("lang")), "doc_id",
+        Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3),
+        "id_a", "id_b", heldOutBps = 1000)
+        .select(col("doc_id"), col("lang"), col("side"))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH RECURSIVE $simhashPairsCtes,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM sim_pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM sim_pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (
+          SELECT src AS id, least(src, min(dst))::BIGINT AS keeper
+          FROM reach GROUP BY src),
+        k AS (
+          SELECT d.doc_id, d.lang,
+                 coalesce(c.keeper, d.doc_id) AS skey
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+        SELECT doc_id, lang,
+               CASE WHEN ('0x' || substr(md5(skey::VARCHAR), 1, 8))::BIGINT
+                         % 10000 < 1000
+                    THEN 'heldout' ELSE 'train' END AS side
+        FROM k ORDER BY doc_id
+      """)),
+
     "t7_redact_pii" -> Q(
       (s, d) => {
         val dirty = docs(s, d).select(col("doc_id"),

@@ -44,6 +44,32 @@ object Sampling {
     (df.where(b >= heldOutBps), df.where(b < heldOutBps))
   }
 
+  /** Near-dup-leakage-safe split: route each document by the hash of its
+    * dedup CLUSTER, not of the document itself. A plain per-key [[split]]
+    * leaks evaluation data through near-duplicates — a held-out document's
+    * 99%-similar twin lands in train and the model has effectively seen
+    * the test set (the C4/GPT-3 style contamination both d-series dedup
+    * and t10's eval-set scan exist to stop). Here every member of a
+    * connected near-dup component shares its keeper's hash bucket, so a
+    * cluster can never straddle sides, on any run, on any engine.
+    *
+    * `pairs` is any near-dup pair set (simhash d6, minhash d3, embedding
+    * d8 — or their union); docs in no pair split by their own id. Adds a
+    * `side` column ('train' | 'heldout'); the cluster map is
+    * component-count-sized, a vanishing fraction of the corpus, and the
+    * single join is the only cost on top of [[split]].
+    */
+  def clusterSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String, bCol: String, heldOutBps: Int): DataFrame = {
+    val cc = graft.dedup.Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("keeper"))
+    df.join(cc, Seq(idCol), "left")
+      .withColumn("side",
+        when(hashBucket(coalesce(col("keeper"), col(idCol)).cast("string"))
+          < heldOutBps, lit("heldout")).otherwise(lit("train")))
+      .drop("keeper")
+  }
+
   /** Per-group row cap (RefinedWeb/C4-style per-DOMAIN caps): keep the
     * top `cap` rows of each group by `orderCol` DESC, ties broken by
     * `idCol` ASC — fully deterministic, so the kept set is reproducible

@@ -138,6 +138,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("clusterSafeSplit: no near-dup cluster ever straddles the split") {
+    // corpus with planted clusters: random pair sets over a small id
+    // space; every connected component must land entirely on one side,
+    // and unpaired docs must match the plain per-id hash split
+    val edgeGen = for {
+      m <- Gen.chooseNum(1, 30)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, 29); b <- Gen.chooseNum(0, 29)
+        if a != b
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield edges.distinct
+    samples(edgeGen, 3).filter(_.nonEmpty).foreach { edges =>
+      val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      val out = graft.functions.Sampling.clusterSafeSplit(
+          docs, "doc_id", edges.toDF("id_a", "id_b"), "id_a", "id_b", 3000)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      // component model on the driver
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.toSeq.groupBy(find).foreach { case (_, members) =>
+        val sides = members.map(out).toSet
+        assert(sides.size == 1, s"cluster $members split across $sides")
+      }
+      val clustered = parent.keys.toSet
+      (0L until 40L).filterNot(clustered).foreach { i =>
+        val plain = graft.functions.Sampling
+          .hashSample(docs.where($"doc_id" === i), "doc_id", 3000).count() == 1
+        assert((out(i) == "heldout") == plain, s"unpaired doc $i side mismatch")
+      }
+    }
+  }
+
   test("rrf rank monotonicity: better rank never scores lower") {
     // pure-model property of the fusion formula used in Fusion.rrf
     val ranks = samples(Gen.chooseNum(1, 1000), 200)
