@@ -412,14 +412,25 @@ object Queries {
     // Distribution statistics: exact interpolated percentiles, correlation,
     // sample stddev (the profiling toolkit for 100 TB data quality work).
     "q9_stats_funcs" -> Q(
-      (s, d) => Tables(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        // percentile buffers every value per group (ObjectHashAggregate,
+        // no codegen) — mixing corr/stddev into the SAME agg drags the
+        // moment statistics onto that object path too. Split the two
+        // aggregations so the moments run whole-stage-codegen, and
+        // reunite on the group-count-sized (3-row) join.
+        // one percentile buffer for BOTH cut points (array form), not two
+        val pct = li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("__ps"))
+          .select(col("l_returnflag"),
+            round(element_at(col("__ps"), 1), 4).as("p50_price"),
+            round(element_at(col("__ps"), 2), 4).as("p95_price"))
+        val mom = li.groupBy(col("l_returnflag")).agg(
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
           round(stddev_samp(col("l_discount")), 6).as("disc_sd"))
-        .orderBy(col("l_returnflag")),
+        pct.join(mom, Seq("l_returnflag"))
+          .orderBy(col("l_returnflag"))
+      },
       Some("""
         SELECT l_returnflag,
                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
@@ -557,11 +568,14 @@ object Queries {
     "q17_percentiles" -> Q(
       (s, d) => Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(
-          round(expr("percentile(value, 0.5D)"), 6).as("p50"),
-          round(expr("percentile(value, 0.9D)"), 6).as("p90"),
-          round(expr("percentile(value, 0.99D)"), 6).as("p99"),
+        // array form: ONE sorted buffer serves all three cut points
+        .agg(expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("__ps"),
           count(lit(1)).as("n"))
+        .select(col("event_type"),
+          round(element_at(col("__ps"), 1), 6).as("p50"),
+          round(element_at(col("__ps"), 2), 6).as("p90"),
+          round(element_at(col("__ps"), 3), 6).as("p99"),
+          col("n"))
         .orderBy(col("event_type")),
       Some("""
         SELECT event_type,
