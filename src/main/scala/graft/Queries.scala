@@ -776,6 +776,23 @@ object Queries {
         SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 15
       """)),
 
+    // Exact-phrase search through the inverted index: posting lists of
+    // the phrase terms propose (pushed In + bloom; a doc missing any term
+    // is never touched), padded-substring adjacency on the normalized
+    // text confirms, summed BM25 impact weights rank. The oracle runs the
+    // same all-terms BM25 restricted to adjacency-confirmed docs.
+    "s20_phrase_search" -> Q(
+      (s, d) => graft.index.Bm25Index.phraseTopK(
+        s, graft.index.Bm25Index.ensure(s, d), Tables.documents(s, d),
+        "doc_id", "text", Seq("big", "table"), 10),
+      Some(s"""
+        WITH ${bm25ScoredCteFor("scored", Seq("big", "table"))}
+        SELECT s.id, s.score
+        FROM scored s JOIN documents d ON s.id = d.doc_id
+        WHERE contains(' ' || d.text || ' ', ' big table ')
+        ORDER BY s.score DESC, s.id ASC LIMIT 10
+      """)),
+
     // J2/W1/A2/Q7: hybrid RRF(k=60) of dense || sparse, both oversampled 2x
     // (reference fetches limit*2 per arm, `scripts/indexing.py:933,943`).
     "s4_hybrid_rrf" -> Q(

@@ -85,6 +85,41 @@ object Bm25Index {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
+  /** Exact-phrase top-k through the inverted index: candidates are docs
+    * whose postings contain EVERY phrase term — one pushed-`In`+bloom
+    * postings scan and one partial-aggregated shuffle, never a corpus
+    * scan for terms the document lacks — confirmed by token adjacency
+    * against the documents table and ranked by the summed BM25 impact
+    * weights of the phrase terms (the classic two-stage phrase plan:
+    * index seek proposes, positions/adjacency verify). The reference
+    * exposes phrase semantics as quoted exact matching over its payload
+    * index (`scripts/indexing.py:383-443` full-text config); adjacency
+    * here is the padded-substring test on the already-normalized text,
+    * identical in any engine.
+    *
+    * The candidate set (docs holding ALL terms) is broadcast, so the
+    * confirm join adds no shuffle; at 100 TB the documents side seeks by
+    * the doc-id-sorted layout (`Store.optimizeLayout`) instead of
+    * scanning. */
+  def phraseTopK(spark: SparkSession, indexDir: String, docs: DataFrame,
+                 idCol: String, textCol: String, phrase: Seq[String],
+                 k: Int): DataFrame = {
+    val terms = phrase.distinct
+    val cand = spark.read.parquet(s"$indexDir/postings")
+      .where(col("term").isin(terms: _*)) // pushed: In(term, ...) + bloom
+      .groupBy(col(idCol))
+      // postings are distinct on (term, id): count(1) counts matched terms
+      .agg(count(lit(1)).as("__nt"), round(sum(col("w")), 6).as("score"))
+      .where(col("__nt") === terms.size)
+      .drop("__nt")
+    docs.join(broadcast(cand), Seq(idCol))
+      .where(concat(lit(" "), col(textCol), lit(" "))
+        .contains(" " + phrase.mkString(" ") + " "))
+      .select(col(idCol).as("id"), col("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Ensure the documents-table index for `dataDir` exists (built once). */
   def ensure(spark: SparkSession, dataDir: String): String =
     IndexCatalog.ensure(spark, dataDir, Name)(

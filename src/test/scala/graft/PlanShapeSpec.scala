@@ -25,6 +25,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("phrase search: postings seek proposes, broadcast confirm adds no shuffle") {
+    val idx = graft.index.Bm25Index.ensure(spark, Sf0001)
+    val plan = graft.index.Bm25Index.phraseTopK(
+        spark, idx, graft.tables.Tables.documents(spark, Sf0001),
+        "doc_id", "text", Seq("big", "table"), 10)
+      .queryExecution.executedPlan.toString
+    // candidates come from the pushed posting-list seek...
+    assert(plan.contains("PushedFilters: [In(term"), plan)
+    // ...and reach the adjacency confirm as a broadcast, never a shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("bm25 direct (no-index) path still prunes to query terms before the first shuffle") {
     val plan = graft.search.Bm25
       .topK(graft.tables.Tables.documents(spark, Sf0001), "doc_id", "text",
