@@ -1525,6 +1525,55 @@ object QueriesPipeline {
         ORDER BY qid ASC, score DESC, id ASC
       """)),
 
+    // Metadata-filtered ANN, PRE-filter form: the payload predicate
+    // (documents.source, pushed to its parquet scan) shrinks the IVF
+    // posting lists BEFORE the probe, so all k results satisfy the
+    // filter by construction — no oversampling guess, no starvation when
+    // the filter is selective. The complement of s7's oversampled
+    // POST-filter arm; real vector stores ship both and pick by
+    // estimated filter selectivity.
+    "a14_filtered_ivf" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val qv = emb.where(col("vec_id") === Queries.QueryVecId)
+          .select(col("embedding").as("qvec"))
+        val allowed = Tables.documents(s, d)
+          .where(col("source") === "src3")
+          .select(col("doc_id").as("vec_id"))
+        Ann.ivfTopKAssigned(
+          Ann.ivfAssign(emb, centroids).join(allowed, Seq("vec_id")),
+          centroids, qv, 3, 10)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        assign AS (
+          SELECT e.vec_id, c.cid, e.embedding,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                            c.cid ASC) AS rn
+          FROM embeddings e CROSS JOIN cent c),
+        allowed AS (SELECT doc_id FROM documents WHERE source = 'src3'),
+        asg AS (
+          SELECT vec_id, cid, embedding FROM assign
+          WHERE rn = 1 AND vec_id IN (SELECT doc_id FROM allowed)),
+        probes AS (
+          SELECT cid FROM (
+            SELECT c.cid,
+                   round(list_cosine_similarity(c.cvec, q.qv), 6) AS qscore
+            FROM cent c CROSS JOIN q
+            ORDER BY qscore DESC, cid ASC LIMIT 3)),
+        hits AS (
+          SELECT a.vec_id AS id,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS score
+          FROM asg a JOIN probes p ON a.cid = p.cid CROSS JOIN q)
+        SELECT id, score FROM hits ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
     // O4+O5 composed: IVF partition pruning AND int8-quantized scoring
     // inside the probed lists — the full scale stack (read nprobe/k of
     // the data, score 4x-smaller codes; exact int math, oracle-checkable).
