@@ -1574,6 +1574,44 @@ object QueriesPipeline {
         SELECT id, score FROM hits ORDER BY score DESC, id ASC LIMIT 10
       """)),
 
+    // Diversified retrieval: top-10 overall but at most 2 hits per
+    // source — the result-diversification quota every serving stack
+    // bolts onto plain top-k. The per-source cap runs through the salted
+    // skew-proof capPerGroup election (a hot source funnels through
+    // `salts` shards, not one task), then a global TakeOrdered head.
+    "a15_diverse_ann" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qv = typedlit(graft.search.SearchEngine.queryVecArray(s, d, Queries.QueryVecId))
+        val scored = emb.select(col("vec_id").as("id"),
+          round(graft.functions.VectorOps.cosineSim(col("embedding"), qv), 6)
+            .as("score"))
+        val src = Tables.documents(s, d)
+          .select(col("doc_id").as("id"), col("source"))
+        graft.functions.Sampling.capPerGroup(
+            scored.join(src, Seq("id")), "source", "score", "id", cap = 2)
+          .orderBy(col("score").desc, col("id").asc)
+          .limit(10)
+          .select(col("id"), col("source"), col("score"))
+      },
+      Some("""
+        WITH scored AS (
+          SELECT e.vec_id AS id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[],
+                   (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS score
+          FROM embeddings e),
+        j AS (
+          SELECT s.id, d.source, s.score
+          FROM scored s JOIN documents d ON s.id = d.doc_id),
+        r AS (
+          SELECT id, source, score,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY score DESC, id ASC) AS rn
+          FROM j)
+        SELECT id, source, score FROM r WHERE rn <= 2
+        ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
     // O4+O5 composed: IVF partition pruning AND int8-quantized scoring
     // inside the probed lists — the full scale stack (read nprobe/k of
     // the data, score 4x-smaller codes; exact int math, oracle-checkable).
