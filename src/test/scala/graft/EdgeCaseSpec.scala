@@ -124,6 +124,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(sel == Seq(2L), sel.toString)
   }
 
+  test("phrase search: a term absent from the index yields empty, not an error") {
+    val idx = graft.index.Bm25Index.ensure(spark, Sf0001)
+    val docs = graft.tables.Tables.documents(spark, Sf0001)
+    val out = graft.index.Bm25Index.phraseTopK(
+      spark, idx, docs, "doc_id", "text", Seq("zzzmissing", "table"), 10)
+    assert(out.count() == 0)
+    // adjacency matters: both terms present somewhere never implies the
+    // phrase — a reversed phrase must be a subset of the unordered hits
+    val fwd = graft.index.Bm25Index.phraseTopK(
+      spark, idx, docs, "doc_id", "text", Seq("big", "table"), 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(fwd.nonEmpty)
+    // every confirmed doc really contains its exact phrase
+    val joined = docs.where(col("doc_id").isin(fwd.toSeq: _*))
+      .select(concat_ws(" ", lit(" "), col("text"), lit(" ")).as("t"))
+      .collect().map(_.getString(0))
+    assert(joined.forall(_.contains(" big table ")))
+  }
+
+  test("clusterSafeSplit with an empty pair set reduces to the per-id split") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = graft.functions.Sampling
+      .clusterSafeSplit(docs, "doc_id", empty, "id_a", "id_b", 5000)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val plain = graft.functions.Sampling.hashSample(docs, "doc_id", 5000)
+      .collect().map(_.getLong(0)).toSet
+    out.foreach { case (id, side) =>
+      assert((side == "heldout") == plain(id), s"$id: $side vs $plain")
+    }
+  }
+
   test("mmr with k and m exceeding the corpus returns every vector once, ranked") {
     val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
