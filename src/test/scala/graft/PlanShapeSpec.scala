@@ -39,6 +39,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("filtered IVF: payload predicate is pushed to the documents scan, never post-applied") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.tables.Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qv = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val allowed = graft.tables.Tables.documents(spark, Sf0001)
+      .where(col("source") === "src3")
+      .select(col("doc_id").as("vec_id"))
+    val plan = graft.search.Ann.ivfTopKAssigned(
+        graft.search.Ann.ivfAssign(emb, centroids).join(allowed, Seq("vec_id")),
+        centroids, qv, 3, 10)
+      .queryExecution.executedPlan.toString
+    // the pre-filter rides the documents parquet scan as a pushed equality
+    assert(plan.contains("EqualTo(source,src3)"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("bm25 direct (no-index) path still prunes to query terms before the first shuffle") {
     val plan = graft.search.Bm25
       .topK(graft.tables.Tables.documents(spark, Sf0001), "doc_id", "text",
