@@ -1052,6 +1052,27 @@ object QueriesPipeline {
         FROM k ORDER BY doc_id
       """)),
 
+    // Retrieval chunking: overlapping 32-token windows on a 24-token
+    // stride (8-token overlap), the unit an embedding pipeline actually
+    // encodes. Zero-shuffle per-row plan; the oracle slices the same
+    // token array with DuckDB list ranges.
+    "t24_chunk_windows" -> Q(
+      (s, d) => graft.functions.TextOps
+        .chunkWindows(docs(s, d), "doc_id", "text", window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_ord")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokensSql AS arr FROM documents),
+        s AS (
+          SELECT doc_id, arr, len(arr) AS n,
+                 unnest(range(0, greatest(len(arr), 1), 24)) AS st
+          FROM t)
+        SELECT doc_id, (st // 24)::BIGINT AS chunk_ord,
+               least(32, n - st)::BIGINT AS n_tokens,
+               array_to_string(arr[st + 1 : st + 32], ' ') AS chunk_text
+        FROM s WHERE st < n
+        ORDER BY doc_id, chunk_ord
+      """)),
+
     "t7_redact_pii" -> Q(
       (s, d) => {
         val dirty = docs(s, d).select(col("doc_id"),

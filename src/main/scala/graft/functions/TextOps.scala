@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions: tokenization, shingling, language-ID,
@@ -16,6 +16,36 @@ object TextOps {
   /** Whitespace tokens, empty strings dropped (texts have trailing spaces). */
   def tokens(c: Column): Column =
     filter(split(c, " "), t => t =!= "")
+
+  /** Overlapping token-window chunks — the retrieval-ingestion front
+    * door (each chunk embeds separately; the `window - stride` token
+    * overlap preserves context that would otherwise be cut at a chunk
+    * boundary). One output row per chunk: (id, chunk_ord, n_tokens,
+    * chunk_text), chunk `i` covering tokens [i·stride, i·stride+window).
+    *
+    * Zero shuffle: tokens are staged once per row and every chunk is a
+    * `slice` of that array behind a single posexplode — chunk count is
+    * ceil(n/stride) per doc, and the plan stays one codegen'd scan
+    * stage at any corpus size. Deterministic: ordinals are positions,
+    * not hashes. */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window >= stride && stride > 0, "need window >= stride > 0")
+    val toks = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    toks
+      .withColumn("__starts",
+        when(col("__n") > 0, sequence(lit(0), col("__n") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>")))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(col("__starts")).as(Seq("chunk_ord", "__st")))
+      .select(col(idCol),
+        col("chunk_ord").cast("long").as("chunk_ord"),
+        least(lit(window), col("__n") - col("__st")).cast("long").as("n_tokens"),
+        array_join(slice(col("__toks"), col("__st") + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
 
   /** Word n-gram shingles (distinct), for Jaccard/MinHash dedup. */
   def shingles(toks: Column, n: Int): Column = {

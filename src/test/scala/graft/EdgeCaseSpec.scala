@@ -156,6 +156,22 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("chunkWindows: empty text yields no chunks; short text one full-coverage chunk; overlap reconstructs") {
+    val docs = Seq((1L, ""), (2L, "a b c"), (3L, (1 to 60).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.functions.TextOps.chunkWindows(docs, "doc_id", "text", 32, 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(!out.exists(_._1 == 1L))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3L, "a b c")))
+    val c3 = out.filter(_._1 == 3L).sortBy(_._2)
+    assert(c3.map(_._2).toSeq == Seq(0L, 1L, 2L)) // starts 0, 24, 48
+    // stride-aligned reconstruction: dropping each chunk's overlap prefix
+    // (except the first) rebuilds the exact token stream
+    val rebuilt = c3.head._4 +: c3.tail.map(c =>
+      c._4.split(" ").drop(32 - 24).mkString(" ")).filter(_.nonEmpty)
+    assert(rebuilt.mkString(" ") == (1 to 60).map("w" + _).mkString(" "))
+  }
+
   test("mmr with k and m exceeding the corpus returns every vector once, ranked") {
     val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
