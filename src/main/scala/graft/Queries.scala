@@ -793,6 +793,55 @@ object Queries {
         ORDER BY s.score DESC, s.id ASC LIMIT 10
       """)),
 
+    // Passage-level retrieval — the RAG serving query: overlapping
+    // 32/24 token chunks scored by BM25 (chunk-level corpus stats, the
+    // dl/avgdl of PASSAGES not documents), top-10 chunks returned as
+    // (doc_id, chunk_ord). The chunk key packs (doc, ord) into one id so
+    // the whole Bm25 pipeline is reused unchanged; the oracle rebuilds
+    // the same chunks with list slices and runs the same BM25 CTE chain.
+    "s21_chunk_retrieval" -> Q(
+      (s, d) => {
+        val chunks = graft.functions.TextOps
+          .chunkWindows(Tables.documents(s, d), "doc_id", "text", 32, 24)
+          .select((col("doc_id") * 10000L + col("chunk_ord")).as("ck"),
+            col("chunk_text"))
+        graft.search.Bm25
+          .topK(chunks, "ck", "chunk_text", Seq("stream", "window"), 10)
+          .select(expr("ck div 10000").cast("long").as("doc_id"),
+            pmod(col("ck"), lit(10000L)).cast("long").as("chunk_ord"),
+            col("score"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS arr
+             FROM documents),
+        cs AS (
+          SELECT doc_id, arr, len(arr) AS n,
+                 unnest(range(0, greatest(len(arr), 1), 24)) AS st
+          FROM t),
+        chunks AS (
+          SELECT doc_id * 10000 + (st // 24) AS ck,
+                 arr[st + 1 : st + 32] AS toks
+          FROM cs WHERE st < n),
+        base2 AS (SELECT ck, toks, len(toks) AS dl FROM chunks),
+        stats AS (SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl FROM base2),
+        tf AS (
+          SELECT ck, dl, term, count(*) AS tf
+          FROM (SELECT ck, dl, unnest(toks) AS term FROM base2)
+          WHERE term IN ('stream', 'window')
+          GROUP BY ck, dl, term),
+        dfreq AS (SELECT term, count(DISTINCT ck) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT t.ck, round(sum(
+            ln(1.0::DOUBLE + (st.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) *
+            (t.tf * 2.2::DOUBLE) /
+            (t.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * t.dl / st.avgdl))
+          ), 6) AS score
+          FROM tf t, dfreq f, stats st WHERE t.term = f.term GROUP BY t.ck)
+        SELECT (ck // 10000)::BIGINT AS doc_id, (ck % 10000)::BIGINT AS chunk_ord, score
+        FROM scored ORDER BY score DESC, ck ASC LIMIT 10
+      """)),
+
     // J2/W1/A2/Q7: hybrid RRF(k=60) of dense || sparse, both oversampled 2x
     // (reference fetches limit*2 per arm, `scripts/indexing.py:933,943`).
     "s4_hybrid_rrf" -> Q(
