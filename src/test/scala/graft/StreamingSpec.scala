@@ -56,6 +56,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkWindows streams unchanged: per-row op, no state, batch-identical output") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, (1 to 40).map("t" + _).mkString(" ")), (2L, "a b"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.functions.TextOps
+      .chunkWindows(input.toDF().toDF("doc_id", "text"), "doc_id", "text", 16, 12)
+      .writeStream.format("memory").queryName("chunk_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.head); q.processAllAvailable()
+      input.addData(rows.last); q.processAllAvailable()
+      val streamed = spark.table("chunk_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val batch = graft.functions.TextOps
+        .chunkWindows(rows.toDF("doc_id", "text"), "doc_id", "text", 16, 12)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops reordered-token duplicates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Timestamp)]
