@@ -33,6 +33,18 @@ object PlanDump {
       graft.tables.Tables.documents(spark, dir), "doc_id", "text", 3, 0.5))
     dump("simhash_pairs", graft.dedup.Dedup.simhashPairs(
       graft.tables.Tables.documents(spark, dir), "doc_id", "text", 3))
+    dump("chunk_windows", graft.functions.TextOps.chunkWindows(
+      graft.tables.Tables.documents(spark, dir), "doc_id", "text", 32, 24))
+    dump("chunk_retrieval", {
+      import org.apache.spark.sql.functions._
+      val chunks = graft.functions.TextOps
+        .chunkWindows(graft.tables.Tables.documents(spark, dir),
+          "doc_id", "text", 32, 24)
+        .select((col("doc_id") * 10000L + col("chunk_ord")).as("ck"),
+          col("chunk_text"))
+      graft.search.Bm25.topK(chunks, "ck", "chunk_text",
+        Seq("stream", "window"), 10)
+    })
     dump("batched_ann", {
       import org.apache.spark.sql.functions._
       val emb = graft.tables.Tables.embeddings(spark, dir)

@@ -34,12 +34,19 @@ object TextOps {
     val toks = docs
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .withColumn("__n", size(col("__toks")))
+    // `__starts` is unconditionally non-empty (greatest(), not a CASE):
+    // the optimizer's inferred Generate guard (`size(starts) > 0`)
+    // inlines the whole tokenize tree into the scan Filter, and a CASE
+    // would double every copy. Empty docs get a sentinel start=0 row
+    // instead, dropped by the `__st < __n` predicate below — that one
+    // references the GENERATOR output, so it cannot be pushed under the
+    // Generate and re-inlined; it reads the carried `__n` column.
     toks
       .withColumn("__starts",
-        when(col("__n") > 0, sequence(lit(0), col("__n") - 1, lit(stride)))
-          .otherwise(array().cast("array<int>")))
+        sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(stride)))
       .select(col(idCol), col("__toks"), col("__n"),
         posexplode(col("__starts")).as(Seq("chunk_ord", "__st")))
+      .where(col("__st") < col("__n"))
       .select(col(idCol),
         col("chunk_ord").cast("long").as("chunk_ord"),
         least(lit(window), col("__n") - col("__st")).cast("long").as("n_tokens"),
