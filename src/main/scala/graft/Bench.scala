@@ -32,6 +32,27 @@ object Bench {
     Tables.names.foreach { n =>
       Tables(spark, sfDir, n).persist(StorageLevel.MEMORY_AND_DISK).count()
     }
+    val baseRddIds = spark.sparkContext.getPersistentRDDs.keySet
+
+    // Deterministic storage hygiene between queries. localCheckpoint
+    // blocks (dedup candidates, CC labels, winnowing barriers — 3-4 runs
+    // each) are normally freed only when the ContextCleaner notices the
+    // RDD is unreachable, which needs a DRIVER GC — on a 100 GiB heap that
+    // can be suite-minutes away. Meanwhile the orphaned blocks fill
+    // storage memory and evict the persisted base tables, inflating
+    // whichever queries run next (the r5 driver bench showed exactly this:
+    // a contiguous 3-4x hump over queries that measure at the floor in
+    // isolation). Unpersist everything non-base eagerly; periodically poke
+    // a GC so broadcast blocks (not unpersistable from here) get cleaned
+    // too — always OUTSIDE timed regions.
+    var sinceGc = 0
+    def releaseLeftovers(): Unit = {
+      val leftovers = spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !baseRddIds.contains(id) }
+      leftovers.values.foreach(_.unpersist(blocking = false))
+      sinceGc += 1
+      if (sinceGc >= 16) { sinceGc = 0; System.gc() }
+    }
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -47,15 +68,62 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val warm = timeOnce(fn)
-        if (warm > 2.5) {
+        val r = if (warm > 2.5) {
           val runs = Seq.fill(2)(timeOnce(fn))
           (name, runs.min)
         } else {
           val runs = Seq.fill(3)(timeOnce(fn)).sorted
           (name, runs(1))
         }
-      } catch { case _: Throwable => (name, -1.0) }
+        releaseLeftovers()
+        r
+      } catch { case _: Throwable => releaseLeftovers(); (name, -1.0) }
     }
+
+    // Scheduler floor: the fixed cost of ANY distributed action in this
+    // harness (job submit + task launch + result fetch over a cached
+    // 1-partition table). BASELINE.md's floor-adjusted interpretation
+    // subtracts this from serving-query figures; measuring it per run
+    // makes the decomposition explicit instead of inferred from s2.
+    val floor = {
+      val probe = Tables(spark, sfDir, "region")
+      probe.count()
+      Seq.fill(5) {
+        val t0 = System.nanoTime()
+        probe.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(2)
+    }
+
+    // Amortized serving latency — the apples-to-apples number against the
+    // reference's per-query bands (BASELINE.md's own interpretation): a
+    // server amortizes Spark's per-job floor by batching Q concurrent
+    // queries into ONE plan (Ann.ivfTopKBatched: assignment read once,
+    // only probed lists scored, partial top-k per query). Reported as
+    // seconds PER QUERY over a 256-query batch against the kmeans-trained
+    // IVF store.
+    val (batchedPerQuery, batchedN) = try {
+      val bn = 256
+      val (assignedPath, centroidsPath) =
+        graft.index.IvfIndex.ensureTrained(spark, sfDir, k = 16)
+      val assigned = spark.read.parquet(assignedPath)
+      val centroids = spark.read.parquet(centroidsPath)
+      import org.apache.spark.sql.functions.col
+      def runBatch(): Double = {
+        val queries = Tables.embeddings(spark, sfDir)
+          .where(col("vec_id") < bn)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val t0 = System.nanoTime()
+        graft.search.Ann
+          .ivfTopKBatched(assigned, centroids, queries, nprobe = 4, k = 10)
+          .count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runBatch() // warm-up (index read, codegen)
+      val p50 = Seq.fill(3)(runBatch()).sorted.apply(1)
+      releaseLeftovers()
+      (p50 / bn, bn)
+    } catch { case _: Throwable => (-1.0, 0) }
 
     // The harness that collects this output keeps only a bounded tail of
     // stdout (2000 chars), so the JSON MUST stay compact: 3-decimal
@@ -78,10 +146,20 @@ object Bench {
     val errField =
       if (errored.isEmpty) ""
       else errored.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    // Amortized batched latency in MILLISECONDS per query (the per-query
+    // figures above are seconds); floor is the measured per-job fixed cost.
+    val extras = {
+      val b =
+        if (batchedPerQuery >= 0)
+          s""","batched_per_query_ms":${BigDecimal(batchedPerQuery * 1000)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble},"batched_n":$batchedN"""
+        else ""
+      s""","floor":${fmt(floor)}$b"""
+    }
     def mkLine(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"warm_p50","queries":$qs$errField,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"warm_p50","queries":$qs$errField$extras,"sf":"$sfName"}"""
     }
     val full = mkLine(results)
     // over budget: keep the headline search/ANN/dedup queries individual
@@ -105,7 +183,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("target/bench_last.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm_p50","queries":$precise,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm_p50","queries":$precise,"floor":$floor,"batched_per_query_sec":$batchedPerQuery,"batched_n":$batchedN,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()

@@ -799,16 +799,21 @@ object Queries {
     // (doc_id, chunk_ord). The chunk key packs (doc, ord) into one id so
     // the whole Bm25 pipeline is reused unchanged; the oracle rebuilds
     // the same chunks with list slices and runs the same BM25 CTE chain.
+    // Packing bound: 2^21 chunk ords per doc (a collision needs a ~50M
+    // token / quarter-GB single document at stride 24 — physically not a
+    // text document) while doc_id keeps 2^42 headroom before the shifted
+    // key can overflow int64 — both orders of magnitude past any corpus.
     "s21_chunk_retrieval" -> Q(
       (s, d) => {
+        val ChunkOrdSpace = 1L << 21
         val chunks = graft.functions.TextOps
           .chunkWindows(Tables.documents(s, d), "doc_id", "text", 32, 24)
-          .select((col("doc_id") * 10000L + col("chunk_ord")).as("ck"),
+          .select((col("doc_id") * ChunkOrdSpace + col("chunk_ord")).as("ck"),
             col("chunk_text"))
         graft.search.Bm25
           .topK(chunks, "ck", "chunk_text", Seq("stream", "window"), 10)
-          .select(expr("ck div 10000").cast("long").as("doc_id"),
-            pmod(col("ck"), lit(10000L)).cast("long").as("chunk_ord"),
+          .select(expr(s"ck div $ChunkOrdSpace").cast("long").as("doc_id"),
+            pmod(col("ck"), lit(ChunkOrdSpace)).cast("long").as("chunk_ord"),
             col("score"))
       },
       Some(s"""
@@ -820,7 +825,7 @@ object Queries {
                  unnest(range(0, greatest(len(arr), 1), 24)) AS st
           FROM t),
         chunks AS (
-          SELECT doc_id * 10000 + (st // 24) AS ck,
+          SELECT doc_id * 2097152 + (st // 24) AS ck,
                  arr[st + 1 : st + 32] AS toks
           FROM cs WHERE st < n),
         base2 AS (SELECT ck, toks, len(toks) AS dl FROM chunks),
@@ -838,7 +843,7 @@ object Queries {
             (t.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * t.dl / st.avgdl))
           ), 6) AS score
           FROM tf t, dfreq f, stats st WHERE t.term = f.term GROUP BY t.ck)
-        SELECT (ck // 10000)::BIGINT AS doc_id, (ck % 10000)::BIGINT AS chunk_ord, score
+        SELECT (ck // 2097152)::BIGINT AS doc_id, (ck % 2097152)::BIGINT AS chunk_ord, score
         FROM scored ORDER BY score DESC, ck ASC LIMIT 10
       """)),
 

@@ -2189,14 +2189,35 @@ object QueriesPipeline {
             sum(lit(1L)).as("corpus_docs"), max(lit(500L)).as("cap"))
           .orderBy(col("doc_id")).limit(500)
         val model = graft.index.MlIndex.fitEmbedder(docs, "text", 64)
-        val embedded = model.transform(docs)
-        val ann = graft.index.MlIndex.fitAnn(embedded)
-        graft.index.MlIndex.approxNearDup(ann, embedded, embedded, 1.0)
+        val embedded = model.transform(docs).localCheckpoint()
+        val ann = graft.index.MlIndex.fitAnn(embedded, numHashTables = 8)
+        val lshPairs = graft.index.MlIndex.approxNearDup(ann, embedded, embedded, 1.0)
           .selectExpr("datasetA.doc_id AS id_a", "datasetB.doc_id AS id_b",
             "round(dist, 6) AS dist")
           .where(col("id_a") < col("id_b"))
+        // Driver-visible recall: approxSimilarityJoin post-filters its
+        // candidates by TRUE distance, so lshPairs ⊆ exact pairs at the
+        // same threshold — measured recall is |lsh| / |exact|, with the
+        // exact denominator a brute-force distance join over the SAME
+        // capped 500-doc set (125k pairs — the cap that makes the demo's
+        // exact twin affordable). Every output row carries the ratio, so
+        // the rows-only artifact is self-certifying instead of trusting a
+        // ScalaTest bound the driver never sees.
+        val fa = embedded.select(col("doc_id").as("ea"),
+          org.apache.spark.ml.functions.vector_to_array(col("features")).as("va"))
+        val fb = fa.select(col("ea").as("eb"), col("va").as("vb"))
+        val exactN = fa.crossJoin(fb)
+          .where(col("ea") < col("eb"))
+          .where(sqrt(aggregate(zip_with(col("va"), col("vb"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)) <= 1.0)
+          .agg(count(lit(1)).as("__exact_n"))
+        val recallDf = lshPairs.agg(count(lit(1)).as("__lsh_n"))
+          .crossJoin(exactN)
+          .select(round(col("__lsh_n") / col("__exact_n"), 4).as("recall"))
+        lshPairs
           .orderBy(col("dist"), col("id_a"), col("id_b"))
           .limit(50)
+          .crossJoin(broadcast(recallDf))
       },
       None),
     // Mergeable-sketch quantiles (distribution monitoring at 100 TB:

@@ -21,6 +21,44 @@ import graft.functions.{HashOps, TextOps}
   */
 object Dedup {
 
+  /** Session conf key selecting how iteration/consumption barriers
+    * materialize (every `Dedup` site that must cut lineage or stop a
+    * projection collapse goes through [[barrier]]):
+    *
+    *  - `local` (default): `localCheckpoint` — eager, executor-local
+    *    blocks, fastest. Single-JVM/bench trade: a lost executor fails
+    *    the job instead of recomputing (blocks are unreplicated and
+    *    lineage is truncated).
+    *  - `persist`: `persist(MEMORY_AND_DISK) + count` — lineage KEPT, so
+    *    a lost executor recomputes its partitions; blocks stay until
+    *    [[releaseBarrier]] (or the ContextCleaner) frees them.
+    *  - `reliable`: `Dataset.checkpoint` to the SparkContext's checkpoint
+    *    dir (must be set; DFS on a cluster) — survives executor AND
+    *    driver-cache loss; costs a DFS write and Spark's
+    *    checkpoint-recompute (the plan may run twice per barrier).
+    *
+    * All three are EAGER, so observe-metrics riding a barrier fire in
+    * every mode and downstream plan shapes are identical — DedupSpec pins
+    * value-identity across modes. */
+  val BarrierModeKey = "spark.graft.barrierMode"
+
+  private def barrier(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get(BarrierModeKey, "local") match {
+      case "reliable" => df.checkpoint()
+      case "persist" =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      case _ => df.localCheckpoint()
+    }
+
+  /** Free a no-longer-referenced barrier's blocks promptly (previous CC
+    * round's labels): persisted/local blocks unpersist; reliable
+    * checkpoint files stay until the context cleaner collects them. */
+  private def releaseBarrier(df: DataFrame): Unit =
+    if (df.sparkSession.conf.get(BarrierModeKey, "local") != "reliable")
+      df.unpersist(blocking = false)
+
   /** Exact dedup on a normalized key: the sorted distinct token set (catches
     * reorderings and repeats, not just byte-identical text). One shuffle.
     * Emits groups with more than one member: (keeper = min id, n_dups). */
@@ -73,7 +111,7 @@ object Dedup {
     // The inverted index feeds BOTH self-join sides and the sizes agg —
     // three evaluations of the tokenize+shingle pipeline without this
     // checkpoint (self-joins don't share scans).
-    val inv = shingleRows(docs, idCol, textCol, blockCol, n).localCheckpoint()
+    val inv = barrier(shingleRows(docs, idCol, textCol, blockCol, n))
     val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val common = inv.select(col(blockCol), col(idCol).as("id_a"), col("shingle"))
       .join(inv.select(col(blockCol), col(idCol).as("id_b"), col("shingle")),
@@ -149,9 +187,35 @@ object Dedup {
 
   /** MinHash + LSH near-dup pairs: band-bucket join proposes candidates,
     * true shingle Jaccard >= threshold confirms. Output
-    * (id_a, id_b, jaccard), deterministic ordering. */
+    * (id_a, id_b, jaccard), deterministic ordering.
+    *
+    * Truncation caveat (applies to [[simhashPairs]] too): pairs are
+    * emitted at their FIRST shared band only; if that bucket overflowed
+    * [[MaxBucketSize]] and truncation dropped a member, the pair is LOST —
+    * not recovered at a later shared band (the first-shared check is a
+    * pure signature comparison that cannot see truncation). Results with
+    * `truncated_buckets > 0` in [[BucketStatsMetric]] are therefore
+    * partial in a way that loses pairs, not just samples buckets — alarm
+    * on that metric and raise the cap (or pre-cluster the degenerate
+    * text) rather than trusting the pair list. */
+  /** Broadcast the confirm-pass candidate-id prune only while the pair
+    * count bounds the id set at roughly executor-broadcast scale. A crawl
+    * corpus with a 30–50% near-dup rate produces hundreds of millions of
+    * candidate ids — far over any broadcast threshold — so above this the
+    * prune becomes a shuffled semi-join on the same key. The pair count is
+    * read off the already-checkpointed candidate blocks (a count over
+    * materialized rows, no recompute). */
+  val MaxBroadcastCandPairs = 2000000L
+
+  /** Observed-metrics node carrying the candidate-set cardinality of an
+    * LSH run (`cand_pairs`) and whether the confirm prune broadcast
+    * (`broadcast_prune` 1/0) — read via
+    * `df.queryExecution.observedMetrics` after an action. */
+  val CandStatsMetric = "graft_lsh_cand_stats"
+
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 n: Int, threshold: Double): DataFrame = {
+                 n: Int, threshold: Double,
+                 broadcastCandLimit: Long = MaxBroadcastCandPairs): DataFrame = {
     // Bands built locally (not via minhashBands) so each member carries
     // its full signature array into the bucket payload: pair expansion
     // tests first-shared-band emission against earlier bands' slices,
@@ -179,17 +243,27 @@ object Dedup {
     // long-lived service), checkpointed blocks are released by the
     // ContextCleaner when the result becomes unreachable. Candidates are
     // a vanishing fraction of the corpus, so the footprint is trivial.
-    val cand = bucketPairs(bands).localCheckpoint()
+    val cand = barrier(bucketPairs(bands))
 
-    // True-Jaccard confirm, restricted to candidate docs first (broadcast
-    // semi-join prune) then counted via the same inverted-index shape as
-    // ngramJaccard — candidates are a vanishing fraction of the corpus, so
-    // this stage is near-free at any scale.
+    // True-Jaccard confirm, restricted to candidate docs first (semi-join
+    // prune, broadcast only under the size gate below) then counted via
+    // the same inverted-index shape as ngramJaccard — when candidates are
+    // a small fraction of the corpus this stage is near-free at any scale.
     val inv = shingleRows(docs.withColumn("__blk", lit(1)), idCol, textCol, "__blk", n)
       .select(col(idCol), col("shingle"))
+    // Size-gated prune: cand is already materialized (localCheckpoint), so
+    // this count scans executor-local blocks only. 2×pairs bounds the
+    // distinct-id count from above.
+    val candPairs = cand.count()
     val candIds = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b").as(idCol))).distinct()
-    val candInv = inv.join(broadcast(candIds), Seq(idCol))
+      .observe(CandStatsMetric,
+        count(lit(1)).as("cand_ids"), lit(candPairs).as("cand_pairs"),
+        max(lit(if (2 * candPairs <= broadcastCandLimit) 1L else 0L))
+          .as("broadcast_prune"))
+    val prunedIds =
+      if (2 * candPairs <= broadcastCandLimit) broadcast(candIds) else candIds
+    val candInv = inv.join(prunedIds, Seq(idCol), "left_semi")
     // Shingle-set sizes only matter for candidate docs, so compute them
     // from the ALREADY-PRUNED candInv — aggregating the full corpus here
     // (the round-1 shape) paid a corpus-wide shuffle per LSH run for
@@ -348,18 +422,17 @@ object Dedup {
     // sf0.1. The edge list itself is small relative to the corpus (it is
     // the candidate-pair output), so local materialization is the cheap
     // side of the trade.
-    val fwd = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
-      .localCheckpoint()
+    val fwd = barrier(pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst")))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Seed with round 1 for free: label(id) = min(id, min direct
     // neighbor) is one aggregation over the edge list — no join — and
     // saves a full propagation round.
-    var labels = edges
+    var labelsBar = barrier(edges
       .groupBy(col("src").as("id"))
-      .agg(least(min(col("src")), min(col("dst"))).as("label"))
-      .localCheckpoint()
+      .agg(least(min(col("src")), min(col("dst"))).as("label")))
+    var labels = labelsBar
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -379,7 +452,8 @@ object Dedup {
       // metrics collect during the localCheckpoint job) — one job per
       // round instead of checkpoint + count.
       val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
-      labels = labels
+      val prevBar = labelsBar
+      labelsBar = barrier(labels
         .join(nbrMin, Seq("id"), "left")
         .join(jump, col("label") === col("__lid"), "left")
         .join(jump2, hop1 === col("__lid2"), "left")
@@ -390,10 +464,13 @@ object Dedup {
             coalesce(col("__jump2"), hop1)).as("label"))
         .select(col("id"), col("label"),
           (col("label") =!= col("__old")).as("__chg"))
-        .observe(obs, sum(col("__chg").cast("long")).as("n_changed"))
-        .localCheckpoint()
-        .select(col("id"), col("label"))
+        .observe(obs, sum(col("__chg").cast("long")).as("n_changed")))
+      labels = labelsBar.select(col("id"), col("label"))
       changed = obs.get("n_changed").asInstanceOf[Long]
+      // the new round's labels are materialized — the previous round's
+      // barrier blocks are dead weight from here on; free them now
+      // instead of waiting for a driver GC to run the ContextCleaner
+      releaseBarrier(prevBar)
       iter += 1
     }
     edges.unpersist()
@@ -657,15 +734,14 @@ object Dedup {
     */
   def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, w: Int = 4, minShared: Int = 5): DataFrame =
-    winnowArrays(docs, idCol, textCol, k, w)
-      .select(col(idCol), col("__fps"))
-      // Materialization barrier: under the explode, column pruning strips
-      // the multi-reference columns that keep winnowArrays' stages apart,
-      // and the collapsed single-expression pipeline re-evaluates the
-      // k-gram hash array PER WINDOW (O(n²) md5s per doc — measured 280 s
-      // instead of ~1 s at sf0.1). The checkpoint is one fingerprint
-      // array per doc — corpus-row-sized, trivially small.
-      .localCheckpoint()
+    // Materialization barrier: under the explode, column pruning strips
+    // the multi-reference columns that keep winnowArrays' stages apart,
+    // and the collapsed single-expression pipeline re-evaluates the
+    // k-gram hash array PER WINDOW (O(n²) md5s per doc — measured 280 s
+    // instead of ~1 s at sf0.1). The barrier is one fingerprint
+    // array per doc — corpus-row-sized, trivially small.
+    barrier(winnowArrays(docs, idCol, textCol, k, w)
+        .select(col(idCol), col("__fps")))
       .select(col(idCol), explode(col("__fps")).as("fp"))
       .groupBy(col("fp"))
       .agg(array_sort(collect_list(col(idCol))).as("all_ids"))

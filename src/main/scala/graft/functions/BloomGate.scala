@@ -49,6 +49,19 @@ object BloomGate {
     // optimal bits for the target false-positive rate: -n·ln(p)/ln(2)^2
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate SILENTLY clamps both parameters at
+    // spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits}
+    // (defaults 4M items / 2^26 bits = 8 MB) — beyond ~7M items the
+    // effective fpp quietly exceeds the requested one and the confirm-join
+    // arm inflates (exactness is preserved; cost is not). Raise the caps
+    // for this session so an explicit build honors its requested fpp.
+    val conf = keys.sparkSession.conf
+    val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (conf.get(maxItemsKey).toLong < expectedItems)
+      conf.set(maxItemsKey, expectedItems.toString)
+    if (conf.get(maxBitsKey).toLong < numBits)
+      conf.set(maxBitsKey, numBits.toString)
     val agg = ColumnBridge.column(
       new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(key)),

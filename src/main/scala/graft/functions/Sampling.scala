@@ -135,8 +135,14 @@ object Sampling {
     df.withColumn("__w", col(weightCol).cast("long"))
       .withColumn("__cum", sum(col("__w")).over(byStratum))
       .withColumn("__total", greatest(sum(col("__w")).over(whole), lit(1L)))
-      .where(expr(s"(__cum * ${n}L) div __total") >
-             expr(s"((__cum - __w) * ${n}L) div __total"))
+      // DECIMAL(38,0) multiply: with byte-size weights a 100 TB corpus has
+      // cum ~ 1e14, and cum * n overflows int64 once n reaches ~92k —
+      // silent wraparound (non-ANSI) or a throw (ANSI). long × int is at
+      // most ~2e28, which decimal(38,0) holds exactly, and `div` on
+      // decimals is exact integral division, so selection is unchanged
+      // everywhere int64 was already correct.
+      .where(expr(s"(CAST(__cum AS DECIMAL(38,0)) * ${n}L) div __total") >
+             expr(s"(CAST(__cum - __w AS DECIMAL(38,0)) * ${n}L) div __total"))
       .drop("__w", "__cum", "__total")
   }
 }

@@ -17,6 +17,62 @@ import org.apache.spark.sql.functions._
   */
 object Store {
 
+  /** Crash-safe snapshot replace for read-merge-rewrite stores (single
+    * writer per path). `mode("overwrite")` on the path being REPLACED has
+    * an unrecoverable window: a crash after the delete but before the
+    * write loses the base snapshot, and a streaming checkpoint replay
+    * only re-applies the current micro-batch. Instead the new snapshot is
+    * fully written NEXT TO the base (`<base>.new` — safe to stream from a
+    * scan of base, which is untouched during the write), then swapped in
+    * with two directory renames (atomic on HDFS/posix):
+    *
+    *   write .new → rename base → .old → rename .new → base → drop .old
+    *
+    * Every crash point leaves a recoverable state that [[recoverSnapshot]]
+    * (called first on the next replace OR read) finishes: a complete
+    * `.new` (has _SUCCESS) with no base promotes forward; an incomplete
+    * one rolls back to `.old`. On a MERGE-capable table format
+    * (Delta/Iceberg) this whole dance is the transaction log's job. */
+  def replaceSnapshot(df: DataFrame, basePath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    recoverSnapshot(fs, basePath)
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val nu = new org.apache.hadoop.fs.Path(basePath + ".new")
+    val old = new org.apache.hadoop.fs.Path(basePath + ".old")
+    fs.delete(nu, true); fs.delete(old, true)
+    df.write.mode(SaveMode.Overwrite).parquet(nu.toString)
+    if (fs.exists(base))
+      require(fs.rename(base, old), s"rename $base -> $old failed")
+    require(fs.rename(nu, base), s"rename $nu -> $base failed")
+    fs.delete(old, true)
+  }
+
+  /** Finish an interrupted [[replaceSnapshot]]: promote a complete `.new`
+    * when the base is missing, else roll back to `.old`; drop leftovers
+    * once the base exists. Idempotent; no-op on a clean path. */
+  def recoverSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+                      basePath: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val nu = new org.apache.hadoop.fs.Path(basePath + ".new")
+    val old = new org.apache.hadoop.fs.Path(basePath + ".old")
+    if (!fs.exists(base)) {
+      val nuComplete = fs.exists(
+        new org.apache.hadoop.fs.Path(basePath + ".new/_SUCCESS"))
+      if (nuComplete) { require(fs.rename(nu, base)); fs.delete(old, true) }
+      else if (fs.exists(old)) { require(fs.rename(old, base)); fs.delete(nu, true) }
+    } else { fs.delete(old, true) }
+  }
+
+  /** Read a snapshot maintained by [[replaceSnapshot]], finishing any
+    * interrupted swap first. Returns None when no snapshot exists. */
+  def readSnapshot(spark: SparkSession, basePath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(basePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSnapshot(fs, basePath)
+    if (fs.exists(p)) Some(spark.read.parquet(basePath)) else None
+  }
+
   /** N1: full import — truncate-and-load semantics via overwrite. */
   def fullImport(df: DataFrame, path: String, partitions: Int = 0): Unit = {
     val out = if (partitions > 0) df.repartition(partitions) else df

@@ -350,8 +350,19 @@ object Ann {
     * any top-k re-rank; there is nothing distributed left to do once
     * only m≈tens of rows remain.
     */
+  /** Hard bound on mmrRerank's candidate-head size: the driver collects
+    * m rels + m²/2 pairwise sims, so an unchecked m=100k request would
+    * pull 5·10⁹ sims onto the driver. 2048 caps that at ~2M sims (tens of
+    * MB) while being an order of magnitude past any sensible diversity
+    * head (reference-style re-ranks use m ≈ 3–10×k ≈ tens). */
+  val MaxMmrCandidates = 2048
+
   def mmrRerank(vectors: DataFrame, queryVec: DataFrame, m: Int, k: Int,
                 lambda: Double): DataFrame = {
+    require(m <= MaxMmrCandidates,
+      s"mmrRerank m=$m exceeds MaxMmrCandidates=$MaxMmrCandidates " +
+        "(the driver holds m^2/2 pairwise sims; widen the distributed " +
+        "top-m arm instead of the driver head)")
     val spark = vectors.sparkSession
     val mu = (BigDecimal(1) - BigDecimal(lambda)).toDouble
     val cand = vectors.crossJoin(broadcast(queryVec))

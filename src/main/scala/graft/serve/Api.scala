@@ -149,6 +149,96 @@ object Api {
       if (rows.isEmpty) Response(404, err(s"document $id not found"))
       else ok(rows.head)
 
+    // ---- Q11 versioned document CRUD (document.py:68-89 surface over
+    // version_service.py semantics). The store is the staged two-table
+    // layout of /api/load-data: `<store_dir>/main` (current docs, one row
+    // per id with its version) + `<store_dir>/history` (superseded
+    // versions keyed `{id}_v{version}`) — the reference's main + history
+    // collections. Writes publish via Store.replaceSnapshot (crash-safe
+    // rename swap); per-request cost is a read-merge-rewrite of the small
+    // serving store, which on a cluster deployment maps 1:1 onto a
+    // MERGE-capable table format.
+
+    case "/api/documents/create" | "/api/documents/update" =>
+      // create-on-existing updates, update-on-missing creates — both
+      // version_service paths converge on the same upsert
+      // (version_service.py:49-110), which is exactly upsertVersioned's
+      // full-outer-join contract.
+      val storeDir = require(params, "store_dir")
+      val id = require(params, "id").toLong
+      val text = require(params, "text")
+      val (version, archived) = crudUpsert(spark, storeDir, id, text)
+      ok(s"""{"success":true,"id":$id,"version":$version,"archived_versions":$archived}""")
+
+    case "/api/documents/versions" => // GET one version: current, else history
+      val storeDir = require(params, "store_dir")
+      val id = require(params, "id").toLong
+      val version = require(params, "version").toInt
+      val cur = crudMain(spark, storeDir)
+        .where(col("id") === id && col("version") === version).toJSON.take(1)
+      val row = if (cur.nonEmpty) cur.headOption
+        else crudHistory(spark, storeDir)
+          .where(col("id") === id && col("version") === version).toJSON.take(1)
+          .headOption
+      row.map(ok).getOrElse(
+        Response(404, err(s"version $version not found for document $id")))
+
+    case "/api/documents/history" => // superseded versions, newest first
+      val storeDir = require(params, "store_dir")
+      val id = require(params, "id").toLong
+      val limit = intParam(params, "limit", 10, 1, 100)
+      // the reference 404s history of a nonexistent CURRENT doc
+      // (version_service.py:136-147) even when archived rows linger
+      if (crudMain(spark, storeDir).where(col("id") === id).isEmpty)
+        return Response(404, err(s"document $id not found"))
+      val rows = crudHistory(spark, storeDir).where(col("id") === id)
+        .orderBy(col("version").desc).limit(limit).toJSON.collect()
+      ok(s"""{"id":$id,"count":${rows.length},"versions":[${rows.mkString(",")}]}""")
+
+    case "/api/documents/delete" => // delete current; optionally the trail
+      val storeDir = require(params, "store_dir")
+      val id = require(params, "id").toLong
+      val deleteHistory = params.get("delete_history").exists(_.toBoolean)
+      val main = crudMain(spark, storeDir)
+      if (main.where(col("id") === id).isEmpty)
+        return Response(404, err(s"document $id not found"))
+      graft.ingest.Store.replaceSnapshot(
+        main.where(col("id") =!= id), s"$storeDir/main")
+      if (deleteHistory)
+        graft.ingest.Store.readSnapshot(spark, s"$storeDir/history").foreach { h =>
+          graft.ingest.Store.replaceSnapshot(
+            h.where(col("id") =!= id), s"$storeDir/history")
+        }
+      ok(s"""{"success":true,"id":$id,"delete_history":$deleteHistory}""")
+
+    case "/api/methods-info" => // search.py:543-590, over THIS engine's fields
+      ok("""{"available_methods":{""" +
+        """"query":{"name":"Flexible Query","modes":["dense","sparse","hybrid"],"type":"flexible","endpoint":"/api/query"},""" +
+        """"dense":{"name":"Dense Search","fields":["text"],"type":"vector","endpoint":"/api/search-dense"},""" +
+        """"sparse":{"name":"BM25 Sparse Search","fields":["text","source"],"type":"sparse","endpoint":"/api/search-sparse"},""" +
+        """"hybrid":{"name":"Hybrid Search","fields":["Dense: text","BM25: text + source"],"type":"hybrid_rrf","endpoint":"/api/search-hybrid"}},""" +
+        """"field_mapping":{"dense_search_fields":["text"],"sparse_search_fields":["text","source"],""" +
+        """"available_fields":["doc_id","text","source","lang","n_chars"]},""" +
+        """"fusion_method":"rrf_k60","configuration":"TF-IDF dense + BM25 sparse (Spark native)","service_status":"available"}""")
+
+    case "/api/test" => // search.py:592-628 self-check: probe every mode
+      try {
+        val counts = Stats.healthCounts(spark, dir).collect()
+          .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString(",")
+        // one probe query through each mode, count=1 — verifies index
+        // build + dispatch end-to-end, not just static wiring
+        val probes = Seq("dense", "sparse", "hybrid").map { m =>
+          val n = search(spark, dir, "test", m, 1).count()
+          s""""$m":${if (n >= 0) "\"ok\"" else "\"empty\""}"""
+        }.mkString(",")
+        ok(s"""{"status":"success","message":"search service is working",""" +
+          s""""details":{"search_methods":{$probes},"tables":{$counts},""" +
+          s""""fusion_method":"rrf_k60","configuration":"TF-IDF dense + BM25 sparse"}}""")
+      } catch {
+        case e: Exception =>
+          ok(s"""{"status":"error","message":${quote(s"search service error: ${e.getMessage}")}}""")
+      }
+
     case "/api/admin/export" => // Q12 (admin.py:71)
       val limit = intParam(params, "limit", 100, 1, 10000)
       val docs = graft.ingest.Lifecycle.exportShape(
@@ -217,6 +307,60 @@ object Api {
       ok("""{"success":true,"message":"whitelist reload is a stub (dead code in the reference)","whitelist_count":0}""")
 
     case _ => Response(404, err(s"no route for $path"))
+  }
+
+  // ------------------------------------------------------------------
+  // versioned CRUD store plumbing
+  // ------------------------------------------------------------------
+
+  private val CrudSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("created_at", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("updated_at", org.apache.spark.sql.types.StringType)))
+
+  /** Current-docs table of a CRUD store (empty frame when absent). */
+  private def crudMain(spark: SparkSession, storeDir: String): DataFrame =
+    graft.ingest.Store.readSnapshot(spark, s"$storeDir/main")
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), CrudSchema))
+
+  /** History table (superseded versions + their `{id}_v{v}` key). */
+  private def crudHistory(spark: SparkSession, storeDir: String): DataFrame =
+    graft.ingest.Store.readSnapshot(spark, s"$storeDir/history")
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        CrudSchema.add("history_id", org.apache.spark.sql.types.StringType)))
+
+  /** Upsert one document: archive the superseded version to history, bump
+    * the version in main (1 for a new id), preserve `created_at` across
+    * updates (version_service.py:77-110). History appends BEFORE the main
+    * swap — its lineage reads the pre-swap main, and a crash between the
+    * two leaves only a re-archivable duplicate (the reference tolerates
+    * archive anomalies the same way, logging instead of failing). Returns
+    * (new version, archived row count). */
+  private def crudUpsert(spark: SparkSession, storeDir: String, id: Long,
+                         text: String): (Int, Long) = {
+    val now = java.time.Instant.now().toString
+    val existing = crudMain(spark, storeDir)
+    import spark.implicits._
+    val incoming = Seq((id, text, now, now))
+      .toDF("id", "text", "created_at", "updated_at")
+      .join(existing.select(col("id"), col("created_at").as("__keep")), Seq("id"), "left")
+      .withColumn("created_at", coalesce(col("__keep"), col("created_at")))
+      .drop("__keep")
+    val (newMain, historyDelta) = graft.ingest.Store.upsertVersioned(
+      existing, incoming, "id", Seq("text", "created_at", "updated_at"))
+    // read the response version off the plan BEFORE the swap invalidates
+    // the lineage under newMain/historyDelta
+    val version = newMain.where(col("id") === id)
+      .select(col("version")).head().getInt(0)
+    val archived = historyDelta.count()
+    if (archived > 0)
+      historyDelta.write.mode("append").parquet(s"$storeDir/history")
+    graft.ingest.Store.replaceSnapshot(newMain, s"$storeDir/main")
+    (version, archived)
   }
 
   // ------------------------------------------------------------------

@@ -144,11 +144,14 @@ object DeltaStream {
     * apply of the whole log as long as `seqCol` is monotone over the
     * stream (true of any real changelog: log offset, LSN).
     *
-    * The next snapshot is `localCheckpoint`ed BEFORE the overwrite — the
-    * plan reads the same path it is about to replace, so it must
-    * materialize first (lazy execution would scan half-deleted files).
-    * On a real cluster the sink would be a MERGE-capable table format;
-    * the fold itself is format-agnostic.
+    * The next snapshot publishes via [[graft.ingest.Store.replaceSnapshot]]
+    * (write beside, rename-swap): the write streams from a scan of the
+    * CURRENT snapshot — untouched until the swap — and a crash at any
+    * point leaves a state the next batch's read recovers, instead of the
+    * unrecoverable window `mode(overwrite)`-in-place has (base deleted,
+    * new write incomplete, checkpoint replay only re-applies the current
+    * micro-batch). On a real cluster the sink would be a MERGE-capable
+    * table format; the fold itself is format-agnostic.
     */
   def cdcIngest(changes: DataFrame, basePath: String, checkpoint: String,
                 idCol: String, seqCol: String, opCol: String): StreamingQuery =
@@ -157,14 +160,11 @@ object DeltaStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val payloadCols = batch.columns.filterNot(c => c == seqCol || c == opCol)
-        val base =
-          try spark.read.parquet(basePath)
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            batch.select(payloadCols.map(col): _*).limit(0) }
-        graft.ingest.Lifecycle
-          .applyChangelog(base, batch, idCol, seqCol, opCol)
-          .localCheckpoint()
-          .write.mode("overwrite").parquet(basePath)
+        val base = graft.ingest.Store.readSnapshot(spark, basePath)
+          .getOrElse(batch.select(payloadCols.map(col): _*).limit(0))
+        graft.ingest.Store.replaceSnapshot(
+          graft.ingest.Lifecycle.applyChangelog(base, batch, idCol, seqCol, opCol),
+          basePath)
       }
       .outputMode(OutputMode.Update())
       .start()

@@ -38,6 +38,41 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 101L && p._3 == 1.0))
   }
 
+  test("minhash lsh: shuffled semi-join prune (no broadcast) is value-identical") {
+    val withClone = docs.union(
+      docs.where($"doc_id" === 1).withColumn("doc_id", $"doc_id" + 100))
+    val hinted = Dedup.minhashLsh(withClone, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // limit 0 forces the over-threshold arm: the candidate-id prune runs as
+    // a shuffled semi-join, the shape a 100 TB crawl corpus (candIds far
+    // over broadcast size) would take
+    val shuffled = Dedup.minhashLsh(withClone, "doc_id", "text", 3, 0.5,
+        broadcastCandLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(hinted == shuffled)
+    assert(hinted.exists(p => p._1 == 1L && p._2 == 101L && p._3 == 1.0))
+  }
+
+  test("barrier modes (local / persist / reliable) are value-identical") {
+    val withClone = docs.union(
+      docs.where($"doc_id" === 1).withColumn("doc_id", $"doc_id" + 100))
+    val ccPairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    def runAll(): (Seq[(Long, Long, Double)], Map[Long, Long], Long) = (
+      Dedup.minhashLsh(withClone, "doc_id", "text", 3, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq,
+      Dedup.connectedComponents(ccPairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      Dedup.winnowingPairs(withClone, "doc_id", "text", minShared = 2).count())
+    val local = runAll() // default mode
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    for (mode <- Seq("persist", "reliable")) {
+      spark.conf.set(Dedup.BarrierModeKey, mode)
+      try assert(runAll() == local, s"mode $mode diverged")
+      finally spark.conf.unset(Dedup.BarrierModeKey)
+    }
+  }
+
   test("connected components: chains, triangles and singles resolve to min-id keepers") {
     // components: {1,2,3,4} (a chain), {10,11,12} (a triangle), {20,21}
     val pairs = Seq(

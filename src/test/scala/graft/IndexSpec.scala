@@ -244,4 +244,15 @@ class IndexSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toList
     assert(out.map(_._2) == List(10L, 12L, 11L), out.toString)
   }
+
+  test("mmr: candidate head over MaxMmrCandidates is rejected up front") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val qv = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("qvec")
+    val e = intercept[IllegalArgumentException] {
+      graft.search.Ann.mmrRerank(vecs, qv,
+        m = graft.search.Ann.MaxMmrCandidates + 1, k = 10, lambda = 0.5)
+    }
+    assert(e.getMessage.contains("MaxMmrCandidates"), e.getMessage)
+  }
 }

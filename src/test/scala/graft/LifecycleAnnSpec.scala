@@ -179,4 +179,16 @@ class LifecycleAnnSpec extends SparkSpec {
     info(s"lsh recall at d<=$maxD: ${approx.size}/${exact.size} = $recall")
     assert(recall >= 0.5, s"recall $recall collapsed")
   }
+
+  test("x2 query output is self-certifying: every row carries recall >= 0.95") {
+    // The driver records x2 rows-only (no DuckDB twin for LSH internals);
+    // the recall column makes the artifact itself carry the quality bound
+    // at sf0.01 (the driver's verify scale). 500-doc cap applies at any sf.
+    val out = graft.SparkEntry.queries("x2_mllib_lsh_neardup")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    val recall = out.head.getAs[Double]("recall")
+    assert(out.forall(_.getAs[Double]("recall") == recall))
+    assert(recall >= 0.95, s"measured LSH recall $recall below 0.95")
+  }
 }

@@ -151,4 +151,96 @@ class ServeApiSpec extends SparkSpec {
       "filter_field" -> "no_such_column", "filter_value" -> "x")
     assert(r.status == 400 && r.body.contains("error"), s"${r.status}: ${r.body}")
   }
+
+  test("document CRUD: create, update archives, version reads, history, delete") {
+    val store = java.nio.file.Files.createTempDirectory("graft-crud").toString
+
+    // create → version 1, nothing archived
+    val c = get("/api/documents/create", "store_dir" -> store,
+      "id" -> "42", "text" -> "first body")
+    assert(c.status == 200 && c.body.contains("\"version\":1"), c.body)
+    assert(c.body.contains("\"archived_versions\":0"), c.body)
+
+    // create on an EXISTING id updates (version_service create→update path)
+    val c2 = get("/api/documents/create", "store_dir" -> store,
+      "id" -> "42", "text" -> "second body")
+    assert(c2.status == 200 && c2.body.contains("\"version\":2"), c2.body)
+    assert(c2.body.contains("\"archived_versions\":1"), c2.body)
+
+    // update bumps again; update of a MISSING id creates at version 1
+    val u = get("/api/documents/update", "store_dir" -> store,
+      "id" -> "42", "text" -> "third body")
+    assert(u.status == 200 && u.body.contains("\"version\":3"), u.body)
+    val uNew = get("/api/documents/update", "store_dir" -> store,
+      "id" -> "7", "text" -> "other doc")
+    assert(uNew.status == 200 && uNew.body.contains("\"version\":1"), uNew.body)
+
+    // version reads: current from main, superseded from history, absent 404
+    val vCur = get("/api/documents/versions", "store_dir" -> store,
+      "id" -> "42", "version" -> "3")
+    assert(vCur.status == 200 && vCur.body.contains("third body"), vCur.body)
+    val vOld = get("/api/documents/versions", "store_dir" -> store,
+      "id" -> "42", "version" -> "1")
+    assert(vOld.status == 200 && vOld.body.contains("first body"), vOld.body)
+    assert(vOld.body.contains("\"history_id\":\"42_v1\""), vOld.body)
+    assert(get("/api/documents/versions", "store_dir" -> store,
+      "id" -> "42", "version" -> "9").status == 404)
+
+    // history: newest first, only superseded versions, 404 for unknown id
+    val h = get("/api/documents/history", "store_dir" -> store, "id" -> "42")
+    assert(h.status == 200 && h.body.contains("\"count\":2"), h.body)
+    assert(h.body.indexOf("second body") < h.body.indexOf("first body"), h.body)
+    assert(get("/api/documents/history", "store_dir" -> store,
+      "id" -> "999").status == 404)
+
+    // created_at survives updates; updated_at moves
+    assert(vCur.body.contains("\"created_at\":"), vCur.body)
+    val createdAt = "\"created_at\":\"([^\"]+)\"".r
+      .findFirstMatchIn(vOld.body).get.group(1)
+    assert(vCur.body.contains(s""""created_at":"$createdAt""""), vCur.body)
+
+    // delete keeping history: doc gone from main, history still readable
+    val d = get("/api/documents/delete", "store_dir" -> store, "id" -> "42")
+    assert(d.status == 200, d.body)
+    assert(get("/api/documents/history", "store_dir" -> store,
+      "id" -> "42").status == 404) // current gone -> reference 404s history
+    val vHist = get("/api/documents/versions", "store_dir" -> store,
+      "id" -> "42", "version" -> "2")
+    assert(vHist.status == 200, s"history row must survive plain delete: ${vHist.body}")
+    assert(get("/api/documents/delete", "store_dir" -> store,
+      "id" -> "42").status == 404) // second delete: already gone
+
+    // delete WITH history drops the trail too
+    get("/api/documents/update", "store_dir" -> store, "id" -> "7", "text" -> "v2")
+    val dh = get("/api/documents/delete", "store_dir" -> store,
+      "id" -> "7", "delete_history" -> "true")
+    assert(dh.status == 200, dh.body)
+    assert(get("/api/documents/versions", "store_dir" -> store,
+      "id" -> "7", "version" -> "1").status == 404)
+  }
+
+  test("corrupt store surfaces as a 500, not a client 400") {
+    // a store dir that exists but holds garbage instead of parquet: the
+    // failure is operator-actionable (500), not request-derived
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toFile
+    val main = new java.io.File(dir, "main"); main.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(main, "part-00000.parquet").toPath, "not parquet bytes")
+    val r = get("/api/documents/history",
+      "store_dir" -> dir.getAbsolutePath, "id" -> "1")
+    assert(r.status == 500, s"${r.status}: ${r.body}")
+  }
+
+  test("methods-info and self-test diagnostic routes") {
+    val mi = get("/api/methods-info")
+    assert(mi.status == 200, mi.body)
+    for (m <- Seq("dense", "sparse", "hybrid"))
+      assert(mi.body.contains(s""""$m":{"""), mi.body)
+    assert(mi.body.contains("\"fusion_method\":\"rrf_k60\""), mi.body)
+
+    val t = get("/api/test")
+    assert(t.status == 200, t.body)
+    assert(t.body.contains("\"status\":\"success\""), t.body)
+    assert(t.body.contains("\"hybrid\":\"ok\""), t.body)
+  }
 }
