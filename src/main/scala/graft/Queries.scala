@@ -847,6 +847,47 @@ object Queries {
         FROM scored ORDER BY score DESC, ck ASC LIMIT 10
       """)),
 
+    // s21's build/query split: passage retrieval from the PREBUILT
+    // chunk-level BM25 index (chunking + impact weights paid once at
+    // indexing time, like the reference's per-passage points at
+    // scripts/indexing.py:471-520) — the query is one pushed-In+bloom
+    // postings seek over the terms' chunk lists. Different terms/k from
+    // s21 so the two entries exercise distinct posting lists; the oracle
+    // rebuilds chunks from scratch, proving build-time == query-time math.
+    "s21b_chunk_indexed" -> Q(
+      (s, d) => graft.index.ChunkIndex.topK(
+        s, graft.index.ChunkIndex.ensure(s, d), Seq("merge", "vector"), 12),
+      Some(s"""
+        WITH t AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS arr
+             FROM documents),
+        cs AS (
+          SELECT doc_id, arr, len(arr) AS n,
+                 unnest(range(0, greatest(len(arr), 1), 24)) AS st
+          FROM t),
+        chunks AS (
+          SELECT doc_id * 2097152 + (st // 24) AS ck,
+                 arr[st + 1 : st + 32] AS toks
+          FROM cs WHERE st < n),
+        base2 AS (SELECT ck, toks, len(toks) AS dl FROM chunks),
+        stats AS (SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl FROM base2),
+        tf AS (
+          SELECT ck, dl, term, count(*) AS tf
+          FROM (SELECT ck, dl, unnest(toks) AS term FROM base2)
+          WHERE term IN ('merge', 'vector')
+          GROUP BY ck, dl, term),
+        dfreq AS (SELECT term, count(DISTINCT ck) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT t.ck, round(sum(
+            ln(1.0::DOUBLE + (st.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) *
+            (t.tf * 2.2::DOUBLE) /
+            (t.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * t.dl / st.avgdl))
+          ), 6) AS score
+          FROM tf t, dfreq f, stats st WHERE t.term = f.term GROUP BY t.ck)
+        SELECT (ck // 2097152)::BIGINT AS doc_id, (ck % 2097152)::BIGINT AS chunk_ord, score
+        FROM scored ORDER BY score DESC, ck ASC LIMIT 12
+      """)),
+
     // J2/W1/A2/Q7: hybrid RRF(k=60) of dense || sparse, both oversampled 2x
     // (reference fetches limit*2 per arm, `scripts/indexing.py:933,943`).
     "s4_hybrid_rrf" -> Q(

@@ -25,6 +25,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("chunk retrieval from the prebuilt index is a postings seek, not a corpus re-chunk") {
+    val idx = graft.index.ChunkIndex.ensure(spark, Sf0001)
+    val plan = graft.index.ChunkIndex.topK(spark, idx, Seq("merge", "vector"), 12)
+      .queryExecution.executedPlan.toString
+    // pushed In(term, ...) on the chunk postings; no Generate means the
+    // query never re-runs the chunking explode
+    assert(plan.contains("PushedFilters: [In(term"), plan)
+    assert(!plan.contains("Generate"), s"query must not re-chunk the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("phrase search: postings seek proposes, broadcast confirm adds no shuffle") {
     val idx = graft.index.Bm25Index.ensure(spark, Sf0001)
     val plan = graft.index.Bm25Index.phraseTopK(
