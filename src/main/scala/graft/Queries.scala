@@ -739,6 +739,109 @@ object Queries {
       ORDER BY score DESC, id ASC LIMIT 10
     )"""
 
+  /** Chunk-table + chunk-level TF-IDF CTE chain shared by the s21c/s21d
+    * oracles: same 32/24 chunk geometry and packed key as s21/s21b, then
+    * the s9 TF-IDF pipeline at chunk granularity (df/idf/norms over
+    * passages). Produces `cidf(bucket, idf)`, `cdv(ck, bucket, w)` and
+    * `chunks(ck, toks)`. */
+  private val chunkTfidfCtes: String = s"""
+        t AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS arr
+             FROM documents),
+        cs AS (
+          SELECT doc_id, arr, len(arr) AS n,
+                 unnest(range(0, greatest(len(arr), 1), 24)) AS st
+          FROM t),
+        chunks AS (
+          SELECT doc_id * 2097152 + (st // 24) AS ck,
+                 arr[st + 1 : st + 32] AS toks
+          FROM cs WHERE st < n),
+        ctf AS (
+          SELECT ck, (('0x' || substr(md5(tok), 1, 8))::BIGINT % 64)::INT AS bucket,
+                 count(*) AS tf
+          FROM (SELECT ck, unnest(toks) AS tok FROM chunks) GROUP BY 1, 2),
+        cnd AS (SELECT count(*) AS n_docs FROM chunks),
+        cidf AS (
+          SELECT bucket, ln((n_docs + 1.0::DOUBLE) / (df + 1.0::DOUBLE)) + 1.0::DOUBLE AS idf
+          FROM (SELECT bucket, count(DISTINCT ck) AS df FROM ctf GROUP BY bucket)
+          CROSS JOIN cnd),
+        cw AS (SELECT ctf.ck, ctf.bucket, ctf.tf * cidf.idf AS w
+               FROM ctf JOIN cidf USING (bucket)),
+        cnorms AS (SELECT ck, sqrt(sum(w * w)) AS norm FROM cw GROUP BY ck),
+        cdv AS (SELECT cw.ck, cw.bucket, cw.w / cnorms.norm AS w
+                FROM cw JOIN cnorms USING (ck))"""
+
+  /** Query-side TF-IDF embed + chunk cosine CTE: produces
+    * `dense_scored(ck, score)` for a literal query text. */
+  private def chunkDenseScoredCte(queryText: String): String = s"""
+        qtoks AS (
+          SELECT unnest(list_filter(string_split('$queryText', ' '), t -> t <> '')) AS tok),
+        qtf AS (
+          SELECT (('0x' || substr(md5(tok), 1, 8))::BIGINT % 64)::INT AS bucket,
+                 count(*) AS tf
+          FROM qtoks GROUP BY 1),
+        qw AS (SELECT qtf.bucket, qtf.tf * cidf.idf AS w FROM qtf JOIN cidf USING (bucket)),
+        qnorm AS (SELECT sqrt(sum(w * w)) AS norm FROM qw),
+        qv AS (SELECT bucket, w / norm AS qw FROM qw CROSS JOIN qnorm),
+        dense_scored AS (
+          SELECT cdv.ck, round(sum(cdv.w * qv.qw), 6) AS score
+          FROM cdv JOIN qv USING (bucket) GROUP BY cdv.ck)"""
+
+  /** Full dense passage-retrieval oracle (s21c). */
+  private def chunkDenseSql(queryText: String, k: Int): String = s"""
+        WITH $chunkTfidfCtes, ${chunkDenseScoredCte(queryText)}
+        SELECT (ck // 2097152)::BIGINT AS doc_id,
+               (ck % 2097152)::BIGINT AS chunk_ord, score
+        FROM dense_scored ORDER BY score DESC, ck ASC LIMIT $k
+      """
+
+  /** Chunk-level BM25 arm CTE for the hybrid oracle: produces
+    * `sparse_scored(ck, score)` for literal terms (same math as s21/s21b). */
+  private def chunkBm25ScoredCte(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""
+        base2 AS (SELECT ck, toks, len(toks) AS dl FROM chunks),
+        bstats AS (SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl FROM base2),
+        btf AS (
+          SELECT ck, dl, term, count(*) AS tf
+          FROM (SELECT ck, dl, unnest(toks) AS term FROM base2)
+          WHERE term IN ($inList)
+          GROUP BY ck, dl, term),
+        bdf AS (SELECT term, count(DISTINCT ck) AS df FROM btf GROUP BY term),
+        sparse_scored AS (
+          SELECT t.ck, round(sum(
+            ln(1.0::DOUBLE + (st.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) *
+            (t.tf * 2.2::DOUBLE) /
+            (t.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * t.dl / st.avgdl))
+          ), 6) AS score
+          FROM btf t, bdf f, bstats st WHERE t.term = f.term GROUP BY t.ck)"""
+  }
+
+  /** Full hybrid passage-retrieval oracle (s21d): RRF(k=60) of the dense
+    * and BM25 chunk arms, both top-2k, mirrored from the s4 RRF SQL. */
+  private def chunkHybridSql(queryText: String, k: Int): String = {
+    val terms = queryText.split(" ").toSeq.filter(_.nonEmpty)
+    s"""
+        WITH $chunkTfidfCtes, ${chunkDenseScoredCte(queryText)},
+        ${chunkBm25ScoredCte(terms)},
+        dense_top AS (
+          SELECT ck, score FROM dense_scored ORDER BY score DESC, ck ASC LIMIT ${2 * k}
+        ), sparse_top AS (
+          SELECT ck, score FROM sparse_scored ORDER BY score DESC, ck ASC LIMIT ${2 * k}
+        ), dr AS (
+          SELECT ck, row_number() OVER (ORDER BY score DESC, ck ASC) AS rank_d FROM dense_top
+        ), sr AS (
+          SELECT ck, row_number() OVER (ORDER BY score DESC, ck ASC) AS rank_s FROM sparse_top
+        )
+        SELECT (coalesce(dr.ck, sr.ck) // 2097152)::BIGINT AS doc_id,
+               (coalesce(dr.ck, sr.ck) % 2097152)::BIGINT AS chunk_ord,
+               round(coalesce(1.0::DOUBLE / (60 + rank_d), 0.0::DOUBLE)
+                   + coalesce(1.0::DOUBLE / (60 + rank_s), 0.0::DOUBLE), 6) AS score
+        FROM dr FULL OUTER JOIN sr ON dr.ck = sr.ck
+        ORDER BY score DESC, coalesce(dr.ck, sr.ck) ASC LIMIT $k
+      """
+  }
+
   val searchQueries: Map[String, Q] = Map(
     // T1/V4/Q5: dense cosine top-k.
     "s1_dense_topk" -> Q(
@@ -887,6 +990,29 @@ object Queries {
         SELECT (ck // 2097152)::BIGINT AS doc_id, (ck % 2097152)::BIGINT AS chunk_ord, score
         FROM scored ORDER BY score DESC, ck ASC LIMIT 12
       """)),
+
+    // Dense passage retrieval from the prebuilt chunk-level TF-IDF index —
+    // the dense twin of s21b (the reference's per-passage points carry
+    // EMBEDDINGS, `scripts/indexing.py:471-520`; BM25 is the auxiliary
+    // arm). idf/norms are chunk-corpus statistics, so a short on-topic
+    // passage outranks a long document that mentions the terms once. The
+    // query path is a driver-side embed + one pushed bucket-IN seek over
+    // the chunk vectors — no re-chunk, no corpus-stat recompute.
+    "s21c_chunk_dense" -> Q(
+      (s, d) => graft.index.ChunkIndex.denseTopK(
+        s, graft.index.ChunkIndex.ensureDense(s, d), "group query batch", 10),
+      Some(chunkDenseSql("group query batch", 10))),
+
+    // Hybrid passage retrieval: RRF(k=60) of the dense TF-IDF arm and the
+    // sparse BM25 arm over the same chunk keys, both prebuilt-index seeks
+    // oversampled 2x (reference fetches limit*2 per arm,
+    // `scripts/indexing.py:933,943`) — the full RAG serving query with
+    // zero query-time corpus work.
+    "s21d_chunk_hybrid" -> Q(
+      (s, d) => graft.index.ChunkIndex.hybridTopK(
+        s, graft.index.ChunkIndex.ensure(s, d),
+        graft.index.ChunkIndex.ensureDense(s, d), "scan merge stream", 10),
+      Some(chunkHybridSql("scan merge stream", 10))),
 
     // J2/W1/A2/Q7: hybrid RRF(k=60) of dense || sparse, both oversampled 2x
     // (reference fetches limit*2 per arm, `scripts/indexing.py:933,943`).

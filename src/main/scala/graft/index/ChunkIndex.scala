@@ -1,8 +1,9 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.search.Fusion
 import graft.tables.Tables
 
 /** Prebuilt chunk-level BM25 index — the build/query split for passage
@@ -34,15 +35,19 @@ object ChunkIndex {
   val Width = 32
   val Stride = 24
 
+  /** The chunk table for `dataDir`: packed key + chunk text, the shared
+    * input of both index builds. */
+  private def chunked(spark: SparkSession, dataDir: String): DataFrame =
+    graft.functions.TextOps
+      .chunkWindows(Tables.documents(spark, dataDir), "doc_id", "text",
+        Width, Stride)
+      .select((col("doc_id") * ChunkOrdSpace + col("chunk_ord")).as("ck"),
+        col("chunk_text"))
+
   /** Build (once) the chunk-level BM25 artifacts for `dataDir`. */
   def ensure(spark: SparkSession, dataDir: String): String =
     IndexCatalog.ensure(spark, dataDir, Name) { p =>
-      val chunks = graft.functions.TextOps
-        .chunkWindows(Tables.documents(spark, dataDir), "doc_id", "text",
-          Width, Stride)
-        .select((col("doc_id") * ChunkOrdSpace + col("chunk_ord")).as("ck"),
-          col("chunk_text"))
-      Bm25Index.build(chunks, "ck", "chunk_text", p)
+      Bm25Index.build(chunked(spark, dataDir), "ck", "chunk_text", p)
     }
 
   /** Passage top-k from the prebuilt index: postings seek (pushed In +
@@ -51,8 +56,49 @@ object ChunkIndex {
     * path — hash-exact same results for the same terms/k. */
   def topK(spark: SparkSession, indexDir: String, terms: Seq[String],
            k: Int): DataFrame =
-    Bm25Index.topK(spark, indexDir, "ck", terms, k)
-      .select(expr(s"ck div $ChunkOrdSpace").cast("long").as("doc_id"),
-        pmod(col("ck"), lit(ChunkOrdSpace)).cast("long").as("chunk_ord"),
-        col("score"))
+    unpack(Bm25Index.topK(spark, indexDir, "ck", terms, k))
+
+  /** Unpack the packed chunk key to (doc_id, chunk_ord), carrying every
+    * other column (score) through. */
+  private def unpack(scored: DataFrame): DataFrame = {
+    val rest = scored.columns.filter(_ != "ck").map(col).toSeq
+    scored.select(
+      (expr(s"ck div $ChunkOrdSpace").cast("long").as("doc_id") +:
+        pmod(col("ck"), lit(ChunkOrdSpace)).cast("long").as("chunk_ord") +:
+        rest): _*)
+  }
+
+  // ---- dense arm: chunk-level TF-IDF vectors, same build/query split ----
+
+  val DenseName = "chunks_tfidf_v1"
+
+  /** Build (once) the chunk-level TF-IDF artifacts: L2-normalized sparse
+    * chunk vectors + the chunk-corpus idf table ([[TfIdfIndex.build]] at
+    * chunk granularity — idf/df/norms are over PASSAGES, not documents,
+    * which is what makes a short on-topic passage outrank a long document
+    * that mentions the terms once). */
+  def ensureDense(spark: SparkSession, dataDir: String): String =
+    IndexCatalog.ensure(spark, dataDir, DenseName) { p =>
+      TfIdfIndex.build(chunked(spark, dataDir), "ck", "chunk_text", p)
+    }
+
+  /** Dense passage top-k: query embedded driver-side with the chunk-corpus
+    * idf, one pushed `bucket IN (...)` seek over the chunk vectors, dot
+    * product, top-k — no re-chunk, no corpus-stat recompute at query time. */
+  def denseTopK(spark: SparkSession, indexDir: String, query: String,
+                k: Int): DataFrame =
+    unpack(TfIdfIndex.searchText(spark, indexDir, "ck", query, k))
+
+  /** Hybrid passage retrieval: RRF(k=60) of the dense TF-IDF arm and the
+    * sparse BM25 arm over the SAME chunk keys, both oversampled 2× (the
+    * reference fetches limit*2 per arm before fusing,
+    * `scripts/indexing.py:933,943`). Both arms are prebuilt-index seeks,
+    * so the fused query still never touches the raw corpus. */
+  def hybridTopK(spark: SparkSession, bm25Dir: String, tfidfDir: String,
+                 query: String, k: Int): DataFrame = {
+    val terms = TfIdfIndex.tokensOf(query)
+    val dense = TfIdfIndex.searchText(spark, tfidfDir, "ck", query, 2 * k)
+    val sparse = Bm25Index.topK(spark, bm25Dir, "ck", terms, 2 * k)
+    unpack(Fusion.rrf(dense, sparse, "ck", 60, k))
+  }
 }

@@ -36,6 +36,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("dense passage retrieval is a bucket seek over prebuilt chunk vectors") {
+    val idx = graft.index.ChunkIndex.ensureDense(spark, Sf0001)
+    val plan = graft.index.ChunkIndex.denseTopK(spark, idx, "group query batch", 10)
+      .queryExecution.executedPlan.toString
+    // query buckets computed driver-side -> pushed In(bucket, ...); no
+    // Generate (no re-chunk), no join (weights applied via literal map)
+    assert(plan.contains("PushedFilters: [In(bucket"), plan)
+    assert(!plan.contains("Generate"), s"query must not re-chunk the corpus:\n$plan")
+    assert(!plan.contains("Join"), s"query side must be join-free:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("hybrid passage retrieval touches only the two prebuilt indexes") {
+    val bm25 = graft.index.ChunkIndex.ensure(spark, Sf0001)
+    val dense = graft.index.ChunkIndex.ensureDense(spark, Sf0001)
+    val plan = graft.index.ChunkIndex
+      .hybridTopK(spark, bm25, dense, "scan merge stream", 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"fused query must not re-chunk:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"fused query must not scan the raw corpus:\n$plan")
+  }
+
   test("phrase search: postings seek proposes, broadcast confirm adds no shuffle") {
     val idx = graft.index.Bm25Index.ensure(spark, Sf0001)
     val plan = graft.index.Bm25Index.phraseTopK(
