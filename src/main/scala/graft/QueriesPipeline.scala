@@ -830,6 +830,59 @@ object QueriesPipeline {
                                    ' ' ORDER BY ci), '') AS clean_text
         FROM ch JOIN stats USING (ct)
         GROUP BY doc_id ORDER BY doc_id
+      """)),
+
+    // Benchmark decontamination (GPT-3 appendix C / Llama train-test
+    // overlap): training docs sharing any word 4-gram with the held-out
+    // benchmark split (doc_id % 97 = 0 stands in for the eval set). The
+    // bloom-gated gram probe keeps the corpus shuffle-free; the oracle is
+    // the plain exact semi-join it must equal.
+    "d17_decontaminate" -> Q(
+      (s, d) => Dedup.decontaminate(
+        docs(s, d).where(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs(s, d).where(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", 4, expectedBenchGrams = 100000L)
+        .orderBy(col("shared_grams").desc, col("doc_id").asc),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+        tg AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
+          FROM t WHERE len(toks) >= 4 AND doc_id % 97 <> 0),
+        bg AS (
+          SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
+          FROM t WHERE len(toks) >= 4 AND doc_id % 97 = 0)
+        SELECT doc_id, count(*) AS shared_grams
+        FROM tg JOIN bg USING (gram)
+        GROUP BY doc_id ORDER BY shared_grams DESC, doc_id ASC
+      """)),
+
+    // Decontamination applied: the clean training split (ids only — the
+    // payload columns ride along in the operator; projecting the id keeps
+    // the oracle comparison exact and order-stable).
+    "d18_decon_apply" -> Q(
+      (s, d) => Dedup.decontaminateApply(
+        docs(s, d).where(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs(s, d).where(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", 4, expectedBenchGrams = 100000L)
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+        tg AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
+          FROM t WHERE len(toks) >= 4 AND doc_id % 97 <> 0),
+        bg AS (
+          SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
+          FROM t WHERE len(toks) >= 4 AND doc_id % 97 = 0),
+        bad AS (SELECT DISTINCT doc_id FROM tg JOIN bg USING (gram))
+        SELECT doc_id FROM documents
+        WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        ORDER BY doc_id
       """)))
 
   val text: Map[String, Q] = Map(

@@ -757,4 +757,57 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
+
+  /** Benchmark decontamination — flag training documents that share any
+    * word n-gram with a held-out evaluation set (the GPT-3 appendix-C /
+    * Llama train-test-overlap rule: a training example is contaminated
+    * when an eval n-gram appears verbatim in it; the reference's
+    * processed-id re-check at `scripts/indexing.py:214-230` is the same
+    * "seen set" gate at document granularity).
+    *
+    * 100 TB shape: the benchmark side is TINY (eval sets are thousands of
+    * documents) while the train side is the full corpus — so the corpus
+    * never shuffles on grams. The benchmark gram set is sketched into a
+    * bloom filter that travels as a plan literal ([[graft.functions
+    * .BloomGate]]); the corpus gram stream is pruned scan-side by
+    * `might_contain` (no false negatives, so dropping the misses is
+    * exact), and only the flagged sliver — |true overlaps| + fpp·|corpus
+    * grams| rows — pays the exact confirming join against the real gram
+    * set. Result: (idCol, shared_grams) per contaminated train doc,
+    * shared_grams = distinct eval n-grams appearing in it.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int,
+                    expectedBenchGrams: Long = 1000000L,
+                    fpp: Double = 0.01): DataFrame = {
+    val benchGrams = bench
+      .select(explode(TextOps.shingles(TextOps.tokens(col(textCol)), n))
+        .as("gram"))
+      .distinct()
+    val trainGrams = train.select(col(idCol),
+      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("gram"))
+    val candidates = graft.functions.BloomGate
+      .build(benchGrams, col("gram"), expectedBenchGrams, fpp) match {
+      case None => trainGrams.where(lit(false)) // empty benchmark
+      case Some(bloom) =>
+        trainGrams.where(graft.functions.BloomGate.mightContain(bloom, col("gram")))
+    }
+    // shingles() is distinct-per-doc, so the semi-join survivors count
+    // is exactly the number of distinct shared grams
+    candidates.join(benchGrams, Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
+  /** Decontamination applied: the training rows with NO benchmark n-gram
+    * overlap. The contaminated-id set is a vanishing fraction of the
+    * corpus (and bounded by it), so the drop is a broadcast-able anti-join
+    * on the id — AQE picks the strategy from the measured size. */
+  def decontaminateApply(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int,
+                         expectedBenchGrams: Long = 1000000L): DataFrame = {
+    val contaminated = decontaminate(train, bench, idCol, textCol, n,
+      expectedBenchGrams).select(col(idCol))
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

@@ -239,6 +239,31 @@ class DedupSpec extends SparkSpec {
     assert(kept == total)
   }
 
+  test("decontamination flags exactly the overlapping docs and apply drops them") {
+    import org.apache.spark.sql.functions.col
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words here about spark engines"),
+      (3L, "prefix tokens then the quick brown fox tail")) // shares one 4-gram with bench
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox leaps")).toDF("doc_id", "text")
+
+    val flagged = Dedup.decontaminate(train, bench, "doc_id", "text", 4, 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 1 and 3 contain "the quick brown fox"; doc 2 shares nothing
+    assert(flagged == Set((1L, 1L), (3L, 1L)))
+
+    val clean = Dedup.decontaminateApply(train, bench, "doc_id", "text", 4, 100L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(clean == Seq(2L))
+
+    // degenerate: empty benchmark contaminates nothing
+    assert(Dedup.decontaminate(train, bench.limit(0), "doc_id", "text", 4, 100L)
+      .count() == 0L)
+    assert(Dedup.decontaminateApply(train, bench.limit(0), "doc_id", "text", 4, 100L)
+      .count() == 3L)
+  }
+
   test("minhash signatures are permutation-count complete and stable") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3)
     val counts = sigs.groupBy("doc_id").count().collect()

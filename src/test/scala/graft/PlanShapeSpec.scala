@@ -59,6 +59,22 @@ class PlanShapeSpec extends SparkSpec {
       s"fused query must not scan the raw corpus:\n$plan")
   }
 
+  test("decontamination: gram stream is bloom-pruned at the scan, confirm join broadcasts") {
+    import org.apache.spark.sql.functions._
+    val all = graft.tables.Tables.documents(spark, Sf0001)
+    val plan = graft.dedup.Dedup.decontaminate(
+      all.where(pmod(col("doc_id"), lit(97)) =!= 0),
+      all.where(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", 4, 1000L)
+      .queryExecution.executedPlan.toString
+    // the corpus gram stream meets the sketch literal right above its
+    // scan — non-candidates never shuffle
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"confirm join over the bloom-flagged sliver should broadcast:\n$plan")
+  }
+
   test("phrase search: postings seek proposes, broadcast confirm adds no shuffle") {
     val idx = graft.index.Bm25Index.ensure(spark, Sf0001)
     val plan = graft.index.Bm25Index.phraseTopK(
