@@ -1431,6 +1431,56 @@ object QueriesPipeline {
         ORDER BY doc_id
       """)),
 
+    // Deterministic token-budget prefix: the reproducible "~N-token
+    // subset" slice. The oracle is the naive single global running-sum
+    // window; the operator computes the row-identical set with a driver
+    // cumulative over 1024 bucket sums, a scan-side predicate for full
+    // buckets and ONE within-bucket window for the crossing bucket.
+    "t26_token_budget" -> Q(
+      (s, d) => graft.functions.Sampling.budgetPrefix(
+          docs(s, d).select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", budget = 10000L)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, len($tokensSql)::BIGINT AS n_tokens,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+          FROM documents),
+        o AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY h % 1024, h, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+        SELECT doc_id, n_tokens FROM o WHERE cum <= 10000 ORDER BY doc_id
+      """)),
+
+    // Domain-mixture resampling: realize an exact en:2 / de:1 / fr:1
+    // language mix at the maximum volume the corpus supports (T =
+    // min_d floor(n_d/w_d) batches, each domain keeps w_d·T rows elected
+    // by id-hash order). The mixture a training run declares, made exact
+    // by construction instead of approximated by rates.
+    "t27_domain_mix" -> Q(
+      (s, d) => graft.functions.Sampling.mixToTarget(
+          docs(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", Map("en" -> 2, "de" -> 1, "fr" -> 1))
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+          FROM documents WHERE lang IN ('en', 'de', 'fr')),
+        w AS (SELECT * FROM (VALUES ('en', 2), ('de', 1), ('fr', 1)) v(lang, wt)),
+        c AS (SELECT lang, count(*) AS n FROM d GROUP BY lang),
+        tt AS (SELECT min(n // wt) AS t FROM c JOIN w USING (lang)),
+        r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+          FROM d)
+        SELECT r.doc_id, r.lang FROM r JOIN w USING (lang) CROSS JOIN tt
+        WHERE rn <= wt * t ORDER BY doc_id
+      """)),
+
     "t19_training_manifest" -> Q(
       (s, dd) => {
         import graft.functions.{CorpusStats, Sampling}

@@ -145,4 +145,94 @@ object Sampling {
              expr(s"(CAST(__cum - __w AS DECIMAL(38,0)) * ${n}L) div __total"))
       .drop("__w", "__cum", "__total")
   }
+
+  /** Deterministic token-budget prefix: the rows whose cumulative
+    * `weightCol` (token counts, byte sizes) stays within `budget` when
+    * the corpus is walked in hash order — "give me a reproducible
+    * ~1B-token subset" (the fixed-budget slice every training run starts
+    * from). Same rows on every run and engine; never overshoots.
+    *
+    * Scale shape: the naive form is ONE global running-sum window — a
+    * single-task bottleneck at any real size. Here the walk order is
+    * (hash bucket, hash, id), which lets the prefix split into
+    *  - a per-bucket weight aggregate (`buckets` rows, map-side
+    *    combined) cumulated on the DRIVER — bounded by `buckets`,
+    *    never by the corpus;
+    *  - full buckets below the crossing point kept by a scan-side
+    *    predicate (zero shuffle, zero window);
+    *  - ONE within-bucket window over the single crossing bucket —
+    *    ~1/`buckets` of the corpus, the only ordered work.
+    * The result is row-identical to the naive global window.
+    */
+  def budgetPrefix(df: DataFrame, idCol: String, weightCol: String,
+                   budget: Long, buckets: Int = 1024): DataFrame = {
+    require(budget >= 0 && buckets > 0)
+    val h = HashOps.tokenHash32(col(idCol).cast("string"))
+    val keyed = df.withColumn("__h", h)
+      .withColumn("__b", pmod(col("__h"), lit(buckets.toLong)))
+    val perBucket = keyed.groupBy(col("__b"))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // driver-side cumulative over <= `buckets` tiny rows: find the first
+    // bucket whose running total crosses the budget
+    var before = 0L
+    var cut = -1L
+    perBucket.foreach { case (b, w) =>
+      if (cut < 0) { if (before + w > budget) cut = b else before += w }
+    }
+    val out =
+      if (cut < 0) keyed // whole corpus fits the budget
+      else {
+        val full = keyed.where(col("__b") < cut)
+        val partial = keyed.where(col("__b") === cut)
+          .withColumn("__cum", sum(col(weightCol).cast("long"))
+            .over(Window.orderBy(col("__h"), col(idCol))))
+          .where(col("__cum") <= budget - before)
+        full.unionByName(partial.drop("__cum"))
+      }
+    out.drop("__h", "__b")
+  }
+
+  /** Domain-mixture resampling: realize a target mixture of integer
+    * weights (e.g. en:2, de:1, fr:1 — "two en documents for every de and
+    * fr") at the MAXIMUM volume the corpus supports. The batch count is
+    * `T = min_d floor(n_d / w_d)` over the spec'd domains; each domain
+    * keeps exactly `w_d · T` rows, elected deterministically by id-hash
+    * order, so the mix is exact by construction and reproducible across
+    * runs and engines. Domains absent from `weights` are dropped
+    * (allowlist semantics, like [[hashSampleBy]]).
+    *
+    * Scale shape: one map-side-combined count per domain (collected —
+    * |spec| rows, bounded by the mixture spec, never the corpus), quotas
+    * rejoined as a literal when-chain (no join), then the [[capPerGroup]]
+    * salted two-phase election with a per-domain cap — skew-free even
+    * when one domain holds 1% of a 100 TB corpus. `T = 0` (some spec'd
+    * domain can't fill one batch) yields the empty mix rather than a
+    * silently wrong ratio.
+    */
+  def mixToTarget(df: DataFrame, idCol: String, domainCol: String,
+                  weights: Map[String, Int], salts: Int = 8): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0))
+    val domains = weights.keys.toSeq
+    val counts = df.where(col(domainCol).isin(domains: _*))
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = weights.map { case (s, w) => counts.getOrElse(s, 0L) / w }.min
+    val quotaCol = weights.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+      when(col(domainCol) === s, lit(w * t)).otherwise(acc)
+    }
+    val h = HashOps.tokenHash32(col(idCol).cast("string"))
+    val shard = pmod(h, lit(salts.toLong))
+    val local = Window.partitionBy(col(domainCol), shard)
+      .orderBy(h.asc, col(idCol).asc)
+    val exact = Window.partitionBy(col(domainCol))
+      .orderBy(h.asc, col(idCol).asc)
+    df.where(col(domainCol).isin(domains: _*))
+      .withColumn("__q", quotaCol)
+      .withColumn("__rl", row_number().over(local))
+      .where(col("__rl") <= col("__q"))
+      .withColumn("__rg", row_number().over(exact))
+      .where(col("__rg") <= col("__q"))
+      .drop("__q", "__rl", "__rg")
+  }
 }

@@ -147,6 +147,54 @@ class TextHashOpsSpec extends SparkSpec {
     assert(withHeavy.contains(4L))
   }
 
+  test("budgetPrefix equals the naive global running-sum window and never overshoots") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{HashOps, Sampling}
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, 1L + i % 37)).toDF("id", "w")
+    val budget = 2000L
+    val got = Sampling.budgetPrefix(df, "id", "w", budget, buckets = 16)
+      .collect().map(_.getLong(0)).toSet
+    val h = HashOps.tokenHash32(col("id").cast("string"))
+    val naive = df
+      .withColumn("cum", sum($"w").over(
+        Window.orderBy(pmod(h, lit(16L)), h, $"id")))
+      .where($"cum" <= budget).collect().map(_.getLong(0)).toSet
+    assert(got == naive && got.nonEmpty && got.size < 400)
+    // spent total is within budget and maximal (adding the next doc in
+    // hash order would cross it)
+    val spent = df.where($"id".isin(got.toSeq: _*)).agg(sum($"w")).head().getLong(0)
+    assert(spent <= budget)
+    // degenerate ends: everything fits / nothing fits
+    assert(Sampling.budgetPrefix(df, "id", "w", 1000000L, 16).count() == 400L)
+    assert(Sampling.budgetPrefix(df, "id", "w", 0L, 16).count() == 0L)
+  }
+
+  test("mixToTarget realizes the exact ratio at max volume; starved domain empties the mix") {
+    import graft.functions.Sampling
+    import spark.implicits._
+    // en:100, de:30, fr:9 -> T = min(50, 30, 9) = 9 with weights 2/1/1
+    val rows = (0 until 100).map(i => (i.toLong, "en")) ++
+      (100 until 130).map(i => (i.toLong, "de")) ++
+      (130 until 139).map(i => (i.toLong, "fr")) ++
+      (139 until 150).map(i => (i.toLong, "zz")) // unspec'd: dropped
+    val df = rows.toDF("id", "lang")
+    val mix = Sampling.mixToTarget(df, "id", "lang",
+      Map("en" -> 2, "de" -> 1, "fr" -> 1))
+    val per = mix.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per == Map("en" -> 18L, "de" -> 9L, "fr" -> 9L))
+    // deterministic election
+    val a = mix.collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixToTarget(df, "id", "lang",
+      Map("en" -> 2, "de" -> 1, "fr" -> 1)).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // a spec'd domain with too few rows to fill one batch -> empty mix,
+    // never a silently wrong ratio
+    assert(Sampling.mixToTarget(df, "id", "lang",
+      Map("en" -> 1, "xx" -> 1)).count() == 0L)
+  }
+
   test("pii redaction: typed placeholders, url-before-email order, clean text untouched") {
     val df = Seq(
       "mail me at jane.doe+x@corp.example.org today",
