@@ -879,6 +879,22 @@ object Queries {
         SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 15
       """)),
 
+    // Incremental index maintenance: BM25 served from an index GROWN in
+    // two appends (half the corpus at init, half appended) — raw
+    // immutable postings segments + versioned merged stats, idf applied
+    // at query time. The oracle is the plain whole-corpus BM25 SQL: the
+    // incrementally-grown index must be indistinguishable from a full
+    // rebuild, hash-exact.
+    "s3c_bm25_incremental" -> Q(
+      (s, d) => graft.index.IncrementalBm25.topK(
+        s, graft.index.IncrementalBm25.ensure(s, d), "doc_id",
+        Seq("data", "query"), 12)
+        .select(col("doc_id").as("id"), col("score")),
+      Some(s"""
+        WITH ${bm25ScoredCteFor("scored", Seq("data", "query"))}
+        SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 12
+      """)),
+
     // Exact-phrase search through the inverted index: posting lists of
     // the phrase terms propose (pushed In + bloom; a doc missing any term
     // is never touched), padded-substring adjacency on the normalized

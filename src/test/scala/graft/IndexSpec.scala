@@ -25,6 +25,62 @@ class IndexSpec extends SparkSpec {
     assert(indexed == direct && direct.nonEmpty)
   }
 
+  test("incremental bm25: grown index == full rebuild, appends shift scores, crash-safe") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, Sf0001)
+    val root = Files.createTempDirectory("graft-bm25-inc").toString
+    // grow in three installments
+    graft.index.IncrementalBm25.init(
+      docs.where(col("doc_id") % 3 === 0), "doc_id", "text", root)
+    graft.index.IncrementalBm25.append(
+      docs.where(col("doc_id") % 3 === 1), "doc_id", "text", root)
+    graft.index.IncrementalBm25.append(
+      docs.where(col("doc_id") % 3 === 2), "doc_id", "text", root)
+    assert(graft.index.IncrementalBm25.version(spark, root) == 3)
+
+    val full = Files.createTempDirectory("graft-bm25-full").toString
+    Bm25Index.build(docs, "doc_id", "text", full)
+    for (terms <- Seq(Seq("spark", "join", "filter"), Seq("data"),
+                      Seq("stream", "window"))) {
+      val grown = graft.index.IncrementalBm25.topK(spark, root, "doc_id", terms, 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val built = Bm25Index.topK(spark, full, "doc_id", terms, 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(grown == built && built.nonEmpty, s"terms=$terms")
+    }
+
+    // appends really change global stats: a third of the corpus alone
+    // scores differently than the grown whole
+    val partialRoot = Files.createTempDirectory("graft-bm25-part").toString
+    graft.index.IncrementalBm25.init(
+      docs.where(col("doc_id") % 3 === 0), "doc_id", "text", partialRoot)
+    val partial = graft.index.IncrementalBm25
+      .topK(spark, partialRoot, "doc_id", Seq("data"), 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val whole = graft.index.IncrementalBm25
+      .topK(spark, root, "doc_id", Seq("data"), 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(partial != whole)
+
+    // crash safety: a segment directory without its published stats
+    // version is invisible to queries
+    val before = graft.index.IncrementalBm25
+      .topK(spark, root, "doc_id", Seq("data"), 20).collect().toSeq
+    val orphan = new java.io.File(s"$root/seg/3")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$root/seg/0"), orphan)
+    assert(graft.index.IncrementalBm25.version(spark, root) == 3)
+    val after = graft.index.IncrementalBm25
+      .topK(spark, root, "doc_id", Seq("data"), 20).collect().toSeq
+    assert(after == before)
+
+    // append-before-init is refused
+    intercept[IllegalArgumentException] {
+      graft.index.IncrementalBm25.append(docs, "doc_id", "text",
+        Files.createTempDirectory("graft-bm25-empty").toString)
+    }
+  }
+
   test("tfidf: indexed searchText == embedder searchText (hash-exact)") {
     val docs = Tables.documents(spark, Sf0001)
     val out = Files.createTempDirectory("graft-tfidf-idx").toString
