@@ -46,7 +46,10 @@ import graft.search.Bm25
   */
 object IncrementalBm25 {
 
-  val Name = "bm25_inc_v1"
+  // v2: commit protocol change (stats versions publish via the atomic
+  // _COMMITTED marker) — v1 artifacts carry no marker and must not be
+  // reused
+  val Name = "bm25_inc_v2"
 
   /** Raw per-(term, doc) postings: corpus-stat-free, safe to freeze. */
   private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -69,32 +72,40 @@ object IncrementalBm25 {
   private def statsDir(root: String, v: Int) = s"$root/stats/v=$v"
   private def segDir(root: String, k: Int) = s"$root/seg/$k"
 
-  /** Committed version: max v under stats/ (0 = uninitialized). */
-  def version(spark: SparkSession, root: String): Int = {
+  private val CommitMarker = "_COMMITTED"
+
+  /** Committed version: max v under stats/ whose [[CommitMarker]] exists
+    * (0 = uninitialized). The stats DIRECTORY appears as soon as its
+    * parquet write starts, so directory existence is not a commit — the
+    * marker, created in one atomic syscall after every stats artifact is
+    * fully written, is. */
+  def version(root: String): Int = {
     val dir = new java.io.File(s"$root/stats")
     if (!dir.isDirectory) 0
     else dir.listFiles().map(_.getName)
-      .collect { case s if s.startsWith("v=") => s.drop(2).toInt }
+      .collect { case s if s.startsWith("v=") &&
+        new java.io.File(dir, s + "/" + CommitMarker).isFile => s.drop(2).toInt }
       .foldLeft(0)(math.max)
   }
 
-  /** Build segment 0 + stats v=1. */
+  /** Build segment 0 + stats v=1. `tag` is an optional idempotence tag
+    * committed atomically with the version (see [[committedHasTag]]). */
   def init(docs: DataFrame, idCol: String, textCol: String, root: String,
-           numFiles: Int = 8): Unit =
-    writeVersion(docs, idCol, textCol, root, seg = 0, numFiles)
+           numFiles: Int = 8, tag: Option[String] = None): Unit =
+    writeVersion(docs, idCol, textCol, root, seg = 0, numFiles, tag)
 
   /** Append a delta as the next segment and publish merged stats. Doc ids
     * must be new (append-only semantics — see scaladoc). */
   def append(delta: DataFrame, idCol: String, textCol: String, root: String,
-             numFiles: Int = 8): Unit = {
-    val spark = delta.sparkSession
-    val v = version(spark, root)
+             numFiles: Int = 8, tag: Option[String] = None): Unit = {
+    val v = version(root)
     require(v > 0, s"index at $root not initialized — call init first")
-    writeVersion(delta, idCol, textCol, root, seg = v, numFiles)
+    writeVersion(delta, idCol, textCol, root, seg = v, numFiles, tag)
   }
 
   private def writeVersion(docs: DataFrame, idCol: String, textCol: String,
-                           root: String, seg: Int, numFiles: Int): Unit = {
+                           root: String, seg: Int, numFiles: Int,
+                           tag: Option[String] = None): Unit = {
     val spark = docs.sparkSession
     val postings = postingsOf(docs, idCol, textCol)
     // segment first — invisible until the matching stats version lands
@@ -113,11 +124,16 @@ object IncrementalBm25 {
          oldCorpus.unionByName(corpus)
            .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
       }
-    // publish: the new stats version is the commit point
     Store.optimizeLayout(mergedDf, s"${statsDir(root, seg + 1)}/termstats",
       Seq("term"), 1, bloomCols = Seq("term"))
     mergedCorpus.coalesce(1).write.mode("overwrite")
       .parquet(s"${statsDir(root, seg + 1)}/corpus")
+    // publish: tag first, then the atomic commit marker — the version (and
+    // its tag) become visible in one syscall, after every artifact is
+    // fully on disk
+    tag.foreach(t =>
+      new java.io.File(statsDir(root, seg + 1), s"_tag_$t").createNewFile())
+    new java.io.File(statsDir(root, seg + 1), CommitMarker).createNewFile()
   }
 
   /** BM25 top-k across all committed segments, idf/length-norm applied at
@@ -125,7 +141,7 @@ object IncrementalBm25 {
     * scores. */
   def topK(spark: SparkSession, root: String, idCol: String,
            terms: Seq[String], k: Int): DataFrame = {
-    val v = version(spark, root)
+    val v = version(root)
     require(v > 0, s"index at $root not initialized")
     val segs = (0 until v).map(segDir(root, _))
     val stats = spark.read.parquet(s"${statsDir(root, v)}/corpus")
@@ -147,6 +163,48 @@ object IncrementalBm25 {
       .agg(round(sum(col("w")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Idempotence check for at-least-once writers (streaming foreachBatch
+    * replays the last uncommitted micro-batch after a failure): a writer
+    * passes its batch id as the `tag` of [[init]]/[[append]] — written
+    * inside the stats dir just before the commit marker, so it is
+    * committed atomically with the version — and skips a redelivered
+    * batch whose tag is already visible. A crash before the marker leaves
+    * no committed tag, and the retried append overwrites the orphan
+    * segment at the same number: exactly-once in effect. */
+  def committedHasTag(root: String, tag: String): Boolean = {
+    val v = version(root)
+    v > 0 && new java.io.File(statsDir(root, v), s"_tag_$tag").isFile
+  }
+
+  /** Compact all committed segments into a single fresh one. Queries pay
+    * one scan task set per segment, so a long-running streaming ingest
+    * (one segment per micro-batch) eventually wants its tail folded —
+    * the standard LSM discipline. Stats are already merged (they carry
+    * no per-segment state), so compaction only rewrites postings:
+    * read segments 0..v-1, write the union as the new seg/0 into a fresh
+    * root, re-publish the CURRENT stats as v=1. The result serves
+    * hash-identical scores (postings rows are the same multiset).
+    * Building into `newRoot` keeps the old index readable throughout —
+    * callers swap the root pointer when done (the same publish-last
+    * discipline as [[append]]).
+    */
+  def compact(spark: SparkSession, root: String, newRoot: String,
+              idCol: String, numFiles: Int = 8): Unit = {
+    val v = version(root)
+    require(v > 0, s"index at $root not initialized")
+    val segs = (0 until v).map(segDir(root, _))
+    Store.optimizeLayout(spark.read.parquet(segs: _*),
+      segDir(newRoot, 0), Seq("term", idCol), numFiles,
+      bloomCols = Seq("term"))
+    spark.read.parquet(s"${statsDir(root, v)}/termstats")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${statsDir(newRoot, 1)}/termstats")
+    spark.read.parquet(s"${statsDir(root, v)}/corpus")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${statsDir(newRoot, 1)}/corpus")
+    new java.io.File(statsDir(newRoot, 1), CommitMarker).createNewFile()
   }
 
   /** Ensure an incrementally-GROWN documents index for `dataDir`: half the

@@ -169,6 +169,39 @@ object DeltaStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Streaming index maintenance: each micro-batch of new documents
+    * becomes ONE committed segment of an [[graft.index.IncrementalBm25]]
+    * index — the ingest half of the search story (the reference re-upserts
+    * delta points into its live Qdrant index, `scripts/indexing.py:
+    * 214-260`; here search stays available throughout because readers
+    * always see the last PUBLISHED stats version, never a half-appended
+    * segment). foreachBatch is at-least-once, so each batch tags the
+    * stats version it publishes with its batch id and a redelivered
+    * batch whose tag is already committed is skipped — combined with
+    * "retry overwrites the orphan segment at the same number", the index
+    * is exactly-once. Per-batch segments are single-file (micro-batches
+    * are small); periodic [[graft.index.IncrementalBm25.compact]] folds
+    * the tail, the standard LSM discipline. */
+  def indexIngest(docs: DataFrame, indexRoot: String, checkpoint: String,
+                  idCol: String = "doc_id", textCol: String = "text")
+      : StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.index.IncrementalBm25
+        val tag = s"batch_$batchId"
+        if (!batch.isEmpty && !IncrementalBm25.committedHasTag(indexRoot, tag)) {
+          if (IncrementalBm25.version(indexRoot) == 0)
+            IncrementalBm25.init(batch, idCol, textCol, indexRoot,
+              numFiles = 1, tag = Some(tag))
+          else
+            IncrementalBm25.append(batch, idCol, textCol, indexRoot,
+              numFiles = 1, tag = Some(tag))
+        }
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+
   /** Streaming ANN serving: a continuous stream of (qid, qvec) query rows
     * answered per micro-batch by ONE batched IVF plan over a PERSISTED
     * assignment ([[graft.search.Ann.ivfTopKBatched]]). The index is the

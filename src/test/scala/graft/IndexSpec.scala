@@ -36,7 +36,7 @@ class IndexSpec extends SparkSpec {
       docs.where(col("doc_id") % 3 === 1), "doc_id", "text", root)
     graft.index.IncrementalBm25.append(
       docs.where(col("doc_id") % 3 === 2), "doc_id", "text", root)
-    assert(graft.index.IncrementalBm25.version(spark, root) == 3)
+    assert(graft.index.IncrementalBm25.version(root) == 3)
 
     val full = Files.createTempDirectory("graft-bm25-full").toString
     Bm25Index.build(docs, "doc_id", "text", full)
@@ -69,7 +69,7 @@ class IndexSpec extends SparkSpec {
     val orphan = new java.io.File(s"$root/seg/3")
     org.apache.commons.io.FileUtils.copyDirectory(
       new java.io.File(s"$root/seg/0"), orphan)
-    assert(graft.index.IncrementalBm25.version(spark, root) == 3)
+    assert(graft.index.IncrementalBm25.version(root) == 3)
     val after = graft.index.IncrementalBm25
       .topK(spark, root, "doc_id", Seq("data"), 20).collect().toSeq
     assert(after == before)

@@ -207,6 +207,46 @@ class StreamingSpec extends SparkSpec {
     assert(kept2.keySet == Set(6L), kept2.keySet)
   }
 
+  test("indexIngest: streamed segments serve hash-identical bm25 to a full rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.tables.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val root = java.nio.file.Files.createTempDirectory("graft-inc-ing").toString + "/idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-inc-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = DeltaStream.indexIngest(input.toDF().toDF("doc_id", "text"), root, ckpt)
+    try {
+      docs.grouped(200).foreach { g => input.addData(g.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    assert(graft.index.IncrementalBm25.version(root) >= 2) // really grew in steps
+
+    val full = java.nio.file.Files.createTempDirectory("graft-inc-full").toString
+    graft.index.Bm25Index.build(
+      graft.tables.Tables.documents(spark, Sf0001), "doc_id", "text", full)
+    val terms = Seq("spark", "join", "filter")
+    val streamed = graft.index.IncrementalBm25.topK(spark, root, "doc_id", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rebuilt = graft.index.Bm25Index.topK(spark, full, "doc_id", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed == rebuilt && rebuilt.nonEmpty)
+
+    // at-least-once redelivery: the committed tag makes a replayed batch
+    // a no-op instead of a duplicate append
+    val vBefore = graft.index.IncrementalBm25.version(root)
+    val lastTag = s"batch_${vBefore - 1}"
+    assert(graft.index.IncrementalBm25.committedHasTag(root, lastTag))
+
+    // compaction folds the tail into one segment, scores unchanged
+    val compacted = java.nio.file.Files.createTempDirectory("graft-inc-cp").toString + "/idx"
+    graft.index.IncrementalBm25.compact(spark, root, compacted, "doc_id")
+    val afterCompact = graft.index.IncrementalBm25
+      .topK(spark, compacted, "doc_id", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(afterCompact == rebuilt)
+    assert(graft.index.IncrementalBm25.version(root) == vBefore) // old root untouched
+  }
+
   test("streaming vector ingest keeps the IVF index fresh via foreachBatch appendAssign") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
