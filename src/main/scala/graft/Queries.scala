@@ -895,6 +895,58 @@ object Queries {
         SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 12
       """)),
 
+    // Batched multi-query BM25 (the sparse twin of a12): ONE plan answers
+    // a 4-query table — postings pruned to the batch's term union, query
+    // table broadcast, per-(qid, doc) partial-agg sum, per-query top-k as
+    // one WindowGroupLimit rank — amortizing Spark's per-job floor across
+    // the batch exactly like the reference's thread-pooled parallel
+    // search amortizes its per-request overhead.
+    "s3d_bm25_batched" -> Q(
+      (s, d) => {
+        val qs = s.createDataFrame(Seq(
+          (0L, "data"), (0L, "query"), (1L, "stream"), (1L, "window"),
+          (2L, "merge"), (2L, "vector"), (3L, "spark"), (3L, "filter")))
+          .toDF("qid", "term")
+        graft.index.Bm25Index.topKBatched(
+          s, graft.index.Bm25Index.ensure(s, d), "doc_id", qs, "qid", "term", 5)
+          .select(col("qid"), col("doc_id").as("id"), col("score"))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        b2 AS (SELECT doc_id, toks, len(toks) AS dl FROM b),
+        st AS (SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl FROM b2),
+        tf AS (
+          SELECT doc_id, dl, term, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b2)
+          WHERE term IN ('data', 'query', 'stream', 'window',
+                         'merge', 'vector', 'spark', 'filter')
+          GROUP BY doc_id, dl, term),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        q AS (SELECT qid::BIGINT AS qid, term FROM (VALUES
+          (0, 'data'), (0, 'query'), (1, 'stream'), (1, 'window'),
+          (2, 'merge'), (2, 'vector'), (3, 'spark'), (3, 'filter')) v(qid, term)),
+        scored AS (
+          SELECT q.qid, t.doc_id AS id, round(sum(
+            ln(1.0::DOUBLE + (st.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) *
+            (t.tf * 2.2::DOUBLE) /
+            (t.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * t.dl / st.avgdl))
+          ), 6) AS score
+          FROM tf t
+          JOIN dfreq f ON t.term = f.term
+          JOIN q ON q.term = t.term
+          CROSS JOIN st
+          GROUP BY q.qid, t.doc_id),
+        r AS (
+          SELECT qid, id, score,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, id ASC) AS rn
+          FROM scored)
+        SELECT qid, id, score FROM r WHERE rn <= 5
+        ORDER BY qid, score DESC, id ASC
+      """)),
+
     // Exact-phrase search through the inverted index: posting lists of
     // the phrase terms propose (pushed In + bloom; a doc missing any term
     // is never touched), padded-substring adjacency on the normalized

@@ -85,6 +85,46 @@ object Bm25Index {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
+  /** Batched multi-query BM25 — the sparse twin of
+    * [[graft.search.Ann.ivfTopKBatched]]: ONE plan answers a whole query
+    * TABLE, which is the legitimate answer to Spark's per-job scheduling
+    * floor (a per-query loop pays it |Q| times; the reference's HTTP
+    * handler pays a per-request round-trip the same way,
+    * `app/api/endpoints/search.py:104-132`).
+    *
+    * `queries` is (qidCol, termCol) rows — one row per query term. The
+    * batch's distinct terms (batch-bounded, collected driver-side like a
+    * query literal) prune the postings scan with the same pushed
+    * `In(term, ...)` + bloom as the single-query path; the query table
+    * broadcasts onto the postings, scores partial-agg sum per (qid, doc),
+    * and per-query top-k runs as ONE rank filter — Spark's WindowGroupLimit
+    * keeps it a partial top-k per partition, never a full sort.
+    * Per-query results are hash-identical to [[topK]] (IndexSpec pins the
+    * loop equality). */
+  def topKBatched(spark: SparkSession, indexDir: String, idCol: String,
+                  queries: DataFrame, qidCol: String, termCol: String,
+                  k: Int): DataFrame = {
+    val terms = queries.select(col(termCol)).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (terms.isEmpty)
+      return spark.read.parquet(s"$indexDir/postings").where(lit(false))
+        .select(col(idCol)).crossJoin(queries.select(col(qidCol)).limit(0))
+        .select(col(qidCol), col(idCol), lit(0.0).as("score"))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    spark.read.parquet(s"$indexDir/postings")
+      .where(col("term").isin(terms: _*)) // pushed: In(term, ...) + bloom
+      .join(broadcast(queries.select(col(qidCol), col(termCol).as("term"))),
+        "term")
+      .groupBy(col(qidCol), col(idCol))
+      .agg(round(sum(col("w")), 6).as("score"))
+      .withColumn("__rn", row_number().over(rank))
+      .where(col("__rn") <= k)
+      .select(col(qidCol), col(idCol), col("score"))
+      .orderBy(col(qidCol), col("score").desc, col(idCol).asc)
+  }
+
   /** Exact-phrase top-k through the inverted index: candidates are docs
     * whose postings contain EVERY phrase term — one pushed-`In`+bloom
     * postings scan and one partial-aggregated shuffle, never a corpus

@@ -81,6 +81,26 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("batched bm25: one plan over Q queries == per-query topK loop") {
+    val out = Files.createTempDirectory("graft-bm25-batch").toString
+    Bm25Index.build(Tables.documents(spark, Sf0001), "doc_id", "text", out)
+    val specs = Seq(0L -> Seq("data", "query"), 1L -> Seq("stream", "window"),
+      2L -> Seq("spark", "join", "filter"))
+    val qs = spark.createDataFrame(
+      specs.flatMap { case (qid, ts) => ts.map(qid -> _) }).toDF("qid", "term")
+    val batched = Bm25Index.topKBatched(spark, out, "doc_id", qs, "qid", "term", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    specs.foreach { case (qid, terms) =>
+      val single = Bm25Index.topK(spark, out, "doc_id", terms, 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batched(qid) == single && single.nonEmpty, s"qid=$qid")
+    }
+    // empty batch degenerates to an empty frame, not an error
+    assert(Bm25Index.topKBatched(spark, out, "doc_id", qs.limit(0),
+      "qid", "term", 7).count() == 0L)
+  }
+
   test("tfidf: indexed searchText == embedder searchText (hash-exact)") {
     val docs = Tables.documents(spark, Sf0001)
     val out = Files.createTempDirectory("graft-tfidf-idx").toString

@@ -209,6 +209,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("batched bm25: pushed term union, broadcast query table, partial window group limit") {
+    val idx = graft.index.Bm25Index.ensure(spark, Sf0001)
+    val qs = spark.createDataFrame(Seq(
+      (0L, "data"), (0L, "query"), (1L, "stream"))).toDF("qid", "term")
+    val plan = graft.index.Bm25Index
+      .topKBatched(spark, idx, "doc_id", qs, "qid", "term", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"), plan)
+    // per-query top-k cuts BEFORE the final qid sort
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("bloom gate: clean arm is a scan-side might_contain filter, confirm arm an anti-join") {
     import org.apache.spark.sql.functions._
     val corpus = graft.tables.Tables.documents(spark, Sf0001)
