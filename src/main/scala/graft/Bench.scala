@@ -125,6 +125,35 @@ object Bench {
       (p50 / bn, bn)
     } catch { case _: Throwable => (-1.0, 0) }
 
+    // Sparse twin: amortized per-query BM25 over one batched plan
+    // (Bm25Index.topKBatched — term-union pushdown, broadcast query
+    // table, WindowGroupLimit per-query top-k). Queries are the corpus'
+    // 128 highest-df term pairs: deterministic, and high-df terms make
+    // the WORST case (longest posting lists).
+    val (bm25PerQuery, bm25N) = try {
+      val bn = 128
+      val idx = graft.index.Bm25Index.ensure(spark, sfDir)
+      import org.apache.spark.sql.functions.{col, floor => ffloor, row_number}
+      val topTerms = spark.read.parquet(s"$idx/termstats")
+        .orderBy(col("df").desc, col("term").asc).limit(2 * bn)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("df").desc, col("term").asc)))
+        .select((ffloor((col("rn") - 1) / 2)).cast("long").as("qid"), col("term"))
+        .localCheckpoint() // fixed tiny table; keep it out of the timed plan
+      def runBm25Batch(): Double = {
+        val t0 = System.nanoTime()
+        graft.index.Bm25Index
+          .topKBatched(spark, idx, "doc_id", topTerms, "qid", "term", 10)
+          .count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runBm25Batch() // warm-up
+      val p50 = Seq.fill(3)(runBm25Batch()).sorted.apply(1)
+      releaseLeftovers()
+      (p50 / bn, bn)
+    } catch { case _: Throwable => (-1.0, 0) }
+
     // The harness that collects this output keeps only a bounded tail of
     // stdout (2000 chars), so the JSON MUST stay compact: 3-decimal
     // values, no per-query metadata maps, one line, printed last. If the
@@ -154,7 +183,12 @@ object Bench {
           s""","batched_per_query_ms":${BigDecimal(batchedPerQuery * 1000)
             .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble},"batched_n":$batchedN"""
         else ""
-      s""","floor":${fmt(floor)}$b"""
+      val s =
+        if (bm25PerQuery >= 0)
+          s""","bm25_batched_per_query_ms":${BigDecimal(bm25PerQuery * 1000)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble},"bm25_batched_n":$bm25N"""
+        else ""
+      s""","floor":${fmt(floor)}$b$s"""
     }
     def mkLine(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -183,7 +217,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("target/bench_last.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm_p50","queries":$precise,"floor":$floor,"batched_per_query_sec":$batchedPerQuery,"batched_n":$batchedN,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm_p50","queries":$precise,"floor":$floor,"batched_per_query_sec":$batchedPerQuery,"batched_n":$batchedN,"bm25_batched_per_query_sec":$bm25PerQuery,"bm25_batched_n":$bm25N,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
