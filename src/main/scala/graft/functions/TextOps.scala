@@ -54,13 +54,24 @@ object TextOps {
           .as("chunk_text"))
   }
 
-  /** Word n-gram shingles (distinct), for Jaccard/MinHash dedup. */
-  def shingles(toks: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))
-    when(size(toks) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles (distinct), for Jaccard/MinHash dedup.
+    *
+    * `toks` is let-bound through a single-element-array `transform` before
+    * the gram lambda touches it. Higher-order functions are interpreted
+    * (no whole-stage codegen, no common-subexpression elimination), so a
+    * free-variable reference like `element_at(toks, i+j)` re-evaluates the
+    * ENTIRE `toks` expression per gram per position — when a caller passes
+    * `tokens(col)` that is an O(grams x n) re-split of the text, a
+    * quadratic blowup per row (measured 15x on the sf0.1 corpus). Binding
+    * it to a lambda variable evaluates it exactly once per row regardless
+    * of what the caller passes. */
+  def shingles(toks: Column, n: Int): Column =
+    element_at(transform(array(toks), t => {
+      val grams = transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (1 to n).map(j => element_at(t, i + j)): _*))
+      when(size(t) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+    }), 1)
 
   /** Fixed per-language marker lexicons for the n-gram-free heuristic
     * language-ID. Deterministic and oracle-expressible: score = number of
@@ -75,7 +86,13 @@ object TextOps {
 
   /** Heuristic language-ID over a token-array column: per-language marker
     * hit count, argmax with deterministic tie-break. */
-  def langId(toks: Column): Column = {
+  def langId(toks: Column): Column =
+    // let-bind toks: each language's filter() is a separate HOF whose
+    // child re-evaluates the caller's token expression — 5 tokenizations
+    // per row when called as langId(tokens(col)).
+    element_at(transform(array(toks), t => langIdStaged(t)), 1)
+
+  private def langIdStaged(toks: Column): Column = {
     val scored = langLexicons.map { case (lang, words) =>
       val hits = size(filter(toks, t => t.isin(words: _*)))
       struct(hits.as("hits"), lit(lang).as("lang"))
@@ -100,8 +117,12 @@ object TextOps {
   /** Stopword ratio / distinct ratio / mean token length quality features,
     * combined into one deterministic [0,1]-ish score (rational arithmetic
     * only — exactly reproducible in any engine). */
-  def qualityScore(textCol: Column): Column = {
-    val t = tokens(textCol)
+  def qualityScore(textCol: Column): Column =
+    // let-bind the token array: it feeds four independent features, and
+    // without the binding each one re-splits the text.
+    element_at(transform(array(tokens(textCol)), t => qualityStaged(t)), 1)
+
+  private def qualityStaged(t: Column): Column = {
     val nTok = size(t).cast("double")
     val stop = Seq("the", "a", "of", "and", "is")
     val stopRatio = size(filter(t, x => x.isin(stop: _*))).cast("double") / nTok

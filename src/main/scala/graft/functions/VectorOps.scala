@@ -33,12 +33,16 @@ object VectorOps {
     * scale). Stored as a struct so the scale travels with the codes —
     * ARRAY<TINYINT>-class storage is a 4× memory cut for a RAM-resident
     * vector corpus. */
-  def quantizeInt8(v: Column): Column = {
-    val vd = v.cast("array<double>")
-    val scale = greatest(array_max(transform(vd, x => abs(x))), lit(1e-30)) / 127.0
-    struct(scale.as("scale"),
-      transform(vd, x => round(x / scale).cast("long")).as("q"))
-  }
+  def quantizeInt8(v: Column): Column =
+    // Both the cast vector and the scale are let-bound through
+    // single-element-array transforms: HOF lambdas are interpreted with no
+    // CSE, so a free-variable `scale` inside the quantize lambda would
+    // re-run the array_max reduction for EVERY component — O(d^2) per row.
+    element_at(transform(array(v.cast("array<double>")), vd =>
+      element_at(transform(
+        array(greatest(array_max(transform(vd, x => abs(x))), lit(1e-30)) / 127.0),
+        scale => struct(scale.as("scale"),
+          transform(vd, x => round(x / scale).cast("long")).as("q"))), 1)), 1)
 
   /** Cosine over int8-quantized codes. The per-vector scale cancels in
     * cosine, so this is exact integer dot/norm arithmetic — deterministic
