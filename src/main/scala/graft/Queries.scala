@@ -1104,6 +1104,73 @@ object Queries {
         ORDER BY score DESC, id ASC LIMIT 10
       """)),
 
+    // Batched flagship: 4 hybrid queries (dense vec + term pair each)
+    // through ONE dense scan + ONE postings scan + per-qid RRF — the
+    // amortized answer to per-query serving latency (the scheduling
+    // floor and scans are paid once per batch). Oracle = the s4 pipeline
+    // run per qid.
+    "s4b_hybrid_batched" -> Q(
+      (s, d) => SearchEngine.hybridBatched(s, d, Seq(
+        (0L, 0L, Seq("data", "query")), (1L, 1L, Seq("stream", "window")),
+        (2L, 2L, Seq("merge", "vector")), (3L, 3L, Seq("spark", "filter"))),
+        10),
+      Some(s"""
+        WITH qmap(qid, vec_id) AS (VALUES (0, 0), (1, 1), (2, 2), (3, 3)),
+        qv AS (
+          SELECT qmap.qid::BIGINT AS qid, e.embedding::DOUBLE[] AS qemb
+          FROM qmap JOIN embeddings e ON e.vec_id = qmap.vec_id),
+        ds AS (
+          SELECT qv.qid, e.vec_id AS id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qemb), 6) AS score
+          FROM embeddings e CROSS JOIN qv),
+        dt AS (
+          SELECT qid, id, rank_d FROM (
+            SELECT qid, id, row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, id ASC) AS rank_d FROM ds)
+          WHERE rank_d <= 20),
+        b AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        b2 AS (SELECT doc_id, toks, len(toks) AS dl FROM b),
+        st AS (SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl FROM b2),
+        tf AS (
+          SELECT doc_id, dl, term, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b2)
+          WHERE term IN ('data', 'query', 'stream', 'window',
+                         'merge', 'vector', 'spark', 'filter')
+          GROUP BY doc_id, dl, term),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        q AS (SELECT qid::BIGINT AS qid, term FROM (VALUES
+          (0, 'data'), (0, 'query'), (1, 'stream'), (1, 'window'),
+          (2, 'merge'), (2, 'vector'), (3, 'spark'), (3, 'filter')) v(qid, term)),
+        ss AS (
+          SELECT q.qid, t.doc_id AS id, round(sum(
+            ln(1.0::DOUBLE + (st.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) *
+            (t.tf * 2.2::DOUBLE) /
+            (t.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * t.dl / st.avgdl))
+          ), 6) AS score
+          FROM tf t
+          JOIN dfreq f ON t.term = f.term
+          JOIN q ON q.term = t.term
+          CROSS JOIN st
+          GROUP BY q.qid, t.doc_id),
+        sr AS (
+          SELECT qid, id, rank_s FROM (
+            SELECT qid, id, row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, id ASC) AS rank_s FROM ss)
+          WHERE rank_s <= 20),
+        f AS (
+          SELECT coalesce(dt.qid, sr.qid) AS qid, coalesce(dt.id, sr.id) AS id,
+                 round(coalesce(1.0::DOUBLE / (60 + rank_d), 0.0::DOUBLE)
+                     + coalesce(1.0::DOUBLE / (60 + rank_s), 0.0::DOUBLE), 6) AS score
+          FROM dt FULL OUTER JOIN sr ON dt.qid = sr.qid AND dt.id = sr.id),
+        r AS (
+          SELECT qid, id, score, row_number() OVER (PARTITION BY qid
+            ORDER BY score DESC, id ASC) AS rn FROM f)
+        SELECT qid, id, score FROM r WHERE rn <= 10
+        ORDER BY qid ASC, score DESC, id ASC
+      """)),
+
     // §1: the unified point collection (payload ⋈ vectors) — dense top-k
     // with payload columns in one pass over the joined table.
     "s15_collection_search" -> Q(

@@ -55,6 +55,34 @@ object Fusion {
       .limit(limit)
   }
 
+  /** Batched RRF: [[rrf]] for N queries in one plan. Both arms carry a
+    * `qidCol`; ranks, the full-outer merge, and the final top-`limit` cut
+    * are all per-query (rank windows partition by qid, so Spark runs them
+    * as WindowGroupLimit partial top-k — no global sort at any batch
+    * size). Per-qid results are identical to running [[rrf]] per query
+    * (FusionSpec pins the loop equality); the point is amortization: one
+    * job, one scan per arm, for the whole query table. */
+  def rrfBatched(dense: DataFrame, sparse: DataFrame, qidCol: String,
+                 idCol: String, k: Int = 60, limit: Int = 10): DataFrame = {
+    def rankedQ(arm: DataFrame, as: String): DataFrame =
+      arm.withColumn(as, row_number().over(
+          Window.partitionBy(col(qidCol))
+            .orderBy(col("score").desc, col(idCol).asc)))
+        .select(col(qidCol), col(idCol), col(as))
+    val d = rankedQ(dense, "rank_d")
+    val s = rankedQ(sparse, "rank_s")
+    val wFinal = Window.partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    d.join(s, Seq(qidCol, idCol), "full_outer")
+      .withColumn("score", round(
+        coalesce(lit(1.0) / (lit(k) + col("rank_d")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(k) + col("rank_s")), lit(0.0)), 6))
+      .withColumn("__rn", row_number().over(wFinal))
+      .where(col("__rn") <= limit)
+      .select(col(qidCol), col(idCol), col("score"))
+      .orderBy(col(qidCol).asc, col("score").desc, col(idCol).asc)
+  }
+
   /** Min-max normalize an arm's score to [0,1]; constant arm → 1.0
     * (matches the reference's degenerate-case handling,
     * `scripts/indexing.py:826-828`). */

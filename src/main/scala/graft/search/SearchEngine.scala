@@ -75,6 +75,58 @@ object SearchEngine {
       .limit(k)
   }
 
+  /** Batched dense top-k: N query vectors through ONE corpus scan. The
+    * query table rides as a broadcast (bounded by the batch size, never
+    * the corpus), cosine scores every (query, vector) pair off the same
+    * scan pipeline, and the per-query cut is a rank filter Spark executes
+    * as WindowGroupLimit — partial top-k inside each partition before the
+    * per-qid shuffle. This is the amortized serving shape: the
+    * job-scheduling floor and the scan are paid once per BATCH, which is
+    * how a Spark engine answers the reference's per-query latency at
+    * scale (BENCHNOTES "amortized serving" section). Per-qid results are
+    * identical to [[denseTopK]]. */
+  def denseTopKBatched(spark: SparkSession, dir: String,
+                       queryVecIds: Seq[(Long, Long)], k: Int): DataFrame = {
+    val ids = queryVecIds.map(_._2).distinct
+    val vmap = Tables.embeddings(spark, dir)
+      .where(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val missing = ids.filterNot(vmap.contains)
+    require(missing.isEmpty, s"no embedding with vec_id in $missing under $dir")
+    val queries = spark.createDataFrame(
+      queryVecIds.map { case (qid, vecId) => (qid, vmap(vecId)) })
+      .toDF("qid", "qvec")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id").as("id"),
+        round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("qid"), col("id"), col("score"))
+  }
+
+  /** Batched Q7 hybrid: N (query vector, term set) pairs through one
+    * dense scan + one postings scan + one per-qid RRF — the flagship
+    * query's amortized form. Each query is (qid, queryVecId, terms);
+    * arms oversample 2× like [[hybrid]], fusion is
+    * [[Fusion.rrfBatched]] with k=60. */
+  def hybridBatched(spark: SparkSession, dir: String,
+                    queries: Seq[(Long, Long, Seq[String])], k: Int): DataFrame = {
+    val dense = denseTopKBatched(spark, dir,
+      queries.map(q => (q._1, q._2)), k * 2)
+    val termsDf = spark.createDataFrame(
+      queries.flatMap { case (qid, _, ts) => ts.map(t => (qid, t)) })
+      .toDF("qid", "term")
+    val sparse = graft.index.Bm25Index.topKBatched(
+        spark, graft.index.Bm25Index.ensure(spark, dir), "doc_id",
+        termsDf, "qid", "term", k * 2)
+      .withColumnRenamed("doc_id", "id")
+    Fusion.rrfBatched(dense, sparse, "qid", "id", 60, k)
+  }
+
   /** Q6: BM25 top-k over documents — served from the prebuilt inverted
     * index (built once per corpus, like the reference's indexing-time
     * sparse embed): the query touches only its own terms' postings.

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.search.Fusion
+import graft.search.{Fusion, SearchEngine}
 
 class FusionSpec extends SparkSpec {
   import spark.implicits._
@@ -57,5 +57,38 @@ class FusionSpec extends SparkSpec {
     assert(out(1L) == 0.7) // dense-only: 0.7*1 + 0.3*0
     assert(out(3L) == 0.3) // sparse-only
     assert(out(2L) == 0.0) // both at min
+  }
+
+  test("rrfBatched: per-qid results equal the single-query rrf loop") {
+    val dense = Seq(
+      (0L, 1L, 0.9), (0L, 2L, 0.8), (0L, 3L, 0.7),
+      (1L, 5L, 0.95), (1L, 2L, 0.4)).toDF("qid", "id", "score")
+    val sparse = Seq(
+      (0L, 2L, 5.0), (0L, 4L, 4.0),
+      (1L, 5L, 9.0), (1L, 7L, 3.0)).toDF("qid", "id", "score")
+    val batched = Fusion.rrfBatched(dense, sparse, "qid", "id", 60, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (q <- Seq(0L, 1L)) {
+      val single = Fusion.rrf(
+          dense.where($"qid" === q).drop("qid"),
+          sparse.where($"qid" === q).drop("qid"), "id", 60, 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val fromBatch = batched.collect { case ((`q`, id), s) => id -> s }.toMap
+      assert(fromBatch == single, s"qid=$q mismatch")
+    }
+  }
+
+  test("hybridBatched: per-qid results equal the single-query hybrid") {
+    val qs = Seq(
+      (0L, 0L, Seq("data", "query")),
+      (1L, 3L, Seq("spark", "filter")))
+    val batched = SearchEngine.hybridBatched(spark, Sf0001, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((qid, vecId, terms) <- qs) {
+      val single = SearchEngine.hybrid(spark, Sf0001, vecId, terms, 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val fromBatch = batched.collect { case ((`qid`, id), s) => id -> s }.toMap
+      assert(fromBatch == single, s"qid=$qid mismatch vs single hybrid")
+    }
   }
 }
