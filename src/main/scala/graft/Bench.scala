@@ -154,6 +154,32 @@ object Bench {
       (p50 / bn, bn)
     } catch { case _: Throwable => (-1.0, 0) }
 
+    // Flagship twin: amortized per-query HYBRID (dense arm + BM25 arm +
+    // per-qid RRF) through SearchEngine.hybridBatched — the batched form
+    // of s4, the query BASELINE.md bands at 15-50 ms. Query vectors are
+    // vec_id 0..bn-1; term pairs are the corpus' highest-df terms (worst
+    // case: longest posting lists).
+    val (hybridPerQuery, hybridN) = try {
+      val bn = 64
+      val idx = graft.index.Bm25Index.ensure(spark, sfDir)
+      import org.apache.spark.sql.functions.col
+      val termPairs = spark.read.parquet(s"$idx/termstats")
+        .orderBy(col("df").desc, col("term").asc).limit(2 * bn)
+        .collect().map(_.getString(0)).grouped(2).toSeq
+      val queries = termPairs.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, i.toLong, ts.toSeq)
+      }
+      def runHybridBatch(): Double = {
+        val t0 = System.nanoTime()
+        graft.search.SearchEngine.hybridBatched(spark, sfDir, queries, 10).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runHybridBatch() // warm-up
+      val p50 = Seq.fill(3)(runHybridBatch()).sorted.apply(1)
+      releaseLeftovers()
+      (p50 / bn, bn)
+    } catch { case _: Throwable => (-1.0, 0) }
+
     // The harness that collects this output keeps only a bounded tail of
     // stdout (2000 chars), so the JSON MUST stay compact: 3-decimal
     // values, no per-query metadata maps, one line, printed last. If the
@@ -188,7 +214,12 @@ object Bench {
           s""","bm25_batched_per_query_ms":${BigDecimal(bm25PerQuery * 1000)
             .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble},"bm25_batched_n":$bm25N"""
         else ""
-      s""","floor":${fmt(floor)}$b$s"""
+      val h =
+        if (hybridPerQuery >= 0)
+          s""","hybrid_batched_per_query_ms":${BigDecimal(hybridPerQuery * 1000)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble},"hybrid_batched_n":$hybridN"""
+        else ""
+      s""","floor":${fmt(floor)}$b$s$h"""
     }
     def mkLine(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -217,7 +248,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("target/bench_last.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm_p50","queries":$precise,"floor":$floor,"batched_per_query_sec":$batchedPerQuery,"batched_n":$batchedN,"bm25_batched_per_query_sec":$bm25PerQuery,"bm25_batched_n":$bm25N,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm_p50","queries":$precise,"floor":$floor,"batched_per_query_sec":$batchedPerQuery,"batched_n":$batchedN,"bm25_batched_per_query_sec":$bm25PerQuery,"bm25_batched_n":$bm25N,"hybrid_batched_per_query_sec":$hybridPerQuery,"hybrid_batched_n":$hybridN,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()

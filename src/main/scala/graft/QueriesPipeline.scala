@@ -2150,6 +2150,39 @@ object QueriesPipeline {
       (s, d) => graft.search.SearchEngine.tfidfSearch(s, d, "vector scan batch", 15),
       Some(tfidfSearchSql("vector scan batch", 15))),
 
+    // Batched text search: 3 TF-IDF queries through ONE pushed-union scan
+    // of the vectors index (broadcast (qid,bucket,qw) rows, per-qid rank
+    // cut) — the amortized form of s9, per-qid hash-exact with it.
+    "s9c_tfidf_batched" -> Q(
+      (s, d) => graft.search.SearchEngine.tfidfSearchBatched(s, d, Seq(
+        (0L, TfIdfQueryText), (1L, "vector scan batch"),
+        (2L, "merge stream window data")), 10),
+      Some(s"""
+        WITH $tfidfCtes,
+        q AS (SELECT qid::BIGINT AS qid, qtext FROM (VALUES
+          (0, '$TfIdfQueryText'), (1, 'vector scan batch'),
+          (2, 'merge stream window data')) v(qid, qtext)),
+        qtoks AS (
+          SELECT qid, unnest(list_filter(string_split(qtext, ' '), t -> t <> '')) AS tok
+          FROM q),
+        qtf AS (
+          SELECT qid, (('0x' || substr(md5(tok), 1, 8))::BIGINT % 64)::INT AS bucket,
+                 count(*) AS tf
+          FROM qtoks GROUP BY 1, 2),
+        qw AS (SELECT qid, qtf.bucket, qtf.tf * idf.idf AS w
+               FROM qtf JOIN idf USING (bucket)),
+        qnorm AS (SELECT qid, sqrt(sum(w * w)) AS norm FROM qw GROUP BY qid),
+        qv AS (SELECT qw.qid, qw.bucket, qw.w / qnorm.norm AS qw
+               FROM qw JOIN qnorm USING (qid)),
+        scored AS (
+          SELECT qv.qid, dv.doc_id AS id, round(sum(dv.w * qv.qw), 6) AS score
+          FROM dv JOIN qv USING (bucket) GROUP BY 1, 2),
+        r AS (SELECT qid, id, score, row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, id ASC) AS rn FROM scored)
+        SELECT qid, id, score FROM r WHERE rn <= 10
+        ORDER BY qid ASC, score DESC, id ASC
+      """)),
+
     // Multimodal metadata projection: binary payload + typed meta columns
     // (decode itself is the documented stub; the schema/pushdown plumbing
     // is what this verifies).

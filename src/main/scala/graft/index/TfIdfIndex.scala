@@ -102,6 +102,40 @@ object TfIdfIndex {
       .limit(k)
   }
 
+  /** Batched [[searchText]]: N text queries through ONE pushed-filter scan
+    * of the UNION of their bucket ranges. Each query embeds driver-side as
+    * usual; the (qid, bucket, qw) rows — ≤ N·|query tokens| of them — ride
+    * a broadcast join instead of a literal map, scores aggregate per
+    * (qid, id), and the top-k cut is a per-qid rank window (partial
+    * WindowGroupLimit below the qid shuffle). Per-qid results are
+    * hash-exact [[searchText]] (IndexSpec pins the loop equality); the
+    * vectors table and the job floor are paid once per BATCH. */
+  def searchTextBatched(spark: SparkSession, indexDir: String, idCol: String,
+                        queries: Seq[(Long, String)], k: Int,
+                        dim: Int = Dim): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qw = queries.flatMap { case (qid, q) =>
+      queryWeights(spark, indexDir, q, dim)
+        .toSeq.map { case (b, w) => (qid, b, w) }
+    }
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    if (qw.isEmpty) // no query token appears in the corpus -> empty result
+      return vectors.where(lit(false))
+        .select(lit(0L).as("qid"), col(idCol), lit(0.0).as("score"))
+    val qdf = spark.createDataFrame(qw).toDF("qid", "bucket", "qw")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    vectors
+      .where(col("bucket").isin(qw.map(_._2).distinct: _*)) // pushed union seek
+      .join(broadcast(qdf), "bucket")
+      .groupBy(col("qid"), col(idCol))
+      .agg(round(sum(col("w") * col("qw")), 6).as("score"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("qid"), col(idCol), col("score"))
+      .orderBy(col("qid").asc, col("score").desc, col(idCol).asc)
+  }
+
   /** Ensure the documents-table index for `dataDir` exists (built once). */
   def ensure(spark: SparkSession, dataDir: String): String =
     IndexCatalog.ensure(spark, dataDir, Name)(

@@ -117,8 +117,10 @@ object SearchEngine {
                     queries: Seq[(Long, Long, Seq[String])], k: Int): DataFrame = {
     val dense = denseTopKBatched(spark, dir,
       queries.map(q => (q._1, q._2)), k * 2)
+    // distinct: the single-query path's isin(terms) dedupes repeated
+    // tokens, so the batched join must too or a repeat double-counts
     val termsDf = spark.createDataFrame(
-      queries.flatMap { case (qid, _, ts) => ts.map(t => (qid, t)) })
+      queries.flatMap { case (qid, _, ts) => ts.distinct.map(t => (qid, t)) })
       .toDF("qid", "term")
     val sparse = graft.index.Bm25Index.topKBatched(
         spark, graft.index.Bm25Index.ensure(spark, dir), "doc_id",
@@ -142,6 +144,35 @@ object SearchEngine {
     graft.index.TfIdfIndex.searchText(
         spark, graft.index.TfIdfIndex.ensure(spark, dir), "doc_id", query, k)
       .withColumnRenamed("doc_id", "id")
+
+  /** Batched [[tfidfSearch]]: N text queries, one vectors-index scan. */
+  def tfidfSearchBatched(spark: SparkSession, dir: String,
+                         queries: Seq[(Long, String)], k: Int): DataFrame =
+    graft.index.TfIdfIndex.searchTextBatched(
+        spark, graft.index.TfIdfIndex.ensure(spark, dir), "doc_id", queries, k)
+      .withColumnRenamed("doc_id", "id")
+
+  /** Batched TEXT hybrid — the serving-façade twin of [[hybridBatched]]:
+    * N query strings, each embedded driver-side for the TF-IDF dense arm
+    * and tokenized for the BM25 sparse arm, both arms batched through one
+    * index scan each, fused per-qid by [[Fusion.rrfBatched]]. Per-qid
+    * results equal the single-query `Api.search(..., "hybrid", k)` path
+    * (ServeApiSpec pins it). */
+  def textHybridBatched(spark: SparkSession, dir: String,
+                        queries: Seq[(Long, String)], k: Int): DataFrame = {
+    val dense = tfidfSearchBatched(spark, dir, queries, k * 2)
+    // distinct per qid: the single-query arm's isin(terms) dedupes
+    // repeated tokens, so the batched join must too
+    val termsDf = spark.createDataFrame(
+      queries.flatMap { case (qid, q) =>
+        graft.index.TfIdfIndex.tokensOf(q).distinct.map(t => (qid, t)) })
+      .toDF("qid", "term")
+    val sparse = graft.index.Bm25Index.topKBatched(
+        spark, graft.index.Bm25Index.ensure(spark, dir), "doc_id",
+        termsDf, "qid", "term", k * 2)
+      .withColumnRenamed("doc_id", "id")
+    Fusion.rrfBatched(dense, sparse, "qid", "id", 60, k)
+  }
 
   /** Q7: hybrid — dense arm ∥ sparse arm (each oversampled 2×, like the
     * reference's `limit*2` at `scripts/indexing.py:933,943`) → RRF(k=60). */

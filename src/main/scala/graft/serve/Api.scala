@@ -211,6 +211,41 @@ object Api {
         }
       ok(s"""{"success":true,"id":$id,"delete_history":$deleteHistory}""")
 
+    case "/api/batch-search" => // Spark-native amortized serving: N queries, ONE plan
+      // `queries` is '||'-separated; per-query results are identical to N
+      // calls of /api/query in the same mode (ServeApiSpec pins it) — the
+      // batch pays the scan + job floor once, which is how a Spark tier
+      // serves the reference's per-query latency band at throughput.
+      val raw = require(params, "queries")
+      val count = intParam(params, "count", 10, 1, 100)
+      val mode = params.getOrElse("mode", "hybrid")
+      if (!Set("dense", "sparse", "hybrid").contains(mode))
+        return Response(400, err(s"Invalid mode '$mode'. Must be 'dense', 'sparse', or 'hybrid'"))
+      val qs = raw.split("\\|\\|").toSeq.map(_.trim).filter(_.nonEmpty)
+      if (qs.isEmpty || qs.length > 64)
+        return Response(400, err("queries must carry 1..64 '||'-separated entries"))
+      val indexed = qs.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+      val result = ewma.timed(s"batch_$mode")(mode match {
+        case "dense" => SearchEngine.tfidfSearchBatched(spark, dir, indexed, count)
+        case "sparse" =>
+          // distinct: the single-query topK dedupes via isin(terms)
+          val termsDf = spark.createDataFrame(indexed.flatMap { case (qid, q) =>
+            TfIdfIndex.tokensOf(q).distinct.map(t => (qid, t)) }).toDF("qid", "term")
+          Bm25Index.topKBatched(spark, Bm25Index.ensure(spark, dir),
+              "doc_id", termsDf, "qid", "term", count)
+            .withColumnRenamed("doc_id", "id")
+        case _ => SearchEngine.textHybridBatched(spark, dir, indexed, count)
+      })
+      // group rows per qid driver-side (≤ 64·count rows by construction)
+      val byQid = result.select("qid", "id", "score").collect()
+        .groupBy(_.getLong(0))
+      val blocks = indexed.map { case (qid, q) =>
+        val hits = byQid.getOrElse(qid, Array.empty)
+          .map(r => s"""{"id":${r.getLong(1)},"score":${r.getDouble(2)}}""")
+        s"""{"query":${quote(q)},"results":[${hits.mkString(",")}]}"""
+      }
+      ok(s"""{"mode":${quote(mode)},"batch_size":${qs.length},"batches":[${blocks.mkString(",")}]}""")
+
     case "/api/methods-info" => // search.py:543-590, over THIS engine's fields
       ok("""{"available_methods":{""" +
         """"query":{"name":"Flexible Query","modes":["dense","sparse","hybrid"],"type":"flexible","endpoint":"/api/query"},""" +

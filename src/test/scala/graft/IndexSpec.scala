@@ -113,6 +113,26 @@ class IndexSpec extends SparkSpec {
     assert(indexed == direct && direct.nonEmpty)
   }
 
+  test("tfidf: searchTextBatched per-qid == the single-query searchText loop") {
+    val docs = Tables.documents(spark, Sf0001)
+    val out = Files.createTempDirectory("graft-tfidf-bidx").toString
+    TfIdfIndex.build(docs, "doc_id", "text", out)
+    val qs = Seq(0L -> "spark join filter the data", 1L -> "vector scan batch",
+      2L -> "zzzunknownzzz") // qid 2: no corpus token -> no rows, no error
+    val batched = TfIdfIndex.searchTextBatched(spark, out, "doc_id", qs, 8)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    for ((qid, q) <- qs) {
+      val single = TfIdfIndex.searchText(spark, out, "doc_id", q, 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batched.getOrElse(qid, Seq.empty) == single, s"qid=$qid")
+    }
+    assert(batched.contains(0L) && !batched.contains(2L))
+    // all-unknown batch degenerates to an empty frame, not an error
+    assert(TfIdfIndex.searchTextBatched(spark, out, "doc_id",
+      Seq(0L -> "zzzunknownzzz"), 8).count() == 0L)
+  }
+
   test("driver-side bucketOf matches the Column-side bucket hash for every corpus token") {
     val toks = Tables.documents(spark, Sf0001)
       .select(explode(graft.functions.TextOps.tokens(col("text"))).as("tok"))

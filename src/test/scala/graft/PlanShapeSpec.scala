@@ -223,6 +223,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("batched hybrid: query batch broadcasts over one corpus scan, per-qid partial top-k") {
+    val plan = graft.search.SearchEngine
+      .hybridBatched(spark, Sf0001, Seq(
+        (0L, 0L, Seq("data", "query")), (1L, 1L, Seq("stream", "window"))), 5)
+      .queryExecution.executedPlan.toString
+    // the query table rides as a broadcast on both arms (batch-sized,
+    // never corpus-sized); the corpus scans stay on the probe side
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    // every rank/cut window partitions by qid → partial WindowGroupLimit
+    // below the per-qid shuffle, no global sort anywhere pre-limit
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("bloom gate: clean arm is a scan-side might_contain filter, confirm arm an anti-join") {
     import org.apache.spark.sql.functions._
     val corpus = graft.tables.Tables.documents(spark, Sf0001)

@@ -243,4 +243,26 @@ class ServeApiSpec extends SparkSpec {
     assert(t.body.contains("\"status\":\"success\""), t.body)
     assert(t.body.contains("\"hybrid\":\"ok\""), t.body)
   }
+
+  test("batch-search: per-query blocks equal N single /api/query calls") {
+    // second query repeats a token: the single path dedupes terms via
+    // isin, and the batch must match it (distinct'd term rows)
+    val queries = Seq("spark join filter the data", "vector scan batch vector")
+    for (mode <- Seq("dense", "sparse", "hybrid")) {
+      val r = get("/api/batch-search",
+        "queries" -> queries.mkString("||"), "mode" -> mode, "count" -> "5")
+      assert(r.status == 200, s"$mode: ${r.body}")
+      assert(r.body.contains("\"batch_size\":2"), r.body)
+      for (q <- queries) {
+        val single = get("/api/query", "q" -> q, "mode" -> mode, "count" -> "5")
+        // the single path's hits, as the batch block serializes them
+        val hits = "\\{\"id\":\\d+,\"score\":[-0-9.E]+\\}".r
+          .findAllIn(single.body).mkString(",")
+        assert(r.body.contains(s"""{"query":"$q","results":[$hits]}"""),
+          s"$mode/$q:\nbatch=${r.body}\nsingle=${single.body}")
+      }
+    }
+    assert(get("/api/batch-search", "queries" -> " || ").status == 400)
+    assert(get("/api/batch-search", "queries" -> "x", "mode" -> "nope").status == 400)
+  }
 }
