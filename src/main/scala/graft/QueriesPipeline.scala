@@ -883,6 +883,44 @@ object QueriesPipeline {
         SELECT doc_id FROM documents
         WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         ORDER BY doc_id
+      """)),
+
+    // ExactSubstr-style duplicated-span removal (Lee et al. 2022 §4.1):
+    // every occurrence of an 8-token span appearing verbatim elsewhere in
+    // the corpus is cut out of its document — except the corpus-wide
+    // first occurrence by (doc_id, start), so one copy of every span
+    // survives. Span granularity, unlike d1 (whole doc), d10 (aligned
+    // chunks) or d16 (drop-all boilerplate).
+    "d19_exact_substr" -> Q(
+      (s, d) => Dedup.exactSubstrDedup(docs(s, d), "doc_id", "text", 8),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+        t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        st AS (SELECT doc_id, toks,
+                      unnest(range(0, greatest(n - 7, 0))) AS start
+               FROM t2),
+        occ AS (SELECT doc_id, start,
+                       array_to_string(toks[start+1:start+8], ' ') AS gram
+                FROM st),
+        v AS (SELECT doc_id, start,
+                     count(*) OVER (PARTITION BY gram) AS occ_n,
+                     row_number() OVER (PARTITION BY gram
+                       ORDER BY doc_id, start) AS rn
+              FROM occ),
+        removed AS (
+          SELECT doc_id, list(start) AS starts
+          FROM v WHERE occ_n > 1 AND rn > 1 GROUP BY doc_id),
+        cov AS (
+          SELECT t2.doc_id, t2.n, t2.toks,
+                 list_filter(range(0, t2.n),
+                   i -> len(list_filter(coalesce(r.starts, []::BIGINT[]),
+                     s -> s <= i AND i < s + 8)) = 0) AS kept
+          FROM t2 LEFT JOIN removed r USING (doc_id))
+        SELECT doc_id, n AS n_tokens,
+               (n - len(kept))::BIGINT AS n_removed,
+               coalesce(array_to_string(list_transform(kept, i -> toks[i+1]), ' '),
+                        '') AS clean_text
+        FROM cov ORDER BY doc_id
       """)))
 
   val text: Map[String, Q] = Map(

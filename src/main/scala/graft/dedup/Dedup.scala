@@ -810,4 +810,67 @@ object Dedup {
       expectedBenchGrams).select(col(idCol))
     train.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** ExactSubstr-style duplicated-SPAN removal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" §4.1 —
+    * their suffix-array ExactSubstr, re-expressed as a w-token sliding
+    * window): every occurrence of a >= w-token span that appears verbatim
+    * anywhere else in the corpus (another document OR another position of
+    * the same document) is removed, EXCEPT the corpus-wide first
+    * occurrence by (id, start) — one copy of every span survives, unlike
+    * [[boilerplateStrip]] (drops all copies) and [[chunkDedup]]
+    * (fixed-alignment chunks; misses shifted duplicates). The document
+    * keeps its un-duplicated remainder — span granularity is the point:
+    * a 1% boilerplate tail no longer costs the whole document.
+    *
+    * Output per doc: (id, n_tokens, n_removed, clean_text), all docs.
+    *
+    * Shape at scale: positional w-grams explode once (let-bound token
+    * array — the d12 staging rule); the keeper election is ONE
+    * gram-keyed aggregation with full map-side combine (count +
+    * min(struct(id,start)) — a banner gram repeated 10⁶ times collapses
+    * per map task, skew-immune); the join-back keys on gram, reusing the
+    * aggregation's exchange; removed starts collapse to <= one row per
+    * doc; and span coverage is a per-row array lambda over (starts,
+    * positions) — no further shuffle. Cost class = d12's gram shuffle.
+    * Coverage check is O(n_tokens·|removed starts|) per doc — bounded by
+    * the doc's own window count, never corpus-sized.
+    */
+  def exactSubstrDedup(docs: DataFrame, idCol: String, textCol: String,
+                       w: Int = 8): DataFrame = {
+    val staged = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    // positional w-grams (id, start, gram) — NOT distinct: self-repeats
+    // are occurrences too, exactly like the suffix-array formulation
+    val gramArr = element_at(transform(array(col("__toks")), t => {
+      val grams = transform(
+        sequence(lit(0), size(t) - w),
+        i => struct(i.cast("long").as("start"),
+          concat_ws(" ", (1 to w).map(j => element_at(t, i + j)): _*).as("gram")))
+      when(size(t) >= w, grams)
+        .otherwise(array().cast("array<struct<start:bigint,gram:string>>"))
+    }), 1)
+    val occ = staged.select(col(idCol), explode(gramArr).as("g"))
+      .select(col(idCol), col("g.start").as("start"), col("g.gram").as("gram"))
+    val verdicts = occ.groupBy("gram")
+      .agg(count(lit(1)).as("occ_n"),
+        min(struct(col(idCol), col("start"))).as("keeper"))
+    val removed = occ.join(verdicts, Seq("gram"))
+      .where(col("occ_n") > 1 &&
+        !(col(idCol) === col(s"keeper.$idCol") && col("start") === col("keeper.start")))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("start")).as("__starts"))
+    staged.join(removed, Seq(idCol), "left")
+      .select(col(idCol), col("__toks"),
+        coalesce(col("__starts"), array().cast("array<bigint>")).as("__starts"))
+      .withColumn("__kept", when(size(col("__toks")) > 0,
+        filter(sequence(lit(0), size(col("__toks")) - 1),
+          i => !exists(col("__starts"), s => s <= i && i < s + w)))
+        .otherwise(array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(transform(col("__kept"),
+          i => element_at(col("__toks"), i + 1)), " ").as("clean_text"))
+      .orderBy(col(idCol))
+  }
 }

@@ -264,6 +264,33 @@ class DedupSpec extends SparkSpec {
       .count() == 3L)
   }
 
+  test("exact-substr: first occurrence survives, later copies cut, remainder kept") {
+    // w=4; "a b c d" occurs in doc 1 (start 0), doc 2 (start 1) and AGAIN
+    // in doc 2 (start 5, a self-repeat); doc 3 is untouched
+    val corpus = Seq(
+      (1L, "a b c d tail1 tail2"),
+      (2L, "head a b c d a b c d"),
+      (3L, "totally unrelated text right here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(corpus, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1 holds the corpus-wide first (1,0): nothing removed
+    assert(out(0) == ((1L, 6L, 0L, "a b c d tail1 tail2")), out(0).toString)
+    // doc 2: duplicated occurrences at starts 1 and 5 cover tokens
+    // [1,5) ∪ [5,9) — everything after "head" goes
+    assert(out(1)._1 == 2L && out(1)._2 == 9L, out(1).toString)
+    assert(out(1)._4 == "head", out(1).toString)
+    assert(out(1)._3 == 8L, out(1).toString)
+    // doc 3 untouched
+    assert(out(2) == ((3L, 5L, 0L, "totally unrelated text right here")), out(2).toString)
+    // degenerate: doc shorter than w has no grams and passes through
+    val short = Dedup.exactSubstrDedup(
+      Seq((9L, "just three tokens")).toDF("doc_id", "text"), "doc_id", "text", 4)
+      .collect()
+    assert(short.head.getLong(2) == 0L &&
+      short.head.getString(3) == "just three tokens")
+  }
+
   test("minhash signatures are permutation-count complete and stable") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3)
     val counts = sigs.groupBy("doc_id").count().collect()
