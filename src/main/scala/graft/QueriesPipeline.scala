@@ -1519,6 +1519,25 @@ object QueriesPipeline {
         WHERE rn <= wt * t ORDER BY doc_id
       """)),
 
+    // Seeded deterministic shuffle + shard assignment: the pipeline's
+    // final write step as an oracle-checkable query — same seed, same
+    // permutation, any engine; shard = md5('seed:id') mod 8, pos = key
+    // order within the shard (one exchange + per-partition sort, exactly
+    // the physical shape of a sharded training-data write).
+    "t28_seeded_shard" -> Q(
+      (s, d) => graft.functions.Sampling.seededShard(
+        docs(s, d).select(col("doc_id")), "doc_id", "ep0", 8),
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5('ep0:' || doc_id::VARCHAR), 1, 15))::BIGINT AS k
+          FROM documents)
+        SELECT doc_id, (k % 8)::INT AS shard,
+               (row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id)
+                 - 1)::BIGINT AS pos
+        FROM h ORDER BY shard, pos
+      """)),
+
     "t19_training_manifest" -> Q(
       (s, dd) => {
         import graft.functions.{CorpusStats, Sampling}

@@ -235,4 +235,35 @@ object Sampling {
       .where(col("__rg") <= col("__q"))
       .drop("__q", "__rl", "__rg")
   }
+
+  /** Seeded deterministic global shuffle + shard assignment — the final
+    * step of a training-data pipeline: examples land in `nShards` output
+    * shards in pseudorandom order, reproducibly (same seed → bit-identical
+    * sharding on any engine; new seed → fresh permutation). The shuffle
+    * key is the md5-derived [[HashOps.stableId]] of `seed:id`, so order is
+    * data-independent and re-runs are stable — no `rand()`, which Spark
+    * re-evaluates per task attempt and no oracle can reproduce.
+    *
+    * Output: (id, shard, pos) — shard = key mod `nShards`, pos = the
+    * example's ordinal within its shard in key order.
+    *
+    * Scale shape: EXACTLY a shuffle write — hash-partition on shard +
+    * sort within partitions (the window partitions by shard, so Spark
+    * plans one exchange and a per-partition sort; no global ordering
+    * anywhere). A writer materializes the same plan as
+    * `repartition(nShards, shard).sortWithinPartitions(key)` — this
+    * query form exists so the assignment itself is oracle-checkable.
+    */
+  def seededShard(df: DataFrame, idCol: String, seed: String,
+                  nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val key = HashOps.stableId(concat_ws(":", lit(seed), col(idCol)))
+    df.select(col(idCol), key.as("__k"))
+      .withColumn("shard", pmod(col("__k"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol)))
+        - 1).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
 }

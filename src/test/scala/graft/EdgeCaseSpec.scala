@@ -77,6 +77,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Sampling.capPerGroup(df, "grp", "v", "id", cap = 10).count() == 3)
   }
 
+  test("seededShard: stable under re-run, permuted by seed, dense positions") {
+    import graft.functions.Sampling
+    val df = (1L to 40L).map(i => Tuple1(i)).toDF("id")
+    val a = Sampling.seededShard(df, "id", "s1", 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val b = Sampling.seededShard(df, "id", "s1", 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(a == b) // deterministic
+    val c = Sampling.seededShard(df, "id", "s2", 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(a != c) // a new seed is a new permutation
+    assert(a.map(_._1).sorted == (1L to 40L)) // nothing lost or duplicated
+    a.groupBy(_._2).foreach { case (_, rows) => // dense per-shard ordinals
+      assert(rows.map(_._3).sorted == (0L until rows.length)) }
+    // single shard: pos is a total order over all rows
+    val one = Sampling.seededShard(df, "id", "s1", 1).collect()
+    assert(one.map(_.getLong(2)).sorted.toSeq == (0L until 40L))
+  }
+
   test("vocabOovRates with vocab larger than the corpus vocabulary: zero OOV everywhere") {
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val out = graft.functions.CorpusStats.vocabOovRates(docs, vocabSize = 100)

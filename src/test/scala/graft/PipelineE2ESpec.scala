@@ -81,6 +81,15 @@ class PipelineE2ESpec extends SparkSpec {
       .agg(sum(col("n_tok")).as("toks"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
       .sortBy(t => (t._1, t._2))
+
+    // 7. seeded shuffle + shard assignment (the write step): every
+    //    exported doc lands in exactly one of 4 shards, positions dense
+    val sharded = Sampling.seededShard(export, "doc_id", "ep0", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(sharded.map(_._1).sorted.toSeq == ids.sorted)
+    sharded.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
     (ids, bins)
   }
 
