@@ -220,4 +220,45 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => r.getDouble(2))
     assert(solo.forall(f => f >= 0.0 && f <= 1.0))
   }
+
+  test("exactSubstrDedup == naive in-memory model on random small corpora") {
+    val w = 3
+    // tiny alphabet so w-gram collisions actually happen
+    val tinyDoc: Gen[String] = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    val corpus = samples(tinyDoc, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    def model(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+      val occ = for {
+        (id, t) <- docs
+        toks = t.split(" ").filter(_.nonEmpty).toSeq
+        s <- 0 to toks.length - w
+      } yield (toks.slice(s, s + w).mkString(" "), id, s.toLong)
+      val byGram = occ.groupBy(_._1)
+      val removed = occ.filter { case (g, id, s) =>
+        val all = byGram(g)
+        all.size > 1 && all.map(o => (o._2, o._3)).min != ((id, s))
+      }.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+      docs.map { case (id, t) =>
+        val toks = t.split(" ").filter(_.nonEmpty).toSeq
+        val starts = removed.getOrElse(id, Set.empty)
+        val kept = toks.indices.filterNot(i =>
+          starts.exists(s => s <= i && i < s + w))
+        id -> ((toks.length.toLong, (toks.length - kept.length).toLong,
+          kept.map(toks).mkString(" ")))
+      }.toMap
+    }
+    val want = model(corpus)
+    val got = graft.dedup.Dedup
+      .exactSubstrDedup(corpus.toDF("doc_id", "text"), "doc_id", "text", w)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == want)
+    // conservation: a corpus with no duplicated w-gram passes through intact
+    val uniq = Seq((1L, "p q r s"), (2L, "t u v x")).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.exactSubstrDedup(uniq, "doc_id", "text", w)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 0L, "p q r s"), (2L, 0L, "t u v x")))
+  }
 }
