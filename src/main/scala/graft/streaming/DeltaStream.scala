@@ -226,6 +226,30 @@ object DeltaStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Streaming HYBRID serve — the flagship query's streaming form: text
+    * queries arrive as (qid, qtext) rows and each micro-batch is answered as
+    * ONE batched hybrid plan (`SearchEngine.textHybridBatched`: TF-IDF
+    * dense arm + BM25 sparse arm, each a single index scan, per-qid RRF).
+    * The micro-batch IS the amortization unit: job floor and index scans
+    * are paid once per batch, so serving latency per query falls with
+    * arrival rate — the Spark-native answer to a query-at-a-time HTTP
+    * tier. The query batch collects driver-side (queries embed
+    * driver-side by design, like the reference's request handler; a
+    * micro-batch is request-sized, never corpus-sized). */
+  def hybridServe(queryStream: DataFrame, dataDir: String, checkpoint: String,
+                  k: Int)
+                 (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qs = batch.select(col("qid").cast("long"), col("qtext"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        sink(graft.search.SearchEngine
+          .textHybridBatched(batch.sparkSession, dataDir, qs, k), batchId)
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+
   /** Declarative gap-sessionization: Spark's native `session_window`
     * (watermarked, state managed by the engine) — the zero-custom-code
     * twin of [[sessionize]]; use mapGroupsWithState only when the session

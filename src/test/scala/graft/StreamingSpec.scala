@@ -352,6 +352,32 @@ class StreamingSpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("streaming hybrid serve: per-batch answers equal the batched text hybrid") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+
+    val queries = Seq(
+      (0L, "spark join filter the data"), (1L, "vector scan batch"),
+      (2L, "merge stream window data"), (3L, "query hash table"))
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+
+    val input = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("graft-hybrid-serve").toString
+    val q = DeltaStream.hybridServe(
+      input.toDF().toDF("qid", "qtext"), Sf0001, ckpt, k = 5) { (res, _) =>
+      got ++= res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try {
+      input.addData(queries.take(2)); q.processAllAvailable()
+      input.addData(queries.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+
+    val batchAll = graft.search.SearchEngine
+      .textHybridBatched(spark, Sf0001, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == batchAll.toSet && got.size == batchAll.length)
+  }
+
   test("stateful sessionization accumulates per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DeltaStream.Event]
