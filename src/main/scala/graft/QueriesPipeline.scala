@@ -372,6 +372,44 @@ object QueriesPipeline {
 
   private val tokensSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** DuckDB twin of `Bpe.bpeMerges(docs, "text", n)`: the same word-freq
+    * base, then `n` chained merge iterations — pair counts off the
+    * separator-encoded symbol string, argmax with the (count desc, lsym,
+    * rsym) tie-break, one-pass literal replace. Built by loop so the
+    * iteration template is written once. */
+  private def bpeOracleSql(n: Int): String = {
+    val S = "\u001f"
+    val iters = (1 to n).map { k =>
+      s"""
+        a$k AS (SELECT freq, list_filter(string_split(s, '$S'), x -> x <> '') AS a
+                FROM s${k - 1}),
+        j$k AS (SELECT freq, a, unnest(range(0, greatest(len(a) - 1, 0))) AS j
+                FROM a$k),
+        p$k AS (SELECT a[j+1] AS lsym, a[j+2] AS rsym, sum(freq)::BIGINT AS c
+                FROM j$k GROUP BY 1, 2),
+        m$k AS (SELECT lsym, rsym, c FROM p$k ORDER BY c DESC, lsym, rsym LIMIT 1),
+        s$k AS (SELECT freq,
+                  replace(s, '$S' || lsym || '$S$S' || rsym || '$S',
+                             '$S' || lsym || rsym || '$S') AS s
+                FROM s${k - 1} CROSS JOIN m$k)"""
+    }.mkString(",")
+    val rows = (1 to n).map { k =>
+      s"""SELECT $k::BIGINT AS merge_ord, lsym, rsym,
+          lsym || rsym AS merged, c AS pair_count FROM m$k"""
+    }.mkString("\n UNION ALL ")
+    s"""
+      WITH w AS (
+        SELECT w, count(*)::BIGINT AS freq
+        FROM (SELECT unnest($tokensSql) AS w FROM documents) t GROUP BY w),
+      s0 AS (SELECT freq,
+        '$S$S' || array_to_string(list_concat(
+          list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
+          ['</w>']), '$S$S') || '$S$S' AS s
+        FROM w),$iters
+      $rows ORDER BY merge_ord
+    """
+  }
+
   /** The full curation-verdict CTE chain (lang-ID arms → quality →
     * repetition → surprisal → first-failing-rule verdict `v`). Shared by
     * the t14 oracle and the t19 manifest oracle, which filters `v` to
@@ -1518,6 +1556,14 @@ object QueriesPipeline {
         SELECT r.doc_id, r.lang FROM r JOIN w USING (lang) CROSS JOIN tt
         WHERE rn <= wt * t ORDER BY doc_id
       """)),
+
+    // BPE merge learning (Sennrich 2016): the tokenizer-vocabulary
+    // induction step, 4 merges over the corpus' word-frequency table.
+    // The oracle replays the same iterations (pair argmax with the same
+    // tie-break, same one-pass separator-encoded replace) in SQL.
+    "t29_bpe_merges" -> Q(
+      (s, d) => graft.functions.Bpe.bpeMerges(docs(s, d), "text", 4),
+      Some(bpeOracleSql(4))),
 
     // Seeded deterministic shuffle + shard assignment: the pipeline's
     // final write step as an oracle-checkable query — same seed, same
