@@ -377,8 +377,12 @@ object QueriesPipeline {
     * separator-encoded symbol string, argmax with the (count desc, lsym,
     * rsym) tie-break, one-pass literal replace. Built by loop so the
     * iteration template is written once. */
-  private def bpeOracleSql(n: Int): String = {
-    val S = "\u001f"
+  private val BpeSep = "\u001f"
+
+  /** Shared CTE chain learning `n` BPE merges (word-freq base s0, then
+    * per-iteration pair argmax m1..mN and merged states s1..sN). */
+  private def bpeCtes(n: Int): String = {
+    val S = BpeSep
     val iters = (1 to n).map { k =>
       s"""
         a$k AS (SELECT freq, list_filter(string_split(s, '$S'), x -> x <> '') AS a
@@ -393,20 +397,50 @@ object QueriesPipeline {
                              '$S' || lsym || rsym || '$S') AS s
                 FROM s${k - 1} CROSS JOIN m$k)"""
     }.mkString(",")
-    val rows = (1 to n).map { k =>
-      s"""SELECT $k::BIGINT AS merge_ord, lsym, rsym,
-          lsym || rsym AS merged, c AS pair_count FROM m$k"""
-    }.mkString("\n UNION ALL ")
-    s"""
-      WITH w AS (
+    s"""w AS (
         SELECT w, count(*)::BIGINT AS freq
         FROM (SELECT unnest($tokensSql) AS w FROM documents) t GROUP BY w),
       s0 AS (SELECT freq,
         '$S$S' || array_to_string(list_concat(
           list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
           ['</w>']), '$S$S') || '$S$S' AS s
-        FROM w),$iters
+        FROM w),$iters"""
+  }
+
+  private def bpeOracleSql(n: Int): String = {
+    val rows = (1 to n).map { k =>
+      s"""SELECT $k::BIGINT AS merge_ord, lsym, rsym,
+          lsym || rsym AS merged, c AS pair_count FROM m$k"""
+    }.mkString("\n UNION ALL ")
+    s"""
+      WITH ${bpeCtes(n)}
       $rows ORDER BY merge_ord
+    """
+  }
+
+  /** Oracle for the corpus re-tokenized with the learned merges: every
+    * document's words re-encoded through the same replace chain, counted. */
+  private def bpeEncodeOracleSql(n: Int): String = {
+    val S = BpeSep
+    val enc = (1 to n).map { k =>
+      s"""
+        e$k AS (SELECT doc_id,
+                  replace(s, '$S' || lsym || '$S$S' || rsym || '$S',
+                             '$S' || lsym || rsym || '$S') AS s
+                FROM e${k - 1} CROSS JOIN m$k)"""
+    }.mkString(",")
+    s"""
+      WITH ${bpeCtes(n)},
+      dw AS (SELECT doc_id, unnest($tokensSql) AS w FROM documents),
+      e0 AS (SELECT doc_id,
+        '$S$S' || array_to_string(list_concat(
+          list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
+          ['</w>']), '$S$S') || '$S$S' AS s
+        FROM dw),$enc
+      SELECT doc_id,
+             sum(len(list_filter(string_split(s, '$S'), x -> x <> '')))::BIGINT
+               AS bpe_tokens
+      FROM e$n GROUP BY doc_id ORDER BY doc_id
     """
   }
 
@@ -1564,6 +1598,24 @@ object QueriesPipeline {
     "t29_bpe_merges" -> Q(
       (s, d) => graft.functions.Bpe.bpeMerges(docs(s, d), "text", 4),
       Some(bpeOracleSql(4))),
+
+    // The corpus re-tokenized with the learned vocab: per-doc token
+    // counts under the 4-merge BPE tokenizer — the number a training
+    // run budgets on. Learn once (driver-collected merge table, ≤ n
+    // rows), apply as a per-row column fold; one corpus pass.
+    "t30_bpe_encode" -> Q(
+      (s, d) => {
+        val merges = graft.functions.Bpe.bpeMerges(docs(s, d), "text", 4)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        docs(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+          .select(col("doc_id"),
+            size(graft.functions.Bpe.encodeWord(col("w"), merges))
+              .cast("long").as("n"))
+          .groupBy(col("doc_id")).agg(sum(col("n")).as("bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeEncodeOracleSql(4))),
 
     // Seeded deterministic shuffle + shard assignment: the pipeline's
     // final write step as an oracle-checkable query — same seed, same
