@@ -1418,6 +1418,42 @@ object QueriesPipeline {
         GROUP BY doc_id ORDER BY doc_id
       """)),
 
+    // Interpolated bigram-LM cross-entropy (Jelinek-Mercer λ=0.7): the
+    // model class above t13's unigram — P(w2|w1) = λ·c12/c1 + (1−λ)·p(w2).
+    // The oracle replays the identical arithmetic: 9dp-rounded logs,
+    // ordered-fold per-doc sums, float literals interpolated from the SAME
+    // Scala doubles so 1−λ is bit-identical on both engines.
+    "t31_bigram_lm" -> Q(
+      (s, d) => graft.functions.CorpusStats.bigramSurprisal(docs(s, d))
+        .orderBy(col("doc_id")),
+      Some {
+        val lam = 0.7
+        val oneMinus = 1.0 - lam
+        s"""
+        WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+        bg AS (
+          SELECT doc_id, g['w1'] AS w1, g['w2'] AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                     i -> {'w1': t[i], 'w2': t[i + 1]})) AS g
+            FROM toks)),
+        uni AS (SELECT tok, count(*) AS cnt
+                FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+        tot AS (SELECT sum(cnt) AS tot FROM uni),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+        lp AS (
+          SELECT w1, w2,
+                 round(ln($lam * (c12 / c1) + $oneMinus * (cnt / tot)), 9) AS lp
+          FROM c12 JOIN c1 USING (w1) JOIN uni ON uni.tok = c12.w2 CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(-list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY lp)),
+                                  (acc, x) -> acc + x) / count(*), 6) AS xent
+        FROM bg JOIN lp USING (w1, w2)
+        GROUP BY doc_id ORDER BY doc_id
+      """
+      }),
+
     // The capstone: the composed per-document curation pipeline (lang-ID
     // + quality + repetition + LM surprisal -> keep/drop with the first
     // failing rule as the reason). Every metric is an already-rounded

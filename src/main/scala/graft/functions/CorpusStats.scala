@@ -160,6 +160,66 @@ object CorpusStats {
       .select(col("doc_id"), col("n_tokens"),
         round(-col("slp") / col("n_tokens"), 6).as("surprisal"))
 
+  /** (doc_id, w1, w2) consecutive-token bigrams, generated per row with
+    * zero shuffle: the token array is let-bound once (the HOF-CSE rule —
+    * see TextOps.shingles), the gram structs are built by index, and the
+    * explode is the only Generate. Documents with fewer than two tokens
+    * produce no rows. */
+  private def bigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(element_at(transform(
+        array(expr("filter(split(text, ' '), t -> t != '')")), t =>
+          when(size(t) >= 2,
+            transform(sequence(lit(0), size(t) - 2), i =>
+              struct(element_at(t, i + 1).as("w1"),
+                element_at(t, i + 2).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))),
+        1)).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+
+  /** Interpolated bigram-LM cross-entropy per document — the next model
+    * class up from [[unigramSurprisal]] (CCNet buckets on a 5-gram KenLM;
+    * a Jelinek-Mercer-interpolated bigram is the same idea at corpus
+    * scale with exact, engine-independent arithmetic):
+    *
+    *   P(w2|w1) = λ·c(w1,w2)/c(w1·) + (1−λ)·c(w2)/T
+    *
+    * with c(w1·) the bigram-left count (so the conditional sums to 1) and
+    * T the unigram total. Per-doc score = mean −ln P over its bigrams;
+    * docs with <2 tokens have no bigrams and are absent (same contract as
+    * the oracle's GROUP BY). Determinism: log-probs rounded to 9dp, per-doc
+    * ordered-fold summation, final round to 6dp.
+    *
+    * Shape at scale: bigrams are generated per row (no shuffle), counted
+    * with ONE map-side-combined shuffle (checkpointed so the c(w1·)
+    * roll-up doesn't re-expand the corpus agg), and scored with a plain
+    * equi-join on (w1,w2) — deliberately NOT broadcast-hinted: a web-scale
+    * bigram vocabulary is far over any broadcast threshold, so the join
+    * must stay a shuffled hash join (AQE may still broadcast a small
+    * model). The doc-id fold is the second and final corpus shuffle. */
+  def bigramSurprisal(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    val bg = bigrams(docs)
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val uni = tokens(docs).groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val tot = uni.agg(sum("cnt").as("tot"))
+    val lp = c12.join(c1, Seq("w1"))
+      .join(uni.withColumnRenamed("tok", "w2"), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        round(log(lit(lambda) * (col("c12") / col("c1")) +
+          lit(1.0 - lambda) * (col("cnt") / col("tot"))), 9).as("lp"))
+    bg.join(lp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("aggregate(array_sort(collect_list(lp)), cast(0 as double), (a, x) -> a + x)")
+          .as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("slp") / col("n_bigrams"), 6).as("xent"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"), unigram variant:
     * every token gets a Laplace-smoothed log-likelihood ratio

@@ -42,6 +42,19 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows == Set((1L, 3L, 0.693147), (2L, 1L, 0.693147)), rows)
   }
 
+  test("bigramSurprisal: interpolated probs match hand computation; short docs absent") {
+    // corpus: doc1 = a b a b, doc2 = a b, doc3 = solo (no bigrams).
+    // unigrams: a:3 b:3 solo:1, T=7; bigrams: (a,b):3 (b,a):1; left counts a:3 b:1.
+    // P(b|a) = .7*(3/3) + .3*(3/7); P(a|b) = .7*(1/1) + .3*(3/7) — equal.
+    val docs = docsOf(1L -> "a b a b", 2L -> "a b", 3L -> "solo")
+    val p = 0.7 + (1.0 - 0.7) * (3.0 / 7.0)
+    val lp = BigDecimal(math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val want = (-lp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = CorpusStats.bigramSurprisal(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, 3L, want), (2L, 1L, want)), rows)
+  }
+
   test("curationVerdict: first failing rule wins, slack thresholds keep all") {
     val docs = docsOf(1L -> "a a a b", 2L -> "the quick brown fox jumps")
 
