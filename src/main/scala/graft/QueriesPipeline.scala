@@ -2290,6 +2290,85 @@ object QueriesPipeline {
         SELECT mmr_rank, id, mmr_score FROM sel ORDER BY mmr_rank
       """)))
 
+  /** Link-graph centrality (the Common-Crawl-style quality-weighting
+    * step) over the near-dup graph: symmetrized simhash pairs as edges,
+    * PageRank with fixed iterations. The oracle unrolls the identical
+    * iteration arithmetic CTE by CTE — generated by the same Scala loop
+    * count, so changing `PrIters` changes both sides together. */
+  private val PrIters = 5
+  private val PrDamping = 0.85
+
+  val graph: Map[String, Q] = Map(
+    "g1_pagerank" -> Q(
+      (s, d) => {
+        val p = Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3)
+        val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+        graft.graph.Graph.pageRank(edges, "src", "dst", PrIters, PrDamping)
+          .orderBy(col("id"))
+      },
+      Some {
+        val d = PrDamping
+        val oneMinus = 1.0 - PrDamping
+        val fold =
+          "list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY w)), (a, x) -> a + x)"
+        val iterCtes = (1 to PrIters).map { k =>
+          s"""
+        dm$k AS (
+          SELECT coalesce($fold, 0.0) AS dm
+          FROM (SELECT r AS w FROM r${k - 1}
+                WHERE id NOT IN (SELECT src FROM deg))),
+        c$k AS (
+          SELECT dst AS id, $fold AS cs
+          FROM (SELECT e.dst AS dst, p.r / dg.outdeg AS w
+                FROM edges e JOIN r${k - 1} p ON e.src = p.id
+                JOIN deg dg ON dg.src = e.src)
+          GROUP BY dst),
+        r$k AS (
+          SELECT n.id,
+                 round(($oneMinus)::DOUBLE / (SELECT nn FROM nn) +
+                       ($d)::DOUBLE * (coalesce(c.cs, 0.0) +
+                         (SELECT dm FROM dm$k) / (SELECT nn FROM nn)), 12) AS r
+          FROM nodes n LEFT JOIN c$k c ON n.id = c.id)"""
+        }.mkString(",")
+        s"""
+        WITH $simhashPairsCtes,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM sim_pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM sim_pairs),
+        nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT count(*)::DOUBLE AS nn FROM nodes),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        r0 AS (SELECT id, round(1.0 / (SELECT nn FROM nn), 12) AS r FROM nodes),
+        $iterCtes
+        SELECT id, round(r, 6) AS rank FROM r$PrIters ORDER BY id
+      """
+      }),
+
+    // In/out/total degree per node over the same near-dup edge list —
+    // integer-exact, one union-merged aggregation.
+    "g2_degrees" -> Q(
+      (s, d) => {
+        val p = Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3)
+        val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+        graft.graph.Graph.degrees(edges, "src", "dst").orderBy(col("id"))
+      },
+      Some(s"""
+        WITH $simhashPairsCtes,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM sim_pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM sim_pairs)
+        SELECT id, sum(o)::BIGINT AS out_degree, sum(i)::BIGINT AS in_degree,
+               (sum(o) + sum(i))::BIGINT AS degree
+        FROM (SELECT src AS id, 1 AS o, 0 AS i FROM edges
+              UNION ALL
+              SELECT dst AS id, 0 AS o, 1 AS i FROM edges)
+        GROUP BY id ORDER BY id
+      """)))
+
   /** TF-IDF bucket-space CTEs shared by the embed-search oracle. */
   private val tfidfCtes = s"""
         toks AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
@@ -2607,6 +2686,67 @@ object QueriesPipeline {
           FROM qz z CROSS JOIN qv)
         SELECT id, round(score, 6) AS score FROM scored
         ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
+    // Dimension-reduction ANN: JL sign random projection 64→16, cosine
+    // candidate scan in projected space (¼ of the float math per row),
+    // top-30 cut, exact re-rank to top-10. The third compression axis
+    // after int8 (values) and PQ (codebooks): dimensions.
+    "a16_jl_projection" -> Q(
+      (s, d) => {
+        import graft.functions.VectorOps
+        val emb = Tables.embeddings(s, d)
+        val proj = emb.select(col("vec_id"),
+          VectorOps.jlProject(col("embedding"), 16, 64).cast("array<float>").as("p"))
+        val qp = proj.where(col("vec_id") === Queries.QueryVecId)
+          .select(col("p").as("qp"))
+        val cand = proj.crossJoin(broadcast(qp))
+          .select(col("vec_id"),
+            round(VectorOps.cosineSim(col("p"), col("qp")), 6).as("ps"))
+          .orderBy(col("ps").desc, col("vec_id").asc).limit(30)
+        val qv = emb.where(col("vec_id") === Queries.QueryVecId)
+          .select(col("embedding").as("qv"))
+        emb.join(cand.select("vec_id"), Seq("vec_id"))
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id").as("id"),
+            round(VectorOps.cosineSim(col("embedding"), col("qv")), 6).as("score"))
+          .orderBy(col("score").desc, col("id").asc).limit(10)
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT j, list_transform(range(0, 64),
+                   i -> CASE WHEN ('0x' || substr(md5((j * 64 + i)::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                             THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS row
+          FROM range(0, 16) t(j)),
+        proj AS (
+          SELECT vec_id, list(pj ORDER BY j)::FLOAT[] AS p
+          FROM (SELECT e.vec_id, m.j,
+                       list_dot_product(e.embedding::DOUBLE[], m.row) AS pj
+                FROM embeddings e CROSS JOIN m)
+          GROUP BY vec_id),
+        qp AS (SELECT p AS qp FROM proj WHERE vec_id = ${Queries.QueryVecId}),
+        cand AS (
+          SELECT vec_id,
+                 round(CASE WHEN list_dot_product(p::DOUBLE[], p::DOUBLE[]) = 0
+                              OR list_dot_product(qp::DOUBLE[], qp::DOUBLE[]) = 0
+                            THEN 0.0::DOUBLE
+                            ELSE list_dot_product(p::DOUBLE[], qp::DOUBLE[]) /
+                                 (sqrt(list_dot_product(p::DOUBLE[], p::DOUBLE[])) *
+                                  sqrt(list_dot_product(qp::DOUBLE[], qp::DOUBLE[])))
+                       END, 6) AS ps
+          FROM proj CROSS JOIN qp
+          ORDER BY ps DESC, vec_id ASC LIMIT 30),
+        qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = ${Queries.QueryVecId})
+        SELECT vec_id AS id,
+               round(CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0
+                            OR list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) = 0
+                          THEN 0.0::DOUBLE
+                          ELSE list_dot_product(e.embedding::DOUBLE[], qv::DOUBLE[]) /
+                               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                                sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])))
+                     END, 6) AS score
+        FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN qv
+        ORDER BY score DESC, id ASC LIMIT 10
       """)))
 
   /** O5 binary-quantized ANN: rank by Hamming distance between sign-bit
@@ -2652,5 +2792,6 @@ object QueriesPipeline {
       """)))
 
   def all: Map[String, Q] =
-    lifecycle ++ dedup ++ text ++ ann ++ extras ++ quantized ++ binaryAnn ++ rowsOnly
+    lifecycle ++ dedup ++ text ++ ann ++ extras ++ quantized ++ binaryAnn ++
+      graph ++ rowsOnly
 }

@@ -80,4 +80,39 @@ object VectorOps {
     when(na === 0.0 || nb === 0.0, lit(0.0))
       .otherwise(dotp / (sqrt(na) * sqrt(nb)))
   }
+
+  /** Deterministic ±1 entry of the JL sign matrix at flat index `idx`:
+    * parity of the first 32 md5 bits of the decimal index string. Engine-
+    * independent — DuckDB spells the same cell
+    * `('0x' || substr(md5(idx::VARCHAR), 1, 8))::BIGINT % 2`. */
+  private def jlSign(idx: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(idx.toString.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** O5 companion — Johnson-Lindenstrauss sign random projection
+    * (Achlioptas 2001: a ±1 matrix satisfies the JL lemma; same family
+    * as Charikar's SimHash hyperplanes): project `inDim` floats down to
+    * `outDim` coordinates, proj[j] = Σᵢ v[i]·S[j][i] with S the
+    * deterministic [[jlSign]] matrix. Distances are preserved within
+    * 1±ε, so a projected-space candidate scan + exact re-rank is a
+    * recall-bounded ANN path that reads `outDim/inDim` of the float math
+    * per row (the dimension-reduction axis, orthogonal to int8/binary/PQ
+    * value compression).
+    *
+    * The matrix is built on the DRIVER (outDim×inDim literal, a few KB —
+    * a plan constant, never a join side) and the input vector is
+    * let-bound (HOF-CSE rule); the fold runs in index order, double
+    * accumulation, so any engine reproduces the exact bits. Per row this
+    * is a pure map: no shuffle at any scale. */
+  def jlProject(v: Column, outDim: Int, inDim: Int): Column = {
+    val m: Seq[Seq[Double]] = (0 until outDim).map { j =>
+      (0 until inDim).map(i => jlSign(j * inDim + i))
+    }
+    element_at(transform(array(v.cast("array<double>")), vv =>
+      transform(typedLit(m), row =>
+        aggregate(zip_with(vv, row, (x, s) => x * s), lit(0.0), (a, x) => a + x))), 1)
+  }
 }

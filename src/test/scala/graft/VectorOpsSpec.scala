@@ -53,4 +53,30 @@ class VectorOpsSpec extends SparkSpec {
     assert(r.getDouble(0) == 32.0)
     assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
   }
+
+  test("jlProject: basis vector reads out one sign-matrix column; signs are ±1 md5 parity") {
+    import spark.implicits._
+    // e_i projected by the ±1 matrix gives proj[j] = S[j][i]; recompute
+    // the expected signs with an independent inline md5-parity impl.
+    def sign(idx: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(idx.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+    val inDim = 8; val outDim = 4; val hot = 3
+    val e3 = Array.tabulate(inDim)(i => if (i == hot) 1f else 0f)
+    val out = Seq(Tuple1(e3)).toDF("v")
+      .select(VectorOps.jlProject(col("v"), outDim, inDim).as("p"))
+      .head().getSeq[Double](0)
+    val want = (0 until outDim).map(j => sign(j * inDim + hot))
+    assert(out == want, s"$out vs $want")
+    // and a two-hot vector sums the two columns
+    val v2 = Array.tabulate(inDim)(i => if (i == 1 || i == 6) 2f else 0f)
+    val out2 = Seq(Tuple1(v2)).toDF("v")
+      .select(VectorOps.jlProject(col("v"), outDim, inDim).as("p"))
+      .head().getSeq[Double](0)
+    val want2 = (0 until outDim).map(j => 2.0 * sign(j * inDim + 1) + 2.0 * sign(j * inDim + 6))
+    assert(out2 == want2, s"$out2 vs $want2")
+  }
 }
