@@ -1454,6 +1454,87 @@ object QueriesPipeline {
       """
       }),
 
+    // Supervised classifier workflow, train half: multinomial NB language
+    // classifier fit on even doc_ids, scored on odd — the relational form
+    // of the fastText lang/quality classifier step (CCNet, LLaMA curation).
+    "t32_nb_classifier" -> Q(
+      (s, d) => graft.functions.CorpusStats.nbLangClassifier(docs(s, d))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest($tokensSql) AS tok FROM documents),
+        train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+        classes AS (
+          SELECT lang AS cls, count(*) AS n_docs
+          FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+        ntr AS (SELECT sum(n_docs) AS n FROM classes),
+        prior AS (
+          SELECT cls, round(ln(n_docs / (SELECT n FROM ntr)), 9) AS plp FROM classes),
+        ctc AS (SELECT lang AS cls, tok, count(*) AS cnt FROM train GROUP BY lang, tok),
+        tot AS (SELECT cls, sum(cnt) AS tot FROM ctc GROUP BY cls),
+        v AS (SELECT count(DISTINCT tok) AS v FROM train),
+        lp AS (
+          SELECT cls, tok, round(ln((cnt + 1) / (tot + (SELECT v FROM v))), 9) AS lp
+          FROM ctc JOIN tot USING (cls)),
+        dflt AS (
+          SELECT cls, round(ln(1.0 / (tot + (SELECT v FROM v))), 9) AS dlp FROM tot),
+        pertok AS (
+          SELECT te.doc_id, c.cls, coalesce(l.lp, d.dlp) AS w
+          FROM (SELECT doc_id, tok FROM toks WHERE doc_id % 2 = 1) te
+          CROSS JOIN (SELECT cls FROM classes) c
+          JOIN dflt d USING (cls)
+          LEFT JOIN lp l ON l.cls = c.cls AND l.tok = te.tok),
+        sc AS (
+          SELECT doc_id, cls,
+                 p.plp + list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY w)),
+                                     (a, x) -> a + x) AS score
+          FROM pertok JOIN prior p USING (cls)
+          GROUP BY doc_id, cls, p.plp),
+        pred AS (
+          SELECT doc_id, cls AS pred_lang,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, cls ASC) AS rn
+          FROM sc)
+        SELECT d.doc_id, p.pred_lang, d.lang, (p.pred_lang = d.lang) AS correct
+        FROM pred p JOIN documents d USING (doc_id)
+        WHERE rn = 1 ORDER BY d.doc_id
+      """)),
+
+    // Evaluation half: exact tie-aware ROC AUC of the t2 quality score
+    // against the (lang = 'en') label. Half-integer contributions make
+    // the double sum exact — no fold discipline needed.
+    "t33_auc" -> Q(
+      (s, d) => graft.functions.CorpusStats.rocAuc(
+        docs(s, d).select(
+          TextOps.qualityScore(col("text")).as("score"),
+          (col("lang") === "en").as("pos")),
+        "score", "pos"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang, $tokensSql AS toks FROM documents),
+        s AS (
+          SELECT (lang = 'en') AS pos,
+                 CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE ELSE round(
+                   0.3::DOUBLE * (len(list_distinct(toks))::DOUBLE / len(toks)) +
+                   0.3::DOUBLE * (1.0::DOUBLE - len(list_filter(toks,
+                     x -> list_contains(['the','a','of','and','is'], x)))::DOUBLE / len(toks)) +
+                   0.4::DOUBLE * least(length(array_to_string(toks, ''))::DOUBLE / len(toks)
+                                       / 8.0::DOUBLE, 1.0::DOUBLE), 6) END AS score
+          FROM t),
+        g AS (
+          SELECT score, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+                 sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+          FROM s GROUP BY score),
+        c AS (
+          SELECT score, np, nn,
+                 sum(nn) OVER (ORDER BY score
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nn AS below
+          FROM g),
+        tt AS (SELECT sum(np) AS p, sum(nn) AS n FROM g)
+        SELECT round(sum(np * (below + 0.5 * nn)) / ((SELECT p FROM tt) * (SELECT n FROM tt)), 6) AS auc,
+               (SELECT p FROM tt)::BIGINT AS n_pos, (SELECT n FROM tt)::BIGINT AS n_neg
+        FROM c
+      """)),
+
     // The capstone: the composed per-document curation pipeline (lang-ID
     // + quality + repetition + LM surprisal -> keep/drop with the first
     // failing rule as the reason). Every metric is an already-rounded

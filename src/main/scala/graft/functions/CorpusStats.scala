@@ -220,6 +220,91 @@ object CorpusStats {
         round(-col("slp") / col("n_bigrams"), 6).as("xent"))
   }
 
+  /** Multinomial Naive Bayes language classifier, trained on the even
+    * doc_ids and applied to the odd ones — the distributed stand-in for
+    * the fastText-style quality/language classifier step real curation
+    * pipelines run (CCNet's lang-ID, LLaMA's quality classifier): a
+    * supervised train/score workflow expressed as pure relational algebra.
+    *
+    * Model: P(c) = docs_c/docs, P(tok|c) Laplace-smoothed
+    * (cnt+1)/(tot_c+V); prediction = argmax_c ln P(c) + Σ ln P(tok|c),
+    * unseen tokens scoring the class default ln 1/(tot_c+V). Ties break
+    * to the lexicographically smallest class via the rank window.
+    * Determinism: every log is rounded to 9dp, per-(doc,class) sums are
+    * ordered folds, so the argmax compares bit-identical doubles on any
+    * engine.
+    *
+    * Shape at scale: ONE (class,tok) count shuffle over the train split
+    * (map-side combined, checkpointed so V and totals don't re-expand
+    * it); the test stream fans out ×|classes| (a handful) against a
+    * BROADCAST class table, left-joins the model on (class,tok) — NOT
+    * broadcast-hinted, a web-scale vocab×classes model exceeds any
+    * threshold — and folds per (doc,class). Test docs with zero tokens
+    * carry no evidence and are absent (same contract as the oracle). */
+  def nbLangClassifier(docs: DataFrame): DataFrame = {
+    val toks = tokens(docs)
+    val train = toks.where(col("doc_id") % 2 === 0)
+    val classes = docs.where(col("doc_id") % 2 === 0)
+      .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
+    val ntr = classes.agg(sum("n_docs").as("n"))
+    val prior = classes.crossJoin(broadcast(ntr))
+      .select(col("cls"), round(log(col("n_docs") / col("n")), 9).as("plp"))
+    val ctc = train.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang").as("cls"), col("tok"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val tot = ctc.groupBy("cls").agg(sum("cnt").as("tot"))
+    val v = ctc.agg(countDistinct(col("tok")).as("v"))
+    val lp = ctc.join(tot, Seq("cls")).crossJoin(broadcast(v))
+      .select(col("cls"), col("tok"),
+        round(log((col("cnt") + 1) / (col("tot") + col("v"))), 9).as("lp"))
+    val dflt = tot.crossJoin(broadcast(v))
+      .select(col("cls"), round(log(lit(1.0) / (col("tot") + col("v"))), 9).as("dlp"))
+    val pertok = toks.where(col("doc_id") % 2 === 1).select("doc_id", "tok")
+      .crossJoin(broadcast(classes.select("cls")))
+      .join(broadcast(dflt), Seq("cls"))
+      .join(lp, Seq("cls", "tok"), "left")
+      .select(col("doc_id"), col("cls"), coalesce(col("lp"), col("dlp")).as("w"))
+    val sc = pertok.join(broadcast(prior), Seq("cls"))
+      .groupBy("doc_id", "cls", "plp")
+      .agg(expr("aggregate(array_sort(collect_list(w)), cast(0 as double), (a, x) -> a + x)")
+        .as("slp"))
+      .select(col("doc_id"), col("cls"), (col("plp") + col("slp")).as("score"))
+    val rankW = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cls").asc)
+    sc.withColumn("rn", row_number().over(rankW)).where(col("rn") === 1)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("cls").as("pred_lang"), col("lang"),
+        (col("cls") === col("lang")).as("correct"))
+  }
+
+  /** Exact tie-aware ROC AUC of a score column against a boolean label —
+    * the evaluation half of the classifier workflow (is the quality score
+    * actually predictive?). Mann-Whitney form: for each distinct score,
+    * positives count every negative strictly below plus half the
+    * negatives tied with them; AUC = Σ contributions / (P·N).
+    *
+    * Exactness: counts are integers and the only fraction is ·0.5, so
+    * every contribution is a half-integer — double arithmetic is EXACT
+    * below 2^52 and the sum is order-independent (no fold discipline
+    * needed). Shape at scale: one groupBy on score (corpus-sized shuffle,
+    * map-side combined), then a single-partition running sum over the
+    * DISTINCT scores — bounded by score resolution (a 6dp-rounded score
+    * has ≤ ~10⁶ distinct values no matter the corpus), not by rows. */
+  def rocAuc(scored: DataFrame, scoreCol: String, posCol: String): DataFrame = {
+    val g = scored.groupBy(col(scoreCol).as("score")).agg(
+      sum(when(col(posCol), 1L).otherwise(0L)).as("np"),
+      sum(when(!col(posCol), 1L).otherwise(0L)).as("nn"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g.withColumn("below", sum("nn").over(w) - col("nn"))
+    val t = g.agg(sum("np").as("p"), sum("nn").as("n"))
+    c.agg(sum(col("np") * (col("below") + lit(0.5) * col("nn"))).as("num"))
+      .crossJoin(broadcast(t))
+      .select(round(col("num") / (col("p") * col("n")), 6).as("auc"),
+        col("p").as("n_pos"), col("n").as("n_neg"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"), unigram variant:
     * every token gets a Laplace-smoothed log-likelihood ratio

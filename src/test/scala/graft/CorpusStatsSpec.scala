@@ -55,6 +55,36 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows == Set((1L, 3L, want), (2L, 1L, want)), rows)
   }
 
+  test("nbLangClassifier: separable vocab predicts held-out docs; ties break to smallest class") {
+    import spark.implicits._
+    // train (even ids): en={hello world}, fr={bonjour monde};
+    // test (odd ids): evidence tokens decide; doc5's unseen-only token
+    // gives equal class evidence -> prior tie -> 'en' < 'fr' wins.
+    val docs = Seq(
+      (0L, "hello world hello", "en"),
+      (2L, "bonjour monde bonjour", "fr"),
+      (1L, "hello hello", "en"),
+      (3L, "bonjour", "fr"),
+      (5L, "zzz", "en")).toDF("doc_id", "text", "lang")
+    val out = CorpusStats.nbLangClassifier(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(3)))).toMap
+    assert(out(1L) == (("en", true)), out)
+    assert(out(3L) == (("fr", true)), out)
+    assert(out(5L)._1 == "en", s"prior+default tie must break to 'en': $out")
+  }
+
+  test("rocAuc: perfect separation = 1, all-tied = 0.5, mixed hand value") {
+    import spark.implicits._
+    def auc(rows: (Double, Boolean)*): (Double, Long, Long) = {
+      val r = CorpusStats.rocAuc(rows.toDF("score", "pos"), "score", "pos").head()
+      (r.getDouble(0), r.getLong(1), r.getLong(2))
+    }
+    assert(auc(0.9 -> true, 0.8 -> true, 0.7 -> false, 0.6 -> false) == ((1.0, 2L, 2L)))
+    assert(auc(0.5 -> true, 0.5 -> false) == ((0.5, 1L, 1L)))
+    // pos {0.9, 0.5}, neg {0.5, 0.1}: 1*(1+0.5) + 1*2 = 3.5 over 4
+    assert(auc(0.9 -> true, 0.5 -> true, 0.5 -> false, 0.1 -> false) == ((0.875, 2L, 2L)))
+  }
+
   test("curationVerdict: first failing rule wins, slack thresholds keep all") {
     val docs = docsOf(1L -> "a a a b", 2L -> "the quick brown fox jumps")
 
