@@ -191,7 +191,12 @@ object Queries {
           .withColumn("session_no",
             sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
           .groupBy(col("user_id"), col("session_no"))
-          .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          // TIMESTAMP_NTZ (what TIMESTAMP(NANOS) parquet reads as) can't
+          // cast to double for bucketing; NTZ→LTZ is the identity under
+          // the UTC session tz and keeps full microsecond precision in
+          // the exact overlap predicates
+          .agg(min(col("ts")).cast("timestamp").as("lo"),
+            max(col("ts")).cast("timestamp").as("hi"))
           // both overlap arms read the interval set: materialize the
           // sessionizer ONCE (intervals are session-count-sized, tiny)
           .localCheckpoint()

@@ -2828,6 +2828,45 @@ object QueriesPipeline {
                      END, 6) AS score
         FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN qv
         ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
+    // Incrementally-GROWN IVF index (half at init + half appended against
+    // the frozen centroids) served through the same ivfTopKAssigned plan —
+    // assignment depends only on the centroids, so the grown index is
+    // hash-exact a whole-corpus rebuild and the oracle is a1's full IVF
+    // SQL verbatim. The dense twin of s3c_bm25_incremental.
+    "a17_ivf_incremental" -> Q(
+      (s, d) => {
+        val root = graft.index.IncrementalIvf.ensure(s, d)
+        val qv = Tables.embeddings(s, d)
+          .where(col("vec_id") === Queries.QueryVecId)
+          .select(col("embedding").as("qvec"))
+        graft.index.IncrementalIvf.topK(s, root, qv, 3, 10)
+      },
+      Some(s"""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = ${Queries.QueryVecId}),
+        assign AS (
+          SELECT e.vec_id, c.cid, e.embedding,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                            c.cid ASC) AS rn
+          FROM embeddings e CROSS JOIN cent c),
+        asg AS (SELECT vec_id, cid, embedding FROM assign WHERE rn = 1),
+        probes AS (
+          SELECT cid FROM (
+            SELECT c.cid,
+                   round(list_cosine_similarity(c.cvec, q.qv), 6) AS qscore
+            FROM cent c CROSS JOIN q
+            ORDER BY qscore DESC, cid ASC LIMIT 3)),
+        hits AS (
+          SELECT a.vec_id AS id,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS score
+          FROM asg a JOIN probes p ON a.cid = p.cid CROSS JOIN q)
+        SELECT id, score FROM hits ORDER BY score DESC, id ASC LIMIT 10
       """)))
 
   /** O5 binary-quantized ANN: rank by Hamming distance between sign-bit

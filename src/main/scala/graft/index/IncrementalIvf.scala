@@ -1,0 +1,167 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Store
+import graft.search.Ann
+import graft.tables.Tables
+
+/** Incrementally-maintainable IVF index — the DENSE twin of
+  * [[IncrementalBm25]] (the reference's delta imports upsert only changed
+  * points into Qdrant's HNSW graph, `scripts/indexing.py:214-260`; a full
+  * IVF rebuild per delta is the thing a 100 TB vector corpus can never
+  * afford).
+  *
+  * The split is even cleaner than BM25's: IVF assignment of a vector
+  * depends ONLY on the (frozen-at-init) centroid set, never on corpus
+  * statistics — so a segment of assigned vectors is immutable AND the
+  * union of segment assignments is bit-identical to a whole-corpus
+  * rebuild against the same centroids. No per-append stats rewrite is
+  * needed at all; the versioned half reduces to the commit marker itself:
+  *
+  *   - `centroids/`      written once at init, immutable thereafter.
+  *   - `seg/<k>/`        (vec_id, embedding) PARTITIONED BY cid — probing
+  *                       reads only the probed lists of each segment.
+  *   - `commit/v=<k>/`   empty version dirs: `_COMMITTED` (atomic marker)
+  *                       plus optional `_tag_*` idempotence tags.
+  *
+  * An append writes its segment FIRST and publishes `commit/v=<k+1>`
+  * last, so a crash (or concurrent reader) between the two sees the old
+  * version and ignores the half-appended segment. Queries read segments
+  * `0..v-1`; scoring goes through the same [[Ann.ivfTopKAssigned]] plan
+  * as the monolithic index, so a grown index returns HASH-EXACT the
+  * results of a from-scratch build (IndexSpec pins it; the a17 oracle is
+  * the same whole-corpus IVF SQL as a1's).
+  *
+  * Drift caveat (design note for 100 TB): frozen centroids mean list-size
+  * balance degrades as the ingested distribution drifts; the production
+  * answer is periodic re-train + full rebuild into a fresh root (the
+  * [[compact]] mechanics with new centroids), swapped behind the same
+  * publish-last discipline.
+  */
+object IncrementalIvf {
+
+  val Name = "ivf_inc_v1"
+
+  private def segDir(root: String, k: Int) = s"$root/seg/$k"
+  private def commitDir(root: String, v: Int) = s"$root/commit/v=$v"
+  private val CommitMarker = "_COMMITTED"
+
+  /** Committed version: max v under commit/ whose marker exists (0 =
+    * uninitialized). Directory existence is not a commit — the marker,
+    * created in one atomic syscall after the segment is fully written,
+    * is. */
+  def version(root: String): Int = {
+    val dir = new java.io.File(s"$root/commit")
+    if (!dir.isDirectory) 0
+    else dir.listFiles().map(_.getName)
+      .collect { case s if s.startsWith("v=") &&
+        new java.io.File(dir, s + "/" + CommitMarker).isFile => s.drop(2).toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  /** Idempotence check for at-least-once writers (streaming foreachBatch
+    * replays the last uncommitted micro-batch after a failure) — same
+    * contract as [[IncrementalBm25.committedHasTag]]: the tag lands just
+    * before the commit marker, so it is committed atomically with the
+    * version, and a redelivered batch whose tag is visible is skipped. */
+  def committedHasTag(root: String, tag: String): Boolean =
+    (1 to version(root)).exists(v =>
+      new java.io.File(commitDir(root, v), s"_tag_$tag").isFile)
+
+  private def publish(root: String, v: Int, tag: Option[String]): Unit = {
+    val dir = new java.io.File(commitDir(root, v))
+    dir.mkdirs()
+    tag.foreach(t => new java.io.File(dir, s"_tag_$t").createNewFile())
+    new java.io.File(dir, CommitMarker).createNewFile()
+  }
+
+  private def writeSegment(vectors: DataFrame, centroids: DataFrame,
+                           root: String, seg: Int): Unit =
+    Ann.ivfAssign(vectors, centroids)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .partitionBy("cid")
+      .parquet(segDir(root, seg))
+
+  /** Freeze `centroids` (cid, cvec) and write segment 0 from `vectors`
+    * (vec_id, embedding). `tag` is an optional idempotence tag committed
+    * atomically with the version. */
+  def init(vectors: DataFrame, centroids: DataFrame, root: String,
+           tag: Option[String] = None): Unit = {
+    centroids.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/centroids")
+    writeSegment(vectors, readCentroids(vectors.sparkSession, root), root, 0)
+    publish(root, 1, tag)
+  }
+
+  /** Append a delta of new vectors as the next segment, assigned against
+    * the frozen centroids. Vec ids must be new (append-only; replacing a
+    * vector needs a tombstone + [[compact]], as with the sparse twin). */
+  def append(delta: DataFrame, root: String,
+             tag: Option[String] = None): Unit = {
+    val v = version(root)
+    require(v > 0, s"index at $root not initialized — call init first")
+    writeSegment(delta, readCentroids(delta.sparkSession, root), root, v)
+    publish(root, v + 1, tag)
+  }
+
+  def readCentroids(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/centroids")
+
+  /** Union of all committed segments — schema (cid, vec_id, embedding),
+    * each segment's probed lists pruned at scan time by the caller's cid
+    * predicate (partition dirs). */
+  def readAssigned(spark: SparkSession, root: String): DataFrame = {
+    val v = version(root)
+    require(v > 0, s"index at $root not initialized")
+    // one read per segment root (each is its own cid-partitioned table —
+    // a single multi-path read would refuse to infer the partitioning),
+    // unioned: the cid probe predicate pushes into EVERY arm's partition
+    // filters, so each segment still prunes to its probed list dirs
+    (0 until v).map { k =>
+      spark.read.option("basePath", segDir(root, k)).parquet(segDir(root, k))
+    }.reduce(_ unionByName _)
+  }
+
+  /** IVF top-k across all committed segments — the same
+    * [[Ann.ivfTopKAssigned]] plan as the monolithic index, so results are
+    * hash-exact vs a full rebuild against the same centroids. */
+  def topK(spark: SparkSession, root: String, queryVec: DataFrame,
+           nprobe: Int, k: Int): DataFrame =
+    Ann.ivfTopKAssigned(readAssigned(spark, root),
+      readCentroids(spark, root), queryVec, nprobe, k)
+
+  /** Fold all committed segments into a single fresh segment under
+    * `newRoot` (assignment rows are the same multiset, so served scores
+    * are hash-identical), re-publishing the frozen centroids as-is. The
+    * old root stays readable throughout; callers swap the root pointer
+    * when done — the standard LSM tail-fold, same as the sparse twin. */
+  def compact(spark: SparkSession, root: String, newRoot: String): Unit = {
+    val v = version(root)
+    require(v > 0, s"index at $root not initialized")
+    readCentroids(spark, root).coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$newRoot/centroids")
+    readAssigned(spark, root)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .partitionBy("cid")
+      .parquet(segDir(newRoot, 0))
+    publish(newRoot, 1, None)
+  }
+
+  /** Ensure an incrementally-GROWN embeddings index for `dataDir`: half
+    * the vectors at init, the rest appended — exercising the real
+    * maintenance path while staying oracle-checkable against the same
+    * whole-corpus IVF SQL as a1 (centroids = stored vectors 0..9, the
+    * engine-independent choice the DuckDB oracle can replay). */
+  def ensure(spark: SparkSession, dataDir: String): String =
+    IndexCatalog.ensure(spark, dataDir, Name) { p =>
+      val emb = Tables.embeddings(spark, dataDir)
+      val centroids = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      init(emb.where(col("vec_id") % 2 === 0), centroids, p)
+      append(emb.where(col("vec_id") % 2 === 1), p)
+    }
+}

@@ -202,6 +202,30 @@ object DeltaStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Streaming VECTOR index maintenance — the dense twin of
+    * [[indexIngest]]: each micro-batch of new (vec_id, embedding) rows is
+    * assigned against the frozen centroids and committed as ONE segment of
+    * an [[graft.index.IncrementalIvf]] index. Unlike the in-place
+    * `IvfIndex.appendAssign` demo (which appends files into the live
+    * assigned dir, so a crashed task can leave a torn append visible),
+    * the segment commit is atomic and batch-id-tagged: readers see only
+    * published versions, redelivered batches are no-ops — exactly-once in
+    * effect. The stream must be initialized first ([[graft.index
+    * .IncrementalIvf.init]] freezes the centroids); empty micro-batches
+    * are skipped. */
+  def ivfIngest(vectors: DataFrame, indexRoot: String, checkpoint: String)
+      : StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.index.IncrementalIvf
+        val tag = s"batch_$batchId"
+        if (!batch.isEmpty && !IncrementalIvf.committedHasTag(indexRoot, tag))
+          IncrementalIvf.append(batch, indexRoot, tag = Some(tag))
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+
   /** Streaming ANN serving: a continuous stream of (qid, qvec) query rows
     * answered per micro-batch by ONE batched IVF plan over a PERSISTED
     * assignment ([[graft.search.Ann.ivfTopKBatched]]). The index is the

@@ -351,4 +351,52 @@ class IndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("MaxMmrCandidates"), e.getMessage)
   }
+
+  test("incremental ivf: grown index == monolithic assignment, crash-safe, compacted == grown") {
+    import graft.index.IncrementalIvf
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qv = emb.where(col("vec_id") === 7L).select(col("embedding").as("qvec"))
+
+    // grow in three installments
+    val root = Files.createTempDirectory("graft-ivf-inc").toString + "/idx"
+    IncrementalIvf.init(emb.where(col("vec_id") % 3 === 0), centroids, root)
+    IncrementalIvf.append(emb.where(col("vec_id") % 3 === 1), root)
+    IncrementalIvf.append(emb.where(col("vec_id") % 3 === 2), root)
+    assert(IncrementalIvf.version(root) == 3)
+
+    val rebuilt = Ann.ivfTopK(emb, centroids, qv, nprobe = 3, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val grown = IncrementalIvf.topK(spark, root, qv, nprobe = 3, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(grown == rebuilt && rebuilt.nonEmpty)
+
+    // crash safety: a segment dir without its published version marker is
+    // invisible to queries
+    val orphan = new java.io.File(s"$root/seg/3")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$root/seg/0"), orphan)
+    assert(IncrementalIvf.version(root) == 3)
+    val afterOrphan = IncrementalIvf.topK(spark, root, qv, nprobe = 3, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(afterOrphan == grown)
+
+    // compaction folds segments into a fresh root, scores unchanged, old
+    // root untouched
+    val compacted = Files.createTempDirectory("graft-ivf-cp").toString + "/idx"
+    IncrementalIvf.compact(spark, root, compacted)
+    assert(IncrementalIvf.version(compacted) == 1)
+    val afterCompact = IncrementalIvf.topK(spark, compacted, qv, nprobe = 3, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(afterCompact == grown)
+    assert(IncrementalIvf.version(root) == 3)
+
+    // append-before-init is refused
+    intercept[IllegalArgumentException] {
+      IncrementalIvf.append(emb,
+        Files.createTempDirectory("graft-ivf-empty").toString)
+    }
+  }
 }

@@ -247,6 +247,42 @@ class StreamingSpec extends SparkSpec {
     assert(graft.index.IncrementalBm25.version(root) == vBefore) // old root untouched
   }
 
+  test("ivfIngest: streamed segments serve hash-identical ANN to a monolithic assignment") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.IncrementalIvf
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+    // init freezes centroids + seg 0; the stream appends the rest
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-ing").toString + "/idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-ck").toString
+    IncrementalIvf.init(emb.where(col("vec_id") % 4 === 0), centroids, root)
+    val rest = emb.where(col("vec_id") % 4 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = DeltaStream.ivfIngest(
+      input.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+      root, ckpt)
+    try {
+      rest.grouped(20).foreach { g => input.addData(g.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    assert(IncrementalIvf.version(root) >= 3) // really grew in steps
+
+    val qv = emb.where(col("vec_id") === 7L).select(col("embedding").as("qvec"))
+    val streamed = IncrementalIvf.topK(spark, root, qv, nprobe = 3, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rebuilt = graft.search.Ann.ivfTopK(emb, centroids, qv, nprobe = 3, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed == rebuilt && rebuilt.nonEmpty)
+
+    // at-least-once redelivery: committed batch tags make replays no-ops
+    val vNow = IncrementalIvf.version(root)
+    assert((0 until vNow - 1).exists(b =>
+      IncrementalIvf.committedHasTag(root, s"batch_$b")))
+  }
+
   test("streaming vector ingest keeps the IVF index fresh via foreachBatch appendAssign") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
