@@ -1548,6 +1548,56 @@ object QueriesPipeline {
         SELECT *, (reason = 'ok') AS keep FROM v ORDER BY doc_id
         """)),
 
+    // Retrieval-quality eval: recall@10 / MRR@10 / nDCG@10 of exact
+    // cosine top-k, relevance = label agreement (embeddings.label), for
+    // 8 query vectors — the offline metric harness next to the serving
+    // path, computed as ONE batched plan (no driver-side scoring).
+    "t34_retrieval_eval" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlabel"))
+        graft.functions.RetrievalEval.labelEval(emb, queries, 10)
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, label AS qlabel
+                   FROM embeddings WHERE vec_id < 8),
+        lc AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY label),
+        ranked AS (
+          SELECT qid, qlabel, vec_id, label, score,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, vec_id ASC) AS rank
+          FROM (SELECT z.qid, z.qlabel, e.vec_id, e.label,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[], z.qvec), 6) AS score
+                FROM embeddings e CROSS JOIN q z WHERE e.vec_id <> z.qid)),
+        wr AS (
+          SELECT t.qid, t.rank, coalesce(lc.n_label, 0) - 1 AS n_rel,
+                 CASE WHEN t.qlabel = t.label THEN 1 ELSE 0 END AS rel
+          FROM (SELECT * FROM ranked WHERE rank <= 10) t
+          LEFT JOIN lc ON t.qlabel = lc.label),
+        agg AS (
+          SELECT qid, n_rel, sum(rel) AS hits,
+                 min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+                 sum(rel::DOUBLE / log2((rank + 1)::DOUBLE)) AS dcg
+          FROM wr GROUP BY qid, n_rel),
+        fin AS (
+          SELECT qid, n_rel, hits, first_rel, dcg,
+                 least(n_rel, 10) AS ideal_n,
+                 CASE WHEN least(n_rel, 10) > 0
+                      THEN list_sum(list_transform(range(1, least(n_rel, 10)::BIGINT + 1),
+                             i -> 1.0 / log2((i + 1)::DOUBLE)))
+                      ELSE 0.0::DOUBLE END AS idcg
+          FROM agg)
+        SELECT qid, n_rel,
+               round(CASE WHEN ideal_n > 0 THEN hits::DOUBLE / ideal_n
+                          ELSE 0.0::DOUBLE END, 6) AS recall_at_k,
+               round(coalesce(1.0 / first_rel, 0.0)::DOUBLE, 6) AS mrr_at_k,
+               round(CASE WHEN idcg > 0 THEN dcg / idcg
+                          ELSE 0.0::DOUBLE END, 6) AS ndcg_at_k
+        FROM fin ORDER BY qid
+      """)),
+
     // Per-source document cap (RefinedWeb-style per-domain caps): keep
     // the 10 longest docs per source, ties by doc_id — the two-phase
     // salted election in Sampling.capPerGroup, exact vs the naive

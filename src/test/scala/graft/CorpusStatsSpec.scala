@@ -167,4 +167,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(w(1L) > 0 && w(2L) > 0 && w(3L) < 0, w.toString)
     assert(w(3L) < w(1L) && w(3L) < w(2L))
   }
+
+  test("retrieval eval: hand-traced recall/MRR/nDCG, zero-relevant query degenerates to zeros") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // q0 = (1,0) label 0; relevant corpus twins: v1 (high sim), v3 (sim 0)
+    // v2 carries the wrong label; v4 is a singleton label (n_rel = 0)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.8f, 0.6f), 1),
+      (3L, Array(0.0f, 1.0f), 0),
+      (4L, Array(0.5f, 0.5f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = emb.where(col("vec_id").isin(0L, 4L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val out = graft.functions.RetrievalEval.labelEval(emb, queries, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toList
+    // q0 top-2 = [v1 rel, v2 not]: recall 1/2, MRR 1/1,
+    // nDCG = (1/log2(2)) / (1/log2(2) + 1/log2(3)) = 0.613147
+    // q4: no corpus vector shares label 9 -> all metrics zero
+    assert(out == List(
+      (0L, 2L, 0.5, 1.0, 0.613147),
+      (4L, 0L, 0.0, 0.0, 0.0)), out.toString)
+  }
 }
