@@ -2773,6 +2773,30 @@ object QueriesPipeline {
           col("q_approx")(0).as("p50"), col("q_approx")(1).as("p95"),
           col("q_approx")(2).as("p99"), col("n"))
         .orderBy(col("event_type")),
+      None),
+    // DEFLATE compression-ratio quality signal (low ratio = boilerplate/
+    // template spam, high = random/encoded payloads). Rows-only: no
+    // compression scalar exists in the oracle engine — so the artifact
+    // self-certifies with two in-band sentinels (a 1k repeated-char
+    // string that must compress to a vanishing ratio, and an
+    // incompressible digest chain that must not), carried on every row;
+    // TextHashOpsSpec pins the corridor. The expression itself is a
+    // codegen'd Catalyst unary (DeflateRatio) — no UDF boxing.
+    "x4_deflate_ratio" -> Q(
+      (s, d) => {
+        import graft.functions.TextOps
+        val sentinels = docs(s, d).limit(1).select(
+          round(TextOps.deflateRatio(concat_ws("",
+            (0 until 100).map(_ => lit("aaaaaaaaaa")): _*)), 6)
+            .as("sentinel_repeat"),
+          round(TextOps.deflateRatio(concat_ws("",
+            (0 until 8).map(i => sha2(concat(lit("x"), lit(i)), 256)): _*)), 6)
+            .as("sentinel_digest"))
+        docs(s, d).select(col("doc_id"), col("n_chars"),
+            round(TextOps.deflateRatio(col("text")), 6).as("ratio"))
+          .crossJoin(broadcast(sentinels))
+          .orderBy(col("doc_id"))
+      },
       None))
 
   /** Int8-quantized cosine top-k (O5): scale cancels in cosine, so the

@@ -144,6 +144,14 @@ object TextOps {
   def tokenCountRe(textCol: Column): Column =
     size(regexp_extract_all(textCol, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** DEFLATE compression ratio (compressed/raw bytes) — the
+    * low-information-content quality signal; see
+    * [[org.apache.spark.sql.graft.DeflateRatio]]. */
+  def deflateRatio(c: Column): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, DeflateRatio}
+    ColumnBridge.column(DeflateRatio(ColumnBridge.expression(c.cast("string"))))
+  }
+
   /** PII scrub patterns (training-data redaction). Conservative regex
     * subset chosen to behave identically under Java regex (Spark) and RE2
     * (DuckDB oracle): no backrefs, no lookaround, no \b, literal

@@ -231,4 +231,26 @@ class TextHashOpsSpec extends SparkSpec {
     assert(labels.toSeq == Seq("Excellent", "Excellent", "Very Good", "Good",
       "Fair", "Poor", "Very Poor", "No Match"))
   }
+
+  test("deflate ratio: repetition compresses to near-zero, digests don't, nulls/empties defined") {
+    import graft.functions.TextOps
+    val rows = Seq(
+      "a" * 1000,                                   // pure repetition
+      ("the quick brown fox jumps over the lazy dog. " * 20),
+      (0 until 320).map(i => s"x$i".hashCode.toHexString).mkString, // no repeats
+      "",                                            // empty -> defined 1.0
+      null                                           // null in, null out
+    ).toDF("t").select(TextOps.deflateRatio(col("t")).as("r"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(rows(0).get < 0.05, s"repetition ${rows(0)}")
+    assert(rows(1).get < 0.2, s"repeated sentence ${rows(1)}")
+    assert(rows(0).get < rows(1).get && rows(1).get < rows(2).get)
+    assert(rows(3).contains(1.0))
+    assert(rows(4).isEmpty)
+    // deterministic across evaluation paths (codegen vs interpreted is
+    // the same helper; re-run equality guards against codec statefulness)
+    val again = Seq("a" * 1000).toDF("t")
+      .select(TextOps.deflateRatio(col("t"))).collect()(0).getDouble(0)
+    assert(rows(0).contains(again))
+  }
 }
