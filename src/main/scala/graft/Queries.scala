@@ -172,6 +172,59 @@ object Queries {
         ORDER BY source, metric
       """)),
 
+    // ANALYZE-style exact column statistics in ONE pass (row count, NDV,
+    // null count, min/max per column) — the CBO feeder every warehouse
+    // runs before planning; multi-column distinct aggregates compile to
+    // a single Expand + partial-agg job, not one scan per column. Exact
+    // NDV here (oracle-matchable); the sketch path for 100 TB is
+    // x1_approx_distinct's HLL.
+    "q25_column_stats" -> Q(
+      (s, d) => {
+        val wide = Tables(s, d, "lineitem").agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_quantity")).as("ndv_q"),
+          count(when(col("l_quantity").isNull, 1)).as("nulls_q"),
+          min(col("l_quantity")).as("min_q"), max(col("l_quantity")).as("max_q"),
+          countDistinct(col("l_extendedprice")).as("ndv_p"),
+          count(when(col("l_extendedprice").isNull, 1)).as("nulls_p"),
+          min(col("l_extendedprice")).as("min_p"), max(col("l_extendedprice")).as("max_p"),
+          countDistinct(col("l_discount")).as("ndv_d"),
+          count(when(col("l_discount").isNull, 1)).as("nulls_d"),
+          min(col("l_discount")).as("min_d"), max(col("l_discount")).as("max_d"))
+        wide.select(expr(
+            """stack(3,
+               'l_discount', ndv_d, nulls_d, min_d, max_d,
+               'l_extendedprice', ndv_p, nulls_p, min_p, max_p,
+               'l_quantity', ndv_q, nulls_q, min_q, max_q
+             ) as (column_name, ndv, n_nulls, min_v, max_v)"""),
+            col("n_rows"))
+          .select(col("column_name"), col("n_rows"), col("ndv"),
+            col("n_nulls"), col("min_v"), col("max_v"))
+          .orderBy(col("column_name"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT count(*) AS n_rows,
+                 count(DISTINCT l_quantity) AS ndv_q,
+                 count(CASE WHEN l_quantity IS NULL THEN 1 END) AS nulls_q,
+                 min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+                 count(DISTINCT l_extendedprice) AS ndv_p,
+                 count(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS nulls_p,
+                 min(l_extendedprice) AS min_p, max(l_extendedprice) AS max_p,
+                 count(DISTINCT l_discount) AS ndv_d,
+                 count(CASE WHEN l_discount IS NULL THEN 1 END) AS nulls_d,
+                 min(l_discount) AS min_d, max(l_discount) AS max_d
+          FROM lineitem)
+        SELECT column_name, n_rows, ndv, n_nulls, min_v, max_v FROM (
+          SELECT 'l_discount' AS column_name, n_rows, ndv_d AS ndv,
+                 nulls_d AS n_nulls, min_d AS min_v, max_d AS max_v FROM a
+          UNION ALL
+          SELECT 'l_extendedprice', n_rows, ndv_p, nulls_p, min_p, max_p FROM a
+          UNION ALL
+          SELECT 'l_quantity', n_rows, ndv_q, nulls_q, min_q, max_q FROM a)
+        ORDER BY column_name
+      """)),
+
     // Interval-OVERLAP join (q14's interval×interval sibling): which user
     // pairs had concurrently-active sessions, and how often. Session
     // intervals come from the q6 sessionizer; the overlap join is

@@ -116,6 +116,32 @@ object QueriesPipeline {
         SELECT doc_id, version, text FROM r WHERE rn = 1 ORDER BY doc_id
       """)),
 
+    // Time-travel read: AS OF version 2 over a three-version history —
+    // v3 edits must be invisible, v2 edits win over v1, everything else
+    // reads v1. Same one-window cost as i5 (snapshot isolation is a
+    // predicate, not a copy).
+    "i17_time_travel" -> Q(
+      (s, d) => {
+        val v12 = versioned(s, d)
+        val v3 = docs(s, d).where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), lit(3).as("version"),
+            concat(col("text"), lit(" rev3")).as("text"))
+        Lifecycle.asOfVersion(v12.unionByName(v3), "doc_id", 2)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $versionedSql,
+        v3 AS (
+          SELECT doc_id, version, text FROM versioned
+          UNION ALL
+          SELECT doc_id, 3 AS version, text || ' rev3' FROM documents
+          WHERE doc_id % 10 = 0),
+        r AS (SELECT doc_id, version, text,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+              FROM v3 WHERE version <= 2)
+        SELECT doc_id, version, text FROM r WHERE rn = 1 ORDER BY doc_id
+      """)),
+
     // Q11 history: superseded versions with the reference's "{id}_v{n}" key.
     "i6_version_history" -> Q(
       (s, d) => Lifecycle.historyVersions(versioned(s, d), "doc_id")

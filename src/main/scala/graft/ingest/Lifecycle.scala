@@ -61,6 +61,16 @@ object Lifecycle {
       .where(col("rn") === 1).drop("rn")
   }
 
+  /** Time-travel read: the table AS OF version `v` — for each id, the
+    * newest row whose version is <= v; ids born after v are absent. The
+    * snapshot-isolation read every versioned store owes its users
+    * (lakehouse `VERSION AS OF`): one window over the version-filtered
+    * scan, so at 100 TB the cost is the same as [[latestVersions]] and
+    * the predicate prunes whole files wherever the layout sorts or
+    * partitions by version. */
+  def asOfVersion(versioned: DataFrame, idCol: String, v: Int): DataFrame =
+    latestVersions(versioned.where(col("version") <= v), idCol)
+
   /** History view: every superseded version, with the back-pointer id the
     * reference stores as `"{id}_v{version}"` (`version_service.py:112-134`). */
   def historyVersions(versioned: DataFrame, idCol: String): DataFrame = {
