@@ -113,6 +113,20 @@ object IncrementalIvf {
   /** Union of all committed segments — schema (cid, vec_id, embedding),
     * each segment's probed lists pruned at scan time by the caller's cid
     * predicate (partition dirs). */
+  /** Explicit segment schema: partition-value inference would type the
+    * cid dirs as INT, and the resulting cast(cid as bigint) under the
+    * probe join lands on the SCAN side — killing dynamic partition
+    * pruning. Pinning cid to long keeps the join key the raw partition
+    * column (PlanShapeSpec asserts the pruning subquery). */
+  private val segSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.LongType)))
+
   def readAssigned(spark: SparkSession, root: String): DataFrame = {
     val v = version(root)
     require(v > 0, s"index at $root not initialized")
@@ -121,7 +135,8 @@ object IncrementalIvf {
     // unioned: the cid probe predicate pushes into EVERY arm's partition
     // filters, so each segment still prunes to its probed list dirs
     (0 until v).map { k =>
-      spark.read.option("basePath", segDir(root, k)).parquet(segDir(root, k))
+      spark.read.option("basePath", segDir(root, k)).schema(segSchema)
+        .parquet(segDir(root, k))
     }.reduce(_ unionByName _)
   }
 

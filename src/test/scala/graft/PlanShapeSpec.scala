@@ -209,6 +209,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("incremental ivf: every segment scan prunes to probed cid partition dirs") {
+    import org.apache.spark.sql.functions._
+    val root = graft.index.IncrementalIvf.ensure(spark, Sf0001)
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val qv = emb.where(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    val plan = graft.index.IncrementalIvf.topK(spark, root, qv, 3, 10)
+      .queryExecution.executedPlan.toString
+    // probe join keys on the RAW partition column of both segment scans
+    // (the explicit segment schema prevents an int-inference cast that
+    // would block pruning), and dynamic partition pruning feeds the
+    // probe set into the scans' PartitionFilters — only probed list
+    // dirs are read
+    assert(plan.contains("BroadcastHashJoin [cid"), plan)
+    assert(!plan.contains("cast(cid"), plan)
+    assert(plan.contains("dynamicpruning"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both committed segments appear as cid-partitioned scans (the union)
+    val segScans = "PartitionFilters".r.findAllIn(plan).size
+    assert(segScans >= 2, s"expected >=2 partitioned segment scans:\n$plan")
+  }
+
   test("batched bm25: pushed term union, broadcast query table, partial window group limit") {
     val idx = graft.index.Bm25Index.ensure(spark, Sf0001)
     val qs = spark.createDataFrame(Seq(
