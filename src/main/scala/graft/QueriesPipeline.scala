@@ -2967,6 +2967,51 @@ object QueriesPipeline {
                  round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS score
           FROM asg a JOIN probes p ON a.cid = p.cid CROSS JOIN q)
         SELECT id, score FROM hits ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
+    // kNN graph over the whole corpus: every vector's top-5 neighbors,
+    // candidates blocked by nprobe=3 IVF lists and joined via SHUFFLE
+    // (the query side is the corpus — nothing broadcasts). The input
+    // artifact for SemDeDup-style clustering and diversity audits.
+    "a18_knn_graph" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Ann.knnGraph(emb, centroids, 3, 5)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        assign AS (
+          SELECT vec_id, cid, embedding FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT src, qvec, cid FROM (
+            SELECT e.vec_id AS src, e.embedding::DOUBLE[] AS qvec, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn <= 3),
+        cand AS (
+          SELECT p.src, a.vec_id AS dst,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], p.qvec), 6) AS score
+          FROM probes p JOIN assign a ON p.cid = a.cid
+          WHERE a.vec_id <> p.src),
+        ranked AS (
+          SELECT src, dst, score,
+                 row_number() OVER (PARTITION BY src
+                   ORDER BY score DESC, dst ASC) AS rank
+          FROM cand)
+        SELECT src, dst, score, rank::INT AS rank FROM ranked
+        WHERE rank <= 5 ORDER BY src, rank
       """)))
 
   /** O5 binary-quantized ANN: rank by Hamming distance between sign-bit

@@ -223,6 +223,40 @@ object Ann {
       .orderBy(col("id_a"))
   }
 
+  /** Approximate kNN GRAPH: every vector's top-k neighbors, candidates
+    * blocked by IVF probe lists — the input artifact for graph-based
+    * corpus work (SemDeDup clustering, diversity analysis, label
+    * propagation). The all-queries generalization of [[ivfTopKBatched]]
+    * with the one scale-critical difference: the query side IS the
+    * corpus, so nothing broadcasts — probes ride a SHUFFLE equi-join on
+    * the probed centroid id. Cost: corpus×nprobe rows through one
+    * hash-partitioned join against centroid-bucketed lists, then a
+    * per-vector partial top-k (WindowGroupLimit) before the qid shuffle.
+    * Candidate fan-out per vector = the probed lists' sizes, bounded by
+    * k-means list balance — never N². Recall follows IVF recall at the
+    * same nprobe; raise nprobe for denser graphs. */
+  def knnGraph(vectors: DataFrame, centroids: DataFrame,
+               nprobe: Int, k: Int): DataFrame = {
+    val assigned = ivfAssign(vectors, centroids)
+    val wProbe = Window.partitionBy(col("src"))
+      .orderBy(col("pscore").desc, col("cid").asc)
+    val probes = vectors.crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("src"), col("embedding").as("qvec"), col("cid"),
+        round(VectorOps.cosineSim(col("embedding"), col("cvec")), 6).as("pscore"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe)
+      .select(col("src"), col("qvec"), col("cid"))
+    val wTopK = Window.partitionBy(col("src"))
+      .orderBy(col("score").desc, col("dst").asc)
+    probes.join(assigned, Seq("cid")) // shuffle join: both sides corpus-sized
+      .where(col("vec_id") =!= col("src"))
+      .select(col("src"), col("vec_id").as("dst"),
+        round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+      .withColumn("rank", row_number().over(wTopK))
+      .where(col("rank") <= k)
+      .orderBy(col("src"), col("rank"))
+  }
+
   /** (vec_id, s, sub): the `m` contiguous `subDim`-dim subvectors of each
     * vector — the slicing shared by the PQ build and query paths. The
     * slice array is generated and consumed inside one Generate, so it

@@ -191,4 +191,24 @@ class LifecycleAnnSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("recall") == recall))
     assert(recall >= 0.95, s"measured LSH recall $recall below 0.95")
   }
+
+  test("knn graph: cluster twins are mutual top-1 neighbors; k bounds degree; self excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two tight clusters; centroids = one member of each
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.05f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.05f, 0.99f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("cid", "cvec")
+    val g = graft.search.Ann.knnGraph(vecs, cents, nprobe = 1, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(g == Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L), g.toString)
+    // degree bound and no self-edges at k=3, all lists probed
+    val g3 = graft.search.Ann.knnGraph(vecs, cents, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(g3.forall { case (s, d) => s != d })
+    assert(g3.groupBy(_._1).values.forall(_.length == 3))
+  }
 }
