@@ -1641,6 +1641,51 @@ object QueriesPipeline {
           FROM documents) WHERE rn <= 10 ORDER BY source, doc_id
       """)),
 
+    // PMI collocation mining: top bigram associations with a min-count
+    // floor (Church–Hanks). Bigrams stream from shifted-slice zips inside
+    // one Generate; counts are two gram-keyed aggregations + broadcast
+    // vocab joins — phrase discovery for tokenizer/phrase-index seeding.
+    "t35_pmi_bigrams" -> Q(
+      (s, d) => graft.functions.CorpusStats.pmiCollocations(docs(s, d), 5, 30),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+        big AS (
+          SELECT u.a AS a, u.b AS b FROM (
+            SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                     i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS u
+            FROM toks)),
+        cab AS (SELECT a, b, count(*) AS c_ab FROM big GROUP BY a, b),
+        cu AS (SELECT tok, count(*) AS c_tok
+               FROM (SELECT unnest(toks) AS tok FROM toks) GROUP BY tok),
+        tot AS (SELECT (SELECT sum(c_ab) FROM cab) AS n_big,
+                       (SELECT sum(c_tok) FROM cu) AS n_tok)
+        SELECT a, b, c_ab,
+               round(ln((c_ab::DOUBLE / n_big) /
+                        ((ca.c_tok::DOUBLE / n_tok) * (cb.c_tok::DOUBLE / n_tok))), 6) AS pmi
+        FROM cab JOIN cu ca ON cab.a = ca.tok
+                 JOIN cu cb ON cab.b = cb.tok CROSS JOIN tot
+        WHERE c_ab >= 5
+        ORDER BY pmi DESC, a, b LIMIT 30
+      """)),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    // u^(1/w) keys from the id hash, top-25 by key — an exact-size
+    // weight-proportional subset that is a pure function of (id, weight):
+    // one scan + one top-n, reproducible on any engine.
+    "t36_weighted_sample" -> Q(
+      (s, d) => graft.functions.Sampling.weightedSample(
+        docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "n_chars", 25),
+      Some("""
+        SELECT doc_id, source, n_chars, es_key FROM (
+          SELECT doc_id, source, n_chars,
+                 round(pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)::DOUBLE
+                             / 4294967296.0,
+                           1.0 / n_chars), 12) AS es_key
+          FROM documents)
+        ORDER BY es_key DESC, doc_id LIMIT 25
+      """)),
+
     // Tokenizer-coverage analysis: corpus top-100 vocab (count desc, token
     // asc — a deterministic total order), per-doc OOV occurrence rate.
     "t16_vocab_oov" -> Q(

@@ -373,4 +373,44 @@ object CorpusStats {
         round(avg(when(col("in_vocab").isNull, 1.0d).otherwise(0.0d)), 6)
           .as("oov_rate"))
   }
+
+  /** PMI collocation mining: the corpus' top bigram associations,
+    * `pmi(a,b) = ln( p(ab) / (p(a)·p(b)) )` with a minimum bigram-count
+    * floor (PMI of rare pairs is noise — the standard Church–Hanks
+    * discipline). Phrase/terminology discovery for tokenizer vocab
+    * seeding and index phrase lists.
+    *
+    * Shape at scale: bigrams stream out of each doc's token array inside
+    * one Generate (zip_with of the two shifted slices — no self-join,
+    * no positional shuffle), then ONE gram-keyed aggregation each for
+    * bigram and unigram counts (map-side partial), a broadcast join of
+    * the bigram table against the (vocab-sized) unigram table, and a
+    * top-k. Token totals ride a one-row broadcast. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5,
+                      topK: Int = 30): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    // shifted-slice zip: pairs (toks[i], toks[i+1]); greatest() guards the
+    // empty-array slice (length -1 would throw)
+    val bigrams = toks.select(explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bigrams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
+    val totals = cab.agg(sum(col("c_ab")).as("n_big"))
+      .crossJoin(uni.agg(sum(col("c_tok")).as("n_tok")))
+    cab.where(col("c_ab") >= minCount)
+      .join(broadcast(uni.select(col("tok").as("a"), col("c_tok").as("c_a"))), "a")
+      .join(broadcast(uni.select(col("tok").as("b"), col("c_tok").as("c_b"))), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log(
+          (col("c_ab").cast("double") / col("n_big")) /
+            ((col("c_a").cast("double") / col("n_tok")) *
+             (col("c_b").cast("double") / col("n_tok")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(topK)
+  }
 }

@@ -266,4 +266,28 @@ object Sampling {
       .select(col(idCol), col("shard"), col("pos"))
       .orderBy(col("shard"), col("pos"))
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each row draws `u ∈ (0,1]` from its key hash and scores
+    * `key = u^(1/w)`; the n largest keys are exactly a weight-
+    * proportional sample without replacement. One scan + one top-n —
+    * no sequential draws, no rejection loop, and the hash-derived `u`
+    * makes the "random" sample a pure function of (key, weight):
+    * reproducible across runs, engines, and partitionings (the same
+    * determinism discipline as every sampler here). The complement of
+    * [[ppsSystematic]]: PPS controls inclusion probability per
+    * SYSTEMATIC pass; A-ES draws an exact-size random subset.
+    *
+    * Keys are rounded to 12dp before ranking (pow may differ by an ulp
+    * across math libraries), ties broken by the id — a total,
+    * engine-independent order. Weights must be positive. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val u = (HashOps.tokenHash32(col(idCol)) + 1).cast("double") / 4294967296.0
+    df.withColumn("es_key",
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 12))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(n)
+  }
 }

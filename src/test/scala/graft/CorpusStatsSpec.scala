@@ -193,4 +193,37 @@ class CorpusStatsSpec extends SparkSpec {
       (0L, 2L, 0.5, 1.0, 0.613147),
       (4L, 0L, 0.0, 0.0, 0.0)), out.toString)
   }
+
+  test("pmi collocations: hand-traced bigram scores, min-count floor filters, empty docs safe") {
+    val docs = docsOf(1L -> "x y x y x y x y", 2L -> "")
+    // tokens: x*4 y*4 (Nt=8); bigrams: "x y"*4, "y x"*3 (Nb=7)
+    val out = CorpusStats.pmiCollocations(docs, minCount = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toList
+    def pmi(cab: Double) = BigDecimal(math.log((cab / 7.0) / (0.5 * 0.5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == List(("x", "y", 4L, pmi(4)), ("y", "x", 3L, pmi(3))), out.toString)
+    // floor drops the rarer pair
+    val floored = CorpusStats.pmiCollocations(docs, minCount = 4, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(floored == List(("x", "y")))
+  }
+
+  test("weighted sample: pure function of (id, weight); heavier weights dominate inclusion") {
+    import spark.implicits._
+    // 200 light rows (w=1) + 5 heavy rows (w=10000): A-ES must pick all
+    // heavy rows into a top-10 sample with overwhelming weight ratio
+    val rows = ((0L until 200L).map(i => (i, 1L)) ++
+      (1000L until 1005L).map(i => (i, 10000L))).toDF("doc_id", "w")
+    val picked = graft.functions.Sampling.weightedSample(rows, "doc_id", "w", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((1000L until 1005L).forall(picked), picked.toString)
+    // determinism: same input -> identical sample, any partitioning
+    val again = graft.functions.Sampling.weightedSample(
+      rows.repartition(7), "doc_id", "w", 10).collect().map(_.getLong(0)).toSet
+    assert(again == picked)
+    intercept[IllegalArgumentException] {
+      graft.functions.Sampling.weightedSample(rows, "doc_id", "w", 0)
+    }
+  }
 }
