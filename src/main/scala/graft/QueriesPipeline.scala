@@ -3057,6 +3057,66 @@ object QueriesPipeline {
           FROM cand)
         SELECT src, dst, score, rank::INT AS rank FROM ranked
         WHERE rank <= 5 ORDER BY src, rank
+      """)),
+
+    // Semantic clusters = connected components over the kNN graph's
+    // high-similarity edges (a18 ∘ d7): the graph-clustering composition
+    // SemDeDup-style curation runs corpus-wide. Threshold 0.35 is
+    // calibrated to this synthetic corpus (knn scores top out ~0.51);
+    // the operator pair is threshold-agnostic.
+    "a19_knn_clusters" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val edges = Ann.knnGraph(emb, centroids, 3, 5)
+          .where(col("score") >= 0.35)
+          .select(col("src").as("id_a"), col("dst").as("id_b"))
+        graft.dedup.Dedup.connectedComponents(edges, "id_a", "id_b")
+          .orderBy(col("keeper"), col("id"))
+      },
+      Some("""
+        WITH RECURSIVE cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        assign AS (
+          SELECT vec_id, cid, embedding FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT src, qvec, cid FROM (
+            SELECT e.vec_id AS src, e.embedding::DOUBLE[] AS qvec, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn <= 3),
+        cand AS (
+          SELECT p.src, a.vec_id AS dst,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], p.qvec), 6) AS score
+          FROM probes p JOIN assign a ON p.cid = a.cid
+          WHERE a.vec_id <> p.src),
+        knn AS (
+          SELECT src, dst FROM (
+            SELECT src, dst, score,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY score DESC, dst ASC) AS rank
+            FROM cand)
+          WHERE rank <= 5 AND score >= 0.35),
+        edges AS (
+          SELECT src, dst FROM knn
+          UNION ALL
+          SELECT dst AS src, src AS dst FROM knn),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS id, least(src, min(dst))::BIGINT AS keeper
+        FROM reach GROUP BY src ORDER BY keeper, id
       """)))
 
   /** O5 binary-quantized ANN: rank by Hamming distance between sign-bit
