@@ -225,6 +225,33 @@ object Queries {
         ORDER BY column_name
       """)),
 
+    // Equi-width histogram (q25's distribution half): 10 buckets over
+    // l_extendedprice between the observed min/max — the CBO selectivity
+    // feeder and the ops dashboard primitive. Two stages by necessity
+    // (bounds, then bucketing) but the bounds ride a one-row broadcast:
+    // the corpus is scanned twice and shuffled never (bucket agg is
+    // partial + 10-row final).
+    "q26_histogram" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        li.crossJoin(broadcast(bounds))
+          .select(least(floor((col("l_extendedprice") - col("lo")) * 10.0 /
+              (col("hi") - col("lo"))), lit(9L)).cast("long").as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+                   FROM lineitem)
+        SELECT least(floor((l_extendedprice - lo) * 10.0 / (hi - lo)), 9)::BIGINT AS bucket,
+               count(*) AS n
+        FROM lineitem CROSS JOIN b
+        GROUP BY 1 ORDER BY bucket
+      """)),
+
     // Interval-OVERLAP join (q14's interval×interval sibling): which user
     // pairs had concurrently-active sessions, and how often. Session
     // intervals come from the q6 sessionizer; the overlap join is
@@ -925,6 +952,42 @@ object Queries {
       Some(s"""
         WITH ${bm25ScoredCte("scored")}
         SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
+    // Faceted search: the candidate set (BM25 top-50) grouped by a
+    // payload facet — per-facet hit counts plus the top-3 hits of each
+    // facet, the standard search-API drill-down surface. One rank window
+    // + one count window over the (≤50-row) candidate set joined to
+    // candidate-sized metadata; the corpus-scale work is s3's.
+    "s23_faceted_search" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hits = SearchEngine.bm25TopK(s, d, QueryTerms, 50)
+        val meta = Tables.documents(s, d)
+          .select(col("doc_id").as("id"), col("source"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("id").asc)
+        hits.join(meta, "id")
+          .withColumn("rank", row_number().over(w))
+          .withColumn("facet_count",
+            count(lit(1)).over(Window.partitionBy(col("source"))))
+          .where(col("rank") <= 3)
+          .select(col("source"), col("facet_count"), col("rank"),
+            col("id"), col("score"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some(s"""
+        WITH ${bm25ScoredCte("scored")},
+        hits AS (SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 50),
+        j AS (SELECT h.id, h.score, d.source
+              FROM hits h JOIN documents d ON h.id = d.doc_id),
+        r AS (SELECT source, id, score,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY score DESC, id ASC) AS rank,
+                     count(*) OVER (PARTITION BY source) AS facet_count
+              FROM j)
+        SELECT source, facet_count, rank::INT AS rank, id, score
+        FROM r WHERE rank <= 3 ORDER BY source, rank
       """)),
 
     // T2 build/query split: BM25 against the PREBUILT inverted index
