@@ -1192,6 +1192,29 @@ object Queries {
         s, graft.index.ChunkIndex.ensureDense(s, d), "group query batch", 10),
       Some(chunkDenseSql("group query batch", 10))),
 
+    // Late-interaction (MaxSim/ColBERT shape) document scoring: per query
+    // term, the MAX similarity across the doc's chunk vectors; per doc,
+    // the sum over terms. One pushed bucket-IN seek + (doc,bucket) max
+    // partial-agg + broadcast term table + doc sum — the plan that serves
+    // learned multi-vector embeddings unchanged.
+    "s22_maxsim_passages" -> Q(
+      (s, d) => graft.index.ChunkIndex.maxSimTopK(
+        s, graft.index.ChunkIndex.ensureDense(s, d), "group query batch", 10),
+      Some(s"""
+        WITH $chunkTfidfCtes,
+        tb AS (
+          SELECT tok AS term,
+                 (('0x' || substr(md5(tok), 1, 8))::BIGINT % 64)::INT AS bucket
+          FROM (SELECT DISTINCT unnest(
+                  list_filter(string_split('group query batch', ' '), t -> t <> '')) AS tok)),
+        pdb AS (
+          SELECT (ck // 2097152)::BIGINT AS doc_id, bucket, max(w) AS mw
+          FROM cdv GROUP BY 1, 2)
+        SELECT doc_id, round(sum(mw), 6) AS score
+        FROM pdb JOIN tb USING (bucket)
+        GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+      """)),
+
     // Hybrid passage retrieval: RRF(k=60) of the dense TF-IDF arm and the
     // sparse BM25 arm over the same chunk keys, both prebuilt-index seeks
     // oversampled 2x (reference fetches limit*2 per arm,

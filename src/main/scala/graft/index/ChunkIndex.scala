@@ -89,6 +89,36 @@ object ChunkIndex {
                 k: Int): DataFrame =
     unpack(TfIdfIndex.searchText(spark, indexDir, "ck", query, k))
 
+  /** Late-interaction (MaxSim) document scoring over the chunk vectors —
+    * the ColBERT scoring shape: score(doc) = Σ over query terms of the
+    * MAX similarity any of the doc's chunk vectors achieves for that
+    * term. With the hashed one-hot token embeddings of this index,
+    * cos(term, chunk) reduces to the chunk's L2-normalized weight at the
+    * term's bucket, so the whole computation is: one pushed `bucket IN`
+    * seek over the vectors, a (doc,bucket) max partial-agg, a broadcast
+    * join against the |terms|-row term→bucket table, and a doc-keyed
+    * sum. The identical plan serves real learned token embeddings — the
+    * per-term max and per-doc sum are the operator; only the similarity
+    * column changes (cosine expression instead of the bucket weight). */
+  def maxSimTopK(spark: SparkSession, tfidfDir: String, query: String,
+                 k: Int): DataFrame = {
+    import spark.implicits._
+    val termBuckets = TfIdfIndex.tokensOf(query).distinct
+      .map(t => (t, TfIdfIndex.bucketOf(t)))
+    val tb = termBuckets.toDF("term", "bucket")
+    spark.read.parquet(s"$tfidfDir/vectors")
+      .where(col("bucket").isin(termBuckets.map(_._2).distinct: _*))
+      .select(expr(s"ck div $ChunkOrdSpace").cast("long").as("doc_id"),
+        col("bucket"), col("w"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(max(col("w")).as("mw"))
+      .join(broadcast(tb), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("mw")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Hybrid passage retrieval: RRF(k=60) of the dense TF-IDF arm and the
     * sparse BM25 arm over the SAME chunk keys, both oversampled 2× (the
     * reference fetches limit*2 per arm before fusing,
