@@ -142,6 +142,33 @@ object QueriesPipeline {
         SELECT doc_id, version, text FROM r WHERE rn = 1 ORDER BY doc_id
       """)),
 
+    // Retention vacuum: newest 2 versions per id survive, older history
+    // is dropped — the housekeeping pass that bounds version growth
+    // (time travel then only reaches retained versions). Same 3-version
+    // sim as i17.
+    "i18_vacuum" -> Q(
+      (s, d) => {
+        val v12 = versioned(s, d)
+        val v3 = docs(s, d).where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), lit(3).as("version"),
+            concat(col("text"), lit(" rev3")).as("text"))
+        Lifecycle.vacuumVersions(v12.unionByName(v3), "doc_id", 2)
+          .orderBy(col("doc_id"), col("version"))
+      },
+      Some(s"""
+        WITH $versionedSql,
+        v3 AS (
+          SELECT doc_id, version, text FROM versioned
+          UNION ALL
+          SELECT doc_id, 3 AS version, text || ' rev3' FROM documents
+          WHERE doc_id % 10 = 0),
+        r AS (SELECT doc_id, version, text,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+              FROM v3)
+        SELECT doc_id, version, text FROM r WHERE rn <= 2
+        ORDER BY doc_id, version
+      """)),
+
     // Q11 history: superseded versions with the reference's "{id}_v{n}" key.
     "i6_version_history" -> Q(
       (s, d) => Lifecycle.historyVersions(versioned(s, d), "doc_id")

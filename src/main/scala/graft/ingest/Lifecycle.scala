@@ -61,6 +61,19 @@ object Lifecycle {
       .where(col("rn") === 1).drop("rn")
   }
 
+  /** Retention vacuum: keep each id's newest `keep` versions, dropping
+    * older ones — the housekeeping pass every versioned store runs so
+    * history doesn't grow without bound (pair with [[asOfVersion]]:
+    * time travel only reaches versions retention has kept). One window
+    * per id, same cost class as [[latestVersions]]; the survivors are
+    * what a `Store.replaceSnapshot` persists back. */
+  def vacuumVersions(versioned: DataFrame, idCol: String, keep: Int): DataFrame = {
+    require(keep > 0, s"keep must be positive, got $keep")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("version").desc)
+    versioned.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= keep).drop("rn")
+  }
+
   /** Time-travel read: the table AS OF version `v` — for each id, the
     * newest row whose version is <= v; ids born after v are absent. The
     * snapshot-isolation read every versioned store owes its users
