@@ -131,6 +131,36 @@ object Api {
       }
       ok(s"""{"query":${quote(q)},"modes":{${per.mkString(",")}}}""")
 
+    case "/api/facets" => // s23 drill-down: per-facet counts + top hits
+      val q = require(params, "q")
+      val pool = intParam(params, "count", 50, 1, 200) // candidate pool
+      val perFacet = intParam(params, "per_facet", 3, 1, 10)
+      val facetField = params.getOrElse("facet", "source")
+      val body = ewma.timed("facets") {
+        import org.apache.spark.sql.expressions.Window
+        val hits = SearchEngine.bm25TopK(
+          spark, dir, TfIdfIndex.tokensOf(q), pool)
+        val meta = Tables.documents(spark, dir)
+          .select(col("doc_id").as("id"), col(facetField).cast("string").as("facet"))
+        val w = Window.partitionBy(col("facet"))
+          .orderBy(col("score").desc, col("id").asc)
+        val rows = hits.join(meta, "id")
+          .withColumn("rank", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("facet"))))
+          .where(col("rank") <= perFacet)
+          .orderBy(col("n").desc, col("facet").asc, col("rank").asc)
+          .collect()
+        rows.groupBy(r => (r.getAs[String]("facet"), r.getAs[Long]("n")))
+          .toSeq.sortBy { case ((f, n), _) => (-n, f) }
+          .map { case ((f, n), rs) =>
+            val hitsJs = rs.sortBy(_.getAs[Int]("rank")).map(r =>
+              s"""{"id":${r.getAs[Long]("id")},"score":${r.getAs[Double]("score")}}""")
+              .mkString(",")
+            s"""{"value":${quote(f)},"count":$n,"hits":[$hitsJs]}"""
+          }.mkString(",")
+      }
+      ok(s"""{"query":${quote(q)},"facets":[$body]}""")
+
     case "/api/performance-stats" => // search.py:356-374
       val cells = ewma.snapshot.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }

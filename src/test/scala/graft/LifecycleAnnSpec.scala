@@ -211,4 +211,26 @@ class LifecycleAnnSpec extends SparkSpec {
     assert(g3.forall { case (s, d) => s != d })
     assert(g3.groupBy(_._1).values.forall(_.length == 3))
   }
+
+  test("knn graph with all lists probed equals the brute-force neighbor ranking") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val graph = graft.search.Ann.knnGraph(emb, cents, nprobe = 10, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    // brute force: all-pairs cosine, rank window per src
+    val a = emb.select(col("vec_id").as("src"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("score").desc, col("dst").asc)
+    val brute = a.crossJoin(b).where(col("src") =!= col("dst"))
+      .withColumn("score",
+        round(graft.functions.VectorOps.cosineSim(col("ea"), col("eb")), 6))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 4)
+      .select(col("src"), col("rank"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(graph == brute && brute.nonEmpty)
+  }
 }

@@ -244,6 +244,22 @@ class ServeApiSpec extends SparkSpec {
     assert(t.body.contains("\"hybrid\":\"ok\""), t.body)
   }
 
+  test("facets: per-facet counts sum to the candidate pool, hits capped per facet") {
+    val r = get("/api/facets", "q" -> "spark join filter",
+      "count" -> "50", "per_facet" -> "2")
+    assert(r.status == 200, r.body)
+    assert(r.body.contains("\"facets\":["), r.body)
+    // counts across facets account for every pooled candidate
+    val counts = "\"count\":(\\d+)".r.findAllMatchIn(r.body).map(_.group(1).toInt).toSeq
+    val nHits = "\\{\"id\":".r.findAllIn(r.body).size
+    assert(counts.sum > 0 && counts.sum <= 50, counts.toString)
+    assert(nHits <= counts.length * 2, s"per_facet cap violated: $nHits hits")
+    // facets ordered by count desc
+    assert(counts == counts.sortBy(-_), counts.toString)
+    // missing q is a validation error (FastAPI-style 422)
+    assert(get("/api/facets").status == 422)
+  }
+
   test("batch-search: per-query blocks equal N single /api/query calls") {
     // second query repeats a token: the single path dedupes terms via
     // isin, and the batch must match it (distinct'd term rows)
