@@ -1046,6 +1046,72 @@ object QueriesPipeline {
                coalesce(array_to_string(list_transform(kept, i -> toks[i+1]), ' '),
                         '') AS clean_text
         FROM cov ORDER BY doc_id
+      """)),
+
+    // LSH recall self-certification: the production near-dup path (d3,
+    // banded MinHash + true-Jaccard confirm) measured against the exact
+    // corpus-wide Jaccard pair set at the same shingle size and threshold.
+    // LSH output is a subset of the exact set by construction (the confirm
+    // re-checks true Jaccard), so recall = |lsh| / |exact| — the band-miss
+    // rate made driver-visible as an oracle-checked row rather than a
+    // ScalaTest-only bound (the x2 pattern, applied to the path that
+    // actually runs at 100 TB). Both sides scale: LSH is banded/bucketed,
+    // the exact denominator is the d2 inverted-index join (affordable at
+    // eval scale; the recall EVAL runs on a sample in production, the
+    // LSH path itself runs on the corpus).
+    "d20_lsh_recall" -> Q(
+      (s, d) => {
+        val lsh = Dedup.minhashLsh(docs(s, d), "doc_id", "text", 3, 0.5)
+          .agg(count(lit(1)).as("n_lsh"))
+        val exact = Dedup.ngramJaccard(
+            docs(s, d).withColumn("__blk", lit(1)),
+            "doc_id", "text", "__blk", 3, 0.5)
+          .agg(count(lit(1)).as("n_exact"))
+        exact.crossJoin(lsh)
+          .select(col("n_exact"), col("n_lsh"),
+            round(col("n_lsh").cast("double") / col("n_exact"), 6).as("recall"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+        sets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+          FROM t WHERE len(toks) >= 3),
+        exact AS (
+          SELECT count(*) AS n_exact FROM (
+            SELECT a.doc_id,
+                   round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                         len(list_distinct(list_concat(a.sh, b.sh))), 6) AS j
+            FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+          WHERE j >= 0.5),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(s.s), 1, 8))::BIGINT AS hv
+          FROM (SELECT doc_id, unnest(sh) AS s FROM sets) s),
+        m AS (
+          SELECT doc_id, j,
+                 min(((976369 * (j + 1) + 12345) * hv + 183451 * (j + 1) + 987)
+                     % 4294967311) AS sig
+          FROM h CROSS JOIN range(0, 16) r(j)
+          GROUP BY doc_id, j),
+        bands AS (
+          SELECT doc_id, j // 4 AS band_id,
+                 string_agg(printf('%02d:%d', j, sig), ',' ORDER BY j) AS band
+          FROM m GROUP BY doc_id, j // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id),
+        lsh AS (
+          SELECT count(*) AS n_lsh FROM (
+            SELECT round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+                         len(list_distinct(list_concat(x.sh, y.sh))), 6) AS j
+            FROM cand c
+            JOIN sets x ON c.id_a = x.doc_id
+            JOIN sets y ON c.id_b = y.doc_id)
+          WHERE j >= 0.5)
+        SELECT n_exact, n_lsh, round(n_lsh::DOUBLE / n_exact, 6) AS recall
+        FROM exact CROSS JOIN lsh
       """)))
 
   val text: Map[String, Q] = Map(
@@ -1943,6 +2009,96 @@ object QueriesPipeline {
                          % 10000 < 2000
                     THEN 'valid' ELSE 'train' END AS split
         FROM capped ORDER BY doc_id
+      """)),
+
+    // Corpus-frequency vocabulary pruning: hapax + near-universal tokens
+    // dropped, per-doc retention report (tokenizer-vocab preprocessing).
+    "t37_vocab_prune" -> Q(
+      (s, d) => graft.functions.CorpusStats.vocabPrune(docs(s, d), 0.5)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+        dfreq AS (SELECT tok, count(*) AS df
+                  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, count(*) AS n_tokens,
+               sum(CASE WHEN df > 1 AND df <= n_docs * 0.5
+                        THEN 1 ELSE 0 END)::BIGINT AS kept,
+               sum(CASE WHEN df > 1 AND df <= n_docs * 0.5
+                        THEN 0 ELSE 1 END)::BIGINT AS dropped,
+               round(sum(CASE WHEN df > 1 AND df <= n_docs * 0.5
+                             THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS kept_ratio
+        FROM toks JOIN dfreq USING (tok) CROSS JOIN n
+        GROUP BY doc_id ORDER BY doc_id
+      """)),
+
+    // Perplexity-curriculum sampling plan: quartile buckets over the
+    // bigram-LM cross-entropy (t31), temperature-flattened weights.
+    // Cut points via percentile agg (mergeable buffer), NOT a global
+    // ntile sort — the 100 TB shape.
+    "t38_curriculum_buckets" -> Q(
+      (s, d) => graft.functions.CorpusStats.curriculumBuckets(docs(s, d), 4, 2.0),
+      Some {
+        val lam = 0.7
+        val oneMinus = 1.0 - lam
+        s"""
+        WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+        bg AS (
+          SELECT doc_id, g['w1'] AS w1, g['w2'] AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                     i -> {'w1': t[i], 'w2': t[i + 1]})) AS g
+            FROM toks)),
+        uni AS (SELECT tok, count(*) AS cnt
+                FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+        tot AS (SELECT sum(cnt) AS tot FROM uni),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+        lp AS (
+          SELECT w1, w2,
+                 round(ln($lam * (c12 / c1) + $oneMinus * (cnt / tot)), 9) AS lp
+          FROM c12 JOIN c1 USING (w1) JOIN uni ON uni.tok = c12.w2 CROSS JOIN tot),
+        sur AS (
+          SELECT doc_id, count(*) AS n_bigrams,
+                 round(-list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY lp)),
+                                    (acc, x) -> acc + x) / count(*), 6) AS xent
+          FROM bg JOIN lp USING (w1, w2) GROUP BY doc_id),
+        cuts AS (SELECT quantile_cont(xent, [0.25, 0.5, 0.75]) AS cs FROM sur),
+        b AS (
+          SELECT s.n_bigrams, s.xent,
+                 1 + (s.xent > cs[1])::INT + (s.xent > cs[2])::INT
+                   + (s.xent > cs[3])::INT AS bucket
+          FROM sur s CROSS JOIN cuts),
+        agg AS (
+          SELECT bucket, count(*) AS n_docs, sum(n_bigrams)::BIGINT AS token_mass,
+                 round(min(xent), 6) AS xent_min, round(max(xent), 6) AS xent_max
+          FROM b GROUP BY bucket),
+        tm AS (SELECT sum(token_mass)::BIGINT AS tm FROM agg),
+        sh AS (SELECT agg.*, round(pow(token_mass::DOUBLE / tm, 0.5), 9) AS p
+               FROM agg CROSS JOIN tm),
+        z AS (SELECT list_reduce(list_prepend(0.0::DOUBLE, list(p ORDER BY p)),
+                                 (acc, x) -> acc + x) AS z FROM sh)
+        SELECT bucket, n_docs, token_mass, xent_min, xent_max,
+               round(p / z, 6) AS sample_weight
+        FROM sh CROSS JOIN z ORDER BY bucket
+      """
+      }),
+
+    // MATTR lexical diversity (Covington & McFall): sliding-window TTR,
+    // length-independent — zero-shuffle per-row array math.
+    "t39_mattr" -> Q(
+      (s, d) => graft.functions.CorpusStats.mattr(docs(s, d), 20)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokensSql AS t FROM documents)
+        SELECT doc_id, len(t)::BIGINT AS n_tokens,
+               round(CASE WHEN len(t) <= 20
+                 THEN len(list_distinct(t))::DOUBLE / len(t)
+                 ELSE list_sum(list_transform(range(1, len(t) - 18),
+                        i -> len(list_distinct(t[i:i+19]))))::DOUBLE
+                      / ((len(t) - 19) * 20.0)
+                 END, 6) AS mattr
+        FROM t WHERE len(t) > 0 ORDER BY doc_id
       """)))
 
   val ann: Map[String, Q] = Map(

@@ -413,4 +413,115 @@ object CorpusStats {
       .orderBy(col("pmi").desc, col("a"), col("b"))
       .limit(topK)
   }
+
+  /** Moving-average type-token ratio (MATTR, Covington & McFall 2010) —
+    * the length-independent lexical-diversity score plain TTR is not
+    * (TTR decays with document length, so it can't rank a mixed-length
+    * corpus). Average, over every length-`window` sliding window of the
+    * token stream, of distinct-tokens/window; documents shorter than the
+    * window fall back to plain TTR. Low MATTR = repetitive, template-like
+    * text — a standard curation feature next to the Gopher repetition
+    * rules ([[repetitionMetrics]] catches single dominant grams; MATTR
+    * catches diffuse repetition those fractions miss).
+    *
+    * Shape at scale: pure per-row array math inside one projection — the
+    * token array is let-bound once, the window sum is an integer fold
+    * over `sequence`, zero shuffles, zero joins. O(n·w) per doc is the
+    * honest cost of the published metric. Determinism: the fold sums
+    * INTEGER distinct counts (exact), with the single double division
+    * rounded at the edge. */
+  def mattr(docs: DataFrame, window: Int = 20): DataFrame =
+    docs.select(col("doc_id"),
+      expr("filter(split(text, ' '), t -> t != '')").as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        round(when(size(col("t")) <= window,
+            size(array_distinct(col("t"))).cast("double") / size(col("t")))
+          .otherwise(expr(
+            s"""aggregate(transform(sequence(1, size(t) - $window + 1),
+                  i -> size(array_distinct(slice(t, i, $window)))),
+                cast(0 as bigint), (a, x) -> a + x)"""
+            ).cast("double") /
+            ((size(col("t")) - window + 1) * lit(window.toDouble))), 6)
+          .as("mattr"))
+
+  /** Perplexity-curriculum buckets: split the corpus into `nBuckets`
+    * difficulty tiers by bigram-LM cross-entropy ([[bigramSurprisal]] —
+    * the distributed stand-in for KenLM perplexity, CCNet §4.3's bucketing
+    * step), and give each tier a temperature-flattened sampling weight
+    * `w_b ∝ share_b^(1/T)` (T>1 upweights the rare tails, the standard
+    * multilingual/domain mixing rule). The output is the sampling plan a
+    * training-data loader consumes: per-bucket doc count, token mass,
+    * score range, and normalized weight.
+    *
+    * Shape at scale: bucket CUT POINTS come from one `percentile`
+    * aggregation (a single mergeable buffer — NOT a global ntile sort,
+    * which would funnel the corpus through one window task), broadcast
+    * back for assignment; the per-bucket roll-up is a handful-of-rows
+    * aggregation. The surprisal frame is barriered once since it feeds
+    * both the cut computation and the assignment. Determinism: xent is
+    * rounded upstream, Spark `percentile` is bit-identical to DuckDB
+    * `quantile_cont` (both R-7 interpolation), the weight normalizer is
+    * an ordered fold over the bucket shares, and the final round is 6dp. */
+  def curriculumBuckets(docs: DataFrame, nBuckets: Int = 4,
+                        temperature: Double = 2.0): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets=$nBuckets must be >= 2")
+    val sur = bigramSurprisal(docs).localCheckpoint()
+    val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = sur.agg(
+      expr(s"percentile(xent, array(${fracs.mkString(", ")}))").as("cs"))
+    val bucket = (1 until nBuckets).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col("xent") > element_at(col("cs"), i), 1).otherwise(0)
+    }
+    val agg = sur.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_bigrams"), col("xent"), bucket.as("bucket"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("token_mass"),
+        round(min("xent"), 6).as("xent_min"),
+        round(max("xent"), 6).as("xent_max"))
+    val share = agg.crossJoin(broadcast(
+        agg.agg(sum("token_mass").as("tm"))))
+      .withColumn("p", round(pow(col("token_mass").cast("double") / col("tm"),
+        1.0 / temperature), 9))
+    share.crossJoin(broadcast(share.agg(expr(
+        "aggregate(array_sort(collect_list(p)), cast(0 as double), (a, x) -> a + x)")
+        .as("z"))))
+      .select(col("bucket"), col("n_docs"), col("token_mass"),
+        col("xent_min"), col("xent_max"),
+        round(col("p") / col("z"), 6).as("sample_weight"))
+      .orderBy("bucket")
+  }
+
+  /** Corpus-frequency vocabulary pruning: drop hapax tokens
+    * (document frequency 1 — misspellings, serial numbers, boilerplate
+    * ids that bloat a tokenizer vocabulary without generalizing) and
+    * near-universal tokens (df > `maxDfFrac` of the corpus — corpus-level
+    * stopwords carrying no signal), and report the per-document retention:
+    * total/kept/dropped token counts and the kept ratio. The preprocessing
+    * twin of [[vocabOovRates]]: that one measures coverage of a top-k
+    * vocab, this one decides what a df-bounded vocab keeps.
+    *
+    * Shape at scale: document frequency is ONE (tok, doc) distinct +
+    * token-keyed count (both map-side combined); the verdict joins the
+    * token stream against the df table on `tok` — deliberately NOT
+    * broadcast-hinted (a web-scale vocabulary exceeds any threshold; AQE
+    * may still broadcast a small one) — then folds per doc. Corpus size
+    * rides a one-row broadcast. */
+  def vocabPrune(docs: DataFrame, maxDfFrac: Double = 0.5): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    val df = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    toks.join(df, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        (col("df") > 1 && col("df") <= col("n_docs") * maxDfFrac).as("keep"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("dropped"))
+      .withColumn("kept_ratio",
+        round(col("kept").cast("double") / col("n_tokens"), 6))
+  }
 }

@@ -226,4 +226,59 @@ class CorpusStatsSpec extends SparkSpec {
       graft.functions.Sampling.weightedSample(rows, "doc_id", "w", 0)
     }
   }
+
+  test("mattr: short docs fall back to TTR, windowed average matches hand trace") {
+    // doc1: 4 tokens (< window) -> plain TTR 3/4.
+    // doc2: 6 tokens, window 4 -> windows [a b a b] [b a b a] [a b a c]:
+    //   distinct 2, 2, 3 -> (2+2+3) / (3*4) = 0.583333
+    val docs = docsOf(1L -> "x y z x", 2L -> "a b a b a c")
+    val m = CorpusStats.mattr(docs, window = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m(1L) == ((4L, 0.75)), m.toString)
+    assert(m(2L) == ((6L, 0.583333)), m.toString)
+    // repetitive text scores strictly below diverse text of the same length
+    val rep = docsOf(1L -> Seq.fill(30)("w").mkString(" "),
+      2L -> (1 to 30).map(i => s"u$i").mkString(" "))
+    val s = CorpusStats.mattr(rep, window = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(1L) == 0.1 && s(2L) == 1.0, s.toString)
+  }
+
+  test("vocabPrune: hapax and near-universal tokens dropped, counts reconcile") {
+    // 4 docs; 'the' in all 4 (df=4 > 0.5*4) dropped; 'rare' df=1 dropped;
+    // 'kept' df=2 retained.
+    val docs = docsOf(
+      1L -> "the kept rare", 2L -> "the kept", 3L -> "the", 4L -> "the")
+    val out = CorpusStats.vocabPrune(docs, maxDfFrac = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(out(1L) == ((3L, 1L, 2L, 0.333333)), out.toString)
+    assert(out(2L) == ((2L, 1L, 1L, 0.5)), out.toString)
+    assert(out(3L) == ((1L, 0L, 1L, 0.0)), out.toString)
+    out.values.foreach { case (n, k, dr, _) => assert(k + dr == n) }
+  }
+
+  test("curriculumBuckets: buckets partition the corpus, weights normalize, " +
+    "temperature flattens toward uniform") {
+    // 8 docs with clearly separated surprisal tiers via repetition level
+    val docs = docsOf((1L to 8L).map { i =>
+      val reps = i.toInt // doc i repeats its own token pair i times
+      i -> (1 to reps).flatMap(_ => Seq(s"w$i", s"v$i")).mkString(" ")
+    }: _*)
+    val out = CorpusStats.curriculumBuckets(docs, nBuckets = 4, temperature = 2.0)
+      .collect()
+    assert(out.map(_.getInt(0)).toList == List(1, 2, 3, 4), "buckets 1..4 present")
+    assert(out.map(_.getLong(1)).sum == 8L, "every doc lands in exactly one bucket")
+    val wsum = out.map(_.getDouble(5)).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to 1, got $wsum")
+    // temperature flattening: max weight under T=2 is <= max raw share + eps
+    val masses = out.map(_.getLong(2).toDouble)
+    val rawMax = masses.max / masses.sum
+    assert(out.map(_.getDouble(5)).max <= rawMax + 1e-6,
+      "T>1 cannot sharpen the distribution")
+    intercept[IllegalArgumentException] {
+      CorpusStats.curriculumBuckets(docs, nBuckets = 1)
+    }
+  }
 }
