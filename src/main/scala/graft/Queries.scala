@@ -990,6 +990,46 @@ object Queries {
         FROM r WHERE rank <= 3 ORDER BY source, rank
       """)),
 
+    // More-like-this: a stored document IS the query (Lucene/ES
+    // more_like_this). Anchor doc 42's top-3 terms (tf desc, term asc)
+    // BM25-rank the rest of the corpus; the term set is a broadcast plan
+    // input, not a driver collect.
+    "s24_more_like_this" -> Q(
+      (s, d) => graft.search.Bm25.moreLikeThis(
+          Tables.documents(s, d), "doc_id", "text", 42L, 3, 10)
+        .select(col("doc_id").as("id"), col("score")),
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents
+        ), base2 AS (
+          SELECT doc_id, toks, len(toks) AS dl FROM base
+        ), stats AS (
+          SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl FROM base2
+        ), aterms AS (
+          SELECT term FROM (
+            SELECT unnest(toks) AS term FROM base2 WHERE doc_id = 42)
+          GROUP BY term
+          ORDER BY count(*) DESC, term ASC LIMIT 3
+        ), tf AS (
+          SELECT doc_id, dl, term, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base2)
+          WHERE term IN (SELECT term FROM aterms) AND doc_id <> 42
+          GROUP BY doc_id, dl, term
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+          SELECT t.doc_id AS id, round(sum(
+            ln(1.0::DOUBLE + (st.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) *
+            (t.tf * 2.2::DOUBLE) /
+            (t.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * t.dl / st.avgdl))
+          ), 6) AS score
+          FROM tf t, dfreq f, stats st
+          WHERE t.term = f.term
+          GROUP BY t.doc_id)
+        SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
     // T2 build/query split: BM25 against the PREBUILT inverted index
     // (postings pruned to the query terms at the parquet scan). Different
     // terms/k from s3 so the two entries exercise distinct posting lists.

@@ -63,4 +63,51 @@ object Bm25 {
     score(docs, idCol, textCol, terms)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+
+  /** More-like-this: use a stored document AS the query (Lucene/
+    * Elasticsearch's classic `more_like_this`) — take the anchor's
+    * `nTerms` most representative terms (tf desc, term asc tie-break)
+    * and BM25-rank the rest of the corpus against them. The query terms
+    * are data-dependent, so they stay a PLAN INPUT: a broadcast
+    * nTerms-row frame semi-joined into the token stream — no driver
+    * collect, the whole thing is one job.
+    *
+    * Scale shape: identical to [[score]] (the term semi-join prunes the
+    * exploded stream before its first shuffle) plus one doc-local term
+    * count for the anchor — the anchor filter is a pushed-down point
+    * predicate on the scan. Document frequency is computed over the
+    * candidate set (anchor excluded), mirrored exactly by the oracle. */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+                   anchorId: Long, nTerms: Int, k: Int): DataFrame = {
+    val base = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = base.agg(
+      count("*").as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val anchorTerms = docs.where(col(idCol) === anchorId)
+      .select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("atf"))
+      .orderBy(col("atf").desc, col("term").asc)
+      .limit(nTerms)
+      .select("term")
+    val tf = base
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(anchorTerms), "term")
+      .where(col(idCol) =!= anchorId)
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count("*").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("w")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -131,6 +131,15 @@ object Api {
       }
       ok(s"""{"query":${quote(q)},"modes":{${per.mkString(",")}}}""")
 
+    case "/api/more-like-this" => // s24: a stored doc IS the query (ES MLT)
+      val id = require(params, "id").toLong
+      val count = intParam(params, "count", 10, 1, 100)
+      val nTerms = intParam(params, "terms", 3, 1, 10)
+      ok(envelope(s"doc:$id", ewma.timed("mlt")(hitsJson(
+        graft.search.Bm25.moreLikeThis(
+            Tables.documents(spark, dir), "doc_id", "text", id, nTerms, count)
+          .select(col("doc_id").as("id"), col("score"))))))
+
     case "/api/facets" => // s23 drill-down: per-facet counts + top hits
       val q = require(params, "q")
       val pool = intParam(params, "count", 50, 1, 200) // candidate pool

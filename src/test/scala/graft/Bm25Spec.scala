@@ -38,4 +38,25 @@ class Bm25Spec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(multi.keySet == Set(1L, 2L))
   }
+
+  test("moreLikeThis: anchor's top terms rank the rest, anchor excluded, " +
+    "equals explicit-term BM25 on the candidate set") {
+    val docs = Seq(
+      (1L, "x x y z"),   // anchor: top-2 terms by (tf desc, term asc) = x, y
+      (2L, "x y q"),     // matches both anchor terms
+      (3L, "x q q"),     // matches x only
+      (4L, "q r s")).toDF("doc_id", "text") // no overlap -> absent
+    val out = Bm25.moreLikeThis(docs, "doc_id", "text", 1L, 2, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.map(_._1).toSet == Set(2L, 3L), out.mkString(","))
+    assert(!out.map(_._1).contains(1L), "anchor must not match itself")
+    assert(out.head._1 == 2L, "two-term match outranks one-term match")
+    // hand check doc 3: matches only 'x' (tf=1, dl=3); df(x)=2 over the
+    // anchor-excluded candidate set, corpus stats over ALL 4 docs
+    val idfX = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))
+    val avgdl = (4 + 3 + 3 + 3) / 4.0
+    val w3 = idfX * 1 * (Bm25.K1 + 1) /
+      (1 + Bm25.K1 * (1 - Bm25.B + Bm25.B * 3 / avgdl))
+    assert(math.abs(out.toMap.apply(3L) - math.rint(w3 * 1e6) / 1e6) < 1e-9)
+  }
 }

@@ -260,6 +260,18 @@ class ServeApiSpec extends SparkSpec {
     assert(get("/api/facets").status == 422)
   }
 
+  test("more-like-this: hits exclude the anchor, scores descend, bad id is 422") {
+    val r = get("/api/more-like-this", "id" -> "42", "count" -> "5")
+    assert(r.status == 200, r.body)
+    val ids = "\"id\":(\\d+)".r.findAllMatchIn(r.body).map(_.group(1).toLong).toSeq
+    assert(ids.nonEmpty && ids.size <= 5, r.body)
+    assert(!ids.contains(42L), "anchor doc must not be its own neighbor")
+    val scores = "\"score\":([0-9.]+)".r.findAllMatchIn(r.body)
+      .map(_.group(1).toDouble).toSeq
+    assert(scores == scores.sortBy(-_), scores.toString)
+    assert(get("/api/more-like-this").status == 422) // id is required
+  }
+
   test("batch-search: per-query blocks equal N single /api/query calls") {
     // second query repeats a token: the single path dedupes terms via
     // isin, and the batch must match it (distinct'd term rows)
