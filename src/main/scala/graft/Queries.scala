@@ -252,6 +252,55 @@ object Queries {
         GROUP BY 1 ORDER BY bucket
       """)),
 
+    // Sequential funnel over the event stream: view -> click -> purchase,
+    // each step's FIRST occurrence strictly after the previous step's.
+    // Per-step min-timestamp aggs chained by user-keyed joins — each step
+    // shrinks the frame, all map-side combinable; no per-user event-list
+    // materialization (the collect_list funnel that dies on hot users).
+    "q27_funnel" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        def first(tpe: String) = ev.where(col("event_type") === tpe)
+          .select(col("user_id"), col("ts"))
+        val v = first("view").groupBy("user_id").agg(min("ts").as("t1"))
+        val c = first("click").join(v, "user_id").where(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val p = first("purchase").join(c, "user_id").where(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        val n1 = v.agg(count(lit(1)).as("users"))
+          .select(lit(1).as("step"), lit("view").as("event_type"), col("users"))
+        val n2 = c.agg(count(lit(1)).as("users"))
+          .select(lit(2).as("step"), lit("click").as("event_type"), col("users"))
+        val n3 = p.agg(count(lit(1)).as("users"))
+          .select(lit(3).as("step"), lit("purchase").as("event_type"), col("users"))
+        val entered = v.agg(count(lit(1)).as("n0"))
+        n1.unionByName(n2).unionByName(n3)
+          .crossJoin(broadcast(entered))
+          .select(col("step"), col("event_type"), col("users"),
+            round(col("users").cast("double") / col("n0"), 6).as("conversion"))
+          .orderBy("step")
+      },
+      Some("""
+        WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+        n0 AS (SELECT count(*) AS n0 FROM v),
+        steps AS (
+          SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM v) AS users
+          UNION ALL
+          SELECT 2, 'click', (SELECT count(*) FROM c)
+          UNION ALL
+          SELECT 3, 'purchase', (SELECT count(*) FROM p))
+        SELECT step, event_type, users,
+               round(users::DOUBLE / n0, 6) AS conversion
+        FROM steps CROSS JOIN n0 ORDER BY step
+      """)),
+
     // Interval-OVERLAP join (q14's interval×interval sibling): which user
     // pairs had concurrently-active sessions, and how often. Session
     // intervals come from the q6 sessionizer; the overlap join is

@@ -2752,6 +2752,38 @@ object QueriesPipeline {
               UNION ALL
               SELECT dst AS id, 0 AS o, 1 AS i FROM edges)
         GROUP BY id ORDER BY id
+      """)),
+
+    // Per-node triangle participation over the near-dup pair graph —
+    // degree-ordered orientation (each triangle found once, at its
+    // lowest-degree apex) so hub fan-out never goes quadratic.
+    "g3_triangles" -> Q(
+      (s, d) => graft.graph.Graph.triangleCounts(
+          Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3), "id_a", "id_b")
+        .orderBy(col("id")),
+      Some(s"""
+        WITH $simhashPairsCtes,
+        und AS (SELECT id_a AS u, id_b AS v FROM sim_pairs),
+        deg AS (SELECT id, count(*) AS deg
+                FROM (SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+                GROUP BY id),
+        e AS (
+          SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                      THEN u ELSE v END AS s,
+                 CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                      THEN v ELSE u END AS t
+          FROM und JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v),
+        w AS (SELECT a.s, a.t AS t1, b.t AS t2
+              FROM e a JOIN e b ON a.s = b.s AND a.t < b.t),
+        tri AS (
+          SELECT s, t1, t2 FROM w
+          WHERE EXISTS (SELECT 1 FROM und x
+                        WHERE (x.u = w.t1 AND x.v = w.t2)
+                           OR (x.u = w.t2 AND x.v = w.t1))),
+        tn AS (SELECT id, count(*) AS n_tri
+               FROM (SELECT unnest([s, t1, t2]) AS id FROM tri) GROUP BY id)
+        SELECT d.id, d.deg, coalesce(tn.n_tri, 0)::BIGINT AS n_tri
+        FROM deg d LEFT JOIN tn USING (id) ORDER BY id
       """)))
 
   /** TF-IDF bucket-space CTEs shared by the embed-search oracle. */

@@ -104,4 +104,49 @@ object Graph {
       .groupBy("id")
       .agg(sum("o").as("out_degree"), sum("i").as("in_degree"))
       .withColumn("degree", col("out_degree") + col("in_degree"))
+
+  /** Per-node triangle participation over an UNDIRECTED unique pair list
+    * (`aCol < bCol`, no duplicates) — the local clustering signal
+    * (spam-farm detection, community cores) next to [[degrees]].
+    *
+    * Algorithm: degree-ordered edge orientation (Suri–Vassilvitskii MR
+    * triangle counting) — each edge points at its (degree, id)-larger
+    * endpoint, so every wedge is enumerated at its lowest-degree apex and
+    * each triangle is found EXACTLY once. The orientation is what makes
+    * this survive skew at 100 TB: a hub of degree d contributes wedge
+    * pairs only from its (few) out-edges toward higher-degree nodes, not
+    * the d² a naive neighbor self-join would expand.
+    *
+    * Shape: one degree agg, one orientation join, one wedge self-join on
+    * the apex, one closure semi-join against the undirected set, one
+    * per-node roll-up — all equi-joins on ids, everything map-side
+    * combinable, integer-exact throughout. */
+  def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val e = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("o"))
+      .select(col("o.s").as("s"), col("o.t").as("t"))
+    val wedges = e.select(col("s"), col("t").as("t1"))
+      .join(e.select(col("s"), col("t").as("t2")), Seq("s"))
+      .where(col("t1") < col("t2"))
+    // closure probe against BOTH directions: the closing edge's own
+    // orientation is irrelevant to the wedge's apex
+    val closing = und.select(col("u").as("t1"), col("v").as("t2"))
+      .unionByName(und.select(col("v").as("t1"), col("u").as("t2")))
+    val tri = wedges.join(closing, Seq("t1", "t2"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("s"), col("t1"), col("t2"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("deg"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
 }

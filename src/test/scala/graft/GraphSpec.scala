@@ -60,4 +60,29 @@ class GraphSpec extends SparkSpec {
       2L -> ((1L, 1L, 2L)),
       3L -> ((0L, 2L, 2L))), out)
   }
+
+  test("triangleCounts: each triangle counted once per member, wedge-only nodes score 0") {
+    // K3 {1,2,3} + pendant 4 on node 3 + disconnected edge 5-6:
+    // nodes 1,2,3 sit in one triangle each; 4,5,6 in none.
+    val pairs = edgesOf(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L, 5L -> 6L)
+      .toDF("id_a", "id_b")
+    val out = Graph.triangleCounts(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((3L, 1L)),
+      4L -> ((1L, 0L)), 5L -> ((1L, 0L)), 6L -> ((1L, 0L))), out)
+  }
+
+  test("triangleCounts: K4 has 4 triangles, 3 per node; result is " +
+    "orientation-invariant under input pair order") {
+    val k4 = for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)
+    val out = Graph.triangleCounts(
+      edgesOf(k4: _*).toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), out)
+    // global count = sum/3 = 4
+    assert(out.values.sum == 12L)
+  }
 }
