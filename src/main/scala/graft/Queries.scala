@@ -252,6 +252,51 @@ object Queries {
         GROUP BY 1 ORDER BY bucket
       """)),
 
+    // Item-item co-visitation ("users also viewed"): distinct (user, item)
+    // view pairs self-joined on user, Jaccard-normalized by item supports.
+    // Scale note: the per-user pair expansion is quadratic in a user's
+    // DISTINCT item count — production caps items per hot user
+    // (Sampling.capPerGroup) before the join; at this corpus' fan-out the
+    // exact join IS the oracle-checkable form.
+    "q28_covisitation" -> Q(
+      (s, d) => {
+        val uv = Tables.events(s, d)
+          .where(col("event_type") === "view")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .distinct()
+        val supp = uv.groupBy(col("item")).agg(count(lit(1)).as("n"))
+        val co = uv.select(col("user_id"), col("item").as("item_a"))
+          .join(uv.select(col("user_id"), col("item").as("item_b")), "user_id")
+          .where(col("item_a") < col("item_b"))
+          .groupBy(col("item_a"), col("item_b"))
+          .agg(count(lit(1)).as("n_co"))
+        co.join(supp.select(col("item").as("item_a"), col("n").as("na")), "item_a")
+          .join(supp.select(col("item").as("item_b"), col("n").as("nb")), "item_b")
+          .select(col("item_a"), col("item_b"), col("n_co"),
+            round(col("n_co").cast("double") /
+              (col("na") + col("nb") - col("n_co")), 6).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("item_a").asc, col("item_b").asc)
+          .limit(20)
+      },
+      Some("""
+        WITH uv AS (
+          SELECT DISTINCT user_id,
+                 json_extract_string(props, '$.k')::BIGINT AS item
+          FROM events WHERE event_type = 'view'),
+        supp AS (SELECT item, count(*) AS n FROM uv GROUP BY item),
+        co AS (
+          SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+          FROM uv a JOIN uv b ON a.user_id = b.user_id AND a.item < b.item
+          GROUP BY a.item, b.item)
+        SELECT item_a, item_b, n_co,
+               round(n_co::DOUBLE / (sa.n + sb.n - n_co), 6) AS jaccard
+        FROM co
+        JOIN supp sa ON sa.item = item_a
+        JOIN supp sb ON sb.item = item_b
+        ORDER BY jaccard DESC, item_a ASC, item_b ASC LIMIT 20
+      """)),
+
     // Sequential funnel over the event stream: view -> click -> purchase,
     // each step's FIRST occurrence strictly after the previous step's.
     // Per-step min-timestamp aggs chained by user-keyed joins — each step

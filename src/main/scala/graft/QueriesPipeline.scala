@@ -169,6 +169,60 @@ object QueriesPipeline {
         ORDER BY doc_id, version
       """)),
 
+    // Schema-drift report between two ingest batches: the evolved batch
+    // drops n_chars, adds a derived `quality` double, and nulls lang on
+    // every 10th doc — the report flags removed/added/kept fields with
+    // each side's null fraction (the upstream-regression signal).
+    "i19_schema_drift" -> Q(
+      (s, d) => {
+        val a = docs(s, d)
+        val b = docs(s, d).select(col("doc_id"), col("text"),
+          when(col("doc_id") % 10 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")).as("lang"),
+          col("source"),
+          (col("n_chars") / lit(100.0)).as("quality"))
+        Lifecycle.schemaDrift(a, b).orderBy(col("field"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, text,
+                 CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang,
+                 source, n_chars / 100.0 AS quality
+          FROM documents),
+        pa AS (SELECT * FROM (VALUES
+          ('doc_id', 'bigint',
+           (SELECT round(avg(CASE WHEN doc_id IS NULL THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) FROM documents)),
+          ('text', 'string',
+           (SELECT round(avg(CASE WHEN text IS NULL THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) FROM documents)),
+          ('lang', 'string',
+           (SELECT round(avg(CASE WHEN lang IS NULL THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) FROM documents)),
+          ('source', 'string',
+           (SELECT round(avg(CASE WHEN source IS NULL THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) FROM documents)),
+          ('n_chars', 'bigint',
+           (SELECT round(avg(CASE WHEN n_chars IS NULL THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) FROM documents))
+        ) t(field, dtype_a, null_frac_a)),
+        pb AS (SELECT * FROM (VALUES
+          ('doc_id', 'bigint',
+           (SELECT round(avg(CASE WHEN doc_id IS NULL THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) FROM b)),
+          ('text', 'string',
+           (SELECT round(avg(CASE WHEN text IS NULL THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) FROM b)),
+          ('lang', 'string',
+           (SELECT round(avg(CASE WHEN lang IS NULL THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) FROM b)),
+          ('source', 'string',
+           (SELECT round(avg(CASE WHEN source IS NULL THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) FROM b)),
+          ('quality', 'double',
+           (SELECT round(avg(CASE WHEN quality IS NULL THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) FROM b))
+        ) t(field, dtype_b, null_frac_b))
+        SELECT coalesce(pa.field, pb.field) AS field,
+               CASE WHEN pa.field IS NULL THEN 'added'
+                    WHEN pb.field IS NULL THEN 'removed'
+                    WHEN dtype_a <> dtype_b THEN 'type_changed'
+                    ELSE 'kept' END AS status,
+               dtype_a, dtype_b, null_frac_a, null_frac_b
+        FROM pa FULL OUTER JOIN pb ON pa.field = pb.field
+        ORDER BY field
+      """)),
+
     // Q11 history: superseded versions with the reference's "{id}_v{n}" key.
     "i6_version_history" -> Q(
       (s, d) => Lifecycle.historyVersions(versioned(s, d), "doc_id")

@@ -166,4 +166,41 @@ object Lifecycle {
     (if (singleFile) shaped.coalesce(1) else shaped)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(path)
   }
+
+  /** One row per field of `df`: (field, dtype, null_frac) — the schema
+    * half of the reference's field profiling (`list_qdrant_fields.py`
+    * inspects live payload fields the same way). All per-field null
+    * counts ride ONE aggregation pass (an array of struct aggregates,
+    * exploded after the agg) — never one job per column. */
+  def schemaProfile(df: DataFrame): DataFrame = {
+    val items = df.schema.fields.map { f =>
+      struct(lit(f.name).as("field"),
+        lit(f.dataType.simpleString).as("dtype"),
+        round(avg(when(col(f.name).isNull, 1.0).otherwise(0.0)), 6)
+          .as("null_frac"))
+    }
+    df.agg(array(items.toIndexedSeq: _*).as("p"))
+      .select(explode(col("p")).as("f"))
+      .select(col("f.field"), col("f.dtype"), col("f.null_frac"))
+  }
+
+  /** Schema-drift report between two ingest batches: fields `added` /
+    * `removed` / `type_changed` / `kept`, with each side's null fraction
+    * (a null-rate jump on a kept field is the upstream-regression signal
+    * a type check alone misses). The join is over two field-count-sized
+    * profiles — corpus cost is the two profile passes, nothing else. */
+  def schemaDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    val pa = schemaProfile(a).select(col("field"),
+      col("dtype").as("dtype_a"), col("null_frac").as("null_frac_a"))
+    val pb = schemaProfile(b).select(col("field"),
+      col("dtype").as("dtype_b"), col("null_frac").as("null_frac_b"))
+    pa.join(pb, Seq("field"), "full_outer")
+      .select(col("field"),
+        when(col("dtype_a").isNull, "added")
+          .when(col("dtype_b").isNull, "removed")
+          .when(col("dtype_a") =!= col("dtype_b"), "type_changed")
+          .otherwise("kept").as("status"),
+        col("dtype_a"), col("dtype_b"),
+        col("null_frac_a"), col("null_frac_b"))
+  }
 }

@@ -199,4 +199,17 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(out.toList == List((1, 1L), (2, 2L)), out.toList.toString)
   }
+
+  test("schemaDrift: type change detected; null-rate shift reported on kept fields") {
+    val a = Seq((1L, "x", 10), (2L, "y", 20)).toDF("id", "v", "n")
+    val b = Seq((1L, "x", 10.0), (2L, null.asInstanceOf[String], 20.0))
+      .toDF("id", "v", "n") // n: int -> double, v gains a null
+    val out = graft.ingest.Lifecycle.schemaDrift(a, b)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("id" -> "kept", "v" -> "kept", "n" -> "type_changed"), out)
+    val vRow = graft.ingest.Lifecycle.schemaDrift(a, b)
+      .where($"field" === "v").head()
+    assert(vRow.getDouble(4) == 0.0 && vRow.getDouble(5) == 0.5,
+      "null fractions must reflect each side")
+  }
 }
