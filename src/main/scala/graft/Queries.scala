@@ -1124,6 +1124,49 @@ object Queries {
         SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 10
       """)),
 
+    // Percolation (s25): saved searches are the stored side, documents
+    // probe them — conjunctive term match, alert table broadcast, one
+    // matched-pair shuffle. Per-alert counts + first-3 matches.
+    "s25_percolate" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val alerts = Seq(
+          (1, Seq("spark", "join")), (2, Seq("vector", "scan")),
+          (3, Seq("stream", "window")), (4, Seq("hash", "merge")),
+          (5, Seq("filter"))).toDF("alert_id", "terms")
+        val m = graft.search.Percolate.matches(
+          Tables.documents(s, d), alerts, "doc_id", "text")
+        m.withColumn("rank", row_number().over(
+            Window.partitionBy(col("alert_id")).orderBy(col("doc_id"))))
+          .withColumn("n_matches",
+            count(lit(1)).over(Window.partitionBy(col("alert_id"))))
+          .where(col("rank") <= 3)
+          .select(col("alert_id"), col("n_matches"), col("doc_id"), col("rank"))
+          .orderBy(col("alert_id"), col("rank"))
+      },
+      Some(s"""
+        WITH alerts AS (
+          SELECT * FROM (VALUES
+            (1, ['spark', 'join']), (2, ['vector', 'scan']),
+            (3, ['stream', 'window']), (4, ['hash', 'merge']),
+            (5, ['filter'])) a(alert_id, terms)),
+        at AS (SELECT alert_id, len(terms) AS n_terms, unnest(terms) AS term
+               FROM alerts),
+        dt AS (SELECT DISTINCT doc_id, term FROM
+                (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                   t -> t <> '')) AS term FROM documents)),
+        m AS (SELECT alert_id, doc_id FROM dt JOIN at USING (term)
+              GROUP BY alert_id, n_terms, doc_id
+              HAVING count(*) = n_terms),
+        r AS (SELECT alert_id, doc_id,
+                     row_number() OVER (PARTITION BY alert_id ORDER BY doc_id) AS rank,
+                     count(*) OVER (PARTITION BY alert_id) AS n_matches
+              FROM m)
+        SELECT alert_id, n_matches, doc_id, rank::INT AS rank
+        FROM r WHERE rank <= 3 ORDER BY alert_id, rank
+      """)),
+
     // T2 build/query split: BM25 against the PREBUILT inverted index
     // (postings pruned to the query terms at the parquet scan). Different
     // terms/k from s3 so the two entries exercise distinct posting lists.

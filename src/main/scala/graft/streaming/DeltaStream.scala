@@ -202,6 +202,27 @@ object DeltaStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Streaming percolation: saved-search alerts fire on each arriving
+    * micro-batch ([[graft.search.Percolate]] — conjunctive match is
+    * per-document, so the stream needs NO state: every doc is evaluated
+    * once in the batch it arrives in, and the union of per-batch matches
+    * equals the batch run over the whole corpus (StreamingSpec pins the
+    * equality). Matches append to `outPath` as parquet; at-least-once
+    * delivery can duplicate a batch's rows on redelivery — consumers key
+    * on (alert_id, doc id), the same idempotence contract as the
+    * reference's re-upserted delta points. */
+  def percolateIngest(docs: DataFrame, alerts: DataFrame, outPath: String,
+                      checkpoint: String, idCol: String = "doc_id",
+                      textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.search.Percolate.matches(batch, alerts, idCol, textCol)
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outPath)
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+
   /** Streaming VECTOR index maintenance — the dense twin of
     * [[indexIngest]]: each micro-batch of new (vec_id, embedding) rows is
     * assigned against the frozen centroids and committed as ONE segment of

@@ -100,6 +100,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("percolateIngest: per-batch alert matches union to the batch percolation") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.search.Percolate
+    val alerts = Seq((1, Seq("spark", "join")), (2, Seq("scan")))
+      .toDF("alert_id", "terms")
+    val rows = Seq(
+      (1L, "spark join fast"),            // fires 1
+      (2L, "join only"),                  // fires nothing (conjunction)
+      (3L, "scan the table"),             // fires 2
+      (4L, "spark scan join"))            // fires 1 AND 2
+    val out = java.nio.file.Files.createTempDirectory("perc-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("perc-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = DeltaStream.percolateIngest(
+      input.toDF().toDF("doc_id", "text"), alerts, out, ckpt)
+    try {
+      input.addData(rows.take(2): _*); q.processAllAvailable()
+      input.addData(rows.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.read.parquet(out).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+      val batch = Percolate.matches(
+          rows.toDF("doc_id", "text"), alerts, "doc_id", "text")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(batch == Set((1, 1L), (2, 3L), (1, 4L), (2, 4L)), batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches clicks to impressions within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val impIn = MemoryStream[(Long, Timestamp)]
