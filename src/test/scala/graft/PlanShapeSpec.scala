@@ -373,6 +373,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!dsir.contains("CartesianProduct"), dsir)
   }
 
+  test("mattr is one shuffle-free projection; percolate broadcasts the alert side") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.tables.Tables.documents(spark, Sf0001)
+    // MATTR's zero-shuffle claim: no Exchange anywhere in the plan
+    val mattrPlan = graft.functions.CorpusStats.mattr(docs, 20)
+      .queryExecution.executedPlan.toString
+    assert(!mattrPlan.contains("Exchange"),
+      s"mattr must stay a per-row projection:\n$mattrPlan")
+
+    // Percolate: the alert table must be the BROADCAST build side; the
+    // only shuffle is the matched-pair aggregation
+    import spark.implicits._
+    val alerts = Seq((1, Seq("spark", "join"))).toDF("alert_id", "terms")
+    val percPlan = graft.search.Percolate
+      .matches(docs, alerts, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(percPlan.contains("BroadcastHashJoin"),
+      s"alert side must broadcast:\n$percPlan")
+    assert(!percPlan.contains("SortMergeJoin"),
+      s"corpus must never sort-merge against alerts:\n$percPlan")
+  }
+
   test("trained-ivf rewrite: production kmeans index serves the same declarative shape") {
     import org.apache.spark.sql.functions._
     import graft.index.IvfIndex
