@@ -252,6 +252,48 @@ object Queries {
         GROUP BY 1 ORDER BY bucket
       """)),
 
+    // Weekly cohort retention: users grouped by first-activity week, each
+    // cohort's active-user count per week offset. Three user-keyed aggs +
+    // one cohort-keyed join — the frame shrinks at every step, nothing
+    // per-user materializes.
+    "q29_retention" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        val first = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+        val size = first.groupBy("cohort")
+          .agg(countDistinct("user_id").as("cohort_users"))
+        val act = ev.distinct().join(first, "user_id")
+          .select(col("cohort"),
+            (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"),
+            col("user_id"))
+          .groupBy("cohort", "week_offset")
+          .agg(countDistinct("user_id").as("active_users"))
+        act.join(size, "cohort")
+          .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+            col("week_offset"), col("active_users"), col("cohort_users"),
+            round(col("active_users").cast("double") / col("cohort_users"), 6)
+              .as("retention"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""
+        WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                    FROM events),
+        first AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
+        csize AS (SELECT cohort, count(DISTINCT user_id) AS cohort_users
+                  FROM first GROUP BY cohort),
+        act AS (
+          SELECT cohort, (date_diff('day', cohort, wk) / 7)::INT AS week_offset,
+                 count(DISTINCT e.user_id) AS active_users
+          FROM ev e JOIN first f ON e.user_id = f.user_id
+          GROUP BY cohort, week_offset)
+        SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort_week,
+               week_offset, active_users, cohort_users,
+               round(active_users::DOUBLE / cohort_users, 6) AS retention
+        FROM act a JOIN csize c ON a.cohort = c.cohort
+        ORDER BY cohort_week, week_offset
+      """)),
+
     // Item-item co-visitation ("users also viewed"): distinct (user, item)
     // view pairs self-joined on user, Jaccard-normalized by item supports.
     // Scale note: the per-user pair expansion is quadratic in a user's
