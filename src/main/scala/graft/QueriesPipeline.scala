@@ -1166,6 +1166,66 @@ object QueriesPipeline {
           WHERE j >= 0.5)
         SELECT n_exact, n_lsh, round(n_lsh::DOUBLE / n_exact, 6) AS recall
         FROM exact CROSS JOIN lsh
+      """)),
+
+    // Per-source-pair near-dup rate: which sources duplicate each other
+    // (mirror-site detection, the curation dashboard's provenance view).
+    // Pair counts from the banded simhash path normalized by the possible
+    // pair count per source combination — all integer counts plus one
+    // rounded division; source cardinality is tiny, the corpus-scale work
+    // is the pair detection itself.
+    "d21_source_dup_report" -> Q(
+      (s, d) => {
+        val p = Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3)
+        val src = docs(s, d).select(col("doc_id"), col("source"))
+        val bySrc = p
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+        val sizes = src.groupBy("source").agg(count(lit(1)).as("n"))
+        val combos = sizes.select(col("source").as("source_a"), col("n").as("na"))
+          .crossJoin(sizes.select(col("source").as("source_b"), col("n").as("nb")))
+          .where(col("source_a") <= col("source_b"))
+          .select(col("source_a"), col("source_b"),
+            when(col("source_a") === col("source_b"),
+              col("na") * (col("na") - 1) / 2)
+              .otherwise(col("na") * col("nb"))
+              .cast("long").as("possible_pairs"))
+        combos.join(bySrc, Seq("source_a", "source_b"), "left")
+          .select(col("source_a"), col("source_b"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            col("possible_pairs"),
+            round(coalesce(col("n_pairs"), lit(0L)).cast("double") /
+              col("possible_pairs"), 6).as("dup_rate"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""
+        WITH $simhashPairsCtes,
+        src AS (SELECT doc_id, source FROM documents),
+        by_src AS (
+          SELECT least(a.source, b.source) AS source_a,
+                 greatest(a.source, b.source) AS source_b,
+                 count(*) AS n_pairs
+          FROM sim_pairs p
+          JOIN src a ON p.id_a = a.doc_id
+          JOIN src b ON p.id_b = b.doc_id
+          GROUP BY 1, 2),
+        sizes AS (SELECT source, count(*) AS n FROM src GROUP BY source),
+        combos AS (
+          SELECT sa.source AS source_a, sb.source AS source_b,
+                 CASE WHEN sa.source = sb.source THEN sa.n * (sa.n - 1) / 2
+                      ELSE sa.n * sb.n END AS possible_pairs
+          FROM sizes sa CROSS JOIN sizes sb
+          WHERE sa.source <= sb.source)
+        SELECT c.source_a, c.source_b,
+               coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+               c.possible_pairs::BIGINT AS possible_pairs,
+               round(coalesce(n_pairs, 0)::DOUBLE / c.possible_pairs, 6) AS dup_rate
+        FROM combos c
+        LEFT JOIN by_src b ON c.source_a = b.source_a AND c.source_b = b.source_b
+        ORDER BY c.source_a, c.source_b
       """)))
 
   val text: Map[String, Q] = Map(
