@@ -1209,6 +1209,50 @@ object Queries {
         FROM r WHERE rank <= 3 ORDER BY alert_id, rank
       """)),
 
+    // Autocomplete (s26): prefix completion over the corpus vocabulary,
+    // ranked by document frequency (search-as-you-type). One vocab agg —
+    // the prefix predicate prunes at the token-stream filter; at serving
+    // scale the vocab table is the prebuilt artifact this derives.
+    "s26_autocomplete" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.TextOps.tokens(col("text")))).as("term"))
+        .where(col("term").startsWith("s"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term").asc)
+        .limit(8),
+      Some(s"""
+        SELECT term, count(*) AS df FROM (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term FROM documents))
+        WHERE term LIKE 's%'
+        GROUP BY term ORDER BY df DESC, term ASC LIMIT 8
+      """)),
+
+    // Spell suggestion (s27, "did you mean"): vocabulary terms within
+    // edit distance 2 of a misspelled query term, ranked (distance asc,
+    // frequency desc). The vocab side is corpus-derived and BOUNDED —
+    // production blocks candidates by length band / first char before
+    // the levenshtein (noted), the oracle form is the exact scan.
+    "s27_spell_suggest" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.TextOps.tokens(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("dist", levenshtein(col("term"), lit("spak")))
+        .where(col("dist") <= 2)
+        .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+        .limit(5),
+      Some(s"""
+        SELECT term, count(*) AS df,
+               levenshtein(term, 'spak')::INT AS dist
+        FROM (SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term FROM documents))
+        GROUP BY term
+        HAVING levenshtein(term, 'spak') <= 2
+        ORDER BY dist ASC, df DESC, term ASC LIMIT 5
+      """)),
+
     // T2 build/query split: BM25 against the PREBUILT inverted index
     // (postings pruned to the query terms at the parquet scan). Different
     // terms/k from s3 so the two entries exercise distinct posting lists.

@@ -131,6 +131,40 @@ object Api {
       }
       ok(s"""{"query":${quote(q)},"modes":{${per.mkString(",")}}}""")
 
+    case "/api/suggest" => // s26 autocomplete: prefix -> df-ranked completions
+      val prefix = require(params, "prefix")
+      val n = intParam(params, "count", 8, 1, 50)
+      val body = ewma.timed("suggest") {
+        val rows = Tables.documents(spark, dir)
+          .select(explode(array_distinct(
+            graft.functions.TextOps.tokens(col("text")))).as("term"))
+          .where(col("term").startsWith(prefix))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("term").asc)
+          .limit(n).collect()
+        rows.map(r => s"""{"term":${quote(r.getString(0))},"df":${r.getLong(1)}}""")
+          .mkString("[", ",", "]")
+      }
+      ok(s"""{"prefix":${quote(prefix)},"suggestions":$body}""")
+
+    case "/api/spell" => // s27 "did you mean": edit-distance-2 vocab hits
+      val term = require(params, "term")
+      val n = intParam(params, "count", 5, 1, 20)
+      val body = ewma.timed("spell") {
+        val rows = Tables.documents(spark, dir)
+          .select(explode(array_distinct(
+            graft.functions.TextOps.tokens(col("text")))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .withColumn("dist", levenshtein(col("term"), lit(term)))
+          .where(col("dist") <= 2)
+          .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+          .limit(n).collect()
+        rows.map(r =>
+          s"""{"term":${quote(r.getString(0))},"df":${r.getLong(1)},"dist":${r.getInt(2)}}""")
+          .mkString("[", ",", "]")
+      }
+      ok(s"""{"term":${quote(term)},"suggestions":$body}""")
+
     case "/api/more-like-this" => // s24: a stored doc IS the query (ES MLT)
       val id = require(params, "id").toLong
       val count = intParam(params, "count", 10, 1, 100)

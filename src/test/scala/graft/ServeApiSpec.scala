@@ -272,6 +272,20 @@ class ServeApiSpec extends SparkSpec {
     assert(get("/api/more-like-this").status == 422) // id is required
   }
 
+  test("suggest and spell: ranked vocab hits, required params enforced") {
+    val sug = get("/api/suggest", "prefix" -> "s", "count" -> "3")
+    assert(sug.status == 200, sug.body)
+    val terms = "\"term\":\"([a-z0-9]+)\"".r.findAllMatchIn(sug.body)
+      .map(_.group(1)).toSeq
+    assert(terms.nonEmpty && terms.size <= 3 && terms.forall(_.startsWith("s")),
+      sug.body)
+    val sp = get("/api/spell", "term" -> "spak")
+    assert(sp.status == 200, sp.body)
+    assert(sp.body.contains("\"term\":\"spark\""), sp.body)
+    assert(get("/api/suggest").status == 422)
+    assert(get("/api/spell").status == 422)
+  }
+
   test("batch-search: per-query blocks equal N single /api/query calls") {
     // second query repeats a token: the single path dedupes terms via
     // isin, and the batch must match it (distinct'd term rows)
