@@ -1168,6 +1168,25 @@ object QueriesPipeline {
         FROM exact CROSS JOIN lsh
       """)),
 
+    // Containment (asymmetric Jaccard): subset-duplication pairs that
+    // symmetric Jaccard dilutes — |A∩B| / min(|A|,|B|) >= 0.8.
+    "d22_containment" -> Q(
+      (s, d) => Dedup.ngramContainment(docs(s, d), "doc_id", "text", "lang", 3, 0.8),
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang, $tokensSql AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, lang,
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+          FROM t WHERE len(toks) >= 3)
+        SELECT * FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                       least(len(a.sh), len(b.sh)), 6) AS containment
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        WHERE containment >= 0.8 ORDER BY id_a, id_b
+      """)),
+
     // Per-source-pair near-dup rate: which sources duplicate each other
     // (mirror-site detection, the curation dashboard's provenance view).
     // Pair counts from the banded simhash path normalized by the possible

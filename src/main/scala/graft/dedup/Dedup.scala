@@ -129,6 +129,33 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Containment (asymmetric Jaccard): |A∩B| / min(|A|,|B|) — catches
+    * SUBSET duplication (a short doc quoted wholesale inside a longer
+    * one) that symmetric Jaccard dilutes toward zero as the size gap
+    * grows: a 50-shingle doc fully contained in a 500-shingle doc scores
+    * jaccard 0.1 but containment 1.0 (Broder's "containment" companion
+    * to resemblance). Same inverted-index shape and scale behavior as
+    * [[ngramJaccard]] — only pairs sharing a shingle materialize. */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, n: Int, threshold: Double): DataFrame = {
+    val inv = barrier(shingleRows(docs, idCol, textCol, blockCol, n))
+    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val common = inv.select(col(blockCol), col(idCol).as("id_a"), col("shingle"))
+      .join(inv.select(col(blockCol), col(idCol).as("id_b"), col("shingle")),
+        Seq(blockCol, "shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("containment", round(
+        col("common").cast("double") / least(col("sz_a"), col("sz_b")), 6))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** MinHash parameters: k=16 permutations h_j(x) = (a_j·x + b_j) mod p
     * over 32-bit md5 token hashes; 4 bands × 4 rows. a_j < 2^24 and
     * x < 2^32 keep a_j·x < 2^56 — exact in int64 everywhere. */

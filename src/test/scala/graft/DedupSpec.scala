@@ -291,6 +291,21 @@ class DedupSpec extends SparkSpec {
       short.head.getString(3) == "just three tokens")
   }
 
+  test("containment catches subset dups that jaccard dilutes") {
+    // doc 2 is doc 1's prefix: every shingle of 2 appears in 1, but 1 is
+    // 4x longer -> jaccard ~ |B|/|A| stays low while containment = 1.0
+    val long = (1 to 40).map("w" + _).mkString(" ")
+    val sub = (1 to 10).map("w" + _).mkString(" ")
+    val d = Seq((1L, long, "en"), (2L, sub, "en"), (3L, "other stuff entirely", "en"))
+      .toDF("doc_id", "text", "lang")
+    val cont = Dedup.ngramContainment(d, "doc_id", "text", "lang", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)), cont.mkString(","))
+    val jac = Dedup.ngramJaccard(d, "doc_id", "text", "lang", 3, 0.8)
+      .collect()
+    assert(jac.isEmpty, "symmetric jaccard must miss the subset pair at 0.8")
+  }
+
   test("minhash signatures are permutation-count complete and stable") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3)
     val counts = sigs.groupBy("doc_id").count().collect()
