@@ -3121,6 +3121,30 @@ object QueriesPipeline {
     * internals: HLL sketches, LSH random projections) — the driver records
     * a rows-only check for these. */
   val rowsOnly: Map[String, Q] = Map(
+    // Bloom-gate FPP self-certification: build the sketch on the even
+    // half of the corpus, probe the ODD half (all true negatives), and
+    // report the measured false-positive rate next to the requested one —
+    // the d20/x2 pattern applied to the sketch the blocklist gate (d15)
+    // trusts. Rows-only: sketch internals have no DuckDB twin; the row
+    // itself carries the evidence.
+    "x5_bloom_fpp" -> Q(
+      (s, d) => {
+        import graft.functions.BloomGate
+        val dd = docs(s, d)
+        val even = dd.where(col("doc_id") % 2 === 0)
+        val nIns = even.count()
+        val bloom = BloomGate.build(
+          even, col("doc_id").cast("string"), nIns, fpp = 0.01).get
+        dd.where(col("doc_id") % 2 === 1)
+          .agg(count(lit(1)).as("n_probes"),
+            sum(when(BloomGate.mightContain(bloom, col("doc_id").cast("string")),
+              1L).otherwise(0L)).as("fp_hits"))
+          .select(lit(nIns).as("n_inserted"), col("n_probes"), col("fp_hits"),
+            lit(0.01).as("requested_fpp"),
+            round(col("fp_hits").cast("double") / col("n_probes"), 6)
+              .as("measured_fpp"))
+      },
+      None),
     // HLL approximate distinct (the 100 TB cardinality-estimation tool;
     // sketch internals are engine-specific, so no value oracle exists).
     "x1_approx_distinct" -> Q(

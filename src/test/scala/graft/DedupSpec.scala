@@ -306,6 +306,20 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty, "symmetric jaccard must miss the subset pair at 0.8")
   }
 
+  test("bloom fpp self-check: disjoint probes measure within 5x the requested rate") {
+    import graft.functions.BloomGate
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    val keys = (0L until 2000L).map(i => Tuple1(s"key_$i")).toDF("k")
+    val bloom = BloomGate.build(keys, col("k"), 2000L, fpp = 0.01).get
+    val probes = (0L until 2000L).map(i => Tuple1(s"other_$i")).toDF("k")
+    val hits = probes
+      .where(BloomGate.mightContain(bloom, col("k"))).count()
+    val measured = hits.toDouble / 2000
+    assert(measured <= 0.05, f"measured fpp $measured%.4f exceeds 5x requested 0.01")
+    // no false negatives ever
+    assert(keys.where(BloomGate.mightContain(bloom, col("k"))).count() == 2000L)
+  }
+
   test("minhash signatures are permutation-count complete and stable") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3)
     val counts = sigs.groupBy("doc_id").count().collect()
