@@ -252,6 +252,62 @@ object Queries {
         GROUP BY 1 ORDER BY bucket
       """)),
 
+    // ABC / Pareto classification: parts ranked by revenue, classified by
+    // cumulative share (A ≤ 50%, B ≤ 80%, C rest). The global window runs
+    // over the AGGREGATED part table (catalog-sized, not corpus-sized) —
+    // the corpus-scale work is the one revenue groupBy. The running sum
+    // is an ordered accumulation (deterministic); the total is its last
+    // value via max-over-all, never an unordered float re-sum.
+    "q30_abc_analysis" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // EXACT revenue: price and discount are 2-decimal, so
+        // price_cents * (100 - disc_pct) is an integer in 1e-4 currency
+        // units — immune to the float-summation-order half-cent flips
+        // that round(sum(double),2) suffers across engines, both in the
+        // per-part aggregate AND the running cumulative.
+        val rev = Tables(s, d, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+            .as("units"))
+        val w = Window.orderBy(col("units").desc, col("l_partkey").asc)
+        val share = rev
+          .withColumn("rank", row_number().over(w))
+          .withColumn("cum", sum(col("units")).over(w))
+          .withColumn("total", max(col("cum")).over(Window.partitionBy()))
+          .withColumn("cum_share",
+            round(col("cum").cast("double") / col("total"), 6))
+        share.select(col("l_partkey").as("partkey"),
+            // integer HALF_UP to cents: double rounding at exact half-cents
+            // is engine-dependent (string-decimal vs binary semantics)
+            (expr("(units + 50) div 100").cast("double") / 100.0).as("revenue"),
+            col("rank"), col("cum_share"),
+            when(col("cum_share") <= 0.5, "A")
+              .when(col("cum_share") <= 0.8, "B")
+              .otherwise("C").as("abc_class"))
+          .orderBy(col("rank"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_partkey AS partkey,
+                 sum(round(l_extendedprice * 100, 0)::BIGINT *
+                     (100 - round(l_discount * 100, 0)::BIGINT)) AS units
+          FROM lineitem GROUP BY 1),
+        r AS (
+          SELECT partkey, units,
+                 row_number() OVER (ORDER BY units DESC, partkey ASC) AS rank,
+                 sum(units) OVER (ORDER BY units DESC, partkey ASC) AS cum
+          FROM rev),
+        t AS (SELECT max(cum) AS total FROM r)
+        SELECT partkey, ((units + 50) // 100)::DOUBLE / 100.0 AS revenue, rank::INT AS rank,
+               round(cum::DOUBLE / total, 6) AS cum_share,
+               CASE WHEN round(cum::DOUBLE / total, 6) <= 0.5 THEN 'A'
+                    WHEN round(cum::DOUBLE / total, 6) <= 0.8 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM r CROSS JOIN t ORDER BY rank
+      """)),
+
     // Weekly cohort retention: users grouped by first-activity week, each
     // cohort's active-user count per week offset. Three user-keyed aggs +
     // one cohort-keyed join — the frame shrinks at every step, nothing
