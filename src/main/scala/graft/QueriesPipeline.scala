@@ -551,6 +551,36 @@ object QueriesPipeline {
     """
   }
 
+  /** Oracle for per-language tokenizer fertility: the same encode chain
+    * as [[bpeEncodeOracleSql]] but carrying `lang` and rolling up
+    * (bpe tokens / whitespace words) per language. */
+  private def bpeFertilityOracleSql(n: Int): String = {
+    val S = BpeSep
+    val enc = (1 to n).map { k =>
+      s"""
+        e$k AS (SELECT doc_id, lang,
+                  replace(s, '$S' || lsym || '$S$S' || rsym || '$S',
+                             '$S' || lsym || rsym || '$S') AS s
+                FROM e${k - 1} CROSS JOIN m$k)"""
+    }.mkString(",")
+    s"""
+      WITH ${bpeCtes(n)},
+      dw AS (SELECT doc_id, lang, unnest($tokensSql) AS w FROM documents),
+      e0 AS (SELECT doc_id, lang,
+        '$S$S' || array_to_string(list_concat(
+          list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
+          ['</w>']), '$S$S') || '$S$S' AS s
+        FROM dw),$enc
+      SELECT lang,
+             sum(len(list_filter(string_split(s, '$S'), x -> x <> '')))::BIGINT
+               AS bpe_tokens,
+             count(*) AS n_words,
+             round(sum(len(list_filter(string_split(s, '$S'), x -> x <> '')))::DOUBLE
+                   / count(*), 6) AS fertility
+      FROM e$n GROUP BY lang ORDER BY lang
+    """
+  }
+
   /** The full curation-verdict CTE chain (lang-ID arms → quality →
     * repetition → surprisal → first-failing-rule verdict `v`). Shared by
     * the t14 oracle and the t19 manifest oracle, which filters `v` to
@@ -2080,6 +2110,29 @@ object QueriesPipeline {
           .orderBy(col("doc_id"))
       },
       Some(bpeEncodeOracleSql(4))),
+
+    // Tokenizer fertility by language: BPE tokens per whitespace word —
+    // the standard multilingual tokenizer-quality metric (a language
+    // whose words fragment into many subwords pays more sequence length
+    // per sentence). Same encode chain as t30, rolled up per lang; the
+    // encode is a per-row expression chain over a driver-held merge
+    // table (vocab-sized, the tokenizer artifact itself).
+    "t41_bpe_fertility" -> Q(
+      (s, d) => {
+        val merges = graft.functions.Bpe.bpeMerges(docs(s, d), "text", 4)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        docs(s, d)
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+          .select(col("lang"),
+            size(graft.functions.Bpe.encodeWord(col("w"), merges))
+              .cast("long").as("n"))
+          .groupBy(col("lang"))
+          .agg(sum(col("n")).as("bpe_tokens"), count(lit(1)).as("n_words"))
+          .withColumn("fertility",
+            round(col("bpe_tokens").cast("double") / col("n_words"), 6))
+          .orderBy(col("lang"))
+      },
+      Some(bpeFertilityOracleSql(4))),
 
     // Seeded deterministic shuffle + shard assignment: the pipeline's
     // final write step as an oracle-checkable query — same seed, same
