@@ -135,4 +135,52 @@ class StoreStatsSpec extends SparkSpec {
       graft.ingest.Store.compactPartitioned(spark, flat)
     }
   }
+
+  test("snapshot swap recovers from every crash point") {
+    import graft.ingest.Store
+    import spark.implicits._
+    def v(n: Int) = Seq((1L, n)).toDF("id", "v")
+    def readV(p: String): Int =
+      Store.readSnapshot(spark, p).get.select("v").head().getInt(0)
+    def mv(a: String, b: String): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(a)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(a),
+        new org.apache.hadoop.fs.Path(b)))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("snap").toString
+
+    // clean path: v1 then v2
+    val p1 = s"$dir/a"
+    Store.replaceSnapshot(v(1), p1); assert(readV(p1) == 1)
+    Store.replaceSnapshot(v(2), p1); assert(readV(p1) == 2)
+
+    // crash BEFORE the base->old rename: complete .new exists, base
+    // intact -> the replace never committed; reads keep the old version
+    v(3).write.parquet(s"$p1.new")
+    assert(readV(p1) == 2)
+
+    // crash BETWEEN base->old and .new->base: base missing, .new is
+    // complete -> recovery promotes the new version
+    val p2 = s"$dir/b"
+    Store.replaceSnapshot(v(1), p2)
+    v(2).write.parquet(s"$p2.new")
+    mv(p2, s"$p2.old")
+    assert(readV(p2) == 2, "complete .new must promote")
+
+    // crash MID-WRITE after an (out-of-order) base move: .new incomplete
+    // (no _SUCCESS), old present -> recovery rolls back to the old version
+    val p3 = s"$dir/c"
+    Store.replaceSnapshot(v(1), p3)
+    mv(p3, s"$p3.old")
+    new java.io.File(s"$p3.new").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$p3.new/part-torn.parquet"), "torn")
+    assert(readV(p3) == 1, "incomplete .new must roll back")
+
+    // and a subsequent replace on each recovered path works cleanly
+    Seq(p1, p2, p3).foreach { p =>
+      Store.replaceSnapshot(v(9), p); assert(readV(p) == 9)
+    }
+  }
 }
