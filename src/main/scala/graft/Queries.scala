@@ -252,6 +252,41 @@ object Queries {
         GROUP BY 1 ORDER BY bucket
       """)),
 
+    // Event transition matrix (first-order Markov): per-user next-event
+    // pairs via a lead window partitioned by user, rolled up with row
+    // shares — session-flow analytics (where do users go after a view?).
+    // One user-partitioned window + one pair aggregation; ties at equal
+    // timestamps break on event_id for a deterministic sequence.
+    "q31_transitions" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = Tables.events(s, d)
+          .withColumn("next", lead(col("event_type"), 1).over(w))
+          .where(col("next").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = Window.partitionBy(col("from_type"))
+        pairs
+          .withColumn("p", round(col("n").cast("double") /
+            sum(col("n")).over(totals), 6))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS next
+          FROM events),
+        pairs AS (
+          SELECT event_type AS from_type, next AS to_type, count(*) AS n
+          FROM seq WHERE next IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM pairs ORDER BY from_type, to_type
+      """)),
+
     // ABC / Pareto classification: parts ranked by revenue, classified by
     // cumulative share (A ≤ 50%, B ≤ 80%, C rest). The global window runs
     // over the AGGREGATED part table (catalog-sized, not corpus-sized) —
