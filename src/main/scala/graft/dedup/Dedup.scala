@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -216,15 +216,16 @@ object Dedup {
     * true shingle Jaccard >= threshold confirms. Output
     * (id_a, id_b, jaccard), deterministic ordering.
     *
-    * Truncation caveat (applies to [[simhashPairs]] too): pairs are
-    * emitted at their FIRST shared band only; if that bucket overflowed
-    * [[MaxBucketSize]] and truncation dropped a member, the pair is LOST —
-    * not recovered at a later shared band (the first-shared check is a
-    * pure signature comparison that cannot see truncation). Results with
-    * `truncated_buckets > 0` in [[BucketStatsMetric]] are therefore
-    * partial in a way that loses pairs, not just samples buckets — alarm
-    * on that metric and raise the cap (or pre-cluster the degenerate
-    * text) rather than trusting the pair list. */
+    * Truncation semantics: pairs are emitted at their first shared band
+    * whose bucket RETAINED both members after the [[MaxBucketSize]] cap —
+    * a pair whose first shared bucket overflowed and dropped a member is
+    * recovered at the next shared band that kept both (see
+    * [[lshCandidates]]). The only residual loss is a pair EVERY one of
+    * whose shared buckets dropped a member — unavoidable under any cap,
+    * and still flagged by `truncated_buckets > 0` in
+    * [[BucketStatsMetric]]. ([[simhashPairs]] retains the cruder
+    * first-shared-band-only rule; its banding is pigeonhole-lossless so
+    * overflow there means a degenerate single-cluster corpus.) */
   /** Broadcast the confirm-pass candidate-id prune only while the pair
     * count bounds the id set at roughly executor-broadcast scale. A crawl
     * corpus with a 30–50% near-dup rate produces hundreds of millions of
@@ -242,7 +243,8 @@ object Dedup {
 
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int, threshold: Double,
-                 broadcastCandLimit: Long = MaxBroadcastCandPairs): DataFrame = {
+                 broadcastCandLimit: Long = MaxBroadcastCandPairs,
+                 maxBucketSize: Int = MaxBucketSize): DataFrame = {
     // Bands built locally (not via minhashBands) so each member carries
     // its full signature array into the bucket payload: pair expansion
     // tests first-shared-band emission against earlier bands' slices,
@@ -270,7 +272,7 @@ object Dedup {
     // long-lived service), checkpointed blocks are released by the
     // ContextCleaner when the result becomes unreachable. Candidates are
     // a vanishing fraction of the corpus, so the footprint is trivial.
-    val cand = barrier(bucketPairs(bands))
+    val cand = barrier(lshCandidates(bands, maxBucketSize))
 
     // True-Jaccard confirm, restricted to candidate docs first (semi-join
     // prune, broadcast only under the size gate below) then counted via
@@ -327,40 +329,99 @@ object Dedup {
     * truncated_buckets > 0. */
   val BucketStatsMetric = "graft_lsh_bucket_stats"
 
-  /** Expand each (band_id, band) bucket into its member pairs
-    * (id_a < id_b). Input rows are (m: struct(id, sigs), band_id, band).
+  /** LSH candidate pairs (id_a < id_b) from band rows
+    * (m: struct(id, sigs), band_id, band), truncation-aware.
     *
-    * A pair sharing SEVERAL buckets is emitted only at its first shared
-    * band: for every earlier band the two signatures' band slices must
-    * differ — a pure expression over the carried sigs. The expanded pair
-    * set (the largest intermediate of an LSH run at corpus scale) is
-    * therefore distinct by construction and never pays a dedup
-    * re-shuffle. Truncation by [[MaxBucketSize]] is counted in
-    * [[BucketStatsMetric]]; a pair whose first shared bucket was
-    * truncated is dropped even if a later shared bucket kept both
-    * members (truncated_buckets > 0 already flags results as partial).
-    */
-  private def bucketPairs(bands: DataFrame): DataFrame = {
+    * A pair sharing SEVERAL buckets is emitted exactly once, at its
+    * first shared band whose bucket RETAINED both members after the
+    * bucket cap. The expanded pair set (the largest intermediate of an
+    * LSH run at corpus scale) is therefore distinct by construction and
+    * never pays a dedup re-shuffle. Mechanics:
+    *
+    *  1. [[bucketAgg]] groups band rows into buckets, trims each to the
+    *     cap's deterministic sorted prefix, and marks overflowed buckets
+    *     with their retention cutoff: the prefix is `array_sort` over
+    *     struct(id, sigs) — lexicographic, id first, ids unique within a
+    *     bucket — so "member survived the cap" is exactly
+    *     `id <= cutoff_id` of the last kept element. The bucket table is
+    *     barriered (it feeds both the pair expansion and the truncation
+    *     scan, and sits atop the whole signature pipeline).
+    *  2. Overflowed buckets are collected to the driver — they are rare
+    *     by construction (only degenerate near-identical clusters exceed
+    *     [[MaxBucketSize]]), and only (band_id, band key, cutoff) is
+    *     collected, never members.
+    *  3. The earlier-band suppression check becomes: suppress at band b
+    *     iff some earlier band j has equal signature slices AND that
+    *     bucket either did not overflow (absent from the collected set)
+    *     or kept both members (both ids <= its cutoff). With zero
+    *     overflowed buckets this degrades to the pure
+    *     slices-equal comparison — the common case pays nothing.
+    *
+    * The only pairs still lost are those where EVERY shared bucket
+    * dropped a member — unavoidable under any cap, flagged by
+    * [[BucketStatsMetric]].`truncated_buckets` > 0. */
+  private[graft] def lshCandidates(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val buckets = barrier(bucketAgg(bands, maxBucket))
+    // (band_id, band key, cutoff id) of overflowed buckets; tiny by
+    // contract (scan of barriered blocks, no recompute).
+    val trunc = buckets.where(col("truncated"))
+      .select(col("band_id"), col("band"), col("cutoff")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.get(2)))
+    val truncByBand = trunc.groupBy(_._1)
+      .map { case (b, xs) => (b, xs.map(t => (t._2, t._3)).toSeq) }
     val nBands = MinhashPerms / MinhashBandRows
-    val priorShared = (0 until nBands - 1).map { j =>
-      (col("band_id") > lit(j)) &&
-        (slice(col("a.sigs"), j * MinhashBandRows + 1, MinhashBandRows) ===
-         slice(col("b.sigs"), j * MinhashBandRows + 1, MinhashBandRows))
+    def bandKey(sigs: Column, j: Int): Column = concat_ws(",",
+      (0 until MinhashBandRows).map { r =>
+        val jj = j * MinhashBandRows + r
+        format_string("%02d:%d", lit(jj), element_at(sigs, jj + 1))
+      }: _*)
+    val emittedEarlier = (0 until nBands - 1).map { j =>
+      val slicesEq =
+        slice(col("a.sigs"), j * MinhashBandRows + 1, MinhashBandRows) ===
+          slice(col("b.sigs"), j * MinhashBandRows + 1, MinhashBandRows)
+      val handledAtJ = truncByBand.get(j) match {
+        case None => lit(true) // no overflow in band j: shared => emitted there
+        case Some(overflowed) =>
+          // An overflowed bucket in band j emitted the pair only if both
+          // ids survived its prefix. The slices are equal here, so
+          // testing a's reconstructed band key suffices. CASE chain over
+          // the overflowed buckets of band j (rare by contract, short).
+          val keyJ = bandKey(col("a.sigs"), j)
+          overflowed.foldRight(lit(true): Column) {
+            case ((bandK, cut), els) =>
+              when(keyJ === lit(bandK),
+                col("a.id") <= lit(cut) && col("b.id") <= lit(cut))
+                .otherwise(els)
+          }
+      }
+      (col("band_id") > lit(j)) && slicesEq && handledAtJ
     }.reduce(_ || _)
+    buckets
+      .select(col("band_id"), explode(col("ms")).as("a"), col("ms"))
+      .select(col("band_id"), col("a"), explode(col("ms")).as("b"))
+      .where(col("a.id") < col("b.id") && !emittedEarlier)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
+  /** Bucket table for [[lshCandidates]]: one row per multi-member LSH
+    * bucket — (band_id, band, ms = capped sorted members, truncated,
+    * cutoff = id of the last retained member when truncated, else null).
+    * Carries the [[BucketStatsMetric]] observe node (fires when the
+    * barrier above materializes this plan). */
+  private def bucketAgg(bands: DataFrame, maxBucket: Int): DataFrame =
     bands
       .groupBy(col("band_id"), col("band"))
       .agg(array_sort(collect_list(col("m"))).as("all_ms"))
       .observe(BucketStatsMetric,
-        sum(when(size(col("all_ms")) > MaxBucketSize, 1L).otherwise(0L))
+        sum(when(size(col("all_ms")) > maxBucket, 1L).otherwise(0L))
           .as("truncated_buckets"),
         max(size(col("all_ms"))).as("max_bucket_size"))
-      .select(col("band_id"), slice(col("all_ms"), 1, MaxBucketSize).as("ms"))
+      .select(col("band_id"), col("band"),
+        slice(col("all_ms"), 1, maxBucket).as("ms"),
+        (size(col("all_ms")) > maxBucket).as("truncated"),
+        when(size(col("all_ms")) > maxBucket,
+          element_at(col("all_ms"), maxBucket).getField("id")).as("cutoff"))
       .where(size(col("ms")) > 1)
-      .select(col("band_id"), explode(col("ms")).as("a"), col("ms"))
-      .select(col("band_id"), col("a"), explode(col("ms")).as("b"))
-      .where(col("a.id") < col("b.id") && !priorShared)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-  }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (must be
     * < 4): candidates come from 4 byte-bands of the 32-bit simhash — by

@@ -30,6 +30,48 @@ class DedupSpec extends SparkSpec {
     assert(near.contains((1L, 3L))) // one word changed -> high shingle overlap
   }
 
+  test("lsh candidate pair survives a truncated first shared band") {
+    import org.apache.spark.sql.functions.{col, struct}
+    // Hand-crafted band rows (16 perms, 4 bands x 4 rows): docs a, z and
+    // x1..x4 ALL share band 0; only a and z also share band 1; bands 2/3
+    // are unique per doc. Band key format mirrors minhashLsh's
+    // format_string("%02d:%d") contract.
+    def key(b: Int, slice: Seq[Long]): String =
+      slice.zipWithIndex.map { case (v, r) => f"${b * 4 + r}%02d:$v%d" }.mkString(",")
+    val ids = Seq("a", "z", "x1", "x2", "x3", "x4")
+    val rows = ids.zipWithIndex.flatMap { case (id, i) =>
+      val band1 = if (id == "a" || id == "z") Seq(7L, 7L, 7L, 7L)
+                  else Seq(i + 10L, 0L, 0L, 0L)
+      val sigs = Seq(0L, 0L, 0L, 0L) ++ band1 ++
+        Seq(100L + i, 0L, 0L, 0L) ++ Seq(200L + i, 0L, 0L, 0L)
+      (0 until 4).map { b =>
+        (id, sigs.toArray, b, key(b, sigs.slice(b * 4, b * 4 + 4)))
+      }
+    }
+    val bands = rows.toDF("id", "sigs", "band_id", "band")
+      .select(struct(col("id"), col("sigs")).as("m"), col("band_id"), col("band"))
+
+    // Cap 3: band-0 bucket holds all six, sorted prefix a,x1,x2 (cutoff
+    // x2) — z is DROPPED there. The old first-shared-band rule suppressed
+    // (a,z) at band 1 because the band-0 slices are equal; the
+    // truncation-aware rule recovers it from band 1's intact {a,z} bucket.
+    val pairs = Dedup.lshCandidates(bands, 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pairs.contains(("a", "z")), s"pair lost to truncation: $pairs")
+    assert(pairs.count(_ == ("a", "z")) == 1) // emitted exactly once
+    // Band-0 survivors still pair among themselves...
+    assert(pairs.contains(("a", "x1")) && pairs.contains(("x1", "x2")))
+    // ...and members dropped everywhere stay lost (flagged by the metric).
+    assert(!pairs.exists(p => p._1.startsWith("x3") || p._2.startsWith("x3")))
+
+    // Without overflow the same input emits every band-0 pair exactly once
+    // (pure first-shared-band rule, zero-truncation fast path).
+    val full = Dedup.lshCandidates(bands, 100)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(full.size == 15 && full.distinct.size == 15)
+    assert(full.contains(("a", "z")))
+  }
+
   test("minhash lsh proposes and confirms the identical pair") {
     val withClone = docs.union(
       docs.where($"doc_id" === 1).withColumn("doc_id", $"doc_id" + 100))
