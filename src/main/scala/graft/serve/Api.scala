@@ -370,16 +370,7 @@ object Api {
       // (main.py:131-135), not a 500 from deep in the pipeline
       if (raw.columns.isEmpty || raw.columns.sameElements(Array("_corrupt_record")))
         return Response(400, err("malformed JSON upload: could not parse any records"))
-      // text backfill + stable id, exactly the reference's preprocessing
-      // (text from description ⊕ mfr part when absent; id from partNumber)
-      val withText =
-        if (raw.columns.contains("text")) raw
-        else graft.sources.JsonSource
-          .deriveTextColumns(raw, "description", "partNumber", "mfrPartNumber")
-          .withColumn("text", col("sparse_text"))
-      val incoming =
-        (if (withText.columns.contains("id")) withText
-         else graft.sources.JsonSource.withStableId(withText, "partNumber"))
+      val incoming = ingestShape(raw)
       val target = s"$storeDir/$collection"
       // explicit existence probe: a transient/corrupt READ failure must
       // surface as a 500, not silently masquerade as "no existing data"
@@ -407,6 +398,84 @@ object Api {
       ok(s"""{"success":true,"documents_loaded":$loaded,"null_ids":$nullIds,""" +
         s""""collection_name":${quote(collection)},"cleanup_old":$cleanupOld}""")
 
+    case "/api/admin/import" => // Q12 truncate+load (admin.py:18-40)
+      // The reference empties the collection then imports every *.json
+      // under the configured full-import path. Same model here: the
+      // import dir is a request parameter (the reference's
+      // IMPORT_PATH_FULL setting), the overwrite IS the truncate —
+      // fullImportCounted publishes a fresh snapshot atomically, so a
+      // failed import never leaves a half-truncated store.
+      val importDir = require(params, "import_dir")
+      val storeDir = require(params, "store_dir")
+      val collection = params.getOrElse("collection", "documents")
+      val batchSize = intParam(params, "batch_size", 100, 1, 1000)
+      val docs = ingestShape(
+        graft.sources.JsonSource.readJsonDir(spark, importDir))
+      val nRows = docs.count()
+      val partitions = math.max(1L, math.min(64L, nRows / batchSize + 1)).toInt
+      val (loaded, nullIds) = ewma.timed("admin_import")(
+        graft.ingest.Store.fullImportCounted(
+          docs, s"$storeDir/$collection", "id", partitions))
+      ok(s"""{"success":true,"message":"Successfully imported $loaded documents",""" +
+        s""""details":{"count":$loaded,"null_ids":$nullIds}}""")
+
+    case "/api/admin/importdelta" => // Q12 delta import, no reset (admin.py:42-63)
+      val importDir = require(params, "import_dir")
+      val storeDir = require(params, "store_dir")
+      val collection = params.getOrElse("collection", "documents")
+      val target = s"$storeDir/$collection"
+      val incoming = ingestShape(
+        graft.sources.JsonSource.readJsonDir(spark, importDir))
+      val result = ewma.timed("admin_importdelta") {
+        graft.ingest.Store.readSnapshot(spark, target) match {
+          case Some(old) =>
+            // upsert by id: incoming rows replace, untouched rows survive.
+            // The anti-join side is checkpointed so the snapshot swap isn't
+            // overwriting a path its own plan still reads from.
+            val changed = graft.ingest.Lifecycle.deltaDetect(
+              old, incoming, "id", Seq("text")).count()
+            val merged = incoming.unionByName(
+              old.join(incoming.select("id"), Seq("id"), "left_anti")
+                .localCheckpoint(),
+              allowMissingColumns = true)
+            val n = incoming.count()
+            graft.ingest.Store.replaceSnapshot(merged, target)
+            (n, changed)
+          case None =>
+            val n = incoming.count()
+            graft.ingest.Store.fullImport(incoming, target)
+            (n, n)
+        }
+      }
+      ok(s"""{"success":true,"message":"Successfully imported ${result._1} delta documents",""" +
+        s""""details":{"count":${result._1},"changed_or_new":${result._2}}}""")
+
+    case "/api/admin/reset" => // Q12 clear the collection (admin.py:88-109)
+      val storeDir = require(params, "store_dir")
+      val collection = params.getOrElse("collection", "documents")
+      val target = s"$storeDir/$collection"
+      graft.ingest.Store.readSnapshot(spark, target) match {
+        case Some(df) =>
+          // schema-preserving empty snapshot — the reference recreates the
+          // collection with its vector config, not a missing collection
+          graft.ingest.Store.replaceSnapshot(df.limit(0), target)
+        case None => () // resetting an absent collection is already-empty
+      }
+      ok("""{"success":true,"message":"Database reset successfully","details":{}}""")
+
+    case p if p.startsWith("/api/collections/") && p.endsWith("/stats") =>
+      // per-collection detail of /api/collections (main.py:172-187 — the
+      // reference returns placeholder zeros; this serves real counts)
+      val name = p.stripPrefix("/api/collections/").stripSuffix("/stats")
+      val rows = Stats.collectionStats(spark, dir)
+        .where(col("source") === name).collect()
+      if (rows.isEmpty) Response(404, err(s"collection '$name' not found"))
+      else {
+        val n = rows.head.getLong(1)
+        ok(s"""{"collection":${quote(name)},"points_count":$n,""" +
+          s""""vectors_count":$n,"segments_count":1}""")
+      }
+
     case "/api/admin/reload_whitelist" =>
       // Q12's whitelist-reload endpoint is DEAD CODE in the reference:
       // admin.py:111-134 calls search_service.reload_whitelist(), which
@@ -415,6 +484,20 @@ object Api {
       ok("""{"success":true,"message":"whitelist reload is a stub (dead code in the reference)","whitelist_count":0}""")
 
     case _ => Response(404, err(s"no route for $path"))
+  }
+
+  /** Upload/import preprocessing shared by /api/load-data and the admin
+    * import routes — text backfill + stable id, exactly the reference's
+    * shape (text from description ⊕ mfr part when absent; id hashed from
+    * partNumber). */
+  private def ingestShape(raw: DataFrame): DataFrame = {
+    val withText =
+      if (raw.columns.contains("text")) raw
+      else graft.sources.JsonSource
+        .deriveTextColumns(raw, "description", "partNumber", "mfrPartNumber")
+        .withColumn("text", col("sparse_text"))
+    if (withText.columns.contains("id")) withText
+    else graft.sources.JsonSource.withStableId(withText, "partNumber")
   }
 
   // ------------------------------------------------------------------

@@ -88,6 +88,66 @@ class ServeApiSpec extends SparkSpec {
     assert(wl.status == 200 && wl.body.contains("stub"), wl.body)
   }
 
+  test("admin import/importdelta/reset: truncate+load, delta upsert, round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-admin").toFile
+    val fullDir = new java.io.File(dir, "full"); fullDir.mkdirs()
+    val deltaDir = new java.io.File(dir, "delta"); deltaDir.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(fullDir, "a.json").toPath,
+      """[{"partNumber": "P1", "description": "gas torch"},
+         {"partNumber": "P2", "description": "regulator"}]""")
+    java.nio.file.Files.writeString(new java.io.File(fullDir, "b.json").toPath,
+      """[{"partNumber": "P3", "description": "propane hose"}]""")
+    java.nio.file.Files.writeString(new java.io.File(deltaDir, "d.json").toPath,
+      """[{"partNumber": "P2", "description": "regulator mk2"},
+         {"partNumber": "P4", "description": "flow meter"}]""")
+    val store = new java.io.File(dir, "store").getAbsolutePath
+
+    // full import: every *.json under the import dir, counted
+    val imp = get("/api/admin/import",
+      "import_dir" -> fullDir.getAbsolutePath, "store_dir" -> store)
+    assert(imp.status == 200 && imp.body.contains("\"count\":3"), imp.body)
+
+    // delta import: upsert without reset — P2 replaced, P4 added, P1/P3 kept
+    val dlt = get("/api/admin/importdelta",
+      "import_dir" -> deltaDir.getAbsolutePath, "store_dir" -> store)
+    assert(dlt.status == 200 && dlt.body.contains("\"count\":2"), dlt.body)
+    val after = spark.read.parquet(s"$store/documents")
+    assert(after.count() == 4, "delta upsert should leave 4 docs")
+    import org.apache.spark.sql.functions.col
+    val p2 = after.where(col("partNumber") === "P2")
+      .select("description").head().getString(0)
+    assert(p2 == "regulator mk2", s"P2 not replaced: $p2")
+
+    // reset: schema-preserving empty snapshot; absent collection also ok
+    val rst = get("/api/admin/reset", "store_dir" -> store)
+    assert(rst.status == 200 && rst.body.contains("reset successfully"), rst.body)
+    assert(spark.read.parquet(s"$store/documents").count() == 0)
+    assert(get("/api/admin/reset", "store_dir" -> s"$store-absent").status == 200)
+
+    // reset-then-import round-trip restores the full set
+    val reimp = get("/api/admin/import",
+      "import_dir" -> fullDir.getAbsolutePath, "store_dir" -> store)
+    assert(reimp.status == 200 && reimp.body.contains("\"count\":3"), reimp.body)
+    assert(spark.read.parquet(s"$store/documents").count() == 3)
+
+    // delta into an ABSENT store bootstraps it
+    val boot = get("/api/admin/importdelta",
+      "import_dir" -> deltaDir.getAbsolutePath, "store_dir" -> s"$store-boot")
+    assert(boot.status == 200 && boot.body.contains("\"count\":2"), boot.body)
+  }
+
+  test("per-collection stats route serves real counts; unknown collection 404s") {
+    val all = get("/api/collections")
+    assert(all.status == 200, all.body)
+    // pick a source listed by the aggregate route
+    val src = """"source":"([^"]+)"""".r.findFirstMatchIn(all.body).get.group(1)
+    val one = get(s"/api/collections/$src/stats")
+    assert(one.status == 200, one.body)
+    assert(one.body.contains(s""""collection":"$src""""), one.body)
+    assert(one.body.contains("\"points_count\":"), one.body)
+    assert(get("/api/collections/__nope__/stats").status == 404)
+  }
+
   test("load-data: staged upload imports with backfill+ids, upsert replaces, cleanup drops") {
     val dir = java.nio.file.Files.createTempDirectory("graft-load").toFile
     val f = new java.io.File(dir, "batch.json")
