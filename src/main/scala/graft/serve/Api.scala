@@ -132,14 +132,17 @@ object Api {
       ok(s"""{"query":${quote(q)},"modes":{${per.mkString(",")}}}""")
 
     case "/api/suggest" => // s26 autocomplete: prefix -> df-ranked completions
+      // Served from the Bm25Index termstats artifact (term, df) — the df
+      // values are the identical document frequencies the old full-corpus
+      // explode computed, already aggregated at build time. termstats is
+      // range-sorted on term, so the prefix predicate prunes row groups at
+      // the parquet scan; per-request cost is a vocab-sized filtered scan,
+      // never a corpus re-tokenization.
       val prefix = require(params, "prefix")
       val n = intParam(params, "count", 8, 1, 50)
       val body = ewma.timed("suggest") {
-        val rows = Tables.documents(spark, dir)
-          .select(explode(array_distinct(
-            graft.functions.TextOps.tokens(col("text")))).as("term"))
+        val rows = termStats(spark, dir)
           .where(col("term").startsWith(prefix))
-          .groupBy("term").agg(count(lit(1)).as("df"))
           .orderBy(col("df").desc, col("term").asc)
           .limit(n).collect()
         rows.map(r => s"""{"term":${quote(r.getString(0))},"df":${r.getLong(1)}}""")
@@ -148,13 +151,16 @@ object Api {
       ok(s"""{"prefix":${quote(prefix)},"suggestions":$body}""")
 
     case "/api/spell" => // s27 "did you mean": edit-distance-2 vocab hits
+      // Same termstats artifact; candidate blocking is the length band
+      // (edit distance <= 2 bounds |len(a) - len(b)| <= 2), so the
+      // levenshtein only runs on the band — at web-scale vocab this is the
+      // standard cheap prune that keeps the scan vocab-sized and the
+      // expensive comparison band-sized.
       val term = require(params, "term")
       val n = intParam(params, "count", 5, 1, 20)
       val body = ewma.timed("spell") {
-        val rows = Tables.documents(spark, dir)
-          .select(explode(array_distinct(
-            graft.functions.TextOps.tokens(col("text")))).as("term"))
-          .groupBy("term").agg(count(lit(1)).as("df"))
+        val rows = termStats(spark, dir)
+          .where(abs(length(col("term")) - lit(term.length)) <= 2)
           .withColumn("dist", levenshtein(col("term"), lit(term)))
           .where(col("dist") <= 2)
           .orderBy(col("dist").asc, col("df").desc, col("term").asc)
@@ -485,6 +491,12 @@ object Api {
 
     case _ => Response(404, err(s"no route for $path"))
   }
+
+  /** Vocabulary (term, df) off the prebuilt BM25 index — document
+    * frequencies identical to a full-corpus tokenize+aggregate, paid once
+    * at index build. Serves /api/suggest and /api/spell. */
+  private def termStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${Bm25Index.ensure(spark, dir)}/termstats")
 
   /** Upload/import preprocessing shared by /api/load-data and the admin
     * import routes — text backfill + stable id, exactly the reference's

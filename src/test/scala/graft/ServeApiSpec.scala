@@ -344,6 +344,15 @@ class ServeApiSpec extends SparkSpec {
     assert(sp.body.contains("\"term\":\"spark\""), sp.body)
     assert(get("/api/suggest").status == 422)
     assert(get("/api/spell").status == 422)
+
+    // both are served from the prebuilt termstats artifact: one filtered
+    // vocab scan, no Generate (explode) re-tokenizing documents per request
+    val vocab = spark.read.parquet(
+      s"${graft.index.Bm25Index.ensure(spark, Sf0001)}/termstats")
+      .where(org.apache.spark.sql.functions.col("term").startsWith("s"))
+    val plan = vocab.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan)
+    assert(plan.contains("termstats"), plan)
   }
 
   test("batch-search: per-query blocks equal N single /api/query calls") {
