@@ -26,6 +26,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Fault-tolerance-path leg: SPARK_GRAFT_BARRIER_MODE=reliable runs the
+    // iterative operators (CC, PageRank) with DFS checkpoint barriers — the
+    // configuration a real cluster uses so a lost executor doesn't replay
+    // the whole lineage chain. Off by default (the driver bench measures
+    // the local[32] fast path); used for the BENCHNOTES overhead row.
+    sys.env.get("SPARK_GRAFT_BARRIER_MODE").foreach { mode =>
+      spark.conf.set(graft.dedup.Dedup.BarrierModeKey, mode)
+      if (mode == "reliable")
+        spark.sparkContext.setCheckpointDir(
+          java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString)
+    }
+
     // Warm path: persist base tables once. Spark's CacheManager matches by
     // canonicalized plan, so every query's fresh `read.parquet` of the
     // same path hits this cache.

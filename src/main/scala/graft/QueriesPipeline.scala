@@ -3461,13 +3461,12 @@ object QueriesPipeline {
     // candidates blocked by nprobe=3 IVF lists and joined via SHUFFLE
     // (the query side is the corpus — nothing broadcasts). The input
     // artifact for SemDeDup-style clustering and diversity audits.
+    // Served from the KnnGraphIndex parquet artifact: built at most once
+    // per dataset, shared with a19 (which previously re-derived it).
     "a18_knn_graph" -> Q(
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val centroids = emb.where(col("vec_id") < 10)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        Ann.knnGraph(emb, centroids, 3, 5)
-      },
+      (s, d) =>
+        graft.index.KnnGraphIndex.edges(s, d, 3, 5)
+          .orderBy(col("src"), col("rank")),
       Some("""
         WITH cent AS (
           SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
@@ -3509,10 +3508,7 @@ object QueriesPipeline {
     // the operator pair is threshold-agnostic.
     "a19_knn_clusters" -> Q(
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val centroids = emb.where(col("vec_id") < 10)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        val edges = Ann.knnGraph(emb, centroids, 3, 5)
+        val edges = graft.index.KnnGraphIndex.edges(s, d, 3, 5)
           .where(col("score") >= 0.35)
           .select(col("src").as("id_a"), col("dst").as("id_b"))
         graft.dedup.Dedup.connectedComponents(edges, "id_a", "id_b")

@@ -280,13 +280,21 @@ object Sampling {
     *
     * Keys are rounded to 12dp before ranking (pow may differ by an ulp
     * across math libraries), ties broken by the id — a total,
-    * engine-independent order. Weights must be positive. */
+    * engine-independent order. Weights must be positive: a zero or
+    * negative weight would make `1/w` infinite or negative and the key
+    * NaN/Infinity — which Spark sorts ABOVE every real key, so bad-weight
+    * rows would silently dominate the sample. Enforced row-wise with
+    * `assert_true` (fails the job loudly) rather than a silent filter. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      n: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
+    val w = col(weightCol).cast("double")
     val u = (HashOps.tokenHash32(col(idCol)) + 1).cast("double") / 4294967296.0
     df.withColumn("es_key",
-        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 12))
+        when(assert_true(w > 0.0,
+          concat(lit(s"weightedSample: non-positive weight in '$weightCol': "),
+            col(weightCol).cast("string"))).isNull,
+          round(pow(u, lit(1.0) / w), 12)))
       .orderBy(col("es_key").desc, col(idCol))
       .limit(n)
   }

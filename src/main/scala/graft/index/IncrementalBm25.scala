@@ -83,8 +83,14 @@ object IncrementalBm25 {
     val dir = new java.io.File(s"$root/stats")
     if (!dir.isDirectory) 0
     else dir.listFiles().map(_.getName)
-      .collect { case s if s.startsWith("v=") &&
-        new java.io.File(dir, s + "/" + CommitMarker).isFile => s.drop(2).toInt }
+      .flatMap { s =>
+        // toIntOption: skip stray non-conforming entries rather than
+        // bricking reads with a NumberFormatException (see IncrementalIvf).
+        if (s.startsWith("v=") &&
+          new java.io.File(dir, s + "/" + CommitMarker).isFile)
+          s.drop(2).toIntOption
+        else None
+      }
       .foldLeft(0)(math.max)
   }
 

@@ -56,8 +56,15 @@ object IncrementalIvf {
     val dir = new java.io.File(s"$root/commit")
     if (!dir.isDirectory) 0
     else dir.listFiles().map(_.getName)
-      .collect { case s if s.startsWith("v=") &&
-        new java.io.File(dir, s + "/" + CommitMarker).isFile => s.drop(2).toInt }
+      .flatMap { s =>
+        // toIntOption: a stray non-conforming entry (e.g. "v=tmp" left by
+        // an external tool) must be skipped, not brick every read with a
+        // NumberFormatException.
+        if (s.startsWith("v=") &&
+          new java.io.File(dir, s + "/" + CommitMarker).isFile)
+          s.drop(2).toIntOption
+        else None
+      }
       .foldLeft(0)(math.max)
   }
 

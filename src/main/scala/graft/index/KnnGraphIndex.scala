@@ -1,0 +1,49 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.search.Ann
+import graft.tables.Tables
+
+/** Persisted corpus kNN edge list — the build/query split applied to the
+  * a18 graph (reference analogue: Qdrant builds its HNSW neighbor lists
+  * once at indexing time, `scripts/indexing.py:326-340`; every similarity
+  * traversal afterwards reads the prebuilt adjacency, never re-scores the
+  * corpus).
+  *
+  * The kNN graph is the single most expensive derived structure in the
+  * suite (corpus × nprobe candidate join), and it feeds TWO consumers:
+  * the a18 edge-list query itself and a19's SemDeDup-style clustering
+  * (connected components over the high-similarity edges). Before this
+  * artifact, a19 re-derived the whole edge set inside its own plan —
+  * doubling the most expensive computation in the suite. Now the graph is
+  * built at most once per (dataset, nprobe, k) and both consumers read
+  * the parquet artifact; at cluster scale this is the difference between
+  * "every downstream analytic re-joins 100 TB" and "the nightly graph
+  * build amortizes across all of them".
+  *
+  * Values are bit-identical to the inline plan: scores were already
+  * rounded to 6 dp doubles before the window rank, and parquet round-trips
+  * doubles exactly, so consumers' oracle hashes are unchanged. Ordering is
+  * NOT preserved by the parquet round-trip; consumers re-apply their own
+  * ORDER BY (a18 does, a19's CC is order-insensitive).
+  */
+object KnnGraphIndex {
+
+  /** Edge list (src, dst, score, rank) for `dataDir`'s embeddings table,
+    * built at most once. Centroid rule (first 10 stored vectors) mirrors
+    * the a1/a18 oracle so the artifact stays engine-independent. */
+  def edges(spark: SparkSession, dataDir: String,
+            nprobe: Int = 3, k: Int = 5): DataFrame = {
+    val name = s"knn_graph_n${nprobe}_k$k"
+    val p = IndexCatalog.ensure(spark, dataDir, name) { out =>
+      val emb = Tables.embeddings(spark, dataDir)
+      val centroids = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Ann.knnGraph(emb, centroids, nprobe, k)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/edges")
+    }
+    spark.read.parquet(s"$p/edges")
+  }
+}

@@ -27,11 +27,26 @@ import graft.functions.TextOps
 object Percolate {
 
   /** (alert_id, idCol) rows: every (saved query, document) pair where the
-    * doc contains all of the alert's terms. `alerts(alert_id, terms)`. */
+    * doc contains all of the alert's terms. `alerts(alert_id, terms)`.
+    *
+    * An alert with a null or empty `terms` array is REJECTED loudly
+    * (assert_true): a plain explode would silently drop it — it would
+    * never fire and never error — and the other defensible semantics (an
+    * empty conjunction matches every document) would turn a misconfigured
+    * saved query into a corpus-sized result. A registry entry that can
+    * never match is a configuration bug; fail fast. explode_OUTER keeps
+    * the empty/null row (term = null) so the assert actually evaluates —
+    * non-generator expressions in the same select run in the Project
+    * ABOVE the Generate, which a plain explode's zero output rows would
+    * never reach. */
   def matches(docs: DataFrame, alerts: DataFrame,
               idCol: String, textCol: String): DataFrame = {
     val at = alerts.select(col("alert_id"),
-      size(col("terms")).as("n_terms"), explode(col("terms")).as("term"))
+      when(assert_true(size(col("terms")) > 0,
+        concat(lit("Percolate: alert has null/empty terms: "),
+          col("alert_id").cast("string"))).isNull,
+        size(col("terms"))).as("n_terms"),
+      explode_outer(col("terms")).as("term"))
     docs.select(col(idCol),
         explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
       .join(broadcast(at), "term")

@@ -225,6 +225,15 @@ class CorpusStatsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.functions.Sampling.weightedSample(rows, "doc_id", "w", 0)
     }
+    // non-positive weights fail LOUDLY (NaN/Infinity keys would otherwise
+    // sort above every real key and silently dominate the sample)
+    val bad = ((0L until 5L).map(i => (i, 1L)) :+ (99L, 0L)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      graft.functions.Sampling.weightedSample(bad, "doc_id", "w", 3).collect()
+    }
+    assert(e.getMessage.contains("non-positive weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-positive weight")),
+      e.getMessage)
   }
 
   test("mattr: short docs fall back to TTR, windowed average matches hand trace") {

@@ -383,6 +383,13 @@ class IndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(afterOrphan == grown)
 
+    // a stray non-numeric commit entry (external tool debris) is skipped,
+    // not a NumberFormatException bricking every read
+    val stray = new java.io.File(s"$root/commit/v=tmp")
+    stray.mkdirs()
+    new java.io.File(stray, "_COMMITTED").createNewFile()
+    assert(IncrementalIvf.version(root) == 3)
+
     // compaction folds segments into a fresh root, scores unchanged, old
     // root untouched
     val compacted = Files.createTempDirectory("graft-ivf-cp").toString + "/idx"

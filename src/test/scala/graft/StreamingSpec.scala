@@ -128,6 +128,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("percolate rejects an alert with empty terms loudly") {
+    import graft.search.Percolate
+    // explode() would silently drop the empty alert — it would never fire
+    // and never error; the engine fails fast instead
+    val alerts = Seq((1, Seq("spark")), (2, Seq.empty[String]))
+      .toDF("alert_id", "terms")
+    val docs = Seq((1L, "spark join")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Percolate.matches(docs, alerts, "doc_id", "text").collect()
+    }
+    assert(e.getMessage.contains("empty terms") ||
+      Option(e.getCause).exists(_.getMessage.contains("empty terms")),
+      e.getMessage)
+  }
+
   test("stream-stream interval join matches clicks to impressions within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val impIn = MemoryStream[(Long, Timestamp)]
