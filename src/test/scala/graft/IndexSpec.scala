@@ -406,4 +406,39 @@ class IndexSpec extends SparkSpec {
         Files.createTempDirectory("graft-ivf-empty").toString)
     }
   }
+
+  test("incremental knn graph: grown == whole-corpus rebuild, compacted == grown") {
+    import graft.index.IncrementalKnn
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+
+    // grow in three installments (ids interleaved so every append creates
+    // both new-src and old-src-gains-new-dst candidates)
+    val root = Files.createTempDirectory("graft-knn-inc").toString + "/g"
+    IncrementalKnn.init(emb.where(col("vec_id") % 3 === 0), centroids, root, 3, 5)
+    IncrementalKnn.append(emb.where(col("vec_id") % 3 === 1), root, 3, 5)
+    IncrementalKnn.append(emb.where(col("vec_id") % 3 === 2), root, 3, 5)
+    assert(IncrementalKnn.version(root) == 3)
+
+    val rebuilt = rows(Ann.knnGraph(emb, centroids, 3, 5))
+    val grown = rows(IncrementalKnn.edges(spark, root, 5))
+    assert(grown == rebuilt && rebuilt.nonEmpty)
+
+    // compaction folds to one segment, merged graph unchanged
+    val compacted = Files.createTempDirectory("graft-knn-cp").toString + "/g"
+    IncrementalKnn.compact(spark, root, compacted, 5)
+    assert(IncrementalKnn.version(compacted) == 1)
+    assert(rows(IncrementalKnn.edges(spark, compacted, 5)) == grown)
+    assert(IncrementalKnn.version(root) == 3)
+
+    // append-before-init is refused
+    intercept[IllegalArgumentException] {
+      IncrementalKnn.append(emb,
+        Files.createTempDirectory("graft-knn-empty").toString, 3, 5)
+    }
+  }
 }
