@@ -1942,6 +1942,94 @@ object QueriesPipeline {
         ORDER BY es_key DESC, doc_id LIMIT 25
       """)),
 
+    // URL canonicalization (web-corpus dedup key): two deliberately
+    // messy raw variants per doc — uppercase scheme/host, www., default
+    // port, tracking params, fragment — collapse to ONE canonical URL
+    // (n_raw=2, n_distinct_raw=2 proves the collapse is canonicalization,
+    // not string equality). Pure column regexes, backreference-free so
+    // the DuckDB twin is rule-for-rule identical.
+    "t42_url_canonical" -> Q(
+      (s, d) => {
+        import graft.functions.UrlOps
+        val raw = docs(s, d).select(col("doc_id"),
+          explode(array(
+            concat(lit("HTTPS://WWW."), col("source"),
+              lit(".Example.COM:443/docs/"), col("doc_id"),
+              lit("?utm_source=feed&page="), col("doc_id") % 7, lit("#top")),
+            concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+              col("doc_id"), lit("?page="), col("doc_id") % 7,
+              lit("&utm_campaign=mirror")))).as("url"))
+        raw.withColumn("canon", UrlOps.canonicalize(col("url")))
+          .groupBy(col("canon"))
+          .agg(count(lit(1)).as("n_raw"),
+            countDistinct(col("url")).as("n_distinct_raw"),
+            min(col("doc_id")).as("doc_id"))
+          .withColumn("host", UrlOps.host(col("canon")))
+          .withColumn("reg_domain", UrlOps.registeredDomain(col("host")))
+          .orderBy(col("canon"))
+      },
+      Some("""
+        WITH raw AS (
+          SELECT doc_id, unnest([
+            'HTTPS://WWW.' || source || '.Example.COM:443/docs/' ||
+              doc_id::VARCHAR || '?utm_source=feed&page=' ||
+              (doc_id % 7)::VARCHAR || '#top',
+            'https://' || source || '.example.com/docs/' || doc_id::VARCHAR ||
+              '?page=' || (doc_id % 7)::VARCHAR || '&utm_campaign=mirror'
+          ]) AS url
+          FROM documents),
+        canon AS (
+          SELECT doc_id, url,
+            regexp_replace(regexp_replace(
+              lower(regexp_extract(url, '^([^:/]+://[^/?#]+)', 1)),
+              ':(443|80)$', ''), '://www\.', '://')
+            ||
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              substr(url, length(regexp_extract(url, '^([^:/]+://[^/?#]+)', 1)) + 1),
+              '#.*$', ''),
+              '(utm_[A-Za-z]+|fbclid|gclid|ref)=[^&#]*&?', ''),
+              '[?&]+$', ''), '/$', '') AS canon
+          FROM raw)
+        SELECT canon, count(*) AS n_raw, count(DISTINCT url) AS n_distinct_raw,
+               min(doc_id) AS doc_id,
+               regexp_extract(canon, '^[a-z]+://([^/:?#]+)', 1) AS host,
+               regexp_extract(regexp_extract(canon, '^[a-z]+://([^/:?#]+)', 1),
+                              '([^.]+\.[^.]+)$', 1) AS reg_domain
+        FROM canon GROUP BY canon ORDER BY canon
+      """)),
+
+    // Host blocklist filtering (the crawl-pipeline front gate): per-doc
+    // host extracted from the canonical URL, BROADCAST anti-joined
+    // against the banned-host table (small by contract — at scale a
+    // public-suffix/blocklist table of millions still broadcasts fine),
+    // surviving docs counted per host.
+    "t43_domain_blocklist" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.UrlOps
+        val hosts = docs(s, d).select(col("doc_id"),
+            concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+              col("doc_id")).as("url"))
+          .withColumn("host", UrlOps.host(col("url")))
+        val block = Seq("src3.example.com", "src7.example.com",
+          "srcX.example.com").toDF("host")
+        hosts.join(broadcast(block), Seq("host"), "left_anti")
+          .groupBy(col("host")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("host"))
+      },
+      Some("""
+        WITH hosts AS (
+          SELECT doc_id,
+                 regexp_extract('https://' || source || '.example.com/docs/' ||
+                                doc_id::VARCHAR, '^[a-z]+://([^/:?#]+)', 1) AS host
+          FROM documents),
+        block AS (SELECT unnest(['src3.example.com', 'src7.example.com',
+                                 'srcX.example.com']) AS host)
+        SELECT host, count(*) AS n_docs
+        FROM hosts WHERE host NOT IN (SELECT host FROM block)
+        GROUP BY host ORDER BY host
+      """)),
+
     // Tokenizer-coverage analysis: corpus top-100 vocab (count desc, token
     // asc — a deterministic total order), per-doc OOV occurrence rate.
     "t16_vocab_oov" -> Q(

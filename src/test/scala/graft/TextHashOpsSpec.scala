@@ -253,4 +253,29 @@ class TextHashOpsSpec extends SparkSpec {
       .select(TextOps.deflateRatio(col("t"))).collect()(0).getDouble(0)
     assert(rows(0).contains(again))
   }
+
+  test("url canonicalization: case/port/www/tracking/fragment variants collapse") {
+    import graft.functions.UrlOps
+    def canon(u: String): String = Seq(u).toDF("u")
+      .select(UrlOps.canonicalize(col("u"))).head().getString(0)
+    // the full mess collapses
+    assert(canon("HTTPS://WWW.A.Example.COM:443/docs/5?utm_source=x&page=3#top")
+      == "https://a.example.com/docs/5?page=3")
+    // already-canonical is a fixpoint
+    assert(canon("https://a.example.com/docs/5?page=3")
+      == "https://a.example.com/docs/5?page=3")
+    // tracking-only query drops entirely; trailing slash strips
+    assert(canon("http://b.org:80/x/?utm_campaign=m") == "http://b.org/x")
+    // path case preserved (paths are case-sensitive), host case is not
+    assert(canon("https://C.net/Path/File") == "https://c.net/Path/File")
+    // mid-list tracking param removal repairs separators
+    assert(canon("https://d.io/p?a=1&fbclid=zz&b=2") == "https://d.io/p?a=1&b=2")
+    // host + registered domain extraction
+    val hd = Seq("https://deep.sub.e.example.org/x").toDF("u")
+      .select(UrlOps.canonicalize(col("u")).as("c"))
+      .select(UrlOps.host(col("c")).as("h"))
+      .select(col("h"), UrlOps.registeredDomain(col("h")).as("rd")).head()
+    assert(hd.getString(0) == "deep.sub.e.example.org")
+    assert(hd.getString(1) == "example.org")
+  }
 }
