@@ -287,6 +287,38 @@ object Queries {
         FROM pairs ORDER BY from_type, to_type
       """)),
 
+    // Join-key skew profile — the pre-join diagnostic that decides
+    // salting/AQE-skew handling at scale: per-key counts (ONE map-side
+    // combined aggregation over the fact table), rolled up to total +
+    // distinct-key count (aggregation over the already-reduced key table),
+    // top-20 heaviest keys with share-of-total and ratio-vs-mean. All
+    // ratios are single divisions of exact integers (no float re-sums).
+    "q32_key_skew" -> Q(
+      (s, d) => {
+        val counts = Tables(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("key"))
+          .agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum(col("n")).as("total"),
+          count(lit(1)).as("n_keys"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("key"), col("n"),
+            round(col("n").cast("double") / col("total").cast("double"), 6)
+              .as("share"),
+            round((col("n") * col("n_keys")).cast("double") /
+              col("total").cast("double"), 6).as("skew_vs_mean"))
+          .orderBy(col("n").desc, col("key")).limit(20)
+      },
+      Some("""
+        WITH c AS (
+          SELECT l_partkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+        t AS (SELECT sum(n) AS total, count(*) AS n_keys FROM c)
+        SELECT key, n,
+               round(n::DOUBLE / total::DOUBLE, 6) AS share,
+               round((n * n_keys)::DOUBLE / total::DOUBLE, 6) AS skew_vs_mean
+        FROM c CROSS JOIN t
+        ORDER BY n DESC, key LIMIT 20
+      """)),
+
     // ABC / Pareto classification: parts ranked by revenue, classified by
     // cumulative share (A ≤ 50%, B ≤ 80%, C rest). The global window runs
     // over the AGGREGATED part table (catalog-sized, not corpus-sized) —
