@@ -66,9 +66,16 @@ object IncrementalKnn {
 
   def version(root: String): Int = IncrementalIvf.version(root)
 
-  private def publish(root: String, v: Int): Unit = {
+  /** Idempotence check for at-least-once writers — same contract as
+    * [[IncrementalIvf.committedHasTag]] (identical commit layout). */
+  def committedHasTag(root: String, tag: String): Boolean =
+    IncrementalIvf.committedHasTag(root, tag)
+
+  private def publish(root: String, v: Int,
+                      tag: Option[String] = None): Unit = {
     val dir = new java.io.File(s"$root/commit/v=$v")
     dir.mkdirs()
+    tag.foreach(t => new java.io.File(dir, s"_tag_$t").createNewFile())
     new java.io.File(dir, "_COMMITTED").createNewFile()
   }
 
@@ -131,7 +138,8 @@ object IncrementalKnn {
   /** Append a delta of new vectors: one new assignment/probes/edges
     * segment, candidate arms as documented above. Vec ids must be new
     * (append-only; replacement needs tombstone + [[compact]]). */
-  def append(delta: DataFrame, root: String, nprobe: Int, k: Int): Unit = {
+  def append(delta: DataFrame, root: String, nprobe: Int, k: Int,
+             tag: Option[String] = None): Unit = {
     val spark = delta.sparkSession
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized — call init first")
@@ -176,7 +184,7 @@ object IncrementalKnn {
 
     topKPerSrc(arm1.unionByName(arm2), k)
       .write.mode(SaveMode.Overwrite).parquet(edgesDir(root, v))
-    publish(root, v + 1)
+    publish(root, v + 1, tag)
   }
 
   /** The merged graph: union of all committed edge segments, one window

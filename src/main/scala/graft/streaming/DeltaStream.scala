@@ -247,6 +247,28 @@ object DeltaStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Streaming kNN-GRAPH maintenance: each micro-batch of new (vec_id,
+    * embedding) rows becomes one committed [[graft.index.IncrementalKnn]]
+    * segment — the new vectors probe the whole graph so far AND every
+    * prior vector gains the batch as candidates, so the merged graph
+    * stays hash-exact a whole-corpus rebuild after every trigger. Same
+    * exactly-once discipline as [[ivfIngest]]: atomic version markers,
+    * batch-id tags make redelivered micro-batches no-ops. The graph that
+    * SemDeDup clustering / diversity audits read is therefore never
+    * stale by more than one trigger interval. */
+  def knnIngest(vectors: DataFrame, graphRoot: String, checkpoint: String,
+                nprobe: Int, k: Int): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.index.IncrementalKnn
+        val tag = s"batch_$batchId"
+        if (!batch.isEmpty && !IncrementalKnn.committedHasTag(graphRoot, tag))
+          IncrementalKnn.append(batch, graphRoot, nprobe, k, tag = Some(tag))
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+
   /** Streaming ANN serving: a continuous stream of (qid, qvec) query rows
     * answered per micro-batch by ONE batched IVF plan over a PERSISTED
     * assignment ([[graft.search.Ann.ivfTopKBatched]]). The index is the

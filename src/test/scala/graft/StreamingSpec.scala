@@ -326,6 +326,40 @@ class StreamingSpec extends SparkSpec {
       IncrementalIvf.committedHasTag(root, s"batch_$b")))
   }
 
+  test("knnIngest: streamed graph segments merge hash-identical to a full rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.IncrementalKnn
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+    val root = java.nio.file.Files.createTempDirectory("graft-knn-ing").toString + "/g"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-knn-ck").toString
+    IncrementalKnn.init(emb.where(col("vec_id") % 4 === 0), centroids, root, 3, 5)
+    val rest = emb.where(col("vec_id") % 4 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = DeltaStream.knnIngest(
+      input.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+      root, ckpt, 3, 5)
+    try {
+      rest.grouped(25).foreach { g => input.addData(g.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    assert(IncrementalKnn.version(root) >= 3) // really grew in steps
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val streamed = rows(IncrementalKnn.edges(spark, root, 5))
+    val rebuilt = rows(graft.search.Ann.knnGraph(emb, centroids, 3, 5))
+    assert(streamed == rebuilt && rebuilt.nonEmpty)
+
+    // at-least-once redelivery: committed batch tags make replays no-ops
+    val vNow = IncrementalKnn.version(root)
+    assert((0 until vNow - 1).exists(b =>
+      IncrementalKnn.committedHasTag(root, s"batch_$b")))
+  }
+
   test("streaming vector ingest keeps the IVF index fresh via foreachBatch appendAssign") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
