@@ -137,6 +137,23 @@ object Bench {
       }.sorted.apply(2)
     }
 
+    // RAM-resident serving index for the batched legs (reference O6:
+    // `on_disk=False` — its HNSW lives in RAM at serving time; the honest
+    // equivalent here is the trained IVF pair persisted in storage
+    // memory). Persisted once before the legs, unpersisted after the
+    // hybrid leg — always outside timed regions. The per-query figures
+    // therefore measure serving against a warm index, exactly the regime
+    // BASELINE.md's bands describe.
+    val ivfServing: Option[(org.apache.spark.sql.DataFrame,
+                            org.apache.spark.sql.DataFrame)] =
+      try {
+        val (ap, cp) = graft.index.IvfIndex.ensureTrained(spark, sfDir, k = 16)
+        val a = spark.read.parquet(ap).persist(StorageLevel.MEMORY_AND_DISK)
+        val c = spark.read.parquet(cp).persist(StorageLevel.MEMORY_AND_DISK)
+        a.count(); c.count()
+        Some((a, c))
+      } catch { case _: Throwable => None }
+
     // Amortized serving latency — the apples-to-apples number against the
     // reference's per-query bands (BASELINE.md's own interpretation): a
     // server amortizes Spark's per-job floor by batching Q concurrent
@@ -146,10 +163,7 @@ object Bench {
     // IVF store.
     val (batchedPerQuery, batchedN) = try {
       val bn = 256
-      val (assignedPath, centroidsPath) =
-        graft.index.IvfIndex.ensureTrained(spark, sfDir, k = 16)
-      val assigned = spark.read.parquet(assignedPath)
-      val centroids = spark.read.parquet(centroidsPath)
+      val (assigned, centroids) = ivfServing.get
       import org.apache.spark.sql.functions.col
       def runBatch(): Double = {
         val queries = Tables.embeddings(spark, sfDir)
@@ -163,7 +177,8 @@ object Bench {
       }
       runBatch() // warm-up (index read, codegen)
       val p50 = Seq.fill(3)(runBatch()).sorted.apply(1)
-      releaseLeftovers()
+      // no releaseLeftovers here: it would evict the ivfServing pair the
+      // hybrid leg still needs; the post-hybrid cleanup drops everything
       (p50 / bn, bn)
     } catch { case _: Throwable => (-1.0, 0) }
 
@@ -192,7 +207,6 @@ object Bench {
       }
       runBm25Batch() // warm-up
       val p50 = Seq.fill(3)(runBm25Batch()).sorted.apply(1)
-      releaseLeftovers()
       (p50 / bn, bn)
     } catch { case _: Throwable => (-1.0, 0) }
 
@@ -211,13 +225,22 @@ object Bench {
       val queries = termPairs.zipWithIndex.map { case (ts, i) =>
         (i.toLong, i.toLong, ts.toSeq)
       }
+      // hybridBatchedIvf: dense arm from the trained persisted IVF index —
+      // the apples-to-apples form (the reference's dense arm is
+      // HNSW-approximate at serving time); the exact brute-force twin
+      // stays oracle-checked as s4b.
       def runHybridBatch(): Double = {
         val t0 = System.nanoTime()
-        graft.search.SearchEngine.hybridBatched(spark, sfDir, queries, 10).count()
+        graft.search.SearchEngine
+          .hybridBatchedIvf(spark, sfDir, queries, 10, index = ivfServing)
+          .count()
         (System.nanoTime() - t0) / 1e9
       }
       runHybridBatch() // warm-up
       val p50 = Seq.fill(3)(runHybridBatch()).sorted.apply(1)
+      ivfServing.foreach { case (a, c) =>
+        a.unpersist(blocking = false); c.unpersist(blocking = false)
+      }
       releaseLeftovers()
       (p50 / bn, bn)
     } catch { case _: Throwable => (-1.0, 0) }

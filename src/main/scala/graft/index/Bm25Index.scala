@@ -103,7 +103,7 @@ object Bm25Index {
     * loop equality). */
   def topKBatched(spark: SparkSession, indexDir: String, idCol: String,
                   queries: DataFrame, qidCol: String, termCol: String,
-                  k: Int): DataFrame = {
+                  k: Int, ordered: Boolean = true): DataFrame = {
     val terms = queries.select(col(termCol)).distinct()
       .collect().map(_.getString(0)).toSeq
     if (terms.isEmpty)
@@ -122,7 +122,12 @@ object Bm25Index {
       .withColumn("__rn", row_number().over(rank))
       .where(col("__rn") <= k)
       .select(col(qidCol), col(idCol), col("score"))
-      .orderBy(col(qidCol), col("score").desc, col(idCol).asc)
+      // ordered=false for fusion callers: skips the RANGE exchange (and
+      // its boundary-sampling job) and keeps the qid hash partitioning
+      // alive for the downstream rank windows (see Ann.ivfTopKBatched)
+      .transform(df =>
+        if (ordered) df.orderBy(col(qidCol), col("score").desc, col(idCol).asc)
+        else df)
   }
 
   /** Exact-phrase top-k through the inverted index: candidates are docs

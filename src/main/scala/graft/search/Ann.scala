@@ -128,7 +128,8 @@ object Ann {
     * queries: (qid, qvec). Output: (qid, id, score), ≤ k rows per qid,
     * scores rounded to 6dp for cross-engine determinism. */
   def ivfTopKBatched(assigned: DataFrame, centroids: DataFrame,
-                     queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+                     queries: DataFrame, nprobe: Int, k: Int,
+                     ordered: Boolean = true): DataFrame = {
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("qscore").desc, col("cid").asc)
     val probed = queries.crossJoin(broadcast(centroids))
@@ -139,14 +140,19 @@ object Ann {
 
     val wTopK = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("id").asc)
-    assigned
+    val topk = assigned
       .join(broadcast(probed), Seq("cid")) // one pass; only probed lists
       .select(col("qid"), col("vec_id").as("id"),
         round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("score"))
       .withColumn("rn", row_number().over(wTopK))
       .where(col("rn") <= k)
       .select(col("qid"), col("id"), col("score"))
-      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+    // ordered=false for fusion callers: the trailing global sort is a
+    // RANGE exchange (plus its boundary-sampling job) that destroys the
+    // qid hash partitioning the downstream rank windows want — the fused
+    // plan re-orders at the end anyway.
+    if (ordered) topk.orderBy(col("qid").asc, col("score").desc, col("id").asc)
+    else topk
   }
 
   /** Convenience form that assigns inline — for tests/oracles; production

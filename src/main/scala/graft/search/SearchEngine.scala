@@ -124,7 +124,46 @@ object SearchEngine {
       .toDF("qid", "term")
     val sparse = graft.index.Bm25Index.topKBatched(
         spark, graft.index.Bm25Index.ensure(spark, dir), "doc_id",
-        termsDf, "qid", "term", k * 2)
+        termsDf, "qid", "term", k * 2, ordered = false)
+      .withColumnRenamed("doc_id", "id")
+    Fusion.rrfBatched(dense, sparse, "qid", "id", 60, k)
+  }
+
+  /** Production batched hybrid — [[hybridBatched]] with the dense arm
+    * served from the TRAINED persisted IVF index instead of a full
+    * brute-force scan. This is the apples-to-apples serving form against
+    * the reference, whose dense arm is HNSW-APPROXIMATE at serving time
+    * (`scripts/indexing.py:326-340`): both engines answer the dense arm
+    * from a prebuilt approximate index and pay only the probed lists.
+    * The exact twin [[hybridBatched]] remains the oracle surface (s4b);
+    * this is the bench/throughput path, mirroring how a12 serves dense. */
+  def hybridBatchedIvf(spark: SparkSession, dir: String,
+                       queries: Seq[(Long, Long, Seq[String])], k: Int,
+                       nprobe: Int = 4,
+                       index: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
+    // `index`: a server keeps the (assigned, centroids) pair RAM-resident
+    // (persist + pass in — the reference's on_disk=False HNSW equivalent);
+    // the None path re-reads the parquet artifact per call.
+    val (assigned, centroids) = index.getOrElse {
+      val (assignedPath, centroidsPath) =
+        graft.index.IvfIndex.ensureTrained(spark, dir, k = 16)
+      (spark.read.parquet(assignedPath), spark.read.parquet(centroidsPath))
+    }
+    // query vectors fetched through the driver-side LRU (the reference's
+    // own query-embed cache pattern) — joining the corpus table just to
+    // pull |batch| vectors would cost a full scan per request
+    val qdf = spark.createDataFrame(
+      queries.map(q => (q._1, queryVecArray(spark, dir, q._2))))
+      .toDF("qid", "qvec")
+    val dense = graft.search.Ann.ivfTopKBatched(
+      assigned, centroids, qdf, nprobe, k * 2, ordered = false)
+    val termsDf = spark.createDataFrame(
+      queries.flatMap { case (qid, _, ts) => ts.distinct.map(t => (qid, t)) })
+      .toDF("qid", "term")
+    val sparse = graft.index.Bm25Index.topKBatched(
+        spark, graft.index.Bm25Index.ensure(spark, dir), "doc_id",
+        termsDf, "qid", "term", k * 2, ordered = false)
       .withColumnRenamed("doc_id", "id")
     Fusion.rrfBatched(dense, sparse, "qid", "id", 60, k)
   }
@@ -169,7 +208,7 @@ object SearchEngine {
       .toDF("qid", "term")
     val sparse = graft.index.Bm25Index.topKBatched(
         spark, graft.index.Bm25Index.ensure(spark, dir), "doc_id",
-        termsDf, "qid", "term", k * 2)
+        termsDf, "qid", "term", k * 2, ordered = false)
       .withColumnRenamed("doc_id", "id")
     Fusion.rrfBatched(dense, sparse, "qid", "id", 60, k)
   }

@@ -91,4 +91,23 @@ class FusionSpec extends SparkSpec {
       assert(fromBatch == single, s"qid=$qid mismatch vs single hybrid")
     }
   }
+
+  test("hybridBatchedIvf with all lists probed equals the exact batched hybrid") {
+    // nprobe = number of trained centroids scans every list, so the IVF
+    // dense arm degenerates to exact brute force — the bench's production
+    // path is pinned against the oracle-checked exact twin
+    val qs = Seq(
+      (0L, 0L, Seq("data", "query")),
+      (1L, 3L, Seq("spark", "filter")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = rows(SearchEngine.hybridBatched(spark, Sf0001, qs, 10))
+    val ivfAll = rows(SearchEngine.hybridBatchedIvf(spark, Sf0001, qs, 10,
+      nprobe = 16))
+    assert(ivfAll == exact && exact.nonEmpty)
+    // the production nprobe returns k rows per qid (approximate contents)
+    val prod = SearchEngine.hybridBatchedIvf(spark, Sf0001, qs, 10)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(prod == Map(0L -> 10, 1L -> 10), prod.toString)
+  }
 }
