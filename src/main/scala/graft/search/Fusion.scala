@@ -40,17 +40,19 @@ object Fusion {
     arm.withColumn("rank",
       row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)))
 
-  /** RRF merge of two ranked arms: score = Σ 1/(k + rank). Full-outer on
-    * the id; a missing side simply contributes nothing. */
+  /** RRF merge of two ranked arms: score = Σ 1/(k + rank). A missing
+    * side simply contributes nothing. Merged as a UNION + hash aggregate
+    * rather than a full-outer join (the [[rrfBatched]] rationale: the
+    * same values — two-term FP addition is commutative — without a
+    * SortMergeJoin's exchanges+sorts in a serving-latency plan). */
   def rrf(dense: DataFrame, sparse: DataFrame, idCol: String,
           k: Int = 60, limit: Int = 10): DataFrame = {
-    val d = ranked(dense, idCol).select(col(idCol), col("rank").as("rank_d"))
-    val s = ranked(sparse, idCol).select(col(idCol), col("rank").as("rank_s"))
-    d.join(s, Seq(idCol), "full_outer")
-      .withColumn("score",
-        coalesce(lit(1.0) / (lit(k) + col("rank_d")), lit(0.0)) +
-        coalesce(lit(1.0) / (lit(k) + col("rank_s")), lit(0.0)))
-      .select(col(idCol), round(col("score"), 6).as("score"))
+    def term(arm: DataFrame): DataFrame =
+      ranked(arm, idCol)
+        .select(col(idCol), (lit(1.0) / (lit(k) + col("rank"))).as("__t"))
+    term(dense).unionByName(term(sparse))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__t")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(limit)
   }
