@@ -93,14 +93,19 @@ object IvfIndex {
     (s"$out/assigned", s"$out/centroids")
   }
 
-  val TrainedName = "ivf_trained_v1"
-
   /** Memoized trained-centroid build (the production path): kmeans
     * centroids via [[buildTrained]], persisted once per data dir through
-    * [[IndexCatalog.ensure]]. Returns (assignedPath, centroidsPath). */
+    * [[IndexCatalog.ensure]]. Returns (assignedPath, centroidsPath).
+    *
+    * The artifact key INCLUDES k: callers with different list counts
+    * (a6/a8's k=8 exact-by-nprobe=k oracle vs the bench's k=16 serving
+    * store) must not collide — the pre-k-keyed name was first-builder-
+    * wins, so whichever ran first silently handed the other the wrong
+    * list geometry (a6's "probe all 8 lists = brute force" invariant
+    * breaks against a 16-list store; caught by an sf0.1 oracle sweep). */
   def ensureTrained(spark: SparkSession, dataDir: String, k: Int = 8)
       : (String, String) = {
-    val out = IndexCatalog.ensure(spark, dataDir, TrainedName) { p =>
+    val out = IndexCatalog.ensure(spark, dataDir, s"ivf_trained_v2_k$k") { p =>
       buildTrained(spark, dataDir, k, p); ()
     }
     (s"$out/assigned", s"$out/centroids")

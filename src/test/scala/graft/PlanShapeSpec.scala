@@ -411,7 +411,7 @@ class PlanShapeSpec extends SparkSpec {
     // physical plan reads the TRAINED assignment, not raw embeddings and
     // not the fixed-vector a4 index
     val plan = rewritten.queryExecution.executedPlan.toString
-    assert(plan.contains("ivf_trained_v1"), plan)
+    assert(plan.contains("ivf_trained_v2_k8"), plan)
 
     // nprobe = k probes every list -> exactly brute-force top-k
     val emb = graft.tables.Tables.embeddings(spark, Sf0001)
