@@ -3589,6 +3589,61 @@ object QueriesPipeline {
         WHERE rank <= 5 ORDER BY src, rank
       """)),
 
+    // ANN recall-vs-nprobe curve in ONE plan: each candidate tagged with
+    // its list's probe rank, each curve point a rank filter + partial
+    // top-k; nprobe = |centroids| is exact by construction, so the
+    // recall-1.0 row certifies the curve against itself — the quality
+    // dial an operator reads before choosing a serving nprobe.
+    "a21_recall_curve" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val qv = emb.where(col("vec_id") === Queries.QueryVecId)
+          .select(col("embedding").as("qvec"))
+        Ann.recallCurve(emb, centroids, qv, Seq(1, 2, 4, 10), 10)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        assign AS (
+          SELECT vec_id, cid, embedding FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        pr AS (
+          SELECT cid,
+                 row_number() OVER (
+                   ORDER BY round(list_cosine_similarity(c.cvec, q.qv), 6) DESC,
+                            cid ASC) AS prank
+          FROM cent c CROSS JOIN q),
+        cand AS (
+          SELECT a.vec_id AS id, pr.prank,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS score
+          FROM assign a JOIN pr USING (cid) CROSS JOIN q),
+        exact AS (
+          SELECT id FROM cand ORDER BY score DESC, id ASC LIMIT 10),
+        legs AS (SELECT unnest([1, 2, 4, 10]) AS nprobe),
+        ranked AS (
+          SELECT l.nprobe, c.id,
+                 row_number() OVER (PARTITION BY l.nprobe
+                   ORDER BY c.score DESC, c.id ASC) AS rn
+          FROM cand c JOIN legs l ON c.prank <= l.nprobe),
+        hits AS (
+          SELECT nprobe, count(*) AS hits
+          FROM ranked WHERE rn <= 10 AND id IN (SELECT id FROM exact)
+          GROUP BY nprobe)
+        SELECT l.nprobe, coalesce(h.hits, 0) AS hits,
+               round(coalesce(h.hits, 0)::DOUBLE / 10, 6) AS recall
+        FROM legs l LEFT JOIN hits h USING (nprobe)
+        ORDER BY l.nprobe
+      """)),
+
     // Incrementally-GROWN corpus kNN graph (thirds: init + two appends;
     // IncrementalKnn) — every candidate pair is generated in the batch
     // where its later endpoint arrived, per-segment top-k is a safe

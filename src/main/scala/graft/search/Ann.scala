@@ -163,6 +163,50 @@ object Ann {
               nprobe: Int, k: Int): DataFrame =
     ivfTopKAssigned(ivfAssign(vectors, centroids), centroids, queryVec, nprobe, k)
 
+  /** Recall@k as a function of nprobe — the ANN quality dial, certified
+    * in ONE plan. Every candidate is tagged with the PROBE RANK of its
+    * list (the nprobe at which that list first gets probed), so each
+    * curve point is just a rank filter `prank <= nprobe` + partial top-k
+    * (WindowGroupLimit keyed by nprobe — the same amortized shape as the
+    * batched serving plans, legs sharing one scan). Ground truth needs
+    * no external oracle: the exact top-k is the unfiltered candidate
+    * top-k (every vector lives in exactly one list), so an nprobe equal
+    * to the centroid count must print recall 1.0 — the curve certifies
+    * itself. Output: (nprobe, hits, recall), one row per requested
+    * nprobe. */
+  def recallCurve(vectors: DataFrame, centroids: DataFrame,
+                  queryVec: DataFrame, nprobes: Seq[Int], k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val assigned = ivfAssign(vectors, centroids)
+    val pr = centroids.crossJoin(broadcast(queryVec))
+      .select(col("cid"),
+        round(VectorOps.cosineSim(col("cvec"), col("qvec")), 6).as("qscore"))
+      .withColumn("prank", row_number().over(
+        Window.orderBy(col("qscore").desc, col("cid").asc)))
+      .select(col("cid"), col("prank"))
+    val cand = assigned.join(broadcast(pr), Seq("cid"))
+      .crossJoin(broadcast(queryVec))
+      .select(col("vec_id").as("id"), col("prank"),
+        round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+    val exactTop = cand
+      .orderBy(col("score").desc, col("id").asc).limit(k)
+      .select(col("id"))
+    val legs = nprobes.toDF("nprobe")
+    val wLeg = Window.partitionBy(col("nprobe"))
+      .orderBy(col("score").desc, col("id").asc)
+    val hits = cand.join(broadcast(legs), col("prank") <= col("nprobe"))
+      .withColumn("rn", row_number().over(wLeg))
+      .where(col("rn") <= k)
+      .join(broadcast(exactTop), Seq("id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+    legs.join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / k, 6).as("recall"))
+      .orderBy(col("nprobe"))
+  }
+
   /** Hyperplane-LSH embedding near-dup pairs: the 64 sign bits of each
     * vector (random-hyperplane signature — `VectorOps.binarySignature32`)
     * are cut into 8 bands of 8 bits; vectors sharing ANY band become
