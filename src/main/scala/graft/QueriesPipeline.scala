@@ -3589,6 +3589,49 @@ object QueriesPipeline {
         WHERE rank <= 5 ORDER BY src, rank
       """)),
 
+    // IVF list-balance monitor — the drift signal that schedules a
+    // centroid retrain (frozen centroids degrade LIST BALANCE, not
+    // correctness, as the ingested distribution drifts; see
+    // IncrementalIvf's drift caveat). One map-side-combined count over
+    // the assignment; balance = n/mean as a single exact-integer
+    // division. An operator alerts on max(balance) drifting from 1.
+    "a22_list_balance" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val counts = Ann.ivfAssign(emb, centroids)
+          .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum(col("n")).as("total"),
+          count(lit(1)).as("n_lists"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("cid"), col("n"),
+            round(col("n").cast("double") / col("total").cast("double"), 6)
+              .as("share"),
+            round((col("n") * col("n_lists")).cast("double") /
+              col("total").cast("double"), 6).as("balance"))
+          .orderBy(col("cid"))
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        counts AS (SELECT cid, count(*) AS n FROM assign GROUP BY cid),
+        tot AS (SELECT sum(n) AS total, count(*) AS n_lists FROM counts)
+        SELECT cid, n,
+               round(n::DOUBLE / total::DOUBLE, 6) AS share,
+               round((n * n_lists)::DOUBLE / total::DOUBLE, 6) AS balance
+        FROM counts CROSS JOIN tot ORDER BY cid
+      """)),
+
     // ANN recall-vs-nprobe curve in ONE plan: each candidate tagged with
     // its list's probe rank, each curve point a rank filter + partial
     // top-k; nprobe = |centroids| is exact by construction, so the

@@ -213,6 +213,24 @@ object IncrementalBm25 {
     new java.io.File(statsDir(newRoot, 1), CommitMarker).createNewFile()
   }
 
+  /** Size-tiered auto-compaction trigger — the policy half of the LSM
+    * story: reads fan in over every committed segment, so segment count
+    * is the read-amplification dial. When it exceeds `maxSegments`, fold
+    * into a fresh versioned root (old root readable throughout) and
+    * return the new root for the caller to swap its pointer to;
+    * otherwise return `root` unchanged. The new root's name carries the
+    * source version, so repeated triggers never collide. */
+  def compactIfNeeded(spark: SparkSession, root: String, idCol: String,
+                      maxSegments: Int): String = {
+    val v = version(root)
+    if (v <= maxSegments) root
+    else {
+      val newRoot = s"$root-c$v"
+      compact(spark, root, newRoot, idCol)
+      newRoot
+    }
+  }
+
   /** Ensure an incrementally-GROWN documents index for `dataDir`: half the
     * corpus at init, the rest appended — exercising the real maintenance
     * path while staying oracle-checkable against whole-corpus SQL. */

@@ -173,6 +173,21 @@ object IncrementalIvf {
     publish(newRoot, 1, None)
   }
 
+  /** Size-tiered auto-compaction trigger (see
+    * [[IncrementalBm25.compactIfNeeded]] — same policy, same pointer-swap
+    * contract): fold when segment fan-in exceeds `maxSegments`, return
+    * the root to read from. */
+  def compactIfNeeded(spark: SparkSession, root: String,
+                      maxSegments: Int): String = {
+    val v = version(root)
+    if (v <= maxSegments) root
+    else {
+      val newRoot = s"$root-c$v"
+      compact(spark, root, newRoot)
+      newRoot
+    }
+  }
+
   /** Ensure an incrementally-GROWN embeddings index for `dataDir`: half
     * the vectors at init, the rest appended — exercising the real
     * maintenance path while staying oracle-checkable against the same

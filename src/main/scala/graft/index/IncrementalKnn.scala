@@ -221,6 +221,21 @@ object IncrementalKnn {
     publish(newRoot, 1)
   }
 
+  /** Size-tiered auto-compaction trigger (see
+    * [[IncrementalBm25.compactIfNeeded]] — same policy, same pointer-swap
+    * contract): fold when edge-segment fan-in exceeds `maxSegments`,
+    * return the root to read from. */
+  def compactIfNeeded(spark: SparkSession, root: String, k: Int,
+                      maxSegments: Int): String = {
+    val v = version(root)
+    if (v <= maxSegments) root
+    else {
+      val newRoot = s"$root-c$v"
+      compact(spark, root, newRoot, k)
+      newRoot
+    }
+  }
+
   /** Incrementally-GROWN whole-corpus graph for `dataDir` (thirds: init +
     * two appends), memoized via the IndexCatalog — oracle-checkable
     * against the same whole-corpus kNN SQL as a18 (centroids = stored

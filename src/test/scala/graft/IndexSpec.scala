@@ -400,6 +400,15 @@ class IndexSpec extends SparkSpec {
     assert(afterCompact == grown)
     assert(IncrementalIvf.version(root) == 3)
 
+    // size-tiered trigger: under the cap returns the same root untouched;
+    // over it folds into a versioned sibling with identical results
+    assert(IncrementalIvf.compactIfNeeded(spark, root, maxSegments = 3) == root)
+    val auto = IncrementalIvf.compactIfNeeded(spark, root, maxSegments = 2)
+    assert(auto == s"$root-c3" && IncrementalIvf.version(auto) == 1)
+    val afterAuto = IncrementalIvf.topK(spark, auto, qv, nprobe = 3, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(afterAuto == grown)
+
     // append-before-init is refused
     intercept[IllegalArgumentException] {
       IncrementalIvf.append(emb,
