@@ -1978,18 +1978,25 @@ object QueriesPipeline {
               '?page=' || (doc_id % 7)::VARCHAR || '&utm_campaign=mirror'
           ]) AS url
           FROM documents),
+        sh AS (
+          SELECT doc_id, url,
+            lower(regexp_extract(url, '^([^:/]+://[^/?#]+)', 1)) AS sh,
+            substr(url, length(regexp_extract(url, '^([^:/]+://[^/?#]+)', 1)) + 1)
+              AS rest
+          FROM raw),
         canon AS (
           SELECT doc_id, url,
-            regexp_replace(regexp_replace(
-              lower(regexp_extract(url, '^([^:/]+://[^/?#]+)', 1)),
-              ':(443|80)$', ''), '://www\.', '://')
+            regexp_replace(
+              CASE WHEN sh LIKE 'https://%' THEN regexp_replace(sh, ':443$', '')
+                   WHEN sh LIKE 'http://%' THEN regexp_replace(sh, ':80$', '')
+                   ELSE sh END,
+              '://www\.', '://')
             ||
-            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-              substr(url, length(regexp_extract(url, '^([^:/]+://[^/?#]+)', 1)) + 1),
-              '#.*$', ''),
-              '(utm_[A-Za-z]+|fbclid|gclid|ref)=[^&#]*&?', ''),
+            regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(rest, '#.*$', ''),
+              '\b(utm_[A-Za-z]+|fbclid|gclid|ref)=[^&#]*&?', ''),
               '[?&]+$', ''), '/$', '') AS canon
-          FROM raw)
+          FROM sh)
         SELECT canon, count(*) AS n_raw, count(DISTINCT url) AS n_distinct_raw,
                min(doc_id) AS doc_id,
                regexp_extract(canon, '^[a-z]+://([^/:?#]+)', 1) AS host,
@@ -1998,37 +2005,73 @@ object QueriesPipeline {
         FROM canon GROUP BY canon ORDER BY canon
       """)),
 
-    // Host blocklist filtering (the crawl-pipeline front gate): per-doc
-    // host extracted from the canonical URL, BROADCAST anti-joined
-    // against the banned-host table (small by contract — at scale a
-    // public-suffix/blocklist table of millions still broadcasts fine),
-    // surviving docs counted per host.
+    // Domain blocklist filtering (the crawl-pipeline front gate): per-doc
+    // host extracted from the URL, REGISTERED DOMAIN resolved against the
+    // public-suffix table (two broadcast left joins, longest-suffix-first
+    // — `example.co.uk`-class hosts would be mis-keyed by the 2-label
+    // heuristic), then BROADCAST anti-joined against banned registered
+    // domains AND banned exact hosts, survivors counted per host. The
+    // fixture mixes co.uk / com / 4-label org hosts so all three suffix
+    // resolution paths (2-label match, 1-label match, fallback) are
+    // oracle-checked.
     "t43_domain_blocklist" -> Q(
       (s, d) => {
         import s.implicits._
         import graft.functions.UrlOps
         val hosts = docs(s, d).select(col("doc_id"),
-            concat(lit("https://"), col("source"), lit(".example.com/docs/"),
-              col("doc_id")).as("url"))
+            concat(lit("https://docs."), col("source"),
+              when(col("doc_id") % 3 === 0, lit(".co.uk"))
+                .when(col("doc_id") % 3 === 1, lit(".com"))
+                .otherwise(lit(".example")),
+              lit("/docs/"), col("doc_id")).as("url"))
           .withColumn("host", UrlOps.host(col("url")))
-        val block = Seq("src3.example.com", "src7.example.com",
-          "srcX.example.com").toDF("host")
-        hosts.join(broadcast(block), Seq("host"), "left_anti")
-          .groupBy(col("host")).agg(count(lit(1)).as("n_docs"))
+        val withRd = UrlOps.withRegisteredDomain(hosts, "host", "reg_domain")
+        val blockDomains = Seq("src3.co.uk", "src5.com").toDF("reg_domain")
+        val blockHosts = Seq("docs.src7.example").toDF("host")
+        withRd.join(broadcast(blockDomains), Seq("reg_domain"), "left_anti")
+          .join(broadcast(blockHosts), Seq("host"), "left_anti")
+          .groupBy(col("reg_domain"), col("host"))
+          .agg(count(lit(1)).as("n_docs"))
           .orderBy(col("host"))
       },
-      Some("""
+      Some({
+        import graft.functions.UrlOps
+        val sfx2 = UrlOps.PublicSuffixes.filter(_.contains('.'))
+          .map("'" + _ + "'").mkString(", ")
+        val sfx1 = UrlOps.PublicSuffixes.filterNot(_.contains('.'))
+          .map("'" + _ + "'").mkString(", ")
+        s"""
         WITH hosts AS (
           SELECT doc_id,
-                 regexp_extract('https://' || source || '.example.com/docs/' ||
-                                doc_id::VARCHAR, '^[a-z]+://([^/:?#]+)', 1) AS host
+                 regexp_extract('https://docs.' || source ||
+                   (CASE doc_id % 3 WHEN 0 THEN '.co.uk'
+                                    WHEN 1 THEN '.com'
+                                    ELSE '.example' END) ||
+                   '/docs/' || doc_id::VARCHAR,
+                   '^[a-z]+://([^/:?#]+)', 1) AS host
           FROM documents),
-        block AS (SELECT unnest(['src3.example.com', 'src7.example.com',
-                                 'srcX.example.com']) AS host)
-        SELECT host, count(*) AS n_docs
-        FROM hosts WHERE host NOT IN (SELECT host FROM block)
-        GROUP BY host ORDER BY host
-      """)),
+        parts AS (
+          SELECT doc_id, host,
+                 regexp_extract(host, '([^.]+)$$', 1) AS last1,
+                 regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS last2,
+                 regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS last3
+          FROM hosts),
+        suf2 AS (SELECT unnest([$sfx2]) AS sfx2),
+        suf1 AS (SELECT unnest([$sfx1]) AS sfx1),
+        rd AS (
+          SELECT doc_id, host,
+                 CASE WHEN s2.sfx2 IS NOT NULL AND last3 <> '' THEN last3
+                      WHEN s1.sfx1 IS NOT NULL AND last2 <> '' THEN last2
+                      ELSE last2 END AS reg_domain
+          FROM parts p
+          LEFT JOIN suf2 s2 ON p.last2 = s2.sfx2
+          LEFT JOIN suf1 s1 ON p.last1 = s1.sfx1)
+        SELECT reg_domain, host, count(*) AS n_docs
+        FROM rd
+        WHERE reg_domain NOT IN ('src3.co.uk', 'src5.com')
+          AND host NOT IN ('docs.src7.example')
+        GROUP BY reg_domain, host ORDER BY host
+      """})),
 
     // Tokenizer-coverage analysis: corpus top-100 vocab (count desc, token
     // asc — a deterministic total order), per-doc OOV occurrence rate.

@@ -69,30 +69,15 @@ object IncrementalBm25 {
     (dfreq, corpus)
   }
 
-  private def statsDir(root: String, v: Int) = s"$root/stats/v=$v"
+  private def statsBase(root: String) = s"$root/stats"
+  private def statsDir(root: String, v: Int) =
+    SegmentStore.versionDir(statsBase(root), v)
   private def segDir(root: String, k: Int) = s"$root/seg/$k"
 
-  private val CommitMarker = "_COMMITTED"
-
-  /** Committed version: max v under stats/ whose [[CommitMarker]] exists
-    * (0 = uninitialized). The stats DIRECTORY appears as soon as its
-    * parquet write starts, so directory existence is not a commit — the
-    * marker, created in one atomic syscall after every stats artifact is
-    * fully written, is. */
-  def version(root: String): Int = {
-    val dir = new java.io.File(s"$root/stats")
-    if (!dir.isDirectory) 0
-    else dir.listFiles().map(_.getName)
-      .flatMap { s =>
-        // toIntOption: skip stray non-conforming entries rather than
-        // bricking reads with a NumberFormatException (see IncrementalIvf).
-        if (s.startsWith("v=") &&
-          new java.io.File(dir, s + "/" + CommitMarker).isFile)
-          s.drop(2).toIntOption
-        else None
-      }
-      .foldLeft(0)(math.max)
-  }
+  /** Committed version — [[SegmentStore]] protocol over `stats/` (here
+    * the version dirs CARRY the merged stats parquet: the directory
+    * appears as soon as the write starts, so only the marker commits). */
+  def version(root: String): Int = SegmentStore.version(statsBase(root))
 
   /** Build segment 0 + stats v=1. `tag` is an optional idempotence tag
     * committed atomically with the version (see [[committedHasTag]]). */
@@ -135,11 +120,9 @@ object IncrementalBm25 {
     mergedCorpus.coalesce(1).write.mode("overwrite")
       .parquet(s"${statsDir(root, seg + 1)}/corpus")
     // publish: tag first, then the atomic commit marker — the version (and
-    // its tag) become visible in one syscall, after every artifact is
-    // fully on disk
-    tag.foreach(t =>
-      new java.io.File(statsDir(root, seg + 1), s"_tag_$t").createNewFile())
-    new java.io.File(statsDir(root, seg + 1), CommitMarker).createNewFile()
+    // its tag) become visible in one namespace op, after every artifact
+    // is fully on disk
+    SegmentStore.publish(statsBase(root), seg + 1, tag)
   }
 
   /** BM25 top-k across all committed segments, idf/length-norm applied at
@@ -181,7 +164,7 @@ object IncrementalBm25 {
     * segment at the same number: exactly-once in effect. */
   def committedHasTag(root: String, tag: String): Boolean = {
     val v = version(root)
-    v > 0 && new java.io.File(statsDir(root, v), s"_tag_$tag").isFile
+    v > 0 && SegmentStore.hasTag(statsBase(root), v, tag)
   }
 
   /** Compact all committed segments into a single fresh one. Queries pay
@@ -210,7 +193,7 @@ object IncrementalBm25 {
     spark.read.parquet(s"${statsDir(root, v)}/corpus")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"${statsDir(newRoot, 1)}/corpus")
-    new java.io.File(statsDir(newRoot, 1), CommitMarker).createNewFile()
+    SegmentStore.publish(statsBase(newRoot), 1, None)
   }
 
   /** Size-tiered auto-compaction trigger — the policy half of the LSM
@@ -221,15 +204,9 @@ object IncrementalBm25 {
     * otherwise return `root` unchanged. The new root's name carries the
     * source version, so repeated triggers never collide. */
   def compactIfNeeded(spark: SparkSession, root: String, idCol: String,
-                      maxSegments: Int): String = {
-    val v = version(root)
-    if (v <= maxSegments) root
-    else {
-      val newRoot = s"$root-c$v"
-      compact(spark, root, newRoot, idCol)
-      newRoot
-    }
-  }
+                      maxSegments: Int): String =
+    SegmentStore.compactIfNeeded(root, version(root), maxSegments)(
+      compact(spark, root, _, idCol))
 
   /** Ensure an incrementally-GROWN documents index for `dataDir`: half the
     * corpus at init, the rest appended — exercising the real maintenance

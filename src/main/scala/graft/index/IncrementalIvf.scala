@@ -45,28 +45,11 @@ object IncrementalIvf {
   val Name = "ivf_inc_v1"
 
   private def segDir(root: String, k: Int) = s"$root/seg/$k"
-  private def commitDir(root: String, v: Int) = s"$root/commit/v=$v"
-  private val CommitMarker = "_COMMITTED"
+  private def commitBase(root: String) = s"$root/commit"
 
-  /** Committed version: max v under commit/ whose marker exists (0 =
-    * uninitialized). Directory existence is not a commit — the marker,
-    * created in one atomic syscall after the segment is fully written,
-    * is. */
-  def version(root: String): Int = {
-    val dir = new java.io.File(s"$root/commit")
-    if (!dir.isDirectory) 0
-    else dir.listFiles().map(_.getName)
-      .flatMap { s =>
-        // toIntOption: a stray non-conforming entry (e.g. "v=tmp" left by
-        // an external tool) must be skipped, not brick every read with a
-        // NumberFormatException.
-        if (s.startsWith("v=") &&
-          new java.io.File(dir, s + "/" + CommitMarker).isFile)
-          s.drop(2).toIntOption
-        else None
-      }
-      .foldLeft(0)(math.max)
-  }
+  /** Committed version — [[SegmentStore]] protocol over `commit/` (empty
+    * version dirs: the marker IS the state). */
+  def version(root: String): Int = SegmentStore.version(commitBase(root))
 
   /** Idempotence check for at-least-once writers (streaming foreachBatch
     * replays the last uncommitted micro-batch after a failure) — same
@@ -74,15 +57,10 @@ object IncrementalIvf {
     * before the commit marker, so it is committed atomically with the
     * version, and a redelivered batch whose tag is visible is skipped. */
   def committedHasTag(root: String, tag: String): Boolean =
-    (1 to version(root)).exists(v =>
-      new java.io.File(commitDir(root, v), s"_tag_$tag").isFile)
+    SegmentStore.anyCommittedHasTag(commitBase(root), tag)
 
-  private def publish(root: String, v: Int, tag: Option[String]): Unit = {
-    val dir = new java.io.File(commitDir(root, v))
-    dir.mkdirs()
-    tag.foreach(t => new java.io.File(dir, s"_tag_$t").createNewFile())
-    new java.io.File(dir, CommitMarker).createNewFile()
-  }
+  private def publish(root: String, v: Int, tag: Option[String]): Unit =
+    SegmentStore.publish(commitBase(root), v, tag)
 
   private def writeSegment(vectors: DataFrame, centroids: DataFrame,
                            root: String, seg: Int): Unit =
@@ -178,15 +156,9 @@ object IncrementalIvf {
     * contract): fold when segment fan-in exceeds `maxSegments`, return
     * the root to read from. */
   def compactIfNeeded(spark: SparkSession, root: String,
-                      maxSegments: Int): String = {
-    val v = version(root)
-    if (v <= maxSegments) root
-    else {
-      val newRoot = s"$root-c$v"
-      compact(spark, root, newRoot)
-      newRoot
-    }
-  }
+                      maxSegments: Int): String =
+    SegmentStore.compactIfNeeded(root, version(root), maxSegments)(
+      compact(spark, root, _))
 
   /** Ensure an incrementally-GROWN embeddings index for `dataDir`: half
     * the vectors at init, the rest appended — exercising the real

@@ -72,25 +72,19 @@ object IncrementalKnn {
     IncrementalIvf.committedHasTag(root, tag)
 
   private def publish(root: String, v: Int,
-                      tag: Option[String] = None): Unit = {
-    val dir = new java.io.File(s"$root/commit/v=$v")
-    dir.mkdirs()
-    tag.foreach(t => new java.io.File(dir, s"_tag_$t").createNewFile())
-    new java.io.File(dir, "_COMMITTED").createNewFile()
-  }
+                      tag: Option[String] = None): Unit =
+    SegmentStore.publish(s"$root/commit", v, tag)
 
   private def readCentroids(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/centroids")
 
   private def readAssignAll(spark: SparkSession, root: String,
                             upTo: Int): DataFrame =
-    (0 until upTo).map(k => spark.read.parquet(assignDir(root, k)))
-      .reduce(_ unionByName _)
+    SegmentStore.readSegments(spark, upTo)(assignDir(root, _))
 
   private def readProbesAll(spark: SparkSession, root: String,
                             upTo: Int): DataFrame =
-    (0 until upTo).map(k => spark.read.parquet(probesDir(root, k)))
-      .reduce(_ unionByName _)
+    SegmentStore.readSegments(spark, upTo)(probesDir(root, _))
 
   /** Top-`nprobe` centroid ids per vector — the same probe rule as
     * [[Ann.knnGraph]] (cosine desc, cid asc). Slim output (src, cid). */
@@ -193,8 +187,7 @@ object IncrementalKnn {
   def edges(spark: SparkSession, root: String, k: Int): DataFrame = {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
-    val all = (0 until v).map(i => spark.read.parquet(edgesDir(root, i)))
-      .reduce(_ unionByName _)
+    val all = SegmentStore.readSegments(spark, v)(edgesDir(root, _))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("score").desc, col("dst").asc)
     all.withColumn("rank", row_number().over(w))
@@ -226,15 +219,9 @@ object IncrementalKnn {
     * contract): fold when edge-segment fan-in exceeds `maxSegments`,
     * return the root to read from. */
   def compactIfNeeded(spark: SparkSession, root: String, k: Int,
-                      maxSegments: Int): String = {
-    val v = version(root)
-    if (v <= maxSegments) root
-    else {
-      val newRoot = s"$root-c$v"
-      compact(spark, root, newRoot, k)
-      newRoot
-    }
-  }
+                      maxSegments: Int): String =
+    SegmentStore.compactIfNeeded(root, version(root), maxSegments)(
+      compact(spark, root, _, k))
 
   /** Incrementally-GROWN whole-corpus graph for `dataDir` (thirds: init +
     * two appends), memoized via the IndexCatalog — oracle-checkable

@@ -416,6 +416,51 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("incremental indexes: scheme-qualified (file:) roots work via Hadoop FS") {
+    // The commit protocol goes through the Hadoop FileSystem API
+    // (SegmentStore), not java.io.File — so an index root addressed by a
+    // URI with a scheme, the shape hdfs:// and s3a:// roots have, must
+    // work end-to-end. `file:/...` is exactly such a URI: java.io.File
+    // would treat it as a relative path named "file:", so this test fails
+    // against any POSIX-only regression while needing no external
+    // cluster.
+    import graft.index.{IncrementalBm25, IncrementalIvf}
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qv = emb.where(col("vec_id") === 7L).select(col("embedding").as("qvec"))
+
+    val root = "file:" + Files.createTempDirectory("graft-fsuri").toString + "/idx"
+    IncrementalIvf.init(emb.where(col("vec_id") % 2 === 0), centroids, root,
+      tag = Some("b0"))
+    IncrementalIvf.append(emb.where(col("vec_id") % 2 === 1), root,
+      tag = Some("b1"))
+    assert(IncrementalIvf.version(root) == 2)
+    assert(IncrementalIvf.committedHasTag(root, "b0"))
+    assert(IncrementalIvf.committedHasTag(root, "b1"))
+    assert(!IncrementalIvf.committedHasTag(root, "b2"))
+    val grown = IncrementalIvf.topK(spark, root, qv, nprobe = 3, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rebuilt = Ann.ivfTopK(emb, centroids, qv, nprobe = 3, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(grown == rebuilt && rebuilt.nonEmpty)
+
+    // sparse twin under a scheme-qualified root, including the tag check
+    val docs = Tables.documents(spark, Sf0001)
+    val broot = "file:" + Files.createTempDirectory("graft-fsuri-b").toString + "/idx"
+    IncrementalBm25.init(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", broot, tag = Some("m0"))
+    IncrementalBm25.append(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", broot, tag = Some("m1"))
+    assert(IncrementalBm25.version(broot) == 2)
+    assert(IncrementalBm25.committedHasTag(broot, "m1"))
+    assert(!IncrementalBm25.committedHasTag(broot, "m0")) // latest-only contract
+    val hits = IncrementalBm25.topK(spark, broot, "doc_id",
+      Seq("the", "data"), k = 5).collect()
+    assert(hits.nonEmpty)
+  }
+
   test("incremental knn graph: grown == whole-corpus rebuild, compacted == grown") {
     import graft.index.IncrementalKnn
     import graft.search.Ann

@@ -278,4 +278,51 @@ class TextHashOpsSpec extends SparkSpec {
     assert(hd.getString(0) == "deep.sub.e.example.org")
     assert(hd.getString(1) == "example.org")
   }
+
+  test("url canonicalization: tracking-param strip anchors to the name start") {
+    import graft.functions.UrlOps
+    def canon(u: String): String = Seq(u).toDF("u")
+      .select(UrlOps.canonicalize(col("u"))).head().getString(0)
+    // `aref` must NOT lose its `ref` tail (the unanchored regex spliced
+    // `?aref=1&b=2` into `?ab=2`, merging distinct URLs under one key)
+    assert(canon("https://a.com/p?aref=1&b=2") == "https://a.com/p?aref=1&b=2")
+    assert(canon("https://a.com/p?href=x&xref=y") == "https://a.com/p?href=x&xref=y")
+    // underscore is a word char: `page_ref` protected too
+    assert(canon("https://a.com/p?page_ref=7") == "https://a.com/p?page_ref=7")
+    // the real param still strips, at ? and at &
+    assert(canon("https://a.com/p?ref=rss") == "https://a.com/p")
+    assert(canon("https://a.com/p?a=1&ref=rss&b=2") == "https://a.com/p?a=1&b=2")
+  }
+
+  test("url canonicalization: default-port strip is scheme-aware") {
+    import graft.functions.UrlOps
+    def canon(u: String): String = Seq(u).toDF("u")
+      .select(UrlOps.canonicalize(col("u"))).head().getString(0)
+    // scheme-matching defaults strip
+    assert(canon("https://a.com:443/x") == "https://a.com/x")
+    assert(canon("http://a.com:80/x") == "http://a.com/x")
+    // explicit NON-default ports are distinct origins and must survive
+    assert(canon("http://a.com:443/x") == "http://a.com:443/x")
+    assert(canon("https://a.com:80/x") == "https://a.com:80/x")
+    assert(canon("https://a.com:8443/x") == "https://a.com:8443/x")
+  }
+
+  test("registered domain: public-suffix table handles co.uk-class hosts") {
+    import graft.functions.UrlOps
+    val hosts = Seq(
+      "docs.bbc.co.uk",      // 2-label suffix: rd = bbc.co.uk
+      "www.example.com",     // 1-label suffix: rd = example.com
+      "a.b.shop.com.au",     // 2-label suffix, deep host: rd = shop.com.au
+      "site.internal",       // unknown TLD: 2-label fallback
+      "localhost"            // single label: fallback yields ''-safe last2
+    ).toDF("host")
+    val rd = UrlOps.withRegisteredDomain(hosts, "host", "rd")
+      .orderBy(col("host")).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rd.toMap == Map(
+      "docs.bbc.co.uk" -> "bbc.co.uk",
+      "www.example.com" -> "example.com",
+      "a.b.shop.com.au" -> "shop.com.au",
+      "site.internal" -> "site.internal",
+      "localhost" -> ""))
+  }
 }
