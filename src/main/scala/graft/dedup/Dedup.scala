@@ -359,14 +359,42 @@ object Dedup {
     *
     * The only pairs still lost are those where EVERY shared bucket
     * dropped a member — unavoidable under any cap, flagged by
-    * [[BucketStatsMetric]].`truncated_buckets` > 0. */
-  private[graft] def lshCandidates(bands: DataFrame, maxBucket: Int): DataFrame = {
+    * [[BucketStatsMetric]].`truncated_buckets` > 0.
+    *
+    * Degenerate-corpus size gate: the suppression predicate embeds the
+    * collected overflowed buckets as a CASE chain — fine for the
+    * rare-by-contract case, but a pathological near-identical corpus
+    * could overflow thousands of buckets and the chain would become a
+    * thousands-deep `when` tree (plan-size/codegen blowup, not a wrong
+    * answer). Above [[OverflowSuppressGate]] overflowed buckets the
+    * plan switches to the dedup-shuffle form: emit a pair at EVERY band
+    * whose bucket retained both members (retention is inherent — `ms`
+    * holds only retained members) and collapse duplicates with one
+    * `dropDuplicates` shuffle. The pair SET is identical — "emitted at
+    * the first retaining band" and "emitted at some retaining band,
+    * deduped" name the same set — so the gate trades one extra shuffle
+    * (on a corpus that is already pathological) for a bounded plan. */
+  val OverflowSuppressGate = 64
+
+  private[graft] def lshCandidates(bands: DataFrame, maxBucket: Int,
+      overflowGate: Int = OverflowSuppressGate): DataFrame = {
     val buckets = barrier(bucketAgg(bands, maxBucket))
     // (band_id, band key, cutoff id) of overflowed buckets; tiny by
-    // contract (scan of barriered blocks, no recompute).
+    // contract (scan of barriered blocks, no recompute). limit+1: when
+    // the corpus is degenerate enough to trip the gate we never pull the
+    // full overflow set to the driver at all.
     val trunc = buckets.where(col("truncated"))
-      .select(col("band_id"), col("band"), col("cutoff")).collect()
+      .select(col("band_id"), col("band"), col("cutoff"))
+      .limit(overflowGate + 1).collect()
       .map(r => (r.getInt(0), r.getString(1), r.get(2)))
+    if (trunc.length > overflowGate) {
+      return buckets
+        .select(col("band_id"), explode(col("ms")).as("a"), col("ms"))
+        .select(col("band_id"), col("a"), explode(col("ms")).as("b"))
+        .where(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+    }
     val truncByBand = trunc.groupBy(_._1)
       .map { case (b, xs) => (b, xs.map(t => (t._2, t._3)).toSeq) }
     val nBands = MinhashPerms / MinhashBandRows

@@ -160,6 +160,61 @@ object IncrementalIvf {
     SegmentStore.compactIfNeeded(root, version(root), maxSegments)(
       compact(spark, root, _))
 
+  /** Centroid RETRAIN — the production answer to the frozen-centroid
+    * drift caveat in the object doc: re-fit kmeans centroids on the
+    * CURRENT corpus (union of all committed segments), reassign every
+    * vector against them, and publish the result as a fresh single-
+    * segment root. The old root stays readable throughout and callers
+    * swap their pointer when done — compaction with new centroids, behind
+    * the same publish-last discipline. Served results are exactly a
+    * from-scratch trained build over the same corpus (same kmeans path
+    * as [[IvfIndex.buildTrained]], same [[Ann.ivfAssign]] arithmetic —
+    * IndexSpec pins retrained ≡ rebuilt). */
+  def retrain(spark: SparkSession, root: String, newRoot: String,
+              k: Int): Unit = {
+    val v = version(root)
+    require(v > 0, s"index at $root not initialized")
+    val corpus = readAssigned(spark, root)
+      .select(col("vec_id"), col("embedding"))
+    val assembled = corpus.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")))
+    val model = MlIndex.fitIvfCentroids(assembled, k)
+    val centroidRows = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i.toLong, c.toArray.map(_.toFloat))
+    }
+    import spark.implicits._
+    centroidRows.toSeq.toDF("cid", "cvec").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$newRoot/centroids")
+    writeSegment(corpus, readCentroids(spark, newRoot), newRoot, 0)
+    publish(newRoot, 1, None)
+  }
+
+  /** Drift-triggered retrain — wires the a22 list-balance monitor to
+    * [[retrain]]: when the worst list's balance (n·lists/total, the a22
+    * definition — 1.0 is perfectly even) exceeds `maxBalance`, re-fit
+    * into a fresh versioned sibling and return it for the caller to swap
+    * its pointer to; otherwise return `root` unchanged. The balance scan
+    * is one map-side-combined count over the assignment (list-count
+    * rows to the driver, never vectors). `lists` is the CENTROID count,
+    * not the non-empty-list count — a fully-collapsed assignment (every
+    * vector in one list) must read as worst-case k, not as a perfectly
+    * balanced single list. */
+  def retrainIfImbalanced(spark: SparkSession, root: String, k: Int,
+                          maxBalance: Double): String = {
+    val lists = readCentroids(spark, root).count()
+    val counts = readAssigned(spark, root)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("maxN"), sum(col("n")).as("total"))
+      .head()
+    val worst = counts.getLong(0).toDouble * lists / counts.getLong(1)
+    if (worst <= maxBalance) root
+    else {
+      val newRoot = s"$root-r${version(root)}"
+      retrain(spark, root, newRoot, k)
+      newRoot
+    }
+  }
+
   /** Ensure an incrementally-GROWN embeddings index for `dataDir`: half
     * the vectors at init, the rest appended — exercising the real
     * maintenance path while staying oracle-checkable against the same

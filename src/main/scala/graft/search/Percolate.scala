@@ -55,4 +55,60 @@ object Percolate {
       .where(col("hit_terms") === col("n_terms"))
       .select(col("alert_id"), col(idCol))
   }
+
+  /** [[matches]] at corpus-of-alerts scale — the INVERTED-ALERT-INDEX
+    * form (how Elasticsearch's percolator actually scales: saved queries
+    * are themselves indexed, and a document only evaluates the alerts its
+    * terms select). Value-identical to [[matches]]; the plan differs:
+    *
+    *  1. each alert is keyed by its ANCHOR term — the corpus-rarest of
+    *     its terms (min df, term asc; a conjunctive alert can only fire
+    *     on docs containing ALL its terms, so probing by the rarest one
+    *     loses nothing and minimizes candidates). In production the df
+    *     lookup reads the prebuilt Bm25Index termstats artifact; here it
+    *     is derived in-plan from the same token stream.
+    *  2. candidates come from an EQUI-JOIN of the doc-term stream with
+    *     the anchor table (`shuffle_hash` hint — the million-alert table
+    *     is no longer broadcastable, which is the point of this variant),
+    *  3. the full conjunction closes by joining candidate alerts' term
+    *     lists back against the doc-term stream on (doc, term) and
+    *     counting — candidate-sized work, since non-candidate docs died
+    *     at the anchor probe.
+    *
+    * An alert containing a term absent from the corpus gets df 0 for it;
+    * that term becomes the anchor, selects no candidates, and the alert
+    * correctly never fires — no special case needed. */
+  def matchesInverted(docs: DataFrame, alerts: DataFrame,
+                      idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val at = alerts.select(col("alert_id"),
+      when(assert_true(size(col("terms")) > 0,
+        concat(lit("Percolate: alert has null/empty terms: "),
+          col("alert_id").cast("string"))).isNull,
+        size(col("terms"))).as("n_terms"),
+      explode_outer(col("terms")).as("term"))
+    val dt = docs.select(col(idCol),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
+    // df of alert terms only (|alert vocab| rows, not corpus vocab)
+    val dfreq = dt.join(at.select(col("term")).distinct(), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wAnchor = Window.partitionBy(col("alert_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val anchors = at.join(dfreq, Seq("term"), "left")
+      .na.fill(0L, Seq("df"))
+      .withColumn("rn", row_number().over(wAnchor))
+      .where(col("rn") === 1)
+      .select(col("alert_id"), col("term"))
+    // anchor probe: equi-join, alerts NOT broadcast (the scale premise)
+    val cand = dt.join(anchors.hint("shuffle_hash"), Seq("term"))
+      .select(col("alert_id"), col(idCol))
+    // conjunction check over candidates only
+    cand.join(at.select(col("alert_id"), col("n_terms"), col("term")),
+        Seq("alert_id"))
+      .join(dt, Seq(idCol, "term"))
+      .groupBy(col("alert_id"), col("n_terms"), col(idCol))
+      .agg(count(lit(1)).as("hit_terms"))
+      .where(col("hit_terms") === col("n_terms"))
+      .select(col("alert_id"), col(idCol))
+  }
 }

@@ -72,6 +72,45 @@ class DedupSpec extends SparkSpec {
     assert(full.contains(("a", "z")))
   }
 
+  test("lsh overflow size gate: past the gate the dedup-shuffle path emits the identical pair set") {
+    import org.apache.spark.sql.functions.{col, struct}
+    def key(b: Int, slice: Seq[Long]): String =
+      slice.zipWithIndex.map { case (v, r) => f"${b * 4 + r}%02d:$v%d" }.mkString(",")
+    // 80 disjoint 5-member clusters — more than OverflowSuppressGate (64)
+    // — each overflowing its cap-3 band-0 bucket; within each cluster the
+    // two lexicographically-smallest ids (both RETAINED by the cap) also
+    // share band 1. The degenerate-corpus shape the gate exists for.
+    val rows = (0 until 80).flatMap { g =>
+      (0 until 5).flatMap { i =>
+        val id = f"g$g%03d-$i"
+        val band1 = if (i < 2) Seq(7L + g, 7L, 7L, 7L)
+                    else Seq(1000L + g * 10 + i, 0L, 0L, 0L)
+        val sigs = Seq(g.toLong, 0L, 0L, 0L) ++ band1 ++
+          Seq(100L + g * 10 + i, 0L, 0L, 0L) ++ Seq(200L + g * 10 + i, 0L, 0L, 0L)
+        (0 until 4).map { b =>
+          (id, sigs.toArray, b, key(b, sigs.slice(b * 4, b * 4 + 4)))
+        }
+      }
+    }
+    val bands = rows.toDF("id", "sigs", "band_id", "band")
+      .select(struct(col("id"), col("sigs")).as("m"), col("band_id"), col("band"))
+    assert(80 > Dedup.OverflowSuppressGate)
+    // expression-chain path (gate forced high) vs dedup-shuffle path
+    // (gate forced to 0) vs the default gate (80 overflows > 64: join)
+    val viaChain = Dedup.lshCandidates(bands, 3, overflowGate = 10000)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaJoin = Dedup.lshCandidates(bands, 3, overflowGate = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaDefault = Dedup.lshCandidates(bands, 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaJoin == viaChain, "gate changed the pair set")
+    assert(viaDefault == viaChain)
+    // 3 retained pairs per cluster, none across clusters
+    assert(viaChain.size == 240)
+    assert(viaChain.contains(("g000-0", "g000-1")))
+    assert(!viaChain.exists(p => p._1.take(4) != p._2.take(4)))
+  }
+
   test("minhash lsh proposes and confirms the identical pair") {
     val withClone = docs.union(
       docs.where($"doc_id" === 1).withColumn("doc_id", $"doc_id" + 100))

@@ -416,6 +416,50 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("incremental ivf: drift-triggered retrain rebalances and equals a fresh build") {
+    import graft.index.IncrementalIvf
+    import graft.search.Ann
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf0001)
+    // Pathologically-drifted geometry: centroid 1 is a scaled copy of
+    // centroid 0 (identical direction), so EVERY vector ties on cosine
+    // and the cid-asc tie-break sends the whole corpus to list 0 — the
+    // fully-collapsed assignment frozen centroids drift toward.
+    val v0 = emb.where(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val skewed = Seq((0L, v0), (1L, v0.map(_ * 0.5f))).toDF("cid", "cvec")
+    val root = Files.createTempDirectory("graft-ivf-drift").toString + "/idx"
+    IncrementalIvf.init(emb.where(col("vec_id") % 2 === 0), skewed, root)
+    IncrementalIvf.append(emb.where(col("vec_id") % 2 === 1), root)
+
+    // below threshold: untouched (worst-case balance here is 2.0 — all
+    // rows in one of 2 lists)
+    assert(IncrementalIvf.retrainIfImbalanced(spark, root, k = 4,
+      maxBalance = 2.5) == root)
+    // above: retrain fires into a versioned sibling
+    val newRoot = IncrementalIvf.retrainIfImbalanced(spark, root, k = 4,
+      maxBalance = 1.5)
+    assert(newRoot == s"$root-r2" && IncrementalIvf.version(newRoot) == 1)
+    assert(IncrementalIvf.version(root) == 2) // old root untouched
+
+    // retrained centroids are a real k-means fit: k rows, assignment no
+    // longer collapsed into one list
+    val newCent = IncrementalIvf.readCentroids(spark, newRoot)
+    assert(newCent.count() == 4)
+    val nLists = IncrementalIvf.readAssigned(spark, newRoot)
+      .select(col("cid")).distinct().count()
+    assert(nLists >= 2, s"assignment still collapsed: $nLists lists")
+
+    // served results == a from-scratch build against the same corpus and
+    // the retrained centroids (same ivfAssign arithmetic)
+    val qv = emb.where(col("vec_id") === 7L).select(col("embedding").as("qvec"))
+    val served = IncrementalIvf.topK(spark, newRoot, qv, nprobe = 4, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rebuilt = Ann.ivfTopK(emb, newCent, qv, nprobe = 4, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == rebuilt && rebuilt.nonEmpty)
+  }
+
   test("incremental indexes: scheme-qualified (file:) roots work via Hadoop FS") {
     // The commit protocol goes through the Hadoop FileSystem API
     // (SegmentStore), not java.io.File — so an index root addressed by a

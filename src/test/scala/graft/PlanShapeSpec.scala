@@ -393,6 +393,25 @@ class PlanShapeSpec extends SparkSpec {
       s"alert side must broadcast:\n$percPlan")
     assert(!percPlan.contains("SortMergeJoin"),
       s"corpus must never sort-merge against alerts:\n$percPlan")
+
+    // Inverted-alert-index percolate (the million-alert shape): the
+    // anchor probe must be a SHUFFLED join — no broadcast of the alert
+    // side anywhere — and the fired set must equal the broadcast form's.
+    val manyAlerts = Seq((1, Seq("spark", "join")), (2, Seq("filter")),
+      (3, Seq("zzz_nowhere"))).toDF("alert_id", "terms")
+    val inv = graft.search.Percolate
+      .matchesInverted(docs, manyAlerts, "doc_id", "text")
+    val invPlan = inv.queryExecution.executedPlan.toString
+    assert(invPlan.contains("ShuffledHashJoin"),
+      s"anchor probe must be a shuffled equi-join:\n$invPlan")
+    val fired = inv.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val firedBroadcast = graft.search.Percolate
+      .matches(docs, manyAlerts, "doc_id", "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(fired == firedBroadcast && fired.nonEmpty,
+      s"inverted fired set diverged: ${fired.size} vs ${firedBroadcast.size}")
+    // the corpus-absent term anchors alert 3 and correctly never fires
+    assert(!fired.exists(_._1 == 3))
   }
 
   test("trained-ivf rewrite: production kmeans index serves the same declarative shape") {
