@@ -182,12 +182,19 @@ object Bench {
     // hybrid leg — always outside timed regions. The per-query figures
     // therefore measure serving against a warm index, exactly the regime
     // BASELINE.md's bands describe.
+    // Serving tier for the batched legs (same SparkContext/SharedState;
+    // AQE off — fixed-shape serving plans, fewer per-job floor payments;
+    // see ServingSession scaladoc).
+    val servingSpark = graft.search.ServingSession.of(spark)
     val ivfServing: Option[(org.apache.spark.sql.DataFrame,
                             org.apache.spark.sql.DataFrame)] =
       try {
-        val (ap, cp) = graft.index.IvfIndex.ensureTrained(spark, sfDir, k = 16)
-        val a = spark.read.parquet(ap).persist(StorageLevel.MEMORY_AND_DISK)
-        val c = spark.read.parquet(cp).persist(StorageLevel.MEMORY_AND_DISK)
+        val (ap, cp) =
+          graft.index.IvfIndex.ensureTrained(servingSpark, sfDir, k = 16)
+        val a = servingSpark.read.parquet(ap)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val c = servingSpark.read.parquet(cp)
+          .persist(StorageLevel.MEMORY_AND_DISK)
         a.count(); c.count()
         Some((a, c))
       } catch { case _: Throwable => None }
@@ -204,7 +211,7 @@ object Bench {
       val (assigned, centroids) = ivfServing.get
       import org.apache.spark.sql.functions.col
       def runBatch(): Double = {
-        val queries = Tables.embeddings(spark, sfDir)
+        val queries = Tables.embeddings(servingSpark, sfDir)
           .where(col("vec_id") < bn)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val t0 = System.nanoTime()
@@ -227,9 +234,9 @@ object Bench {
     // the WORST case (longest posting lists).
     val (bm25PerQuery, bm25N) = try {
       val bn = 128
-      val idx = graft.index.Bm25Index.ensure(spark, sfDir)
+      val idx = graft.index.Bm25Index.ensure(servingSpark, sfDir)
       import org.apache.spark.sql.functions.{col, floor => ffloor, row_number}
-      val topTerms = spark.read.parquet(s"$idx/termstats")
+      val topTerms = servingSpark.read.parquet(s"$idx/termstats")
         .orderBy(col("df").desc, col("term").asc).limit(2 * bn)
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
@@ -239,7 +246,7 @@ object Bench {
       def runBm25Batch(): Double = {
         val t0 = System.nanoTime()
         graft.index.Bm25Index
-          .topKBatched(spark, idx, "doc_id", topTerms, "qid", "term", 10)
+          .topKBatched(servingSpark, idx, "doc_id", topTerms, "qid", "term", 10)
           .count()
         (System.nanoTime() - t0) / 1e9
       }
@@ -255,9 +262,9 @@ object Bench {
     // case: longest posting lists).
     val (hybridPerQuery, hybridN) = try {
       val bn = 64
-      val idx = graft.index.Bm25Index.ensure(spark, sfDir)
+      val idx = graft.index.Bm25Index.ensure(servingSpark, sfDir)
       import org.apache.spark.sql.functions.col
-      val termPairs = spark.read.parquet(s"$idx/termstats")
+      val termPairs = servingSpark.read.parquet(s"$idx/termstats")
         .orderBy(col("df").desc, col("term").asc).limit(2 * bn)
         .collect().map(_.getString(0)).grouped(2).toSeq
       val queries = termPairs.zipWithIndex.map { case (ts, i) =>
@@ -270,7 +277,7 @@ object Bench {
       def runHybridBatch(): Double = {
         val t0 = System.nanoTime()
         graft.search.SearchEngine
-          .hybridBatchedIvf(spark, sfDir, queries, 10, index = ivfServing)
+          .hybridBatchedIvf(servingSpark, sfDir, queries, 10, index = ivfServing)
           .count()
         (System.nanoTime() - t0) / 1e9
       }

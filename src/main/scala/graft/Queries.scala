@@ -1456,12 +1456,15 @@ object Queries {
     // search amortizes its per-request overhead.
     "s3d_bm25_batched" -> Q(
       (s, d) => {
-        val qs = s.createDataFrame(Seq(
+        // serving session: fixed-shape batched plan, AQE off (see
+        // ServingSession — values identical, fewer per-job floors)
+        val sv = graft.search.ServingSession.of(s)
+        val qs = sv.createDataFrame(Seq(
           (0L, "data"), (0L, "query"), (1L, "stream"), (1L, "window"),
           (2L, "merge"), (2L, "vector"), (3L, "spark"), (3L, "filter")))
           .toDF("qid", "term")
         graft.index.Bm25Index.topKBatched(
-          s, graft.index.Bm25Index.ensure(s, d), "doc_id", qs, "qid", "term", 5)
+          sv, graft.index.Bm25Index.ensure(sv, d), "doc_id", qs, "qid", "term", 5)
           .select(col("qid"), col("doc_id").as("id"), col("score"))
       },
       Some(s"""
@@ -1686,7 +1689,10 @@ object Queries {
     // floor and scans are paid once per batch). Oracle = the s4 pipeline
     // run per qid.
     "s4b_hybrid_batched" -> Q(
-      (s, d) => SearchEngine.hybridBatched(s, d, Seq(
+      // serving session: AQE off for the fixed-shape batched plan (see
+      // ServingSession — values identical, fewer per-job floors)
+      (s, d) => SearchEngine.hybridBatched(
+        graft.search.ServingSession.of(s), d, Seq(
         (0L, 0L, Seq("data", "query")), (1L, 1L, Seq("stream", "window")),
         (2L, 2L, Seq("merge", "vector")), (3L, 3L, Seq("spark", "filter"))),
         10),

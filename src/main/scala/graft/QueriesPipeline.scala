@@ -2471,12 +2471,16 @@ object QueriesPipeline {
         // The persist marks the index RAM-resident (reference stores serve
         // from memory); Spark's CacheManager dedupes repeat calls by
         // canonicalized plan, so re-invoking the query reuses the blocks.
-        val info = graft.index.IvfIndex.ensure(s, d)
-        val assigned = s.read.parquet(info.assignedPath)
+        // Built on the SERVING session (AQE off — fixed-shape plan, and
+        // each AQE stage materialization is an extra per-job floor
+        // payment; see ServingSession). Same values, 3 fewer jobs.
+        val sv = graft.search.ServingSession.of(s)
+        val info = graft.index.IvfIndex.ensure(sv, d)
+        val assigned = sv.read.parquet(info.assignedPath)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val centroids = s.read.parquet(info.centroidsPath)
+        val centroids = sv.read.parquet(info.centroidsPath)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val queries = Tables.embeddings(s, d).where(col("vec_id") < 8)
+        val queries = Tables.embeddings(sv, d).where(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         Ann.ivfTopKBatched(assigned, centroids, queries, nprobe = 3, k = 5)
       },
@@ -3176,7 +3180,10 @@ object QueriesPipeline {
     // of the vectors index (broadcast (qid,bucket,qw) rows, per-qid rank
     // cut) — the amortized form of s9, per-qid hash-exact with it.
     "s9c_tfidf_batched" -> Q(
-      (s, d) => graft.search.SearchEngine.tfidfSearchBatched(s, d, Seq(
+      // serving session: AQE off for the fixed-shape batched plan (see
+      // ServingSession — values identical, fewer per-job floors)
+      (s, d) => graft.search.SearchEngine.tfidfSearchBatched(
+        graft.search.ServingSession.of(s), d, Seq(
         (0L, TfIdfQueryText), (1L, "vector scan batch"),
         (2L, "merge stream window data")), 10),
       Some(s"""
