@@ -3639,6 +3639,80 @@ object QueriesPipeline {
         WHERE rank <= 5 ORDER BY src, rank
       """)),
 
+    // Graph-walk ANN (a23): greedy beam search over the PREBUILT kNN
+    // edge artifact — HNSW's layer-0 pattern, the reference's actual
+    // serving structure, as one unrolled declarative plan (3 hops,
+    // beam 8, fixed entry points = stored vectors 0..2). Per-hop work is
+    // beam·k edge rows + ≤beam·k scorings, independent of corpus size —
+    // the corpus-sized cost lives in the graph build, amortized by
+    // KnnGraphIndex/IncrementalKnn. The oracle replays the unrolled
+    // walk as chained CTEs (UNION = the plan's union+dedup).
+    "a23_graph_ann" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val edges = graft.index.KnnGraphIndex.edges(s, d, 3, 5)
+        val qv = emb.where(col("vec_id") === Queries.QueryVecId)
+          .select(col("embedding").as("qvec"))
+        val entries = Seq(0L, 1L, 2L).toDF("id")
+        Ann.graphTopK(edges, emb, qv, entries, beam = 8, hops = 3, k = 10)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        assign AS (
+          SELECT vec_id, cid, embedding FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT src, qvec, cid FROM (
+            SELECT e.vec_id AS src, e.embedding::DOUBLE[] AS qvec, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn <= 3),
+        gcand AS (
+          SELECT p.src, a.vec_id AS dst,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], p.qvec), 6) AS score
+          FROM probes p JOIN assign a ON p.cid = a.cid
+          WHERE a.vec_id <> p.src),
+        edges AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY score DESC, dst ASC) AS rank
+            FROM gcand)
+          WHERE rank <= 5),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        sc AS (
+          SELECT e.vec_id AS id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+          FROM embeddings e CROSS JOIN q),
+        c0 AS (SELECT id, score FROM sc WHERE id < 3),
+        f0 AS (SELECT id FROM c0 ORDER BY score DESC, id ASC LIMIT 8),
+        c1 AS (SELECT id, score FROM c0
+               UNION
+               SELECT sc.id, sc.score FROM sc
+               WHERE sc.id IN (SELECT e.dst FROM f0 JOIN edges e ON e.src = f0.id)),
+        f1 AS (SELECT id FROM c1 ORDER BY score DESC, id ASC LIMIT 8),
+        c2 AS (SELECT id, score FROM c1
+               UNION
+               SELECT sc.id, sc.score FROM sc
+               WHERE sc.id IN (SELECT e.dst FROM f1 JOIN edges e ON e.src = f1.id)),
+        f2 AS (SELECT id FROM c2 ORDER BY score DESC, id ASC LIMIT 8),
+        c3 AS (SELECT id, score FROM c2
+               UNION
+               SELECT sc.id, sc.score FROM sc
+               WHERE sc.id IN (SELECT e.dst FROM f2 JOIN edges e ON e.src = f2.id))
+        SELECT id, score FROM c3 ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
     // IVF list-balance monitor — the drift signal that schedules a
     // centroid retrain (frozen centroids degrade LIST BALANCE, not
     // correctness, as the ingested distribution drifts; see

@@ -487,4 +487,50 @@ object Ann {
     import spark.implicits._
     picked.toSeq.toDF("mmr_rank", "id", "mmr_score")
   }
+
+  /** Greedy beam search over a prebuilt kNN edge list — the HNSW layer-0
+    * search pattern (the reference's actual serving structure: Qdrant
+    * answers queries by walking its neighbor graph from fixed entry
+    * points, `scripts/indexing.py:326-340` builds it) re-expressed as ONE
+    * declarative plan: the hop loop is UNROLLED at plan-build time, so
+    * there is no driver-side iteration state and the whole search is a
+    * fixed chain of joins + ordered heads that Catalyst sees end-to-end.
+    *
+    * Per hop: the current beam head (top-`beam` candidates so far) joins
+    * the edge list for its out-neighbors, the new ids are scored against
+    * the query (one broadcast of the 1-row query vector), and the
+    * candidate set unions + dedups. After `hops` rounds the answer is the
+    * candidate top-k. Deterministic by construction: candidate SETS are
+    * order-free, every head/final cut is (score desc, id asc), and scores
+    * are rounded to 6 dp — so the unrolled plan is replayable in SQL as
+    * `hops` chained CTEs (the a23 oracle does exactly that).
+    *
+    * Scale shape: each hop touches beam·k edge rows (an equi-join into
+    * the artifact, prunable by src) and scores ≤ beam·k new vectors —
+    * independent of corpus size, which is the entire point of graph ANN:
+    * the corpus-sized work happened once, in the graph build
+    * ([[knnGraph]] / [[graft.index.IncrementalKnn]]).
+    *
+    * edges: (src, dst); vectors: (vec_id, embedding); queryVec: 1-row
+    * (qvec); entries: (id) fixed entry points. Output (id, score), k
+    * rows. Recall depends on graph degree/hops like any HNSW-family
+    * search; certify with [[recallCurve]]-style exact comparison. */
+  def graphTopK(edges: DataFrame, vectors: DataFrame, queryVec: DataFrame,
+                entries: DataFrame, beam: Int, hops: Int, k: Int): DataFrame = {
+    def scored(ids: DataFrame): DataFrame =
+      ids.join(vectors.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+        .crossJoin(broadcast(queryVec))
+        .select(col("id"),
+          round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+    val adj = edges.select(col("src"), col("dst"))
+    var cand = scored(entries)
+    for (_ <- 0 until hops) {
+      val frontier = cand.orderBy(col("score").desc, col("id").asc).limit(beam)
+      val neighbors = frontier.select(col("id").as("src"))
+        .join(adj, Seq("src"))
+        .select(col("dst").as("id")).distinct()
+      cand = cand.unionByName(scored(neighbors)).dropDuplicates("id")
+    }
+    cand.orderBy(col("score").desc, col("id").asc).limit(k)
+  }
 }

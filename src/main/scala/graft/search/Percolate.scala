@@ -77,9 +77,16 @@ object Percolate {
     *
     * An alert containing a term absent from the corpus gets df 0 for it;
     * that term becomes the anchor, selects no candidates, and the alert
-    * correctly never fires — no special case needed. */
+    * correctly never fires — no special case needed.
+    *
+    * `dfLookup`: optional prebuilt (term, df) table — the production
+    * path passes the Bm25Index termstats artifact so anchor election
+    * costs an alert-vocabulary-sized join instead of a corpus tokenize
+    * pass; when absent, df derives in-plan from the same token stream
+    * (the oracle-checkable form s25b uses). */
   def matchesInverted(docs: DataFrame, alerts: DataFrame,
-                      idCol: String, textCol: String): DataFrame = {
+                      idCol: String, textCol: String,
+                      dfLookup: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val at = alerts.select(col("alert_id"),
       when(assert_true(size(col("terms")) > 0,
@@ -90,8 +97,11 @@ object Percolate {
     val dt = docs.select(col(idCol),
       explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
     // df of alert terms only (|alert vocab| rows, not corpus vocab)
-    val dfreq = dt.join(at.select(col("term")).distinct(), Seq("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfreq = dfLookup
+      .map(_.select(col("term"), col("df"))
+        .join(at.select(col("term")).distinct(), Seq("term")))
+      .getOrElse(dt.join(at.select(col("term")).distinct(), Seq("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df")))
     val wAnchor = Window.partitionBy(col("alert_id"))
       .orderBy(col("df").asc, col("term").asc)
     val anchors = at.join(dfreq, Seq("term"), "left")

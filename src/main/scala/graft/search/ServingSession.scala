@@ -1,7 +1,5 @@
 package graft.search
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.SparkSession
 
 /** Serving-tier Spark session — the two-tier deployment pattern made
@@ -22,13 +20,20 @@ import org.apache.spark.sql.SparkSession
   * tier from batch analytics without duplicating the cluster.
   */
 object ServingSession {
-  private val cache = new ConcurrentHashMap[SparkSession, SparkSession]()
+  // weak keys: a stopped-and-dropped base session must not be pinned by
+  // this registry in a long-lived multi-session process
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
 
   /** The serving twin of `base` (memoized per base session). */
-  def of(base: SparkSession): SparkSession =
-    cache.computeIfAbsent(base, b => {
-      val s = b.newSession()
+  def of(base: SparkSession): SparkSession = cache.synchronized {
+    val hit = cache.get(base)
+    if (hit != null) hit
+    else {
+      val s = base.newSession()
       s.conf.set("spark.sql.adaptive.enabled", "false")
+      cache.put(base, s)
       s
-    })
+    }
+  }
 }

@@ -132,6 +132,42 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("graphTopK: hop-bounded reachability — graph walk finds only what edges reach") {
+    // 2-d vectors on the unit circle; query = (1, 0) so cosine == cos(θ)
+    // and the score order is fully controlled by the angle.
+    def v(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // entry 0 (60°) → 1 (40°) → 2 (20°) → 3 (5°): node 3 is 3 hops out.
+    // node 4 (1°) is the GLOBAL best but has no in-edges — a graph walk
+    // must never surface it; node 5 (80°) is a worse neighbor of 0.
+    val vectors = Seq(
+      (0L, v(60)), (1L, v(40)), (2L, v(20)), (3L, v(5)),
+      (4L, v(1)), (5L, v(80))).toDF("vec_id", "embedding")
+    val edges = Seq((0L, 1L), (0L, 5L), (1L, 2L), (2L, 3L))
+      .toDF("src", "dst")
+    val qv = Seq(Tuple1(v(0))).toDF("qvec")
+    val entries = Seq(0L).toDF("id")
+
+    def ids(hops: Int): Seq[Long] = graft.search.Ann
+      .graphTopK(edges, vectors, qv, entries, beam = 2, hops = hops, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+
+    val h3 = ids(3)
+    assert(h3.head == 3L, s"3-hop walk must reach node 3 first: $h3")
+    assert(!h3.contains(4L), s"unreachable global best leaked in: $h3")
+    assert(h3.contains(5L)) // 1-hop neighbor retained in the candidate set
+    // with only 2 hops, node 3 is beyond the frontier
+    val h2 = ids(2)
+    assert(!h2.contains(3L) && h2.head == 2L, s"2-hop: $h2")
+    // scores are the rounded cosines (engine-grade determinism)
+    val top = graft.search.Ann
+      .graphTopK(edges, vectors, qv, entries, beam = 2, hops = 3, k = 1)
+      .head()
+    assert(math.abs(top.getDouble(1) - math.cos(math.toRadians(5))) < 1e-6)
+  }
+
   test("ppsSystematic: zero-weight rows are never selected; all-zero stratum yields nothing") {
     // the zero-weight row's interval is empty — it cannot cover a multiple
     val df = Seq((1L, "s", 0L), (2L, "s", 10L), (3L, "z", 0L), (4L, "z", 0L))

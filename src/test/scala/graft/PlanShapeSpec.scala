@@ -489,4 +489,27 @@ class PlanShapeSpec extends SparkSpec {
     val rows = negSort.collect().map(_.getDouble(1)).toSeq
     assert(rows == rows.sorted, s"expected ascending scores, got $rows")
   }
+
+  test("serving session: AQE off, cache shared with the analytics session") {
+    import graft.search.ServingSession
+    val sv = ServingSession.of(spark)
+    assert(sv ne spark)
+    assert(sv.conf.get("spark.sql.adaptive.enabled") == "false")
+    assert(ServingSession.of(spark) eq sv) // memoized
+    // same SharedState: a table persisted on the analytics session is
+    // served from cache by plans built on the serving session (the
+    // CacheManager lives in SharedState, not the session)
+    val path = s"$Sf0001/documents.parquet"
+    val base = spark.read.parquet(path)
+    base.persist()
+    base.count()
+    try {
+      val servingPlan = sv.read.parquet(path)
+        .queryExecution.executedPlan.toString
+      assert(servingPlan.contains("InMemoryTableScan"),
+        s"serving session missed the shared cache:\n$servingPlan")
+      // and the serving plan is NOT adaptive while the analytics one is
+      assert(!servingPlan.contains("AdaptiveSparkPlan"))
+    } finally base.unpersist()
+  }
 }
