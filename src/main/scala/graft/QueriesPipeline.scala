@@ -3649,9 +3649,12 @@ object QueriesPipeline {
     // walk as chained CTEs (UNION = the plan's union+dedup).
     "a23_graph_ann" -> Q(
       (s, d) => {
-        import s.implicits._
-        val emb = Tables.embeddings(s, d)
-        val edges = graft.index.KnnGraphIndex.edges(s, d, 3, 5)
+        // serving session (AQE off): a fixed-shape per-query walk whose
+        // cost is ~all per-job floor — see ServingSession
+        val sv = graft.search.ServingSession.of(s)
+        import sv.implicits._
+        val emb = Tables.embeddings(sv, d)
+        val edges = graft.index.KnnGraphIndex.edges(sv, d, 3, 5)
         val qv = emb.where(col("vec_id") === Queries.QueryVecId)
           .select(col("embedding").as("qvec"))
         val entries = Seq(0L, 1L, 2L).toDF("id")

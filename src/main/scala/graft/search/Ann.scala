@@ -523,13 +523,21 @@ object Ann {
         .select(col("id"),
           round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("score"))
     val adj = edges.select(col("src"), col("dst"))
-    var cand = scored(entries)
+    // The candidate set is bounded by construction (≤ |entries| +
+    // hops·beam·k rows — tens, never corpus-sized), so the walk state
+    // lives on ONE partition: repartition(1) collapses each hop's
+    // union to a single-partition exchange, and dropDuplicates runs
+    // exchange-free on top of it (SinglePartition satisfies any
+    // clustered distribution). The EDGE join stays distributed — the
+    // tiny frontier broadcasts into the artifact scan.
+    var cand = scored(entries).repartition(1)
     for (_ <- 0 until hops) {
       val frontier = cand.orderBy(col("score").desc, col("id").asc).limit(beam)
       val neighbors = frontier.select(col("id").as("src"))
         .join(adj, Seq("src"))
         .select(col("dst").as("id")).distinct()
-      cand = cand.unionByName(scored(neighbors)).dropDuplicates("id")
+      cand = cand.unionByName(scored(neighbors))
+        .repartition(1).dropDuplicates("id")
     }
     cand.orderBy(col("score").desc, col("id").asc).limit(k)
   }
