@@ -3716,6 +3716,78 @@ object QueriesPipeline {
         SELECT id, score FROM c3 ORDER BY score DESC, id ASC LIMIT 10
       """)),
 
+    // Hierarchical graph ANN (a24): a23's walk with HNSW-style COARSE
+    // ENTRY SELECTION instead of fixed seeds — the upper-layer analogue
+    // as a declarative two-level plan. Coarse layer = deterministic
+    // 1/16 subset of stored vectors (vec_id % 16 = 0), brute-force
+    // scored against the query (pruned scan + 1-row broadcast, partial
+    // top-3 — no corpus shuffle); the walk then starts in the query's
+    // neighborhood, so hops=2 suffices where fixed-seed a23 runs 3.
+    // Oracle = a23's CTE chain with the entry CTE swapped for the
+    // coarse top-3 and one fewer hop.
+    "a24_hier_ann" -> Q(
+      (s, d) => {
+        val sv = graft.search.ServingSession.of(s)
+        val emb = Tables.embeddings(sv, d)
+        val edges = graft.index.KnnGraphIndex.edges(sv, d, 3, 5)
+        val qv = emb.where(col("vec_id") === Queries.QueryVecId)
+          .select(col("embedding").as("qvec"))
+        val entries = Ann.hierEntries(emb, qv, 16, 3)
+        Ann.graphTopK(edges, emb, qv, entries, beam = 8, hops = 2, k = 10)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        assign AS (
+          SELECT vec_id, cid, embedding FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT src, qvec, cid FROM (
+            SELECT e.vec_id AS src, e.embedding::DOUBLE[] AS qvec, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn <= 3),
+        gcand AS (
+          SELECT p.src, a.vec_id AS dst,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], p.qvec), 6) AS score
+          FROM probes p JOIN assign a ON p.cid = a.cid
+          WHERE a.vec_id <> p.src),
+        edges AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY score DESC, dst ASC) AS rank
+            FROM gcand)
+          WHERE rank <= 5),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        sc AS (
+          SELECT e.vec_id AS id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+          FROM embeddings e CROSS JOIN q),
+        ent AS (SELECT id FROM sc WHERE id % 16 = 0
+                ORDER BY score DESC, id ASC LIMIT 3),
+        c0 AS (SELECT id, score FROM sc WHERE id IN (SELECT id FROM ent)),
+        f0 AS (SELECT id FROM c0 ORDER BY score DESC, id ASC LIMIT 8),
+        c1 AS (SELECT id, score FROM c0
+               UNION
+               SELECT sc.id, sc.score FROM sc
+               WHERE sc.id IN (SELECT e.dst FROM f0 JOIN edges e ON e.src = f0.id)),
+        f1 AS (SELECT id FROM c1 ORDER BY score DESC, id ASC LIMIT 8),
+        c2 AS (SELECT id, score FROM c1
+               UNION
+               SELECT sc.id, sc.score FROM sc
+               WHERE sc.id IN (SELECT e.dst FROM f1 JOIN edges e ON e.src = f1.id))
+        SELECT id, score FROM c2 ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
     // IVF list-balance monitor — the drift signal that schedules a
     // centroid retrain (frozen centroids degrade LIST BALANCE, not
     // correctness, as the ingested distribution drifts; see

@@ -541,4 +541,32 @@ object Ann {
     }
     cand.orderBy(col("score").desc, col("id").asc).limit(k)
   }
+
+  /** Hierarchical entry-point selection for [[graphTopK]] — the HNSW
+    * upper-layer analogue (reference: Qdrant's HNSW descends coarse
+    * layers to pick where the layer-0 walk starts,
+    * `scripts/indexing.py:326-340` configures the layered build). A
+    * recursive layer hierarchy is imperative by nature; the declarative
+    * two-level form is a COARSE LAYER = deterministic 1/`sampleMod`
+    * subset of the stored vectors (`vec_id % sampleMod = 0` — stable
+    * across appends, no stored layer assignment needed), brute-force
+    * scored against the query, top-`e` becoming the walk's entry
+    * points. Same compromise IVF makes for its centroid scan, but over
+    * actual graph nodes, so the walk STARTS in the query's
+    * neighborhood instead of at fixed seeds — fewer hops reach the
+    * true top-k (a24 runs hops=2 where fixed-seed a23 needs 3).
+    *
+    * Scale shape: the coarse scan reads 1/sampleMod of the vectors
+    * (one pruned scan + broadcast of the 1-row query, partial top-e —
+    * no shuffle of the corpus); pick sampleMod so the layer is a few
+    * million rows at 100 TB, exactly like sizing an IVF centroid set.
+    * Output: (id), `e` rows, ready to pass as `entries`. */
+  def hierEntries(vectors: DataFrame, queryVec: DataFrame,
+                  sampleMod: Int, e: Int): DataFrame =
+    vectors.where(pmod(col("vec_id"), lit(sampleMod)) === lit(0))
+      .crossJoin(broadcast(queryVec))
+      .select(col("vec_id").as("id"),
+        round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc).limit(e)
+      .select(col("id"))
 }

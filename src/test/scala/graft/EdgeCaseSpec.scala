@@ -168,6 +168,36 @@ class EdgeCaseSpec extends SparkSpec {
     assert(math.abs(top.getDouble(1) - math.cos(math.toRadians(5))) < 1e-6)
   }
 
+  test("hierEntries: coarse layer picks the sampled nodes nearest the query; walk benefits") {
+    def v(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // sampled layer (id % 4 == 0): ids 0 (90°), 4 (10°), 8 (170°).
+    // query = (1,0): nearest sampled is 4, then 0, then 8.
+    val vectors = Seq(
+      (0L, v(90)), (1L, v(40)), (2L, v(20)), (3L, v(5)),
+      (4L, v(10)), (5L, v(80)), (8L, v(170))).toDF("vec_id", "embedding")
+    val qv = Seq(Tuple1(v(0))).toDF("qvec")
+    val ents = graft.search.Ann.hierEntries(vectors, qv, 4, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ents == Seq(4L, 0L), s"coarse top-2 must be (4, 0): $ents")
+    // un-sampled ids never become entries, however close to the query
+    assert(!ents.contains(3L))
+    // the walk from the coarse entry reaches node 3 in ONE hop (4 → 3),
+    // where the fixed distant seed 0 needs three (0 → 1 → 2 → 3).
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 3L))
+      .toDF("src", "dst")
+    val hier = graft.search.Ann.graphTopK(edges, vectors, qv,
+      graft.search.Ann.hierEntries(vectors, qv, 4, 2),
+      beam = 2, hops = 1, k = 10).collect().map(_.getLong(0)).toSeq
+    assert(hier.head == 3L, s"1-hop walk from coarse entries: $hier")
+    val fixed = graft.search.Ann.graphTopK(edges, vectors, qv,
+      Seq(0L).toDF("id"), beam = 2, hops = 1, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!fixed.contains(3L), s"fixed distant seed cannot reach 3 in 1 hop: $fixed")
+  }
+
   test("ppsSystematic: zero-weight rows are never selected; all-zero stratum yields nothing") {
     // the zero-weight row's interval is empty — it cannot cover a multiple
     val df = Seq((1L, "s", 0L), (2L, "s", 10L), (3L, "z", 0L), (4L, "z", 0L))
