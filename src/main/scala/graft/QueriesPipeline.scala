@@ -3788,6 +3788,91 @@ object QueriesPipeline {
         SELECT id, score FROM c2 ORDER BY score DESC, id ASC LIMIT 10
       """)),
 
+    // Batched multi-query graph ANN (a25): 8 hierarchical walks in ONE
+    // plan — the throughput-serving form (a12/s3d/s4b batched pattern
+    // applied to a24). One coarse scan selects every query's entries,
+    // each hop joins the shared edge artifact once for all queries, and
+    // every cut is a per-qid partial rank window. Oracle = a24's CTE
+    // chain generalized to per-qid windows.
+    "a25_graph_batched" -> Q(
+      (s, d) => {
+        val sv = graft.search.ServingSession.of(s)
+        val emb = Tables.embeddings(sv, d)
+        val edges = graft.index.KnnGraphIndex.edges(sv, d, 3, 5)
+        val queries = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val entries = Ann.hierEntriesBatched(emb, queries, 16, 3)
+        Ann.graphTopKBatched(edges, emb, queries, entries,
+          beam = 8, hops = 2, k = 5)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        assign AS (
+          SELECT vec_id, cid, embedding FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT src, qvec, cid FROM (
+            SELECT e.vec_id AS src, e.embedding::DOUBLE[] AS qvec, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn <= 3),
+        gcand AS (
+          SELECT p.src, a.vec_id AS dst,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], p.qvec), 6) AS score
+          FROM probes p JOIN assign a ON p.cid = a.cid
+          WHERE a.vec_id <> p.src),
+        edges AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY score DESC, dst ASC) AS rank
+            FROM gcand)
+          WHERE rank <= 5),
+        qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+        sc AS (
+          SELECT q.qid, e.vec_id AS id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+          FROM embeddings e CROSS JOIN qs q),
+        ent AS (SELECT qid, id FROM (
+                  SELECT qid, id, row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, id ASC) AS rn
+                  FROM sc WHERE id % 16 = 0) WHERE rn <= 3),
+        c0 AS (SELECT sc.qid, sc.id, sc.score FROM sc
+               JOIN ent ON sc.qid = ent.qid AND sc.id = ent.id),
+        f0 AS (SELECT qid, id FROM (
+                 SELECT qid, id, row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, id ASC) AS rn FROM c0) WHERE rn <= 8),
+        n0 AS (SELECT DISTINCT f.qid, e.dst AS id
+               FROM f0 f JOIN edges e ON e.src = f.id),
+        c1 AS (SELECT qid, id, score FROM c0
+               UNION
+               SELECT sc.qid, sc.id, sc.score FROM sc
+               JOIN n0 ON sc.qid = n0.qid AND sc.id = n0.id),
+        f1 AS (SELECT qid, id FROM (
+                 SELECT qid, id, row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, id ASC) AS rn FROM c1) WHERE rn <= 8),
+        n1 AS (SELECT DISTINCT f.qid, e.dst AS id
+               FROM f1 f JOIN edges e ON e.src = f.id),
+        c2 AS (SELECT qid, id, score FROM c1
+               UNION
+               SELECT sc.qid, sc.id, sc.score FROM sc
+               JOIN n1 ON sc.qid = n1.qid AND sc.id = n1.id)
+        SELECT qid, id, score FROM (
+          SELECT qid, id, score, row_number() OVER (PARTITION BY qid
+            ORDER BY score DESC, id ASC) AS rn FROM c2)
+        WHERE rn <= 5 ORDER BY qid ASC, score DESC, id ASC
+      """)),
+
     // IVF list-balance monitor — the drift signal that schedules a
     // centroid retrain (frozen centroids degrade LIST BALANCE, not
     // correctness, as the ingested distribution drifts; see

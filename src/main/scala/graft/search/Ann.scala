@@ -569,4 +569,62 @@ object Ann {
         round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("score"))
       .orderBy(col("score").desc, col("id").asc).limit(e)
       .select(col("id"))
+
+  /** [[hierEntries]] for a query TABLE — one coarse scan answers every
+    * query's entry selection (queries broadcast into the pruned sampled
+    * scan, per-qid partial top-e window). Output (qid, id). */
+  def hierEntriesBatched(vectors: DataFrame, queries: DataFrame,
+                         sampleMod: Int, e: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    vectors.where(pmod(col("vec_id"), lit(sampleMod)) === lit(0))
+      .crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id").as("id"),
+        round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= e)
+      .select(col("qid"), col("id"))
+  }
+
+  /** [[graphTopK]] for a query TABLE — N walks in ONE plan, the
+    * throughput-serving form of graph ANN (the a12/s3d/s4b batched
+    * pattern applied to the walk: per-request Spark-job overhead
+    * amortizes over the batch, which is how a graph-ANN server actually
+    * runs). State carries qid: the candidate set is (qid, id, score),
+    * every beam/final cut is a per-qid partial rank window, and each
+    * hop's neighbor expansion joins the SHARED edge artifact once for
+    * all queries. The combined state is ≤ |queries|·(entries +
+    * hops·beam·k) rows — still tiny — so it stays single-partition
+    * (exchange-free unions/windows, per [[graphTopK]]); the edge join
+    * stays distributed with the frontier broadcasting into the
+    * artifact scan.
+    *
+    * edges: (src, dst); vectors: (vec_id, embedding); queries:
+    * (qid, qvec) — small, broadcast; entries: (qid, id) per-query entry
+    * points (from [[hierEntriesBatched]] or fixed seeds). Output
+    * (qid, id, score), ≤ k rows per qid. */
+  def graphTopKBatched(edges: DataFrame, vectors: DataFrame,
+                       queries: DataFrame, entries: DataFrame,
+                       beam: Int, hops: Int, k: Int): DataFrame = {
+    def scored(ids: DataFrame): DataFrame =
+      ids.join(vectors.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+        .join(broadcast(queries), Seq("qid"))
+        .select(col("qid"), col("id"),
+          round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+    val adj = edges.select(col("src"), col("dst"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    var cand = scored(entries).repartition(1)
+    for (_ <- 0 until hops) {
+      val frontier = cand.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= beam).select(col("qid"), col("id"))
+      val neighbors = frontier.select(col("qid"), col("id").as("src"))
+        .join(adj, Seq("src"))
+        .select(col("qid"), col("dst").as("id")).distinct()
+      cand = cand.unionByName(scored(neighbors))
+        .repartition(1).dropDuplicates("qid", "id")
+    }
+    cand.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("qid"), col("id"), col("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
 }

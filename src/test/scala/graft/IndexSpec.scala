@@ -217,6 +217,32 @@ class IndexSpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("batched graph ANN: one plan over Q walks == per-query graphTopK loop") {
+    import graft.search.Ann
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val edges = Ann.knnGraph(emb, centroids, 3, 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    val queries = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    val batched = Ann.graphTopKBatched(edges, emb, queries,
+        Ann.hierEntriesBatched(emb, queries, 16, 3), beam = 8, hops = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+
+    (0L until 4L).foreach { qid =>
+      val qv = emb.where(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val single = Ann.graphTopK(edges, emb, qv,
+          Ann.hierEntries(emb, qv, 16, 3), beam = 8, hops = 2, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batched(qid) == single && single.nonEmpty, s"qid=$qid")
+    }
+    edges.unpersist()
+  }
+
   test("pq: every (vector, subspace) encodes; ADC re-rank holds recall vs brute force") {
     import graft.search.Ann
     val emb = Tables.documents(spark, Sf0001).sparkSession
