@@ -293,6 +293,26 @@ object DeltaStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Streaming GRAPH-ANN serve — [[annServe]]'s graph-walk twin: vector
+    * queries arrive as (qid, qvec) rows and each micro-batch is answered
+    * as ONE [[graft.search.Ann.graphTopKBatched]] plan over the prebuilt
+    * edge artifact (entries via `hierEntriesBatched` — the coarse layer
+    * is scanned once per batch, not per query). The micro-batch is the
+    * amortization unit, exactly like the batched HTTP path. */
+  def graphServe(queryStream: DataFrame, edges: DataFrame,
+                 vectors: DataFrame, checkpoint: String,
+                 sampleMod: Int, e: Int, beam: Int, hops: Int, k: Int)
+                (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.search.Ann.graphTopKBatched(edges, vectors, batch,
+          graft.search.Ann.hierEntriesBatched(vectors, batch, sampleMod, e),
+          beam, hops, k), batchId)
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+
   /** Streaming HYBRID serve — the flagship query's streaming form: text
     * queries arrive as (qid, qtext) rows and each micro-batch is answered as
     * ONE batched hybrid plan (`SearchEngine.textHybridBatched`: TF-IDF

@@ -465,6 +465,45 @@ class StreamingSpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("streaming graph-ANN serve: per-batch answers equal the batch graphTopKBatched plan") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val edges = graft.search.Ann.knnGraph(emb, centroids, 3, 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+
+    val queries = emb.where(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val ckpt = Files.createTempDirectory("graft-graph-serve").toString
+    val q = DeltaStream.graphServe(
+      input.toDF().toDF("qid", "qvec")
+        .select(col("qid"), col("qvec").cast("array<float>").as("qvec")),
+      edges, emb, ckpt, sampleMod = 16, e = 3, beam = 8, hops = 2, k = 5) { (res, _) =>
+      got ++= res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try {
+      input.addData(queries.take(3)); q.processAllAvailable()
+      input.addData(queries.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+
+    val batchQs = emb.where(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batchAll = graft.search.Ann.graphTopKBatched(edges, emb, batchQs,
+        graft.search.Ann.hierEntriesBatched(emb, batchQs, 16, 3),
+        beam = 8, hops = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == batchAll.toSet && got.size == batchAll.length)
+    edges.unpersist()
+  }
+
   test("streaming hybrid serve: per-batch answers equal the batched text hybrid") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
