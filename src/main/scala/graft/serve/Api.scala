@@ -325,6 +325,47 @@ object Api {
       }
       ok(s"""{"mode":${quote(mode)},"batch_size":${qs.length},"batches":[${blocks.mkString(",")}]}""")
 
+    case "/api/similar-vectors" => // recommend-by-stored-point (Qdrant's
+      // recommend API, which the reference's engine exposes): 1..64 stored
+      // vec_ids are the queries, answered as ONE batched plan — graph walk
+      // over the prebuilt kNN edge artifact (hierarchical entries) or
+      // batched IVF over the persisted index. The query point itself is
+      // excluded from its own results, like Qdrant's positive example.
+      val ids = require(params, "ids").split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      if (ids.isEmpty || ids.length > 64)
+        return Response(400, err("ids must carry 1..64 comma-separated entries"))
+      val count = intParam(params, "count", 10, 1, 100)
+      val method = params.getOrElse("method", "graph")
+      if (!Set("graph", "ivf").contains(method))
+        return Response(400, err(s"Invalid method '$method'. Must be 'graph' or 'ivf'"))
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.where(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val res = ewma.timed(s"similar_$method")(method match {
+        case "graph" =>
+          val edges = graft.index.KnnGraphIndex.edges(spark, dir, 3, 5)
+          graft.search.Ann.graphTopKBatched(edges, emb, queries,
+            graft.search.Ann.hierEntriesBatched(emb, queries, 16, 3),
+            beam = 8, hops = 2, k = count + 1)
+        case _ =>
+          val info = graft.index.IvfIndex.ensure(spark, dir)
+          graft.search.Ann.ivfTopKBatched(
+            spark.read.parquet(info.assignedPath),
+            spark.read.parquet(info.centroidsPath), queries, 3, count + 1)
+      })
+      // ≤ 64·(count+1) rows by construction; drop each query's own point
+      // and trim back to `count` driver-side
+      val byQid = res.select("qid", "id", "score").collect()
+        .groupBy(_.getLong(0))
+      val blocks = ids.map { qid =>
+        val hits = byQid.getOrElse(qid, Array.empty)
+          .filter(_.getLong(1) != qid).take(count)
+          .map(r => s"""{"id":${r.getLong(1)},"score":${r.getDouble(2)}}""")
+        s"""{"id":$qid,"results":[${hits.mkString(",")}]}"""
+      }
+      ok(s"""{"method":${quote(method)},"batch_size":${ids.length},"batches":[${blocks.mkString(",")}]}""")
+
     case "/api/methods-info" => // search.py:543-590, over THIS engine's fields
       ok("""{"available_methods":{""" +
         """"query":{"name":"Flexible Query","modes":["dense","sparse","hybrid"],"type":"flexible","endpoint":"/api/query"},""" +

@@ -376,4 +376,40 @@ class ServeApiSpec extends SparkSpec {
     assert(get("/api/batch-search", "queries" -> " || ").status == 400)
     assert(get("/api/batch-search", "queries" -> "x", "mode" -> "nope").status == 400)
   }
+
+  test("similar-vectors: recommend-by-stored-point matches the engine, excludes self") {
+    import org.apache.spark.sql.functions.col
+    for (method <- Seq("graph", "ivf")) {
+      val r = get("/api/similar-vectors",
+        "ids" -> "0,3", "method" -> method, "count" -> "5")
+      assert(r.status == 200, s"$method: ${r.body}")
+      assert(r.body.contains("\"batch_size\":2"), r.body)
+      // no block may contain its own query id
+      for (qid <- Seq(0L, 3L)) {
+        val block = s"""\\{"id":$qid,"results":\\[([^\\]]*)\\]\\}""".r
+          .findFirstMatchIn(r.body).map(_.group(1)).getOrElse(fail(r.body))
+        assert(!block.contains(s"""{"id":$qid,"""), s"$method qid=$qid: $block")
+        assert(block.contains("\"score\":"), s"$method qid=$qid empty: ${r.body}")
+      }
+    }
+    // graph blocks equal a direct batched walk with self dropped
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val qs = emb.where(col("vec_id").isin(0L, 3L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val edges = graft.index.KnnGraphIndex.edges(spark, Sf0001, 3, 5)
+    val direct = graft.search.Ann.graphTopKBatched(edges, emb, qs,
+        graft.search.Ann.hierEntriesBatched(emb, qs, 16, 3),
+        beam = 8, hops = 2, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val r = get("/api/similar-vectors", "ids" -> "0,3", "count" -> "5")
+    for (qid <- Seq(0L, 3L)) {
+      val expect = direct(qid).filter(_._2 != qid).take(5)
+        .map(t => s"""{"id":${t._2},"score":${t._3}}""").mkString(",")
+      assert(r.body.contains(s"""{"id":$qid,"results":[$expect]}"""),
+        s"qid=$qid:\nroute=${r.body}\nexpect=$expect")
+    }
+    assert(get("/api/similar-vectors", "ids" -> "", "count" -> "5").status == 400)
+    assert(get("/api/similar-vectors", "ids" -> "0", "method" -> "nope").status == 400)
+  }
 }
