@@ -121,4 +121,35 @@ object SegmentStore {
       compact(newRoot)
       newRoot
     }
+
+  /** Reclaim a RETIRED index root — the storage-lifecycle half of
+    * [[compactIfNeeded]]'s pointer swap. Compaction writes a fresh root
+    * (no files shared with the old one) and the caller swaps its
+    * pointer; without reclamation every compaction leaks a full index
+    * copy, which at 100 TB is the difference between bounded and
+    * unbounded index storage.
+    *
+    * Call AFTER the pointer swap is durable and in-flight readers of the
+    * old root have drained (the caller's drain policy — typically one
+    * query-timeout grace period). Deletion order makes a mid-retire
+    * crash safe rather than torn: every `_COMMITTED` marker under the
+    * root is removed FIRST, so a partially-deleted root resolves to
+    * version 0 (uninitialized — loudly refused by the index readers),
+    * never to a committed version with missing data; then the tree goes
+    * in one recursive delete. Idempotent: returns false when the root
+    * is already gone. */
+  def retire(root: String): Boolean = {
+    val (fs, p) = fsFor(root)
+    if (!fs.exists(p)) false
+    else {
+      val markers = scala.collection.mutable.ArrayBuffer[Path]()
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName == CommitMarker) markers += st.getPath
+      }
+      markers.foreach(m => fs.delete(m, false))
+      fs.delete(p, true)
+    }
+  }
 }

@@ -435,6 +435,15 @@ class IndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(afterAuto == grown)
 
+    // storage lifecycle: retiring the OLD root after the pointer swap
+    // reclaims it without touching the compacted root (fresh files)
+    assert(graft.index.SegmentStore.retire(root))
+    assert(IncrementalIvf.version(root) == 0) // resolves uninitialized
+    assert(!graft.index.SegmentStore.retire(root)) // idempotent
+    val afterRetire = IncrementalIvf.topK(spark, auto, qv, nprobe = 3, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(afterRetire == grown) // compacted root fully intact
+
     // append-before-init is refused
     intercept[IllegalArgumentException] {
       IncrementalIvf.append(emb,
