@@ -122,6 +122,45 @@ object SegmentStore {
       newRoot
     }
 
+  /** Durable "which root is current" pointer — the missing persistence
+    * half of [[compactIfNeeded]]'s pointer swap: without it a restarted
+    * process would resolve the pre-compaction root forever. Reuses the
+    * version+marker protocol verbatim (no new atomicity primitive): each
+    * swap writes a `root` payload file under `pointerBase/v=N` and
+    * publishes the `_COMMITTED` marker LAST, so a crash mid-swap leaves
+    * the previous pointer committed and visible — never a torn pointer.
+    * Works on HDFS/POSIX/object stores for the same reasons the segment
+    * markers do. */
+  def setPointer(pointerBase: String, root: String): Unit = {
+    val v = version(pointerBase) + 1
+    val (fs, dir) = fsFor(versionDir(pointerBase, v))
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, "root"), true)
+    try out.write(root.getBytes("UTF-8")) finally out.close()
+    publish(pointerBase, v, None)
+  }
+
+  /** Committed current root, or None before the first swap. */
+  def getPointer(pointerBase: String): Option[String] = {
+    val v = version(pointerBase)
+    if (v == 0) None
+    else Some(readPointer(pointerBase, v))
+  }
+
+  /** The root a committed pointer version N points at — version N-1's
+    * value is the retire() candidate after a swap's readers drain. */
+  def readPointer(pointerBase: String, v: Int): String = {
+    val (fs, _) = fsFor(pointerBase)
+    val in = fs.open(new Path(versionDir(pointerBase, v), "root"))
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
   /** Reclaim a RETIRED index root — the storage-lifecycle half of
     * [[compactIfNeeded]]'s pointer swap. Compaction writes a fresh root
     * (no files shared with the old one) and the caller swaps its

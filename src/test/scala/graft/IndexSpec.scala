@@ -451,6 +451,52 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("segment store: durable root pointer survives restart; full compact-swap-retire cycle") {
+    import graft.index.{IncrementalBm25, SegmentStore}
+    import java.nio.file.Files
+    import spark.implicits._
+
+    // pointer protocol alone: committed swaps resolve latest, crash
+    // (uncommitted version dir) leaves the previous pointer visible
+    val ptr = Files.createTempDirectory("graft-ptr").toString + "/current"
+    assert(SegmentStore.getPointer(ptr).isEmpty)
+    SegmentStore.setPointer(ptr, "/roots/a")
+    SegmentStore.setPointer(ptr, "/roots/b")
+    assert(SegmentStore.getPointer(ptr).contains("/roots/b"))
+    assert(SegmentStore.readPointer(ptr, 1) == "/roots/a") // retire candidate
+    val (fs, orphan) = {
+      val p = new org.apache.hadoop.fs.Path(SegmentStore.versionDir(ptr, 3))
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    fs.mkdirs(orphan) // crashed swap: dir exists, no marker, no payload
+    assert(SegmentStore.getPointer(ptr).contains("/roots/b"))
+
+    // composed lifecycle: grow past maxSegments, compact, swap the
+    // durable pointer, retire the old root, serve from the pointer
+    val docs = Seq((1L, "spark shuffles data"), (2L, "spark joins tables"),
+      (3L, "vectors score queries")).toDF("doc_id", "text")
+    val more = Seq((4L, "spark scans parquet"), (5L, "joins spark spark"))
+      .toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft-lc").toString + "/idx"
+    IncrementalBm25.init(docs, "doc_id", "text", root, numFiles = 1)
+    IncrementalBm25.append(more, "doc_id", "text", root, numFiles = 1)
+    val grown = IncrementalBm25.topK(spark, root, "doc_id", Seq("spark"), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val lcPtr = root + ".current"
+    SegmentStore.setPointer(lcPtr, root)
+    val newRoot = IncrementalBm25.compactIfNeeded(spark, root, "doc_id",
+      maxSegments = 1)
+    assert(newRoot != root)
+    SegmentStore.setPointer(lcPtr, newRoot)
+    val prev = SegmentStore.readPointer(lcPtr, 1)
+    assert(prev == root)
+    assert(SegmentStore.retire(prev))
+    val served = IncrementalBm25.topK(spark,
+        SegmentStore.getPointer(lcPtr).get, "doc_id", Seq("spark"), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == grown, s"served=$served grown=$grown")
+  }
+
   test("incremental ivf: drift-triggered retrain rebalances and equals a fresh build") {
     import graft.index.IncrementalIvf
     import graft.search.Ann
