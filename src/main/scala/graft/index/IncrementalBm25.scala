@@ -180,7 +180,8 @@ object IncrementalBm25 {
     * discipline as [[append]]).
     */
   def compact(spark: SparkSession, root: String, newRoot: String,
-              idCol: String, numFiles: Int = 8): Unit = {
+              idCol: String, numFiles: Int = 8,
+              tag: Option[String] = None): Unit = {
     val v = version(root)
     require(v > 0, s"index at $root not initialized")
     val segs = (0 until v).map(segDir(root, _))
@@ -193,7 +194,7 @@ object IncrementalBm25 {
     spark.read.parquet(s"${statsDir(root, v)}/corpus")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"${statsDir(newRoot, 1)}/corpus")
-    SegmentStore.publish(statsBase(newRoot), 1, None)
+    SegmentStore.publish(statsBase(newRoot), 1, tag)
   }
 
   /** Size-tiered auto-compaction trigger — the policy half of the LSM
@@ -204,9 +205,9 @@ object IncrementalBm25 {
     * otherwise return `root` unchanged. The new root's name carries the
     * source version, so repeated triggers never collide. */
   def compactIfNeeded(spark: SparkSession, root: String, idCol: String,
-                      maxSegments: Int): String =
+                      maxSegments: Int, tag: Option[String] = None): String =
     SegmentStore.compactIfNeeded(root, version(root), maxSegments)(
-      compact(spark, root, _, idCol))
+      compact(spark, root, _, idCol, tag = tag))
 
   /** Ensure an incrementally-GROWN documents index for `dataDir`: half the
     * corpus at init, the rest appended — exercising the real maintenance

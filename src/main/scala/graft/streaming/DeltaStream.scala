@@ -183,20 +183,41 @@ object DeltaStream {
     * are small); periodic [[graft.index.IncrementalBm25.compact]] folds
     * the tail, the standard LSM discipline. */
   def indexIngest(docs: DataFrame, indexRoot: String, checkpoint: String,
-                  idCol: String = "doc_id", textCol: String = "text")
+                  idCol: String = "doc_id", textCol: String = "text",
+                  maxSegments: Int = Int.MaxValue)
       : StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.index.IncrementalBm25
+        import graft.index.{IncrementalBm25, SegmentStore}
+        // Bounded-storage maintenance loop: the live root is resolved
+        // through the durable pointer (first batch: `indexRoot` itself),
+        // and when the append pushes the segment count past
+        // `maxSegments`, this batch compacts, swaps the pointer, and
+        // retires the superseded root — the stream is the only writer
+        // and readers resolve the pointer, so the drain window is the
+        // batch boundary. The compacted root's first version carries
+        // THIS batch's idempotence tag: on redelivery (restart of the
+        // one uncommitted batch) the tag is found on the current root
+        // and the whole append+compact step is skipped — older batches
+        // are checkpoint-committed and never redelivered.
+        val ptr = s"$indexRoot.current"
+        val root = SegmentStore.getPointer(ptr).getOrElse(indexRoot)
         val tag = s"batch_$batchId"
-        if (!batch.isEmpty && !IncrementalBm25.committedHasTag(indexRoot, tag)) {
-          if (IncrementalBm25.version(indexRoot) == 0)
-            IncrementalBm25.init(batch, idCol, textCol, indexRoot,
+        if (!batch.isEmpty && !IncrementalBm25.committedHasTag(root, tag)) {
+          if (IncrementalBm25.version(root) == 0)
+            IncrementalBm25.init(batch, idCol, textCol, root,
               numFiles = 1, tag = Some(tag))
           else
-            IncrementalBm25.append(batch, idCol, textCol, indexRoot,
+            IncrementalBm25.append(batch, idCol, textCol, root,
               numFiles = 1, tag = Some(tag))
+          val newRoot = IncrementalBm25.compactIfNeeded(
+            batch.sparkSession, root, idCol, maxSegments, tag = Some(tag))
+          if (newRoot != root) {
+            SegmentStore.setPointer(ptr, newRoot)
+            SegmentStore.retire(root)
+            ()
+          }
         }
       }
       .outputMode(OutputMode.Update())

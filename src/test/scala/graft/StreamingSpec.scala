@@ -290,6 +290,46 @@ class StreamingSpec extends SparkSpec {
     assert(graft.index.IncrementalBm25.version(root) == vBefore) // old root untouched
   }
 
+  test("indexIngest with maxSegments: auto-compaction swaps the pointer, retires the old root, serves identically") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.tables.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val root = java.nio.file.Files.createTempDirectory("graft-lc-ing").toString + "/idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lc-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = DeltaStream.indexIngest(input.toDF().toDF("doc_id", "text"),
+      root, ckpt, maxSegments = 2)
+    try {
+      docs.grouped(100).foreach { g => input.addData(g.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+
+    // ≥5 batches over maxSegments=2 ⇒ compaction fired at least once:
+    // the durable pointer moved off the initial root, which was retired
+    val cur = graft.index.SegmentStore.getPointer(s"$root.current")
+    assert(cur.nonEmpty && cur.get != root, s"pointer=$cur")
+    assert(graft.index.IncrementalBm25.version(root) == 0) // retired
+    assert(graft.index.IncrementalBm25.version(cur.get) <= 3) // bounded segments
+
+    // the maintained index serves hash-identical bm25 to a full rebuild
+    val full = java.nio.file.Files.createTempDirectory("graft-lc-full").toString
+    graft.index.Bm25Index.build(
+      graft.tables.Tables.documents(spark, Sf0001), "doc_id", "text", full)
+    val terms = Seq("spark", "join", "filter")
+    val streamed = graft.index.IncrementalBm25
+      .topK(spark, cur.get, "doc_id", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rebuilt = graft.index.Bm25Index.topK(spark, full, "doc_id", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed == rebuilt && rebuilt.nonEmpty)
+
+    // the compacting batch's idempotence tag rode into the new root:
+    // redelivery of the one uncommitted batch is a no-op, not a dup
+    val nBatches = (docs.length + 99) / 100
+    assert((0 until nBatches).exists(b =>
+      graft.index.IncrementalBm25.committedHasTag(cur.get, s"batch_$b")))
+  }
+
   test("ivfIngest: streamed segments serve hash-identical ANN to a monolithic assignment") {
     implicit val sqlCtx = spark.sqlContext
     import graft.index.IncrementalIvf
