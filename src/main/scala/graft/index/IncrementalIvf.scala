@@ -138,7 +138,8 @@ object IncrementalIvf {
     * are hash-identical), re-publishing the frozen centroids as-is. The
     * old root stays readable throughout; callers swap the root pointer
     * when done — the standard LSM tail-fold, same as the sparse twin. */
-  def compact(spark: SparkSession, root: String, newRoot: String): Unit = {
+  def compact(spark: SparkSession, root: String, newRoot: String,
+              tag: Option[String] = None): Unit = {
     val v = version(root)
     require(v > 0, s"index at $root not initialized")
     readCentroids(spark, root).coalesce(1).write.mode(SaveMode.Overwrite)
@@ -148,7 +149,7 @@ object IncrementalIvf {
       .option("compression", "zstd")
       .partitionBy("cid")
       .parquet(segDir(newRoot, 0))
-    publish(newRoot, 1, None)
+    publish(newRoot, 1, tag)
   }
 
   /** Size-tiered auto-compaction trigger (see
@@ -156,9 +157,9 @@ object IncrementalIvf {
     * contract): fold when segment fan-in exceeds `maxSegments`, return
     * the root to read from. */
   def compactIfNeeded(spark: SparkSession, root: String,
-                      maxSegments: Int): String =
+                      maxSegments: Int, tag: Option[String] = None): String =
     SegmentStore.compactIfNeeded(root, version(root), maxSegments)(
-      compact(spark, root, _))
+      compact(spark, root, _, tag = tag))
 
   /** Centroid RETRAIN — the production answer to the frozen-centroid
     * drift caveat in the object doc: re-fit kmeans centroids on the

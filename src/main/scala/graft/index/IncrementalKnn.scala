@@ -199,7 +199,7 @@ object IncrementalKnn {
     * edges, unioned assignment/probes, centroids republished) — the LSM
     * tail-fold bounding read-side fan-in; old root readable throughout. */
   def compact(spark: SparkSession, root: String, newRoot: String,
-              k: Int): Unit = {
+              k: Int, tag: Option[String] = None): Unit = {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
     readCentroids(spark, root).coalesce(1).write.mode(SaveMode.Overwrite)
@@ -211,7 +211,7 @@ object IncrementalKnn {
       .write.mode(SaveMode.Overwrite).parquet(probesDir(newRoot, 0))
     edges(spark, root, k).select(col("src"), col("dst"), col("score"))
       .write.mode(SaveMode.Overwrite).parquet(edgesDir(newRoot, 0))
-    publish(newRoot, 1)
+    publish(newRoot, 1, tag)
   }
 
   /** Size-tiered auto-compaction trigger (see
@@ -219,9 +219,9 @@ object IncrementalKnn {
     * contract): fold when edge-segment fan-in exceeds `maxSegments`,
     * return the root to read from. */
   def compactIfNeeded(spark: SparkSession, root: String, k: Int,
-                      maxSegments: Int): String =
+                      maxSegments: Int, tag: Option[String] = None): String =
     SegmentStore.compactIfNeeded(root, version(root), maxSegments)(
-      compact(spark, root, _, k))
+      compact(spark, root, _, k, tag = tag))
 
   /** Incrementally-GROWN whole-corpus graph for `dataDir` (thirds: init +
     * two appends), memoized via the IndexCatalog — oracle-checkable

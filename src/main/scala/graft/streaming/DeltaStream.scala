@@ -255,15 +255,29 @@ object DeltaStream {
     * effect. The stream must be initialized first ([[graft.index
     * .IncrementalIvf.init]] freezes the centroids); empty micro-batches
     * are skipped. */
-  def ivfIngest(vectors: DataFrame, indexRoot: String, checkpoint: String)
+  def ivfIngest(vectors: DataFrame, indexRoot: String, checkpoint: String,
+                maxSegments: Int = Int.MaxValue)
       : StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.index.IncrementalIvf
+        import graft.index.{IncrementalIvf, SegmentStore}
+        // Same bounded-storage maintenance loop as [[indexIngest]]:
+        // pointer-resolved root, compact-swap-retire in the batch that
+        // crosses `maxSegments`, compacting batch's tag on the new root.
+        val ptr = s"$indexRoot.current"
+        val root = SegmentStore.getPointer(ptr).getOrElse(indexRoot)
         val tag = s"batch_$batchId"
-        if (!batch.isEmpty && !IncrementalIvf.committedHasTag(indexRoot, tag))
-          IncrementalIvf.append(batch, indexRoot, tag = Some(tag))
+        if (!batch.isEmpty && !IncrementalIvf.committedHasTag(root, tag)) {
+          IncrementalIvf.append(batch, root, tag = Some(tag))
+          val newRoot = IncrementalIvf.compactIfNeeded(
+            batch.sparkSession, root, maxSegments, tag = Some(tag))
+          if (newRoot != root) {
+            SegmentStore.setPointer(ptr, newRoot)
+            SegmentStore.retire(root)
+            ()
+          }
+        }
       }
       .outputMode(OutputMode.Update())
       .start()
@@ -278,14 +292,26 @@ object DeltaStream {
     * SemDeDup clustering / diversity audits read is therefore never
     * stale by more than one trigger interval. */
   def knnIngest(vectors: DataFrame, graphRoot: String, checkpoint: String,
-                nprobe: Int, k: Int): StreamingQuery =
+                nprobe: Int, k: Int,
+                maxSegments: Int = Int.MaxValue): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.index.IncrementalKnn
+        import graft.index.{IncrementalKnn, SegmentStore}
+        // Same bounded-storage maintenance loop as [[indexIngest]].
+        val ptr = s"$graphRoot.current"
+        val root = SegmentStore.getPointer(ptr).getOrElse(graphRoot)
         val tag = s"batch_$batchId"
-        if (!batch.isEmpty && !IncrementalKnn.committedHasTag(graphRoot, tag))
-          IncrementalKnn.append(batch, graphRoot, nprobe, k, tag = Some(tag))
+        if (!batch.isEmpty && !IncrementalKnn.committedHasTag(root, tag)) {
+          IncrementalKnn.append(batch, root, nprobe, k, tag = Some(tag))
+          val newRoot = IncrementalKnn.compactIfNeeded(
+            batch.sparkSession, root, k, maxSegments, tag = Some(tag))
+          if (newRoot != root) {
+            SegmentStore.setPointer(ptr, newRoot)
+            SegmentStore.retire(root)
+            ()
+          }
+        }
       }
       .outputMode(OutputMode.Update())
       .start()

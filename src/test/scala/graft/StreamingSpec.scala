@@ -400,6 +400,41 @@ class StreamingSpec extends SparkSpec {
       IncrementalKnn.committedHasTag(root, s"batch_$b")))
   }
 
+  test("knnIngest with maxSegments: pointer swap + retire mid-stream, graph stays rebuild-exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.{IncrementalKnn, SegmentStore}
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+    val root = java.nio.file.Files.createTempDirectory("graft-knn-lc").toString + "/g"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-knn-lck").toString
+    IncrementalKnn.init(emb.where(col("vec_id") % 4 === 0), centroids, root, 3, 5)
+    val rest = emb.where(col("vec_id") % 4 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = DeltaStream.knnIngest(
+      input.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+      root, ckpt, 3, 5, maxSegments = 2)
+    try {
+      rest.grouped(60).foreach { g => input.addData(g.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+
+    // compaction fired: pointer moved, initial root retired, fan-in bounded
+    val cur = SegmentStore.getPointer(s"$root.current")
+    assert(cur.nonEmpty && cur.get != root, s"pointer=$cur")
+    assert(IncrementalKnn.version(root) == 0)
+    assert(IncrementalKnn.version(cur.get) <= 3)
+
+    // the maintained graph is hash-exact to a whole-corpus rebuild
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val maintained = rows(IncrementalKnn.edges(spark, cur.get, 5))
+    val rebuilt = rows(graft.search.Ann.knnGraph(emb, centroids, 3, 5))
+    assert(maintained == rebuilt && rebuilt.nonEmpty)
+  }
+
   test("streaming vector ingest keeps the IVF index fresh via foreachBatch appendAssign") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
