@@ -110,6 +110,24 @@ object ScaleSlope {
         docs(dir).select(col("doc_id"),
           graft.functions.TextOps.qualityScore(col("text"))).count()
       }
+      // Graph-walk serving slope: edges prebuilt (the amortized build is
+      // knn_graph above), the probe times 8 hierarchical walks. Expected
+      // shape: per-query compute is corpus-independent, but each hop's
+      // frontier join SCANS the edge artifact and the coarse layer scans
+      // 1/16 of the vectors — so the slope tells us when the artifact
+      // scan starts to dominate and a src-pruned layout earns its keep.
+      val gEdges = graft.search.Ann
+        .knnGraph(emb(dir), centroids(dir, copies), 3, 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      gEdges.count()
+      val gQs = emb(dir).where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      t(s"graph_walk_$label") {
+        graft.search.Ann.graphTopKBatched(gEdges, emb(dir), gQs,
+          graft.search.Ann.hierEntriesBatched(emb(dir), gQs, 16, 3),
+          beam = 8, hops = 2, k = 5).count()
+      }
+      gEdges.unpersist()
     }
     spark.stop()
   }
