@@ -3788,6 +3788,91 @@ object QueriesPipeline {
         SELECT id, score FROM c2 ORDER BY score DESC, id ASC LIMIT 10
       """)),
 
+    // Filtered graph ANN (a26): the filter × index-type matrix's last
+    // cell. a14 PRE-filters the IVF lists (right at high selectivity);
+    // a graph walk must NOT pre-filter — removing nodes disconnects the
+    // routing graph — so the walk runs on FULL connectivity with a 3×
+    // oversampled cut (the T4 pattern), and the metadata predicate
+    // applies post-walk. This is how HNSW engines serve low-selectivity
+    // filters: route unfiltered, filter the candidate pool.
+    "a26_graph_filtered" -> Q(
+      (s, d) => {
+        val sv = graft.search.ServingSession.of(s)
+        val emb = Tables.embeddings(sv, d)
+        val edges = graft.index.KnnGraphIndex.edges(sv, d, 3, 5)
+        val qv = emb.where(col("vec_id") === Queries.QueryVecId)
+          .select(col("embedding").as("qvec"))
+        val walked = Ann.graphTopK(edges, emb, qv,
+          Ann.hierEntries(emb, qv, 16, 3), beam = 8, hops = 3, k = 30)
+        val allowed = Tables.documents(sv, d)
+          .where(col("source") === "src3")
+          .select(col("doc_id").as("id"))
+        walked.join(allowed, Seq("id"))
+          .orderBy(col("score").desc, col("id").asc).limit(10)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        assign AS (
+          SELECT vec_id, cid, embedding FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT src, qvec, cid FROM (
+            SELECT e.vec_id AS src, e.embedding::DOUBLE[] AS qvec, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn <= 3),
+        gcand AS (
+          SELECT p.src, a.vec_id AS dst,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], p.qvec), 6) AS score
+          FROM probes p JOIN assign a ON p.cid = a.cid
+          WHERE a.vec_id <> p.src),
+        edges AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY score DESC, dst ASC) AS rank
+            FROM gcand)
+          WHERE rank <= 5),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        sc AS (
+          SELECT e.vec_id AS id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+          FROM embeddings e CROSS JOIN q),
+        ent AS (SELECT id FROM sc WHERE id % 16 = 0
+                ORDER BY score DESC, id ASC LIMIT 3),
+        c0 AS (SELECT id, score FROM sc WHERE id IN (SELECT id FROM ent)),
+        f0 AS (SELECT id FROM c0 ORDER BY score DESC, id ASC LIMIT 8),
+        c1 AS (SELECT id, score FROM c0
+               UNION
+               SELECT sc.id, sc.score FROM sc
+               WHERE sc.id IN (SELECT e.dst FROM f0 JOIN edges e ON e.src = f0.id)),
+        f1 AS (SELECT id FROM c1 ORDER BY score DESC, id ASC LIMIT 8),
+        c2 AS (SELECT id, score FROM c1
+               UNION
+               SELECT sc.id, sc.score FROM sc
+               WHERE sc.id IN (SELECT e.dst FROM f1 JOIN edges e ON e.src = f1.id)),
+        f2 AS (SELECT id FROM c2 ORDER BY score DESC, id ASC LIMIT 8),
+        c3 AS (SELECT id, score FROM c2
+               UNION
+               SELECT sc.id, sc.score FROM sc
+               WHERE sc.id IN (SELECT e.dst FROM f2 JOIN edges e ON e.src = f2.id)),
+        walked AS (SELECT id, score FROM c3
+                   ORDER BY score DESC, id ASC LIMIT 30),
+        allowed AS (SELECT doc_id FROM documents WHERE source = 'src3')
+        SELECT id, score FROM walked
+        WHERE id IN (SELECT doc_id FROM allowed)
+        ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
     // Batched multi-query graph ANN (a25): 8 hierarchical walks in ONE
     // plan — the throughput-serving form (a12/s3d/s4b batched pattern
     // applied to a24). One coarse scan selects every query's entries,
