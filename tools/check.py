@@ -17,7 +17,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 con = duckdb.connect()
 for t in TABLES:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # driver layout: single parquet file; scaled layouts (MakeScaled,
+    # Spark writes) are directories of part files — glob those
+    import os
+    p = f"{sf_dir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok = fail = 0
