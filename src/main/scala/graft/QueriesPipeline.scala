@@ -3958,6 +3958,80 @@ object QueriesPipeline {
         WHERE rn <= 5 ORDER BY qid ASC, score DESC, id ASC
       """)),
 
+    // Seek-path graph ANN (a27): a24's hierarchical walk served as
+    // POINT LOOKUPS — per hop, a literal src IN (frontier) read of the
+    // src-sorted edge artifact and a vec_id IN (new ids) read of the
+    // vectors parquet, both pushed to the scan where sorted row-group
+    // min/max stats skip everything else (IndexSpec pins PushedFilters
+    // on both). The one-plan walk's per-hop joins scan the whole edge
+    // artifact + vectors table (flat at sf0.1, linear at 100 TB); this
+    // is the serving form whose per-hop I/O is O(beam·k) row groups at
+    // any corpus size. Value-identical by construction: same candidate
+    // sets, same (score desc, id asc) cuts — oracle = a24's, unchanged.
+    "a27_graph_seek" -> Q(
+      (s, d) => {
+        val sv = graft.search.ServingSession.of(s)
+        val emb = Tables.embeddings(sv, d)
+        val edges = graft.index.KnnGraphIndex.edges(sv, d, 3, 5)
+        val qv = emb.where(col("vec_id") === Queries.QueryVecId)
+          .select(col("embedding").as("qvec"))
+        val entryIds = Ann.hierEntries(emb, qv, 16, 3)
+          .collect().map(_.getLong(0)).toSeq
+        Ann.graphTopKSeek(edges, emb, qv, entryIds, beam = 8, hops = 2, k = 10)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        assign AS (
+          SELECT vec_id, cid, embedding FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT src, qvec, cid FROM (
+            SELECT e.vec_id AS src, e.embedding::DOUBLE[] AS qvec, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn <= 3),
+        gcand AS (
+          SELECT p.src, a.vec_id AS dst,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], p.qvec), 6) AS score
+          FROM probes p JOIN assign a ON p.cid = a.cid
+          WHERE a.vec_id <> p.src),
+        edges AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY score DESC, dst ASC) AS rank
+            FROM gcand)
+          WHERE rank <= 5),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        sc AS (
+          SELECT e.vec_id AS id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+          FROM embeddings e CROSS JOIN q),
+        ent AS (SELECT id FROM sc WHERE id % 16 = 0
+                ORDER BY score DESC, id ASC LIMIT 3),
+        c0 AS (SELECT id, score FROM sc WHERE id IN (SELECT id FROM ent)),
+        f0 AS (SELECT id FROM c0 ORDER BY score DESC, id ASC LIMIT 8),
+        c1 AS (SELECT id, score FROM c0
+               UNION
+               SELECT sc.id, sc.score FROM sc
+               WHERE sc.id IN (SELECT e.dst FROM f0 JOIN edges e ON e.src = f0.id)),
+        f1 AS (SELECT id FROM c1 ORDER BY score DESC, id ASC LIMIT 8),
+        c2 AS (SELECT id, score FROM c1
+               UNION
+               SELECT sc.id, sc.score FROM sc
+               WHERE sc.id IN (SELECT e.dst FROM f1 JOIN edges e ON e.src = f1.id))
+        SELECT id, score FROM c2 ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
     // IVF list-balance monitor — the drift signal that schedules a
     // centroid retrain (frozen centroids degrade LIST BALANCE, not
     // correctness, as the ingested distribution drifts; see

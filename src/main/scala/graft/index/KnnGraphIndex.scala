@@ -33,16 +33,33 @@ object KnnGraphIndex {
 
   /** Edge list (src, dst, score, rank) for `dataDir`'s embeddings table,
     * built at most once. Centroid rule (first 10 stored vectors) mirrors
-    * the a1/a18 oracle so the artifact stays engine-independent. */
+    * the a1/a18 oracle so the artifact stays engine-independent.
+    *
+    * Layout: range-partitioned + sorted by `src`, so every file and every
+    * parquet row group carries a tight min/max `src` range. Scan-style
+    * consumers (a18/a19, the one-plan walks) are unaffected — they read
+    * the whole artifact and re-apply their own ordering — but a pushed
+    * `src IN (frontier)` predicate (the [[Ann.graphTopKSeek]] serving
+    * path) skips every row group outside the frontier's ranges: the
+    * per-hop read is O(frontier) row groups, not O(corpus). At 100 TB
+    * that is the difference between a walk hop doing point lookups and
+    * re-scanning the whole adjacency each hop. */
   def edges(spark: SparkSession, dataDir: String,
             nprobe: Int = 3, k: Int = 5): DataFrame = {
-    val name = s"knn_graph_n${nprobe}_k$k"
+    val name = s"knn_graph_n${nprobe}_k${k}_srt"
     val p = IndexCatalog.ensure(spark, dataDir, name) { out =>
       val emb = Tables.embeddings(spark, dataDir)
       val centroids = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Ann.knnGraph(emb, centroids, nprobe, k)
-        .write.mode(SaveMode.Overwrite).parquet(s"$out/edges")
+        .repartitionByRange(8, col("src"))
+        .sortWithinPartitions(col("src"), col("rank"))
+        .write.mode(SaveMode.Overwrite)
+        // small row groups => fine-grained min/max pruning for the seek
+        // path even on modest corpora (default 128 MiB groups would put
+        // the whole sf0.1 artifact in one group and prune nothing)
+        .option("parquet.block.size", (1 << 20).toString)
+        .parquet(s"$out/edges")
     }
     spark.read.parquet(s"$p/edges")
   }

@@ -627,4 +627,55 @@ object Ann {
       .select(col("qid"), col("id"), col("score"))
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
   }
+
+  /** [[graphTopK]] as POINT LOOKUPS — the low-latency serving form.
+    *
+    * The one-plan walk ([[graphTopK]]) keeps everything declarative, but
+    * its per-hop joins are broadcast-of-frontier into FULL scans of the
+    * edge artifact and the vectors table: flat at test scale, linear in
+    * the corpus at 100 TB (hops × two corpus scans per query). A graph-ANN
+    * server does neither — each hop is a handful of adjacency-list and
+    * vector lookups. This variant is that server path: the walk state
+    * (≤ |entries| + hops·beam·k ids — tens) lives on the driver, and each
+    * hop issues two LITERAL `IN`-predicate reads — `src IN (frontier)`
+    * against the src-sorted edge artifact
+    * ([[graft.index.KnnGraphIndex]]) and `vec_id IN (new ids)` against
+    * the vectors parquet. Both push to the parquet scan (PushedFilters,
+    * pinned by IndexSpec) where sorted row-group min/max stats skip
+    * everything outside the requested ranges: per-hop I/O is O(beam·k)
+    * row groups regardless of corpus size. The driver-side state is the
+    * same documented bounded-head pattern as MMR (hard-capped working
+    * set; here it is ≤ a few hundred ids by construction).
+    *
+    * Candidate-set semantics are identical to [[graphTopK]] (union by id,
+    * every cut (score desc, id asc), scores rounded to 6 dp), so results
+    * are value-identical — the a27 oracle is a24's unchanged. Trade-off
+    * vs the one-plan form: `2·hops + 1` tiny jobs per query (latency
+    * floor-bound, like every serving-class query here) instead of one
+    * large job with corpus-sized scans; for throughput serving batch with
+    * [[graphTopKBatched]], for per-query latency at big corpora seek. */
+  def graphTopKSeek(edges: DataFrame, vectors: DataFrame, queryVec: DataFrame,
+                    entryIds: Seq[Long], beam: Int, hops: Int, k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    def scoreIds(ids: Seq[Long]): Seq[(Long, Double)] =
+      vectors.where(col("vec_id").isin(ids: _*))
+        .crossJoin(broadcast(queryVec))
+        .select(col("vec_id"),
+          round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6))
+        .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    val cand = scala.collection.mutable.Map.empty[Long, Double]
+    cand ++= scoreIds(entryIds)
+    for (_ <- 0 until hops) {
+      val frontier = cand.toSeq
+        .sortBy { case (id, s) => (-s, id) }.take(beam).map(_._1)
+      val fresh = edges.where(col("src").isin(frontier: _*))
+        .select(col("dst")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+        .filterNot(cand.contains)
+      if (fresh.nonEmpty) cand ++= scoreIds(fresh)
+    }
+    import spark.implicits._
+    cand.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+      .toDF("id", "score")
+  }
 }

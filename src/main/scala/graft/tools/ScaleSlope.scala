@@ -128,6 +128,26 @@ object ScaleSlope {
           beam = 8, hops = 2, k = 5).count()
       }
       gEdges.unpersist()
+      // Seek-path walk slope: same edges in the src-sorted parquet
+      // layout, walk via pushed IN lookups (a27's serving form). The
+      // expected slope is FLAT in I/O, not just in compute — each hop
+      // reads O(beam·k) row groups wherever they land in the corpus.
+      val seekPath = s"$base/seek_edges_$label"
+      graft.search.Ann.knnGraph(emb(dir), centroids(dir, copies), 3, 5)
+        .repartitionByRange(8, col("src"))
+        .sortWithinPartitions(col("src"), col("rank"))
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (1 << 20).toString)
+        .parquet(seekPath)
+      val sEdges = spark.read.parquet(seekPath)
+      val sQv = emb(dir).where(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val sEntries = graft.search.Ann.hierEntries(emb(dir), sQv, 16, 3)
+        .collect().map(_.getLong(0)).toSeq
+      t(s"graph_seek_$label") {
+        graft.search.Ann.graphTopKSeek(sEdges, emb(dir), sQv, sEntries,
+          beam = 8, hops = 2, k = 10).count()
+      }
     }
     spark.stop()
   }

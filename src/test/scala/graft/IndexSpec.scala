@@ -243,6 +243,36 @@ class IndexSpec extends SparkSpec {
     edges.unpersist()
   }
 
+  test("seek graph ANN: point-lookup walk == one-plan walk; hop reads push src/vec_id IN filters") {
+    import graft.search.Ann
+    import graft.index.KnnGraphIndex
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    // the real artifact (src-sorted layout), as a27 serves it
+    val edges = KnnGraphIndex.edges(spark, Sf0001, 3, 5)
+    val qv = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val entryIds = Ann.hierEntries(emb, qv, 16, 3)
+      .collect().map(_.getLong(0)).toSeq
+
+    val seek = Ann.graphTopKSeek(edges, emb, qv, entryIds,
+        beam = 8, hops = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val scan = Ann.graphTopK(edges, emb, qv,
+        entryIds.toDF("id"), beam = 8, hops = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(seek == scan && seek.size == 10)
+
+    // the per-hop reads must SEEK: literal IN predicates pushed to the
+    // sorted artifact / vectors parquet scans (row-group min/max pruning)
+    val hopEdges = edges.where(col("src").isin(entryIds: _*))
+      .queryExecution.executedPlan.toString
+    assert(hopEdges.contains("PushedFilters: [In(src"), hopEdges)
+    val hopVecs = emb.where(col("vec_id").isin(entryIds: _*))
+      .queryExecution.executedPlan.toString
+    assert(hopVecs.contains("PushedFilters: [In(vec_id"), hopVecs)
+  }
+
   test("pq: every (vector, subspace) encodes; ADC re-rank holds recall vs brute force") {
     import graft.search.Ann
     val emb = Tables.documents(spark, Sf0001).sparkSession
