@@ -1962,8 +1962,36 @@ object Queries {
   def all: Map[String, Q] =
     relational ++ searchQueries ++ apiQueries ++ QueriesPipeline.all
 
+  /** Single-query SERVING entries — interactive request shapes (one
+    * query, fixed tiny plan, floor-bound) that plan on the AQE-off
+    * serving tier ([[graft.search.ServingSession]]), like the batched
+    * legs already do: every AQE exchange materialization is an extra
+    * Spark job whose fixed submit cost dominates a floor-bound figure
+    * (a23 halved when it moved tiers in r8). Values are AQE-invariant —
+    * AQE only re-plans exchanges — so oracle hashes are unchanged (the
+    * driver re-verifies every one of these against DuckDB each round).
+    * Corpus-scale analytical entries (stats profiling s13/s14, percolate
+    * s25*, maxsim s22) stay on the analytics tier where AQE's skew/
+    * coalesce handling is the right default. */
+  private val servingSingles: Set[String] = Set(
+    "s1_dense_topk", "s2_dense_threshold", "s3_bm25_topk",
+    "s3b_bm25_indexed", "s3c_bm25_incremental", "s4_hybrid_rrf",
+    "s5_exact_match", "s6_fusion_simple", "s7_filtered_search",
+    "s8_linear_fusion", "s9_tfidf_search", "s9b_tfidf_indexed",
+    "s10_znorm", "s11_result_shape", "s12_compare_modes",
+    "s15_collection_search", "s16_display_shape", "s18_zero_vector",
+    "s19_fuzzy_match", "s20_phrase_search", "s21_chunk_retrieval",
+    "s21b_chunk_indexed", "s21c_chunk_dense", "s21d_chunk_hybrid",
+    "s23_faceted_search", "s24_more_like_this", "s26_autocomplete",
+    "s27_spell_suggest")
+
   def queryFns: Map[String, (SparkSession, String) => DataFrame] =
-    all.map { case (k, q) => k -> q.fn }
+    all.map { case (k, q) =>
+      k -> (if (servingSingles(k))
+        (s: SparkSession, d: String) =>
+          q.fn(graft.search.ServingSession.of(s), d)
+      else q.fn)
+    }
 
   def oracles: Map[String, String] =
     all.collect { case (k, Q(_, Some(sql))) => k -> sql.trim }

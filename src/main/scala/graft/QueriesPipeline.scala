@@ -3019,7 +3019,7 @@ object QueriesPipeline {
     * PageRank with fixed iterations. The oracle unrolls the identical
     * iteration arithmetic CTE by CTE — generated by the same Scala loop
     * count, so changing `PrIters` changes both sides together. */
-  private val PrIters = 5
+  private[graft] val PrIters = 5 // graft-visible: Bench emits g1_iters
   private val PrDamping = 0.85
 
   val graph: Map[String, Q] = Map(

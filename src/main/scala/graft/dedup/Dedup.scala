@@ -591,8 +591,15 @@ object Dedup {
     }
     edges.unpersist()
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    lastCcIterations = iter
     labels.select(col("id"), col("label").as("keeper"))
   }
+
+  /** Round count of the most recent [[connectedComponents]] run on this
+    * driver — bench attribution only (the artifact pairs it with the
+    * query's measured job count so jobs-per-iteration is readable
+    * in-artifact); never part of a query result. */
+  @volatile var lastCcIterations: Int = 0
 
   /** 32-bit SimHash per document: tf-weighted ±1 vote per bit of the md5
     * token hash; bit set where the vote sum is positive. Pure integer

@@ -122,4 +122,131 @@ object UrlOps {
           .otherwise(col("_last2"))) // unknown TLD: 2-label heuristic
       .drop("_last1", "_last2", "_last3", "_sfx1", "_sfx2")
   }
+
+  /** One parsed publicsuffix.org rule: `labels` label count; exactly one
+    * of the three kinds is set. For a WILDCARD rule (`*.ck`) the stored
+    * string is the BASE (`ck`, the part after `*.`) — the rule's suffix
+    * is one label deeper than the base. For an EXCEPTION (`!www.ck`) the
+    * stored string is the rule body (`www.ck`), which per the PSL
+    * algorithm IS the registered domain of every host it suffix-matches
+    * (prevailing rule = exception minus its leading label). */
+  private final case class PslRule(rule: String, labels: Int,
+                                   exact: Boolean, wildcard: Boolean,
+                                   exception: Boolean)
+
+  /** The FULL publicsuffix.org rule set (ICANN + private sections),
+    * vendored as a resource from the OS-distributed copy of
+    * `public_suffix_list.dat` (Mozilla Public Suffix List, MPL 2.0 — the
+    * same file Debian ships in /usr/share/publicsuffix and the JDK embeds
+    * for cookie scoping). ~9.5k rules: exact suffixes up to 5 labels,
+    * leading-`*.` wildcards with bases up to 4 labels, 8 `!` exceptions.
+    *
+    * Internationalized rules (the list carries U-labels like `公司.cn`)
+    * additionally emit a punycode twin via [[java.net.IDN]] — web-corpus
+    * hosts are IDNA-encoded (`xn--`), so without the twin every IDN
+    * registry would silently fall back to the 2-label heuristic. */
+  private lazy val FullPslRules: Seq[PslRule] = {
+    val in = getClass.getResourceAsStream("/public_suffix_list.dat")
+    require(in != null, "public_suffix_list.dat resource missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val raw =
+      try src.getLines()
+        .map(_.trim.takeWhile(c => !c.isWhitespace)) // rule ends at whitespace (PSL spec)
+        .filter(l => l.nonEmpty && !l.startsWith("//"))
+        .toVector
+      finally src.close()
+    def asciiTwin(r: String): Option[String] = {
+      val (pfx, body) = if (r.startsWith("!")) ("!", r.drop(1)) else ("", r)
+      try {
+        val t = pfx + body.split('.')
+          .map(l => if (l == "*") l else java.net.IDN.toASCII(l).toLowerCase)
+          .mkString(".")
+        if (t == r) None else Some(t)
+      } catch { case _: IllegalArgumentException => None }
+    }
+    (raw ++ raw.flatMap(asciiTwin)).distinct.map { r =>
+      if (r.startsWith("!")) {
+        val body = r.drop(1)
+        PslRule(body, body.count(_ == '.') + 1, exact = false,
+          wildcard = false, exception = true)
+      } else if (r.startsWith("*.")) {
+        val base = r.drop(2)
+        PslRule(base, base.count(_ == '.') + 1, exact = false,
+          wildcard = true, exception = false)
+      } else
+        PslRule(r, r.count(_ == '.') + 1, exact = true,
+          wildcard = false, exception = false)
+    }
+  }
+
+  /** Last `n` dot-labels of the host, or '' when the host is shorter. */
+  private def lastLabels(h: Column, n: Int): Column =
+    regexp_extract(h, "([^.]+" + ("\\.[^.]+" * (n - 1)) + ")$", 1)
+
+  /** [[withRegisteredDomain]] against the FULL vendored publicsuffix.org
+    * list, implementing the complete PSL algorithm — exact rules at every
+    * depth, `*.`-wildcard rules, and `!` exceptions — instead of the
+    * 1/2-label fixture subset:
+    *
+    *   - an EXCEPTION rule that suffix-matches prevails over everything;
+    *     the registered domain is the exception body itself;
+    *   - otherwise the longest matching rule prevails (a wildcard rule
+    *     counts its `*`), and the registered domain is one label more
+    *     than the matched suffix;
+    *   - no rule matches → implicit `*` rule: the 2-label heuristic.
+    *
+    * Divergence from the spec, deliberately total: a host that IS a
+    * public suffix (`nom.br` under `*.nom.br`) has no registered domain
+    * per spec; this column falls through to the next-longest match and
+    * ultimately the 2-label heuristic, so the dedup key is never null.
+    *
+    * Scale shape: ONE broadcast hash join per rule depth (5 with today's
+    * list) against depth-partitioned slices of the ~9.5k-row rule table,
+    * resolved by a single precedence CASE — the host side never shuffles
+    * and the whole rule set broadcasts in ~250 KB, the same plan family
+    * as the fixture form (t43), just wider. */
+  def withRegisteredDomainPsl(df: DataFrame, hostCol: String,
+                              outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byDepth = FullPslRules.groupBy(_.labels)
+    val maxSuffix = byDepth.keys.max + 1 // deepest wildcard suffix = base+1
+    val h = col(hostCol)
+    val withLasts = (1 to (maxSuffix + 1)).foldLeft(df) { (d, n) =>
+      d.withColumn(s"_last$n", lastLabels(h, n))
+    }
+    // one broadcast join per rule depth: (rule, exact?, wildcard?, exc?)
+    // — a string can be several kinds at once (`nom.br` is an exact rule
+    // AND the base of `*.nom.br`), so kinds are OR-folded per rule
+    val joined = byDepth.toSeq.sortBy(_._1).foldLeft(withLasts) {
+      case (d, (depth, rules)) =>
+        val tbl = rules.groupBy(_.rule).map { case (r, rs) =>
+          (r, rs.exists(_.exact), rs.exists(_.wildcard),
+            rs.exists(_.exception))
+        }.toSeq.toDF(s"_rule_$depth", s"_ex_$depth", s"_wc_$depth",
+          s"_xc_$depth")
+        d.join(broadcast(tbl),
+          col(s"_last$depth") === col(s"_rule_$depth"), "left")
+    }
+    def has(flag: String, depth: Int): Column =
+      if (byDepth.contains(depth)) col(s"_${flag}_$depth") === true
+      else lit(false)
+    val depths = byDepth.keys.toSeq.sorted.reverse
+    val candidates =
+      // exceptions first (deepest first): rd = the matched labels
+      depths.map(dp => when(has("xc", dp), col(s"_last$dp"))) ++
+      // then longest suffix: exact depth s, then wildcard base depth s-1
+      (maxSuffix to 1 by -1).flatMap { s =>
+        Seq(when(has("ex", s) && col(s"_last${s + 1}") =!= "",
+              col(s"_last${s + 1}")),
+            when(has("wc", s - 1) && col(s"_last${s + 1}") =!= "",
+              col(s"_last${s + 1}")))
+      }
+    val resolved = joined.withColumn(outCol,
+      coalesce(candidates :+ col("_last2"): _*))
+    val helperCols = (1 to (maxSuffix + 1)).map(n => s"_last$n") ++
+      byDepth.keys.flatMap(dp =>
+        Seq(s"_rule_$dp", s"_ex_$dp", s"_wc_$dp", s"_xc_$dp"))
+    resolved.drop(helperCols: _*)
+  }
 }

@@ -161,6 +161,50 @@ object SegmentStore {
     } finally in.close()
   }
 
+  /** Crash-recovery sweep for the compact-swap-retire loop — run at the
+    * START of every at-least-once maintenance batch, before the
+    * idempotence skip check. Two crash windows leak storage without it
+    * (correctness was never affected — the pointer protocol guarantees
+    * readers a committed root throughout):
+    *
+    *   1. crash AFTER [[compactIfNeeded]] published the new root (which
+    *      carries the redelivered batch's tag) but BEFORE [[setPointer]]:
+    *      on redelivery the tag is found on the OLD root, the whole step
+    *      is skipped, the pointer never moves, and the next compaction
+    *      writes a differently-named root — each such crash would orphan
+    *      a full index copy forever. The compaction target name is
+    *      deterministic (`<root>-c<version>`), so ONE probe finds the
+    *      orphan; if its committed history carries this batch's tag, the
+    *      swap is finished here (adopt: setPointer + retire the
+    *      superseded root) and the adopted root is returned — the caller's
+    *      skip check then sees the tag on the CURRENT root, as if the
+    *      crash never happened.
+    *   2. crash AFTER [[setPointer]] but BEFORE [[retire]]: the
+    *      superseded pointer target stays on disk. The previous pointer
+    *      version names it, so it is retired here ([[retire]] is
+    *      idempotent — in normal operation this is one exists-probe).
+    *
+    * `segVersion` / `committedHasTag` are the index type's accessors
+    * (each incremental index roots its version ledger differently).
+    * Returns the resolved current root. Cost when nothing crashed:
+    * two FS existence probes. */
+  def recoverRoot(pointerBase: String, defaultRoot: String, tag: String)
+                 (segVersion: String => Int,
+                  committedHasTag: (String, String) => Boolean): String = {
+    val cur = getPointer(pointerBase).getOrElse(defaultRoot)
+    val pv = version(pointerBase)
+    if (pv > 0) { // window 2: finish a swapped-but-unretired predecessor
+      val prev = if (pv == 1) defaultRoot else readPointer(pointerBase, pv - 1)
+      if (prev != cur) retire(prev)
+    }
+    val orphan = s"$cur-c${segVersion(cur)}"
+    if (orphan != cur && committedHasTag(orphan, tag)) { // window 1: adopt
+      setPointer(pointerBase, orphan)
+      retire(cur)
+      orphan
+    } else cur
+  }
+
   /** Reclaim a RETIRED index root — the storage-lifecycle half of
     * [[compactIfNeeded]]'s pointer swap. Compaction writes a fresh root
     * (no files shared with the old one) and the caller swaps its

@@ -83,7 +83,20 @@ object Percolate {
     * path passes the Bm25Index termstats artifact so anchor election
     * costs an alert-vocabulary-sized join instead of a corpus tokenize
     * pass; when absent, df derives in-plan from the same token stream
-    * (the oracle-checkable form s25b uses). */
+    * (the oracle-checkable form s25b uses).
+    *
+    * Lookup staleness: alert terms MISSING from the lookup (a termstats
+    * artifact built before an append, or covering a different corpus)
+    * fall back to in-plan df over the current token stream — a df=0
+    * default would make the unknown term the anchor, and a stale df
+    * skews anchor election toward what USED to be rare. The fallback
+    * join is sized by the missing-term set (normally empty), so the
+    * fresh-lookup fast path keeps its alert-vocabulary-sized cost.
+    * Matching itself never depends on the lookup (probe and conjunction
+    * run over the live token stream), so a stale lookup can only
+    * mis-elect anchors — a performance hazard, not a correctness one;
+    * the fallback removes the worst case (df=0 anchor for a term that
+    * is now corpus-common). */
   def matchesInverted(docs: DataFrame, alerts: DataFrame,
                       idCol: String, textCol: String,
                       dfLookup: Option[DataFrame] = None): DataFrame = {
@@ -97,11 +110,19 @@ object Percolate {
     val dt = docs.select(col(idCol),
       explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
     // df of alert terms only (|alert vocab| rows, not corpus vocab)
+    val avocab = at.select(col("term")).distinct()
+    val inPlanDf = (vocab: DataFrame) =>
+      dt.join(vocab, Seq("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dfreq = dfLookup
-      .map(_.select(col("term"), col("df"))
-        .join(at.select(col("term")).distinct(), Seq("term")))
-      .getOrElse(dt.join(at.select(col("term")).distinct(), Seq("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("df")))
+      .map { lk =>
+        val known = lk.select(col("term"), col("df")).join(avocab, Seq("term"))
+        // stale-lookup fallback: terms the artifact doesn't cover get
+        // live in-plan df (see scaladoc) — anti-join is missing-set-sized
+        val missing = avocab.join(lk.select(col("term")), Seq("term"), "left_anti")
+        known.unionByName(inPlanDf(missing))
+      }
+      .getOrElse(inPlanDf(avocab))
     val wAnchor = Window.partitionBy(col("alert_id"))
       .orderBy(col("df").asc, col("term").asc)
     val anchors = at.join(dfreq, Seq("term"), "left")

@@ -304,7 +304,7 @@ object Api {
       if (qs.isEmpty || qs.length > 64)
         return Response(400, err("queries must carry 1..64 '||'-separated entries"))
       val indexed = qs.zipWithIndex.map { case (q, i) => (i.toLong, q) }
-      val result = ewma.timed(s"batch_$mode")(mode match {
+      val result = (mode match {
         case "dense" => SearchEngine.tfidfSearchBatched(spark, dir, indexed, count)
         case "sparse" =>
           // distinct: the single-query topK dedupes via isin(terms)
@@ -315,8 +315,12 @@ object Api {
             .withColumnRenamed("doc_id", "id")
         case _ => SearchEngine.textHybridBatched(spark, dir, indexed, count)
       })
-      // group rows per qid driver-side (≤ 64·count rows by construction)
-      val byQid = result.select("qid", "id", "score").collect()
+      // group rows per qid driver-side (≤ 64·count rows by construction).
+      // The timed block wraps the COLLECT, not the plan construction —
+      // DataFrame builders return unexecuted plans, so timing them would
+      // record plan-build microseconds as "serving latency" (r8 ADVICE).
+      val byQid = ewma.timed(s"batch_$mode")(
+        result.select("qid", "id", "score").collect())
         .groupBy(_.getLong(0))
       val blocks = indexed.map { case (qid, q) =>
         val hits = byQid.getOrElse(qid, Array.empty)
@@ -342,7 +346,7 @@ object Api {
       val emb = Tables.embeddings(spark, dir)
       val queries = emb.where(col("vec_id").isin(ids: _*))
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val res = ewma.timed(s"similar_$method")(method match {
+      val res = (method match {
         case "graph" =>
           val edges = graft.index.KnnGraphIndex.edges(spark, dir, 3, 5)
           graft.search.Ann.graphTopKBatched(edges, emb, queries,
@@ -355,8 +359,10 @@ object Api {
             spark.read.parquet(info.centroidsPath), queries, 3, count + 1)
       })
       // ≤ 64·(count+1) rows by construction; drop each query's own point
-      // and trim back to `count` driver-side
-      val byQid = res.select("qid", "id", "score").collect()
+      // and trim back to `count` driver-side. EWMA times the collect —
+      // the execution — not the lazy plan construction above (r8 ADVICE).
+      val byQid = ewma.timed(s"similar_$method")(
+        res.select("qid", "id", "score").collect())
         .groupBy(_.getLong(0))
       val blocks = ids.map { qid =>
         val hits = byQid.getOrElse(qid, Array.empty)

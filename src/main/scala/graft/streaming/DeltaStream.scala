@@ -200,10 +200,16 @@ object DeltaStream {
         // THIS batch's idempotence tag: on redelivery (restart of the
         // one uncommitted batch) the tag is found on the current root
         // and the whole append+compact step is skipped — older batches
-        // are checkpoint-committed and never redelivered.
+        // are checkpoint-committed and never redelivered. Root
+        // resolution goes through [[SegmentStore.recoverRoot]], which
+        // also finishes a predecessor's crashed swap (adopts a
+        // published-but-unswapped compacted root carrying this batch's
+        // tag; retires a swapped-but-unretired one) so no crash window
+        // leaks an index copy.
         val ptr = s"$indexRoot.current"
-        val root = SegmentStore.getPointer(ptr).getOrElse(indexRoot)
         val tag = s"batch_$batchId"
+        val root = SegmentStore.recoverRoot(ptr, indexRoot, tag)(
+          IncrementalBm25.version, IncrementalBm25.committedHasTag)
         if (!batch.isEmpty && !IncrementalBm25.committedHasTag(root, tag)) {
           if (IncrementalBm25.version(root) == 0)
             IncrementalBm25.init(batch, idCol, textCol, root,
@@ -263,11 +269,13 @@ object DeltaStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.index.{IncrementalIvf, SegmentStore}
         // Same bounded-storage maintenance loop as [[indexIngest]]:
-        // pointer-resolved root, compact-swap-retire in the batch that
-        // crosses `maxSegments`, compacting batch's tag on the new root.
+        // pointer-resolved root (with crashed-swap recovery),
+        // compact-swap-retire in the batch that crosses `maxSegments`,
+        // compacting batch's tag on the new root.
         val ptr = s"$indexRoot.current"
-        val root = SegmentStore.getPointer(ptr).getOrElse(indexRoot)
         val tag = s"batch_$batchId"
+        val root = SegmentStore.recoverRoot(ptr, indexRoot, tag)(
+          IncrementalIvf.version, IncrementalIvf.committedHasTag)
         if (!batch.isEmpty && !IncrementalIvf.committedHasTag(root, tag)) {
           IncrementalIvf.append(batch, root, tag = Some(tag))
           val newRoot = IncrementalIvf.compactIfNeeded(
@@ -300,8 +308,9 @@ object DeltaStream {
         import graft.index.{IncrementalKnn, SegmentStore}
         // Same bounded-storage maintenance loop as [[indexIngest]].
         val ptr = s"$graphRoot.current"
-        val root = SegmentStore.getPointer(ptr).getOrElse(graphRoot)
         val tag = s"batch_$batchId"
+        val root = SegmentStore.recoverRoot(ptr, graphRoot, tag)(
+          IncrementalKnn.version, IncrementalKnn.committedHasTag)
         if (!batch.isEmpty && !IncrementalKnn.committedHasTag(root, tag)) {
           IncrementalKnn.append(batch, root, nprobe, k, tag = Some(tag))
           val newRoot = IncrementalKnn.compactIfNeeded(
