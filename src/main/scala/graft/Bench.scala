@@ -143,6 +143,21 @@ object Bench {
     // KEY SEMANTICS (r8 ADVICE): the artifact's "floor" key stays the
     // POST-suite measurement (r7-comparable); the pre-loop sample is
     // published under "floor_start"/"floor_start_p10"/"floor_start_p90".
+    //
+    // POST-INIT GATE (r9 VERDICT #8): the pre-session gate releases at
+    // ≤1.5, but Spark startup + the table persist + the JIT warm-ups
+    // above are themselves a 32-thread load spike, so the 1-min average
+    // at floor-measurement time read 2.09 in r9 — the gate's intent
+    // wasn't what the artifact showed. Re-apply the gate HERE, after all
+    // harness-side heavy lifting and immediately before the floor
+    // samples; the spike is our own and decays with the 1-min EWMA
+    // (~70 s from load 5 to 1.5), so the bound is 120 s. The residual
+    // wait lands in the artifact as `load_wait_post`.
+    val gatePostT0 = System.nanoTime()
+    while (load1() > loadGate &&
+           (System.nanoTime() - gatePostT0) / 1e9 < 120.0)
+      Thread.sleep(5000)
+    val loadWaitPost = (System.nanoTime() - gatePostT0) / 1e9
     val load1Start = load1()
     val floorStartSamples = {
       val probe = Tables(spark, sfDir, "region")
@@ -192,18 +207,27 @@ object Bench {
           val runs = Seq.fill(3)(timeOnce(fn)).sorted
           (runs(1), 3)
         }
-        val jobs =
-          math.max(0, math.round((stableJobCount() - j0).toDouble / nRuns).toInt)
+        // raw cross-run delta kept alongside the per-run division (r9
+        // ADVICE): AQE-tier plans can re-plan between timed runs, so a
+        // non-divisible delta means the per-run count VARIED — flagged
+        // in the artifact (jobs_var) instead of rounded away silently
+        val jobsDelta = math.max(0, stableJobCount() - j0)
+        val jobs = math.round(jobsDelta.toDouble / nRuns).toInt
         if (name == "d7_dedup_clusters")
           d7Iters = graft.dedup.Dedup.lastCcIterations
         releaseLeftovers()
-        (name, sec, jobs)
-      } catch { case _: Throwable => releaseLeftovers(); (name, -1.0, -1) }
+        (name, sec, jobs, jobsDelta, nRuns)
+      } catch {
+        case _: Throwable => releaseLeftovers(); (name, -1.0, -1, -1, 0)
+      }
     }
-    val results = resultsFull.map { case (n, v, _) => (n, v) }
+    val results = resultsFull.map { case (n, v, _, _, _) => (n, v) }
     val jobsByName = resultsFull.collect {
-      case (n, v, j) if v >= 0 && j >= 0 => n -> j
+      case (n, v, j, _, _) if v >= 0 && j >= 0 => n -> j
     }.toMap
+    val jobsVar = resultsFull.collect {
+      case (n, v, _, d, r) if v >= 0 && r > 0 && d % r != 0 => n
+    }
 
     // Floor AGAIN, after the suite (maximally JIT/scheduler-warm — the
     // state the late-alphabet queries measured under). This is the
@@ -399,7 +423,12 @@ object Bench {
       val iters = (if (d7Iters > 0) s""","d7_iters":$d7Iters""" else "") +
         (if (jobsByName.contains("g1_pagerank"))
           s""","g1_iters":${QueriesPipeline.PrIters}""" else "")
-      s""","floor":${fmt(floor)},"floor_start":${fmt(floorStart)},"floor_start_p10":${fmt(floorStartP10)},"floor_start_p90":${fmt(floorStartP90)},"load1":[${fmt(load1Start)},${fmt(load1())}],"load_wait":${fmt(loadWait)}$adjs$iters$b$s$h"""
+      // queries whose job count varied across timed runs (delta not
+      // divisible by nRuns — usually empty; raw deltas in bench_last.json)
+      val jv =
+        if (jobsVar.isEmpty) ""
+        else jobsVar.map("\"" + _ + "\"").mkString(""","jobs_var":[""", ",", "]")
+      s""","floor":${fmt(floor)},"floor_start":${fmt(floorStart)},"floor_start_p10":${fmt(floorStartP10)},"floor_start_p90":${fmt(floorStartP90)},"load1":[${fmt(load1Start)},${fmt(load1())}],"load_wait":${fmt(loadWait)},"load_wait_post":${fmt(loadWaitPost)}$jv$adjs$iters$b$s$h"""
     }
     // per-query job counts ride next to the per-query seconds — always
     // including the iterative-loop queries (d7/g1) even when their time
@@ -461,10 +490,17 @@ object Bench {
       val precise = results
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val preciseJobs = resultsFull
-        .map { case (k, _, j) => "\"" + k + "\":" + j }.mkString("{", ",", "}")
+        .map { case (k, _, j, _, _) => "\"" + k + "\":" + j }
+        .mkString("{", ",", "}")
+      // raw job deltas + run counts — the undivided evidence behind the
+      // per-run `jobs` figures (r9 ADVICE: a varying count must be
+      // reconstructible from the artifact, not rounded away)
+      val preciseJobsRaw = resultsFull
+        .map { case (k, _, _, d, r) => "\"" + k + "\":[" + d + "," + r + "]" }
+        .mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("target/bench_last.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm_p50","queries":$precise,"jobs":$preciseJobs,"floor":$floor,"floor_start":$floorStart,"floor_start_p10":$floorStartP10,"floor_start_p90":$floorStartP90,"load1_start":$load1Start,"load1_end":${load1()},"load_wait":$loadWait,"d7_iters":$d7Iters,"batched_per_query_sec":$batchedPerQuery,"batched_n":$batchedN,"bm25_batched_per_query_sec":$bm25PerQuery,"bm25_batched_n":$bm25N,"hybrid_batched_per_query_sec":$hybridPerQuery,"hybrid_batched_n":$hybridN,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm_p50","queries":$precise,"jobs":$preciseJobs,"jobs_raw":$preciseJobsRaw,"floor":$floor,"floor_start":$floorStart,"floor_start_p10":$floorStartP10,"floor_start_p90":$floorStartP90,"load1_start":$load1Start,"load1_end":${load1()},"load_wait":$loadWait,"load_wait_post":$loadWaitPost,"d7_iters":$d7Iters,"batched_per_query_sec":$batchedPerQuery,"batched_n":$batchedN,"bm25_batched_per_query_sec":$bm25PerQuery,"bm25_batched_n":$bm25N,"hybrid_batched_per_query_sec":$hybridPerQuery,"hybrid_batched_n":$hybridN,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()

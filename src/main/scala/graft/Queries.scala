@@ -1378,6 +1378,57 @@ object Queries {
         FROM r WHERE rank <= 3 ORDER BY alert_id, rank
       """)),
 
+    // s25c: the PRODUCTION anchor-election path of s25b — df comes from
+    // the prebuilt Bm25Index termstats artifact (term, df) instead of an
+    // in-plan corpus tokenize, so electing each alert's rarest term costs
+    // an alert-vocabulary-sized broadcast join. Anchor choice cannot
+    // change the fired set (only the candidate count), and alert terms
+    // missing from a stale artifact fall back to live in-plan df — so the
+    // oracle is s25's SQL verbatim, like s25b's. This is the dfLookup
+    // branch of Percolate.matchesInverted under the driver oracle (the
+    // stale/fresh equivalences are pinned by StreamingSpec).
+    "s25c_percolate_lookup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val alerts = Seq(
+          (1, Seq("spark", "join")), (2, Seq("vector", "scan")),
+          (3, Seq("stream", "window")), (4, Seq("hash", "merge")),
+          (5, Seq("filter"))).toDF("alert_id", "terms")
+        val termstats = s.read.parquet(
+          s"${graft.index.Bm25Index.ensure(s, d)}/termstats")
+        val m = graft.search.Percolate.matchesInverted(
+          Tables.documents(s, d), alerts, "doc_id", "text", Some(termstats))
+        m.withColumn("rank", row_number().over(
+            Window.partitionBy(col("alert_id")).orderBy(col("doc_id"))))
+          .withColumn("n_matches",
+            count(lit(1)).over(Window.partitionBy(col("alert_id"))))
+          .where(col("rank") <= 3)
+          .select(col("alert_id"), col("n_matches"), col("doc_id"), col("rank"))
+          .orderBy(col("alert_id"), col("rank"))
+      },
+      Some(s"""
+        WITH alerts AS (
+          SELECT * FROM (VALUES
+            (1, ['spark', 'join']), (2, ['vector', 'scan']),
+            (3, ['stream', 'window']), (4, ['hash', 'merge']),
+            (5, ['filter'])) a(alert_id, terms)),
+        at AS (SELECT alert_id, len(terms) AS n_terms, unnest(terms) AS term
+               FROM alerts),
+        dt AS (SELECT DISTINCT doc_id, term FROM
+                (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                   t -> t <> '')) AS term FROM documents)),
+        m AS (SELECT alert_id, doc_id FROM dt JOIN at USING (term)
+              GROUP BY alert_id, n_terms, doc_id
+              HAVING count(*) = n_terms),
+        r AS (SELECT alert_id, doc_id,
+                     row_number() OVER (PARTITION BY alert_id ORDER BY doc_id) AS rank,
+                     count(*) OVER (PARTITION BY alert_id) AS n_matches
+              FROM m)
+        SELECT alert_id, n_matches, doc_id, rank::INT AS rank
+        FROM r WHERE rank <= 3 ORDER BY alert_id, rank
+      """)),
+
     // Autocomplete (s26): prefix completion over the corpus vocabulary,
     // ranked by document frequency (search-as-you-type). One vocab agg —
     // the prefix predicate prunes at the token-stream filter; at serving

@@ -2073,6 +2073,70 @@ object QueriesPipeline {
         GROUP BY reg_domain, host ORDER BY host
       """})),
 
+    // t43's blocklist gate through the FULL vendored publicsuffix.org
+    // list (UrlOps.withRegisteredDomainPsl): the fixture table resolves
+    // only 1/2-label suffixes, but real crawl hosts hit 3-label exact
+    // rules (act.edu.au), `*.` wildcards (*.ck — the registered domain is
+    // one label DEEPER than the 2-label heuristic), `!` exceptions
+    // (!www.ck — every host under www.ck collapses to one registered
+    // domain), punycode IDN twins (xn--p1ai), and unlisted TLDs (implicit
+    // `*`). The synthesized hosts cover all six resolution paths; the
+    // oracle states each branch's expected registered domain by the PSL
+    // algorithm's definition. Same scale shape as t43: per-depth
+    // broadcast joins of the ~9.5k-rule table, host side never shuffles.
+    // Blocked: a wildcard-resolved domain (docs.src2.ck — under the
+    // 2-label heuristic this key would be src2.ck and the block would
+    // WRONGLY nuke every docs.*.ck host), plus t43's exact-host ban.
+    "t43b_domain_blocklist_psl" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.UrlOps
+        val hosts = docs(s, d).select(col("doc_id"),
+            concat(lit("https://docs."), col("source"),
+              when(col("doc_id") % 7 === 0, lit(".co.uk"))
+                .when(col("doc_id") % 7 === 1, lit(".com"))
+                .when(col("doc_id") % 7 === 2, lit(".act.edu.au"))
+                .when(col("doc_id") % 7 === 3, lit(".ck"))
+                .when(col("doc_id") % 7 === 4, lit(".xn--p1ai"))
+                .when(col("doc_id") % 7 === 5, lit(".example"))
+                .otherwise(lit(".www.ck")),
+              lit("/docs/"), col("doc_id")).as("url"))
+          .withColumn("host", UrlOps.host(col("url")))
+        val withRd = UrlOps.withRegisteredDomainPsl(hosts, "host", "reg_domain")
+        val blockDomains = Seq("src3.co.uk", "src5.com", "docs.src2.ck")
+          .toDF("reg_domain")
+        val blockHosts = Seq("docs.src7.act.edu.au").toDF("host")
+        withRd.join(broadcast(blockDomains), Seq("reg_domain"), "left_anti")
+          .join(broadcast(blockHosts), Seq("host"), "left_anti")
+          .groupBy(col("reg_domain"), col("host"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("host"), col("reg_domain"))
+      },
+      Some("""
+        WITH hosts AS (
+          SELECT doc_id,
+                 'docs.' || source || (CASE doc_id % 7
+                    WHEN 0 THEN '.co.uk'     WHEN 1 THEN '.com'
+                    WHEN 2 THEN '.act.edu.au' WHEN 3 THEN '.ck'
+                    WHEN 4 THEN '.xn--p1ai'  WHEN 5 THEN '.example'
+                    ELSE '.www.ck' END) AS host,
+                 CASE doc_id % 7
+                    WHEN 0 THEN source || '.co.uk'        -- exact 2-label rule
+                    WHEN 1 THEN source || '.com'          -- exact 1-label rule
+                    WHEN 2 THEN source || '.act.edu.au'   -- exact 3-label rule
+                    WHEN 3 THEN 'docs.' || source || '.ck' -- *.ck: one label deeper
+                    WHEN 4 THEN source || '.xn--p1ai'     -- IDN punycode twin
+                    WHEN 5 THEN source || '.example'      -- unlisted: 2-label heuristic
+                    ELSE 'www.ck' END AS reg_domain       -- !www.ck exception
+          FROM documents)
+        SELECT reg_domain, host, count(*) AS n_docs
+        FROM hosts
+        WHERE reg_domain NOT IN ('src3.co.uk', 'src5.com', 'docs.src2.ck')
+          AND host NOT IN ('docs.src7.act.edu.au')
+        GROUP BY reg_domain, host
+        ORDER BY host, reg_domain
+      """)),
+
     // Tokenizer-coverage analysis: corpus top-100 vocab (count desc, token
     // asc — a deterministic total order), per-doc OOV occurrence rate.
     "t16_vocab_oov" -> Q(

@@ -46,7 +46,17 @@ import graft.tables.Tables
   *                    Embeddings are NOT duplicated here; arm 2 joins them
   *                    back from the assign segments (candidate-sized join,
   *                    AQE broadcasts it when the delta is small).
-  *   - `edges/<k>/`   batch k's candidate edges, per-src top-k reduced.
+  *   - `edges/<k>/`   batch k's candidate edges, per-src top-k reduced —
+  *                    range-partitioned + sorted by `src` with small
+  *                    parquet row groups (the [[KnnGraphIndex]] `_srt`
+  *                    seek layout), so the [[graft.search.Ann
+  *                    .graphTopKSeek]] serving path's pushed
+  *                    `src IN (frontier)` predicates prune row groups on
+  *                    EVERY segment of a grown graph, not just on a
+  *                    one-shot build. The layout survives growth by
+  *                    construction (each append writes its own sorted
+  *                    segment) and compaction re-sorts the fold
+  *                    (StreamingSpec pins both).
   *   - `commit/v=<k>/` atomic version markers (shared helper).
   *
   * Append cost at scale: arm 1 is delta-probes × probed lists (the same
@@ -58,7 +68,8 @@ import graft.tables.Tables
   */
 object IncrementalKnn {
 
-  val Name = "knn_inc_v1"
+  // v2: edge segments adopted the src-sorted `_srt` seek layout
+  val Name = "knn_inc_v2"
 
   private def assignDir(root: String, k: Int) = s"$root/assign/$k"
   private def probesDir(root: String, k: Int) = s"$root/probes/$k"
@@ -100,6 +111,19 @@ object IncrementalKnn {
       .select(col("src"), col("cid"))
   }
 
+  /** Edge-segment writer — the `_srt` seek layout ([[KnnGraphIndex]]):
+    * range-partitioned + sorted by `src`, 1 MiB parquet row groups, so
+    * every file and row group carries a tight min/max `src` range and a
+    * pushed `src IN (frontier)` seek reads O(frontier) row groups per
+    * segment. Segments are small (per-batch candidate edges), so the
+    * extra range exchange is delta-sized, never corpus-sized. */
+  private def writeEdges(edges: DataFrame, path: String): Unit =
+    edges.repartitionByRange(8, col("src"))
+      .sortWithinPartitions(col("src"), col("dst"))
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", (1 << 20).toString)
+      .parquet(path)
+
   /** Per-src top-k reduction of a candidate edge set — the safe partial
     * form of the read-side merge. */
   private def topKPerSrc(cand: DataFrame, k: Int): DataFrame = {
@@ -123,9 +147,8 @@ object IncrementalKnn {
       .partitionBy("cid").parquet(assignDir(root, 0))
     probeLists(vectors, cent, nprobe)
       .write.mode(SaveMode.Overwrite).parquet(probesDir(root, 0))
-    Ann.knnGraph(vectors, cent, nprobe, k)
-      .select(col("src"), col("dst"), col("score"))
-      .write.mode(SaveMode.Overwrite).parquet(edgesDir(root, 0))
+    writeEdges(Ann.knnGraph(vectors, cent, nprobe, k)
+      .select(col("src"), col("dst"), col("score")), edgesDir(root, 0))
     publish(root, 1)
   }
 
@@ -176,8 +199,7 @@ object IncrementalKnn {
       .select(col("src"), col("dst"),
         round(VectorOps.cosineSim(col("svec"), col("dvec")), 6).as("score"))
 
-    topKPerSrc(arm1.unionByName(arm2), k)
-      .write.mode(SaveMode.Overwrite).parquet(edgesDir(root, v))
+    writeEdges(topKPerSrc(arm1.unionByName(arm2), k), edgesDir(root, v))
     publish(root, v + 1, tag)
   }
 
@@ -209,8 +231,8 @@ object IncrementalKnn {
       .partitionBy("cid").parquet(assignDir(newRoot, 0))
     readProbesAll(spark, root, v)
       .write.mode(SaveMode.Overwrite).parquet(probesDir(newRoot, 0))
-    edges(spark, root, k).select(col("src"), col("dst"), col("score"))
-      .write.mode(SaveMode.Overwrite).parquet(edgesDir(newRoot, 0))
+    writeEdges(edges(spark, root, k)
+      .select(col("src"), col("dst"), col("score")), edgesDir(newRoot, 0))
     publish(newRoot, 1, tag)
   }
 

@@ -183,11 +183,25 @@ object SegmentStore {
     *      superseded pointer target stays on disk. The previous pointer
     *      version names it, so it is retired here ([[retire]] is
     *      idempotent — in normal operation this is one exists-probe).
+    *   3. crash DURING compaction (the tagged append already committed
+    *      on the old root, the compacted root's first `_COMMITTED`
+    *      marker not yet written): on redelivery the tag is found on the
+    *      OLD root so the caller skips append AND the compaction retry,
+    *      and the partial target directory would never be adopted (no
+    *      committed version) nor reused (the next compaction, after the
+    *      next append, targets a higher version) — a storage leak. The
+    *      partial target is identified by construction: the
+    *      deterministic orphan path EXISTS but resolves to committed
+    *      version 0, which a completed compaction can never do
+    *      (compact's last act is publishing version 1). It is retired
+    *      here. A committed orphan that merely lacks THIS batch's tag
+    *      is left alone — conservative, and unreachable from the
+    *      single-writer loop anyway (redelivery replays the same tag).
     *
     * `segVersion` / `committedHasTag` are the index type's accessors
     * (each incremental index roots its version ledger differently).
     * Returns the resolved current root. Cost when nothing crashed:
-    * two FS existence probes. */
+    * three FS existence probes. */
   def recoverRoot(pointerBase: String, defaultRoot: String, tag: String)
                  (segVersion: String => Int,
                   committedHasTag: (String, String) => Boolean): String = {
@@ -202,7 +216,11 @@ object SegmentStore {
       setPointer(pointerBase, orphan)
       retire(cur)
       orphan
-    } else cur
+    } else {
+      if (orphan != cur && segVersion(orphan) == 0)
+        retire(orphan) // window 3: uncommitted partial compaction target
+      cur
+    }
   }
 
   /** Reclaim a RETIRED index root — the storage-lifecycle half of

@@ -1,0 +1,90 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.search.Ann
+
+/** kNN graph over the engine's TEXT embedding space — the artifact behind
+  * `mode=graph` on `/api/query`. The reference serves every text query
+  * through its HNSW graph: the query string embeds into the same space the
+  * graph was built in, the upper layers pick entry points, and the layer-0
+  * walk returns the top-k (`scripts/indexing.py:326-340`,
+  * `app/api/endpoints/search.py:51-97`). The corpus `embeddings` table
+  * can't play that role for text queries — nothing embeds a STRING into
+  * it — so the graph the text route walks is built over the engine's
+  * deterministic text embedder: [[TfIdfIndex]]'s L2-normalized doc
+  * vectors, densified to `dim` (64) floats per doc.
+  *
+  * Layout under the catalog entry:
+  *
+  *   - `vectors/` (vec_id, embedding float[dim]) — dense tfidf doc
+  *     vectors, range-sorted by vec_id with small row groups, so the
+  *     seek-serving path's `vec_id IN (...)` lookups prune row groups;
+  *   - `edges/`   (src, dst, score, rank) — [[Ann.knnGraph]] over those
+  *     vectors (centroids = first 10 docs' vectors, the engine-independent
+  *     rule every graph artifact here uses), in the `_srt` src-sorted
+  *     seek layout of [[KnnGraphIndex]].
+  *
+  * Build cost is one corpus pass (sparse→dense pivot) plus the standard
+  * IVF-blocked kNN candidate join — amortized across every graph-mode
+  * query, exactly like [[KnnGraphIndex]]. Scale shape at serving time is
+  * the walk's: per-hop work is O(beam·k), independent of corpus size.
+  */
+object TfIdfGraphIndex {
+
+  val Name = "tfidf_graph_v1"
+  val Dim: Int = TfIdfIndex.Dim
+
+  private def ensureDir(spark: SparkSession, dataDir: String): String =
+    IndexCatalog.ensure(spark, dataDir, Name) { out =>
+      val tfidf = TfIdfIndex.ensure(spark, dataDir)
+      // sparse (doc_id, bucket, w) -> dense float[Dim] per doc. The pivot
+      // is one map_from_entries per doc + a generated fill — no shuffle
+      // beyond the groupBy on doc_id (the vectors table's natural key).
+      val dense = spark.read.parquet(s"$tfidf/vectors")
+        .groupBy(col("doc_id").as("vec_id"))
+        .agg(map_from_entries(collect_list(
+          struct(col("bucket"), col("w")))).as("m"))
+        .select(col("vec_id"),
+          expr(s"transform(sequence(0, ${Dim - 1}), " +
+            "b -> cast(coalesce(element_at(m, b), 0.0d) as float))")
+            .as("embedding"))
+      dense.repartitionByRange(8, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (1 << 20).toString)
+        .parquet(s"$out/vectors")
+      val stored = spark.read.parquet(s"$out/vectors")
+      val centroids = stored.where(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Ann.knnGraph(stored, centroids, 3, 5)
+        .repartitionByRange(8, col("src"))
+        .sortWithinPartitions(col("src"), col("rank"))
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (1 << 20).toString)
+        .parquet(s"$out/edges")
+    }
+
+  /** Dense tfidf doc vectors (vec_id, embedding). */
+  def vectors(spark: SparkSession, dataDir: String): DataFrame =
+    spark.read.parquet(s"${ensureDir(spark, dataDir)}/vectors")
+
+  /** The kNN edge artifact over those vectors (src, dst, score, rank). */
+  def edges(spark: SparkSession, dataDir: String): DataFrame =
+    spark.read.parquet(s"${ensureDir(spark, dataDir)}/edges")
+
+  /** The query string embedded into the graph's space, as a 1-row (qvec)
+    * frame — dense form of [[TfIdfIndex.queryWeights]] (driver-side: md5
+    * buckets + the cached 64-row idf table; the cluster is touched only
+    * by the walk). Empty map (no query token in the corpus) densifies to
+    * the zero vector, which scores 0.0 everywhere (V6 semantics). */
+  def queryVec(spark: SparkSession, dataDir: String, query: String): DataFrame = {
+    import spark.implicits._
+    val qw = TfIdfIndex.queryWeights(
+      spark, TfIdfIndex.ensure(spark, dataDir), query)
+    val arr = Array.tabulate(Dim)(b => qw.getOrElse(b, 0.0).toFloat)
+    Seq(arr.toSeq).toDF("qvec")
+      .select(col("qvec").cast("array<float>").as("qvec"))
+  }
+}

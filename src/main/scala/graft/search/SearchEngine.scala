@@ -306,6 +306,87 @@ object SearchEngine {
                      filterField: String, filterValue: String, k: Int): DataFrame =
     filteredWithOversample(spark, dir, queryVecId, filterField, filterValue, k, 2)
 
+  /** Q8 `mode=graph`: a TEXT query served by the walk over the
+    * tfidf-space kNN graph artifact — the reference's actual serving
+    * structure (HNSW entry descent + layer-0 walk,
+    * `scripts/indexing.py:326-340`) reachable from a query string. The
+    * query embeds driver-side into the graph's own space
+    * ([[graft.index.TfIdfGraphIndex.queryVec]]), the coarse layer picks
+    * entry points, and per-hop work is O(beam·k) against the src-sorted
+    * edge artifact — corpus-size-independent, unlike the dense tfidf
+    * scan. Output (id, score), the same shape as every other mode. */
+  def graphSearch(spark: SparkSession, dir: String, query: String, k: Int): DataFrame = {
+    import graft.index.TfIdfGraphIndex
+    val vecs = TfIdfGraphIndex.vectors(spark, dir)
+    val edges = TfIdfGraphIndex.edges(spark, dir)
+    val qv = TfIdfGraphIndex.queryVec(spark, dir, query)
+    Ann.graphTopK(edges, vecs, qv,
+      Ann.hierEntries(vecs, qv, 16, 3), beam = 8, hops = 2, k)
+  }
+
+  /** [[graphSearch]] with the a26 post-filter: walk oversampled 3× (the
+    * reference's post-filter semantics, `search_service.py:413-423`),
+    * keep survivors whose payload field matches, trim to k. */
+  def graphSearchFiltered(spark: SparkSession, dir: String, query: String,
+                          filterField: String, filterValue: String,
+                          k: Int): DataFrame =
+    graphSearch(spark, dir, query, k * 3)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"), col(filterField)), Seq("id"))
+      .where(col(filterField) === filterValue)
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+
+  /** Filtered-ANN selectivity ROUTER — nothing before this picked
+    * between the two filtered-ANN strategies the engine carries:
+    *
+    *   - PRE-FILTER IVF (a14): restrict the persisted assignment to the
+    *     allowed ids, then probe — exact over the filtered subset. Right
+    *     when the filter passes a small fraction: the probed lists are
+    *     allowed-set-sized, and a graph walk would waste most of its
+    *     beam on filtered-out nodes (or strand in a blocked region).
+    *   - POST-FILTER WALK (a26, the reference's own semantics,
+    *     `search_service.py:413-423`): walk the corpus graph oversampled
+    *     3×, keep survivors. Right when most of the corpus passes:
+    *     per-hop work stays O(beam·k) and survivors are plentiful,
+    *     while the pre-filter side would rebuild a corpus-sized join.
+    *
+    * The probe is ONE aggregate over the filter column (count +
+    * conditional count, column-pruned scan); on a cluster the same
+    * number comes free from catalog column/partition stats — the routing
+    * logic is what matters. Returns (route, plan); crossover at
+    * `passFraction <= crossover` → pre-filter. Each side is
+    * value-identical to calling its strategy directly (IndexSpec pins
+    * both sides of the crossover). */
+  def filteredAnn(spark: SparkSession, dir: String, queryVecId: Long,
+                  filterField: String, filterValue: String, k: Int,
+                  crossover: Double = 0.5): (String, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+    val probe = docs.agg(
+      count(lit(1)).as("n"),
+      count(when(col(filterField) === filterValue, 1)).as("m")).head()
+    val pass = probe.getLong(1).toDouble / math.max(probe.getLong(0), 1L)
+    val qv = queryVec(spark, dir, queryVecId)
+    val allowed = docs.where(col(filterField) === filterValue)
+      .select(col("doc_id").as("vec_id"))
+    if (pass <= crossover) {
+      val info = graft.index.IvfIndex.ensure(spark, dir)
+      val assigned = spark.read.parquet(info.assignedPath)
+        .join(allowed, Seq("vec_id"))
+      ("prefilter_ivf", Ann.ivfTopKAssigned(assigned,
+        spark.read.parquet(info.centroidsPath), qv, 3, k))
+    } else {
+      val emb = Tables.embeddings(spark, dir)
+      val edges = graft.index.KnnGraphIndex.edges(spark, dir, 3, 5)
+      val walked = Ann.graphTopK(edges, emb, qv,
+        Ann.hierEntries(emb, qv, 16, 3), beam = 8, hops = 3, k * 3)
+      ("postfilter_graph", walked
+        .join(allowed.withColumnRenamed("vec_id", "id"), Seq("id"))
+        .orderBy(col("score").desc, col("id").asc).limit(k))
+    }
+  }
+
   /** P6/F6 result-shape projection: map the hit list to the reference's
     * API payload shape with display rounding
     * (`app/services/search_service.py:426-437` — `round(score, 3)`). */

@@ -67,10 +67,16 @@ object Api {
       val q = require(params, "q")
       val count = intParam(params, "count", 10, 1, 100)
       val mode = params.getOrElse("mode", "hybrid")
-      if (!Set("dense", "sparse", "hybrid").contains(mode))
-        return Response(400, err(s"Invalid mode '$mode'. Must be 'dense', 'sparse', or 'hybrid'"))
-      val base = (params.get("filter_field"), params.get("filter_value")) match {
-        case (Some(f), Some(v)) => filteredSearch(spark, dir, q, f, v, count)
+      if (!Set("dense", "sparse", "hybrid", "graph").contains(mode))
+        return Response(400, err(s"Invalid mode '$mode'. Must be 'dense', 'sparse', 'hybrid', or 'graph'"))
+      // graph mode is the walk over the tfidf-space kNN artifact — the
+      // reference's HNSW serving structure reachable from a text query;
+      // its filtered form is the a26 post-filter (oversampled walk).
+      val base = (mode, params.get("filter_field"), params.get("filter_value")) match {
+        case ("graph", Some(f), Some(v)) =>
+          SearchEngine.graphSearchFiltered(spark, dir, q, f, v, count)
+        case ("graph", _, _) => SearchEngine.graphSearch(spark, dir, q, count)
+        case (_, Some(f), Some(v)) => filteredSearch(spark, dir, q, f, v, count)
         case _ => search(spark, dir, q, mode, count)
       }
       // timed spans MATERIALIZATION — the reference times the search call,
@@ -374,10 +380,11 @@ object Api {
 
     case "/api/methods-info" => // search.py:543-590, over THIS engine's fields
       ok("""{"available_methods":{""" +
-        """"query":{"name":"Flexible Query","modes":["dense","sparse","hybrid"],"type":"flexible","endpoint":"/api/query"},""" +
+        """"query":{"name":"Flexible Query","modes":["dense","sparse","hybrid","graph"],"type":"flexible","endpoint":"/api/query"},""" +
         """"dense":{"name":"Dense Search","fields":["text"],"type":"vector","endpoint":"/api/search-dense"},""" +
         """"sparse":{"name":"BM25 Sparse Search","fields":["text","source"],"type":"sparse","endpoint":"/api/search-sparse"},""" +
-        """"hybrid":{"name":"Hybrid Search","fields":["Dense: text","BM25: text + source"],"type":"hybrid_rrf","endpoint":"/api/search-hybrid"}},""" +
+        """"hybrid":{"name":"Hybrid Search","fields":["Dense: text","BM25: text + source"],"type":"hybrid_rrf","endpoint":"/api/search-hybrid"},""" +
+        """"graph":{"name":"Graph Walk Search","fields":["text"],"type":"graph_ann","endpoint":"/api/query?mode=graph"}},""" +
         """"field_mapping":{"dense_search_fields":["text"],"sparse_search_fields":["text","source"],""" +
         """"available_fields":["doc_id","text","source","lang","n_chars"]},""" +
         """"fusion_method":"rrf_k60","configuration":"TF-IDF dense + BM25 sparse (Spark native)","service_status":"available"}""")

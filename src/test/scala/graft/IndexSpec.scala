@@ -650,4 +650,173 @@ class IndexSpec extends SparkSpec {
         Files.createTempDirectory("graft-knn-empty").toString, 3, 5)
     }
   }
+
+  test("filteredAnn router: pre-filter under the crossover, post-filter above, each == its direct strategy") {
+    import graft.search.{Ann, SearchEngine}
+    import graft.index.{IvfIndex, KnnGraphIndex}
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val qv = SearchEngine.queryVec(spark, Sf0001, 0L)
+    val docs = Tables.documents(spark, Sf0001)
+
+    // source='src3' passes ~5% — far below the 0.5 default crossover:
+    // the router must take the pre-filter IVF side, value-identical to
+    // driving that strategy directly
+    val (route1, df1) = SearchEngine.filteredAnn(
+      spark, Sf0001, 0L, "source", "src3", 10)
+    assert(route1 == "prefilter_ivf", route1)
+    val info = IvfIndex.ensure(spark, Sf0001)
+    val allowed = docs.where(col("source") === "src3")
+      .select(col("doc_id").as("vec_id"))
+    val direct1 = Ann.ivfTopKAssigned(
+      spark.read.parquet(info.assignedPath).join(allowed, Seq("vec_id")),
+      spark.read.parquet(info.centroidsPath), qv, 3, 10)
+    assert(pairs(df1) == pairs(direct1) && pairs(df1).nonEmpty)
+
+    // lang='en' passes ~39% — above a 0.2 crossover: the router must
+    // take the post-filter walk side (the reference's own semantics),
+    // value-identical to the direct oversampled walk + payload filter
+    val (route2, df2) = SearchEngine.filteredAnn(
+      spark, Sf0001, 0L, "lang", "en", 10, crossover = 0.2)
+    assert(route2 == "postfilter_graph", route2)
+    val emb = Tables.embeddings(spark, Sf0001)
+    val edges = KnnGraphIndex.edges(spark, Sf0001, 3, 5)
+    val walked = Ann.graphTopK(edges, emb, qv,
+      Ann.hierEntries(emb, qv, 16, 3), beam = 8, hops = 3, k = 30)
+    val allowed2 = docs.where(col("lang") === "en").select(col("doc_id").as("id"))
+    val direct2 = walked.join(allowed2, Seq("id"))
+      .orderBy(col("score").desc, col("id").asc).limit(10)
+    assert(pairs(df2) == pairs(direct2) && pairs(df2).nonEmpty)
+
+    // and the same filter routes the OTHER way on the other side of its
+    // crossover — the probe, not the filter name, decides
+    val (route3, _) = SearchEngine.filteredAnn(
+      spark, Sf0001, 0L, "lang", "en", 10, crossover = 0.5)
+    assert(route3 == "prefilter_ivf", route3)
+  }
+
+  // ------------------------------------------------------------------
+  // SegmentStore.recoverRoot crash windows — these branches run at the
+  // START of every streaming maintenance micro-batch (DeltaStream
+  // indexIngest/ivfIngest/knnIngest), so each window gets an explicit
+  // crash-injection case: the state a crash leaves behind is built by
+  // hand, then recoverRoot must finish (or sweep) the interrupted step
+  // and the recovered index must be value-identical to a clean run.
+  // ------------------------------------------------------------------
+
+  /** Small grown IncrementalKnn graph + its pointer base, ready for
+    * crash injection. Returns (root, ptr, expected edge rows). */
+  private def grownGraph(prefix: String): (String, String, Seq[(Long, Long, Double, Int)]) = {
+    import graft.index.IncrementalKnn
+    val emb = Tables.embeddings(spark, Sf0001).where(col("vec_id") < 90)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val root = Files.createTempDirectory(prefix).toString + "/g"
+    IncrementalKnn.init(emb.where(col("vec_id") % 2 === 0), centroids, root, 3, 5)
+    IncrementalKnn.append(emb.where(col("vec_id") % 2 === 1), root, 3, 5,
+      tag = Some("batch_1"))
+    val expected = IncrementalKnn.edges(spark, root, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    (root, s"$root.current", expected)
+  }
+
+  private def dirExists(p: String): Boolean = new java.io.File(p).exists
+
+  test("recoverRoot window 1: committed-but-unswapped compaction target is adopted on redelivery") {
+    import graft.index.{IncrementalKnn, SegmentStore}
+    val (root, ptr, expected) = grownGraph("graft-rr1")
+    // crash injection: compaction committed (it carries the redelivered
+    // batch's tag) but the process died BEFORE the pointer swap
+    val target = s"$root-c${IncrementalKnn.version(root)}"
+    IncrementalKnn.compact(spark, root, target, 5, tag = Some("batch_1"))
+    assert(SegmentStore.getPointer(ptr).isEmpty) // the crash state
+
+    // redelivery of batch_1 starts with recoverRoot: it must finish the
+    // swap — pointer moved, superseded root retired, data identical
+    val resolved = SegmentStore.recoverRoot(ptr, root, "batch_1")(
+      IncrementalKnn.version, IncrementalKnn.committedHasTag)
+    assert(resolved == target)
+    assert(SegmentStore.getPointer(ptr).contains(target))
+    assert(!dirExists(root), "superseded root must be retired")
+    // the caller's skip check now sees the tag on the CURRENT root, so
+    // the redelivered batch is a no-op — as if the crash never happened
+    assert(IncrementalKnn.committedHasTag(resolved, "batch_1"))
+    val recovered = IncrementalKnn.edges(spark, resolved, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(recovered == expected && expected.nonEmpty)
+  }
+
+  test("recoverRoot window 2: swapped-but-unretired predecessor is retired, live root untouched") {
+    import graft.index.{IncrementalKnn, SegmentStore}
+    val (root, ptr, _) = grownGraph("graft-rr2")
+    val target = s"$root-c${IncrementalKnn.version(root)}"
+    IncrementalKnn.compact(spark, root, target, 5, tag = Some("batch_1"))
+    SegmentStore.setPointer(ptr, target)
+    // crash BEFORE retire(root): predecessor still on disk
+    assert(dirExists(root))
+    val expected = IncrementalKnn.edges(spark, target, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+
+    val resolved = SegmentStore.recoverRoot(ptr, root, "batch_2")(
+      IncrementalKnn.version, IncrementalKnn.committedHasTag)
+    assert(resolved == target)
+    assert(!dirExists(root), "unretired predecessor must be retired")
+    assert(dirExists(target), "live root must survive")
+    val after = IncrementalKnn.edges(spark, resolved, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(after == expected && expected.nonEmpty)
+  }
+
+  test("recoverRoot healthy path: repeated batches never retire the live root") {
+    import graft.index.{IncrementalKnn, SegmentStore}
+    val (root, ptr, _) = grownGraph("graft-rr3")
+    // one CLEAN compact-swap-retire cycle (what a healthy maintenance
+    // batch does when it crosses maxSegments)
+    val target = s"$root-c${IncrementalKnn.version(root)}"
+    IncrementalKnn.compact(spark, root, target, 5, tag = Some("batch_1"))
+    SegmentStore.setPointer(ptr, target)
+    SegmentStore.retire(root)
+    val expected = IncrementalKnn.edges(spark, target, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+
+    // every later healthy batch re-runs the pv>0 branch; it must never
+    // touch the live root (prev != cur guard), twice for idempotence
+    for (b <- 2 to 3) {
+      val resolved = SegmentStore.recoverRoot(ptr, root, s"batch_$b")(
+        IncrementalKnn.version, IncrementalKnn.committedHasTag)
+      assert(resolved == target)
+      assert(dirExists(target), s"live root retired on healthy batch $b")
+      assert(IncrementalKnn.version(target) == 1)
+    }
+    val after = IncrementalKnn.edges(spark, target, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(after == expected && expected.nonEmpty)
+  }
+
+  test("recoverRoot window 3: uncommitted partial compaction target is swept") {
+    import graft.index.{IncrementalKnn, SegmentStore}
+    val (root, ptr, expected) = grownGraph("graft-rr4")
+    // crash DURING compact: the deterministic target directory exists
+    // with partial artifacts but NO committed version — unadoptable by
+    // construction, and (pre-sweep) never reclaimed either, because the
+    // caller's tag check skips the whole step on redelivery and the next
+    // compaction targets a higher version
+    val target = s"$root-c${IncrementalKnn.version(root)}"
+    val partial = new java.io.File(s"$target/centroids")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$target/centroids/part-00000.parquet"),
+      Array[Byte](0, 1, 2, 3))
+    assert(IncrementalKnn.version(target) == 0) // uncommitted — the crash state
+
+    val resolved = SegmentStore.recoverRoot(ptr, root, "batch_1")(
+      IncrementalKnn.version, IncrementalKnn.committedHasTag)
+    assert(resolved == root)
+    assert(!dirExists(target), "partial compaction target must be swept")
+    assert(dirExists(root) && IncrementalKnn.version(root) == 2,
+      "live root must be untouched")
+    val after = IncrementalKnn.edges(spark, root, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(after == expected && expected.nonEmpty)
+  }
 }

@@ -28,6 +28,43 @@ class ServeApiSpec extends SparkSpec {
     assert(bad.status == 400 && bad.body.contains("Invalid mode"), bad.body)
   }
 
+  test("query endpoint mode=graph: e2e == direct walk over the tfidf graph artifact; filtered == a26 post-filter") {
+    import org.apache.spark.sql.functions.col
+    import graft.index.TfIdfGraphIndex
+    import graft.search.Ann
+    val q = "spark join filter"
+    val r = get("/api/query", "q" -> q, "mode" -> "graph", "count" -> "5")
+    assert(r.status == 200, r.body)
+    assert(r.body.contains("\"mode\":\"graph\""), r.body)
+
+    // e2e must be value-identical to the direct walk over the same
+    // artifacts with the serving parameters (entries 3 of mod-16 coarse
+    // layer, beam 8, hops 2) — serialized through the same toJSON path
+    val vecs = TfIdfGraphIndex.vectors(spark, Sf0001)
+    val edges = TfIdfGraphIndex.edges(spark, Sf0001)
+    val qv = TfIdfGraphIndex.queryVec(spark, Sf0001, q)
+    val direct = Ann.graphTopK(edges, vecs, qv,
+      Ann.hierEntries(vecs, qv, 16, 3), beam = 8, hops = 2, k = 5)
+    val expected = direct.toJSON.collect().mkString(",")
+    assert(r.body.contains(s""""results":[$expected]"""), s"${r.body}\n!=\n$expected")
+
+    // filtered graph mode: oversampled walk post-filtered on the payload
+    // field (the reference's filtered semantics), trimmed to count
+    val rf = get("/api/query", "q" -> q, "mode" -> "graph",
+      "filter_field" -> "lang", "filter_value" -> "en", "count" -> "5")
+    assert(rf.status == 200, rf.body)
+    val walked = Ann.graphTopK(edges, vecs, qv,
+      Ann.hierEntries(vecs, qv, 16, 3), beam = 8, hops = 2, k = 15)
+    val allowed = graft.tables.Tables.documents(spark, Sf0001)
+      .where(col("lang") === "en").select(col("doc_id").as("id"))
+    val directF = walked.join(allowed, Seq("id"))
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id").asc).limit(5)
+    val expectedF = directF.toJSON.collect().mkString(",")
+    assert(rf.body.contains(s""""results":[$expectedF]"""),
+      s"${rf.body}\n!=\n$expectedF")
+  }
+
   test("query endpoint: missing q is a 422; out-of-range count is a 422") {
     assert(get("/api/query").status == 422)
     val r = get("/api/query", "q" -> "x", "count" -> "0")

@@ -143,6 +143,44 @@ class StreamingSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("percolate dfLookup: fresh artifact == in-plan df; stale artifact still fires via fallback") {
+    import graft.search.Percolate
+    import graft.functions.TextOps
+    val docs = Seq(
+      (1L, "spark join fast"), (2L, "join only here"),
+      (3L, "scan the table"), (4L, "spark scan join"),
+      (5L, "rare join appears once")).toDF("doc_id", "text")
+    val alerts = Seq(
+      (1, Seq("spark", "join")), (2, Seq("scan")),
+      (3, Seq("rare", "join"))).toDF("alert_id", "terms")
+    def fired(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val inPlan = fired(
+      Percolate.matchesInverted(docs, alerts, "doc_id", "text"))
+    assert(inPlan == Set((1, 1L), (1, 4L), (2, 3L), (2, 4L), (3, 5L)), inPlan)
+
+    // fresh lookup — the termstats-artifact shape (term, df) covering
+    // every alert term: fired set must be identical to the in-plan form
+    val freshLk = docs
+      .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    assert(fired(Percolate.matchesInverted(
+      docs, alerts, "doc_id", "text", Some(freshLk))) == inPlan)
+
+    // stale lookup — 'spark'/'rare'/'scan' missing from the artifact
+    // (built before an append) and 'join' carrying a wrong df: missing
+    // terms fall back to live in-plan df, and matching itself never
+    // consults the lookup, so the fired set is STILL identical
+    val staleLk = Seq(("join", 9999L), ("unrelated", 3L)).toDF("term", "df")
+    assert(fired(Percolate.matchesInverted(
+      docs, alerts, "doc_id", "text", Some(staleLk))) == inPlan)
+
+    // degenerate artifact covering nothing — pure-fallback path
+    val emptyLk = Seq.empty[(String, Long)].toDF("term", "df")
+    assert(fired(Percolate.matchesInverted(
+      docs, alerts, "doc_id", "text", Some(emptyLk))) == inPlan)
+  }
+
   test("stream-stream interval join matches clicks to impressions within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val impIn = MemoryStream[(Long, Timestamp)]
@@ -433,6 +471,67 @@ class StreamingSpec extends SparkSpec {
     val maintained = rows(IncrementalKnn.edges(spark, cur.get, 5))
     val rebuilt = rows(graft.search.Ann.knnGraph(emb, centroids, 3, 5))
     assert(maintained == rebuilt && rebuilt.nonEmpty)
+  }
+
+  test("knnIngest seek layout: graphTopKSeek == one-plan walk with pushed In(src) on a grown AND a compacted graph") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.IncrementalKnn
+    import graft.search.Ann
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+    // grow the graph through the streaming ingest (multi-segment state)
+    val root = java.nio.file.Files.createTempDirectory("graft-knn-seek").toString + "/g"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-knn-sck").toString
+    IncrementalKnn.init(emb.where(col("vec_id") % 4 === 0), centroids, root, 3, 5)
+    val rest = emb.where(col("vec_id") % 4 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = DeltaStream.knnIngest(
+      input.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+      root, ckpt, 3, 5)
+    try {
+      rest.grouped(80).foreach { g => input.addData(g.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    assert(IncrementalKnn.version(root) >= 3) // genuinely multi-segment
+
+    val qv = emb.where(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    val entryIds = Ann.hierEntries(emb, qv, 16, 3)
+      .collect().map(_.getLong(0)).toSeq
+
+    // the a27 serving contract must hold on the GROWN graph, not just the
+    // one-shot KnnGraphIndex build: point-lookup walk value-identical to
+    // the one-plan walk, and the per-hop edge read a pushed In(src) seek
+    // on every segment scan
+    def assertSeekContract(graphRoot: String, label: String): Unit = {
+      import spark.implicits._
+      val edges = IncrementalKnn.edges(spark, graphRoot, 5)
+      val seek = Ann.graphTopKSeek(edges, emb, qv, entryIds,
+          beam = 8, hops = 2, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val scan = Ann.graphTopK(edges, emb, qv, entryIds.toDF("id"),
+          beam = 8, hops = 2, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(seek == scan && seek.size == 10, s"$label: seek != scan")
+      val hopPlan = edges.where(col("src").isin(entryIds: _*))
+        .queryExecution.executedPlan.toString
+      assert(hopPlan.contains("PushedFilters: [In(src"), s"$label: $hopPlan")
+      // pushed into EVERY committed segment scan, not just the first
+      val nScans = "PushedFilters: \\[In\\(src".r
+        .findAllIn(hopPlan).length
+      assert(nScans >= IncrementalKnn.version(graphRoot),
+        s"$label: $nScans pushed scans < ${IncrementalKnn.version(graphRoot)} segments")
+    }
+    assertSeekContract(root, "grown")
+
+    // compact and re-assert: the fold must re-establish the sorted layout
+    val compacted = java.nio.file.Files
+      .createTempDirectory("graft-knn-seek-cp").toString + "/g"
+    IncrementalKnn.compact(spark, root, compacted, 5)
+    assert(IncrementalKnn.version(compacted) == 1)
+    assertSeekContract(compacted, "compacted")
   }
 
   test("streaming vector ingest keeps the IVF index fresh via foreachBatch appendAssign") {

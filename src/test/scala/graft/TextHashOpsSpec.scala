@@ -325,4 +325,39 @@ class TextHashOpsSpec extends SparkSpec {
       "site.internal" -> "site.internal",
       "localhost" -> ""))
   }
+
+  test("registered domain, full PSL: exact depths, wildcards, exceptions, IDN twins") {
+    import graft.functions.UrlOps
+    val hosts = Seq(
+      "a.b.example.co.uk",   // exact 2-label rule co.uk
+      "www.example.com",     // exact 1-label rule com
+      "docs.foo.act.edu.au", // exact 3-label rule — the fixture table misses these
+      "x.y.ck",              // wildcard *.ck: suffix y.ck, rd = one more label
+      "w.x.y.ck",            // deeper host under the same wildcard
+      "foo.www.ck",          // exception !www.ck prevails over *.ck
+      "www.ck",              // the exception body itself
+      "a.b.kawasaki.jp",     // wildcard with a 2-label base (*.kawasaki.jp beats jp)
+      "x.city.kawasaki.jp",  // exception with a 3-label body (!city.kawasaki.jp)
+      "site.xn--p1ai",       // punycode twin of the unicode rule рф
+      "сайт.рф",             // the unicode rule directly
+      "site.internal",       // unlisted TLD: implicit-* 2-label heuristic
+      "co.uk"                // host IS a public suffix: documented total fallthrough
+    ).toDF("host")
+    val rd = UrlOps.withRegisteredDomainPsl(hosts, "host", "rd")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(rd == Map(
+      "a.b.example.co.uk" -> "example.co.uk",
+      "www.example.com" -> "example.com",
+      "docs.foo.act.edu.au" -> "foo.act.edu.au",
+      "x.y.ck" -> "x.y.ck",
+      "w.x.y.ck" -> "x.y.ck",
+      "foo.www.ck" -> "www.ck",
+      "www.ck" -> "www.ck",
+      "a.b.kawasaki.jp" -> "a.b.kawasaki.jp",
+      "x.city.kawasaki.jp" -> "city.kawasaki.jp",
+      "site.xn--p1ai" -> "site.xn--p1ai",
+      "сайт.рф" -> "сайт.рф",
+      "site.internal" -> "site.internal",
+      "co.uk" -> "co.uk"), rd)
+  }
 }
