@@ -377,10 +377,16 @@ object SearchEngine {
       ("prefilter_ivf", Ann.ivfTopKAssigned(assigned,
         spark.read.parquet(info.centroidsPath), qv, 3, k))
     } else {
+      // seek form of the walk (graphTopKSeek ≡ graphTopK, IndexSpec-pinned):
+      // per-hop point lookups against the _srt artifact instead of the
+      // one-plan walk's per-hop corpus scans — the serving-latency form
+      // a router sits in front of (5.6 s → sub-second at sf0.1)
       val emb = Tables.embeddings(spark, dir)
       val edges = graft.index.KnnGraphIndex.edges(spark, dir, 3, 5)
-      val walked = Ann.graphTopK(edges, emb, qv,
-        Ann.hierEntries(emb, qv, 16, 3), beam = 8, hops = 3, k * 3)
+      val entryIds = Ann.hierEntries(emb, qv, 16, 3)
+        .collect().map(_.getLong(0)).toSeq
+      val walked = Ann.graphTopKSeek(edges, emb, qv, entryIds,
+        beam = 8, hops = 3, k = k * 3)
       ("postfilter_graph", walked
         .join(allowed.withColumnRenamed("vec_id", "id"), Seq("id"))
         .orderBy(col("score").desc, col("id").asc).limit(k))
