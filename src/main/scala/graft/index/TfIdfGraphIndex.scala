@@ -87,4 +87,18 @@ object TfIdfGraphIndex {
     Seq(arr.toSeq).toDF("qvec")
       .select(col("qvec").cast("array<float>").as("qvec"))
   }
+
+  /** N query strings embedded as (qid, qvec) — the batched twin of
+    * [[queryVec]] (still all driver-side: md5 buckets + the cached idf
+    * table; the tiny literal table broadcasts into the walk). */
+  def queryVecs(spark: SparkSession, dataDir: String,
+                queries: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    val idx = TfIdfIndex.ensure(spark, dataDir)
+    queries.map { case (qid, q) =>
+      val qw = TfIdfIndex.queryWeights(spark, idx, q)
+      (qid, Array.tabulate(Dim)(b => qw.getOrElse(b, 0.0).toFloat).toSeq)
+    }.toDF("qid", "qvec")
+      .select(col("qid"), col("qvec").cast("array<float>").as("qvec"))
+  }
 }

@@ -324,6 +324,22 @@ object SearchEngine {
       Ann.hierEntries(vecs, qv, 16, 3), beam = 8, hops = 2, k)
   }
 
+  /** Batched [[graphSearch]]: N text queries, ONE plan — each embeds
+    * driver-side, one coarse scan selects every query's entry points,
+    * and each hop joins the SHARED edge artifact once for all queries
+    * ([[Ann.graphTopKBatched]]). Per-qid results ≡ the single-query
+    * [[graphSearch]] (ServeApiSpec pins it through `/api/batch-search`);
+    * the artifact scans and the job floor are paid once per batch. */
+  def graphSearchBatched(spark: SparkSession, dir: String,
+                         queries: Seq[(Long, String)], k: Int): DataFrame = {
+    import graft.index.TfIdfGraphIndex
+    val vecs = TfIdfGraphIndex.vectors(spark, dir)
+    val edges = TfIdfGraphIndex.edges(spark, dir)
+    val qdf = TfIdfGraphIndex.queryVecs(spark, dir, queries)
+    Ann.graphTopKBatched(edges, vecs, qdf,
+      Ann.hierEntriesBatched(vecs, qdf, 16, 3), beam = 8, hops = 2, k)
+  }
+
   /** [[graphSearch]] with the a26 post-filter: walk oversampled 3× (the
     * reference's post-filter semantics, `search_service.py:413-423`),
     * keep survivors whose payload field matches, trim to k. */

@@ -304,8 +304,8 @@ object Api {
       val raw = require(params, "queries")
       val count = intParam(params, "count", 10, 1, 100)
       val mode = params.getOrElse("mode", "hybrid")
-      if (!Set("dense", "sparse", "hybrid").contains(mode))
-        return Response(400, err(s"Invalid mode '$mode'. Must be 'dense', 'sparse', or 'hybrid'"))
+      if (!Set("dense", "sparse", "hybrid", "graph").contains(mode))
+        return Response(400, err(s"Invalid mode '$mode'. Must be 'dense', 'sparse', 'hybrid', or 'graph'"))
       val qs = raw.split("\\|\\|").toSeq.map(_.trim).filter(_.nonEmpty)
       if (qs.isEmpty || qs.length > 64)
         return Response(400, err("queries must carry 1..64 '||'-separated entries"))
@@ -319,6 +319,7 @@ object Api {
           Bm25Index.topKBatched(spark, Bm25Index.ensure(spark, dir),
               "doc_id", termsDf, "qid", "term", count)
             .withColumnRenamed("doc_id", "id")
+        case "graph" => SearchEngine.graphSearchBatched(spark, dir, indexed, count)
         case _ => SearchEngine.textHybridBatched(spark, dir, indexed, count)
       })
       // group rows per qid driver-side (≤ 64·count rows by construction).

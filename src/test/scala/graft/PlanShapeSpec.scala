@@ -512,4 +512,34 @@ class PlanShapeSpec extends SparkSpec {
       assert(!servingPlan.contains("AdaptiveSparkPlan"))
     } finally base.unpersist()
   }
+
+  test("full-PSL registered domains: broadcast-only rule joins, host side never shuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val hosts = Seq("a.b.example.co.uk", "x.y.ck", "docs.foo.act.edu.au",
+      "www.example.com", "site.internal").toDF("host")
+    val plan = graft.functions.UrlOps
+      .withRegisteredDomainPsl(hosts, "host", "rd")
+      .queryExecution.executedPlan.toString
+    // one broadcast hash join per rule depth — the ~9.5k-rule table rides
+    // broadcasts (~250 KB total); a shuffle of the host side here would
+    // be a full-corpus exchange per crawl-gate pass at 100 TB
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 4, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"host side must never shuffle against the rule table:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"no host-side shuffle exchange:\n$plan")
+  }
+
+  test("tfidf graph artifacts carry the seek layouts: In(src)/In(vec_id) push to the scans") {
+    import org.apache.spark.sql.functions.col
+    val edges = graft.index.TfIdfGraphIndex.edges(spark, Sf0001)
+    val vecs = graft.index.TfIdfGraphIndex.vectors(spark, Sf0001)
+    val ep = edges.where(col("src").isin(0L, 16L, 32L))
+      .queryExecution.executedPlan.toString
+    assert(ep.contains("PushedFilters: [In(src"), ep)
+    val vp = vecs.where(col("vec_id").isin(0L, 16L, 32L))
+      .queryExecution.executedPlan.toString
+    assert(vp.contains("PushedFilters: [In(vec_id"), vp)
+  }
 }

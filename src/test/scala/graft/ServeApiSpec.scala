@@ -396,7 +396,7 @@ class ServeApiSpec extends SparkSpec {
     // second query repeats a token: the single path dedupes terms via
     // isin, and the batch must match it (distinct'd term rows)
     val queries = Seq("spark join filter the data", "vector scan batch vector")
-    for (mode <- Seq("dense", "sparse", "hybrid")) {
+    for (mode <- Seq("dense", "sparse", "hybrid", "graph")) {
       val r = get("/api/batch-search",
         "queries" -> queries.mkString("||"), "mode" -> mode, "count" -> "5")
       assert(r.status == 200, s"$mode: ${r.body}")
