@@ -396,10 +396,13 @@ object Api {
           .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString(",")
         // one probe query through each mode, count=1 — verifies index
         // build + dispatch end-to-end, not just static wiring
-        val probes = Seq("dense", "sparse", "hybrid").map { m =>
+        val probes = (Seq("dense", "sparse", "hybrid").map { m =>
           val n = search(spark, dir, "test", m, 1).count()
           s""""$m":${if (n >= 0) "\"ok\"" else "\"empty\""}"""
-        }.mkString(",")
+        } :+ {
+          val n = SearchEngine.graphSearch(spark, dir, "test", 1).count()
+          s""""graph":${if (n >= 0) "\"ok\"" else "\"empty\""}"""
+        }).mkString(",")
         ok(s"""{"status":"success","message":"search service is working",""" +
           s""""details":{"search_methods":{$probes},"tables":{$counts},""" +
           s""""fusion_method":"rrf_k60","configuration":"TF-IDF dense + BM25 sparse"}}""")

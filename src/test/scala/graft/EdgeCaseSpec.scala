@@ -278,4 +278,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(vRow.getDouble(4) == 0.0 && vRow.getDouble(5) == 0.5,
       "null fractions must reflect each side")
   }
+
+  test("graph text search: empty query embeds to the zero vector, scores 0.0, never NaN") {
+    // V6 semantics carried into mode=graph: an empty token set embeds to
+    // the zero vector (an UNKNOWN token still lands in an occupied md5
+    // bucket — that's the hashing-tfidf contract, same as s9) -> cosine
+    // 0.0 everywhere (not NaN); the walk still returns k rows (all-zero
+    // scores, id-ordered cuts keep it total)
+    val rows = graft.search.SearchEngine
+      .graphSearch(spark, Sf0001, "   ", 5)
+      .collect()
+    assert(rows.length == 5, rows.mkString(","))
+    assert(rows.forall(r => r.getDouble(1) == 0.0), rows.mkString(","))
+
+    // and an unknown token is NOT the zero vector: it hashes into a
+    // corpus bucket and retrieves that bucket's neighborhood
+    val unk = graft.search.SearchEngine
+      .graphSearch(spark, Sf0001, "qqqqzz notinanycorpus", 5)
+      .collect()
+    assert(unk.length == 5 && unk.forall(r => !r.getDouble(1).isNaN))
+  }
 }
