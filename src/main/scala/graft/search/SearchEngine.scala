@@ -320,8 +320,14 @@ object SearchEngine {
     val vecs = TfIdfGraphIndex.vectors(spark, dir)
     val edges = TfIdfGraphIndex.edges(spark, dir)
     val qv = TfIdfGraphIndex.queryVec(spark, dir, query)
-    Ann.graphTopK(edges, vecs, qv,
-      Ann.hierEntries(vecs, qv, 16, 3), beam = 8, hops = 2, k)
+    val entryIds = Ann.hierEntries(vecs, qv, 16, 3)
+      .collect().map(_.getLong(0)).toSeq
+    // seek form (graphTopKSeek ≡ graphTopK, IndexSpec-pinned): per-hop
+    // literal-IN point lookups against the _srt artifacts instead of the
+    // one-plan walk's per-hop corpus scans — O(beam·k) row groups per hop
+    // at any corpus size, the a27 serving pattern (batch route uses the
+    // one-plan batched walk, where the scans amortize over the batch)
+    Ann.graphTopKSeek(edges, vecs, qv, entryIds, beam = 8, hops = 2, k)
   }
 
   /** Batched [[graphSearch]]: N text queries, ONE plan — each embeds
