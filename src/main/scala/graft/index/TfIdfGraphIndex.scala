@@ -33,8 +33,15 @@ import graft.search.Ann
   */
 object TfIdfGraphIndex {
 
-  val Name = "tfidf_graph_v1"
+  // v2: + persisted coarse entry layer (mod-16 subset) — the inline
+  // pmod filter can't prune row groups, so without the artifact every
+  // query's entry selection READ the whole vectors table
+  val Name = "tfidf_graph_v2"
   val Dim: Int = TfIdfIndex.Dim
+
+  /** Coarse-layer sampling modulus — the HNSW upper-layer analogue
+    * (serving walks start from the top-3 of this subset). */
+  val CoarseMod = 16
 
   private def ensureDir(spark: SparkSession, dataDir: String): String =
     IndexCatalog.ensure(spark, dataDir, Name) { out =>
@@ -56,6 +63,14 @@ object TfIdfGraphIndex {
         .option("parquet.block.size", (1 << 20).toString)
         .parquet(s"$out/vectors")
       val stored = spark.read.parquet(s"$out/vectors")
+      // the coarse entry layer as its own artifact: 1/CoarseMod of the
+      // rows, so entry selection is a 6% scan as I/O, not a full read
+      // with a post-scan filter (hierEntriesFrom scaladoc)
+      stored.where(pmod(col("vec_id"), lit(CoarseMod)) === lit(0))
+        .repartitionByRange(2, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$out/coarse")
       val centroids = stored.where(col("vec_id") < 10)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Ann.knnGraph(stored, centroids, 3, 5)
@@ -73,6 +88,10 @@ object TfIdfGraphIndex {
   /** The kNN edge artifact over those vectors (src, dst, score, rank). */
   def edges(spark: SparkSession, dataDir: String): DataFrame =
     spark.read.parquet(s"${ensureDir(spark, dataDir)}/edges")
+
+  /** The prebuilt coarse entry layer (vec_id % CoarseMod == 0 subset). */
+  def coarse(spark: SparkSession, dataDir: String): DataFrame =
+    spark.read.parquet(s"${ensureDir(spark, dataDir)}/coarse")
 
   /** The query string embedded into the graph's space, as a 1-row (qvec)
     * frame — dense form of [[TfIdfIndex.queryWeights]] (driver-side: md5

@@ -563,7 +563,22 @@ object Ann {
     * Output: (id), `e` rows, ready to pass as `entries`. */
   def hierEntries(vectors: DataFrame, queryVec: DataFrame,
                   sampleMod: Int, e: Int): DataFrame =
-    vectors.where(pmod(col("vec_id"), lit(sampleMod)) === lit(0))
+    hierEntriesFrom(
+      vectors.where(pmod(col("vec_id"), lit(sampleMod)) === lit(0)),
+      queryVec, e)
+
+  /** [[hierEntries]] when the coarse layer is already materialized — a
+    * PREBUILT mod-subset artifact ([[graft.index.TfIdfGraphIndex]]
+    * persists one at build time). The pmod filter cannot prune parquet
+    * row groups (no min/max relation), so the inline form READS the
+    * whole vectors table and filters 15/16 of it away per query; a
+    * persisted coarse layer makes entry selection 1/sampleMod of the
+    * corpus as I/O, which at 100 TB is the difference between the
+    * walk's only corpus-sized term and a 6% scan. Semantics unchanged:
+    * same rows, same (score desc, id asc) top-e. */
+  def hierEntriesFrom(coarse: DataFrame, queryVec: DataFrame,
+                      e: Int): DataFrame =
+    coarse
       .crossJoin(broadcast(queryVec))
       .select(col("vec_id").as("id"),
         round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("score"))
@@ -574,10 +589,18 @@ object Ann {
     * query's entry selection (queries broadcast into the pruned sampled
     * scan, per-qid partial top-e window). Output (qid, id). */
   def hierEntriesBatched(vectors: DataFrame, queries: DataFrame,
-                         sampleMod: Int, e: Int): DataFrame = {
+                         sampleMod: Int, e: Int): DataFrame =
+    hierEntriesBatchedFrom(
+      vectors.where(pmod(col("vec_id"), lit(sampleMod)) === lit(0)),
+      queries, e)
+
+  /** [[hierEntriesBatched]] over a prebuilt coarse layer (see
+    * [[hierEntriesFrom]] for why the artifact beats the inline filter). */
+  def hierEntriesBatchedFrom(coarse: DataFrame, queries: DataFrame,
+                             e: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("id").asc)
-    vectors.where(pmod(col("vec_id"), lit(sampleMod)) === lit(0))
+    coarse
       .crossJoin(broadcast(queries))
       .select(col("qid"), col("vec_id").as("id"),
         round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6).as("score"))

@@ -320,7 +320,10 @@ object SearchEngine {
     val vecs = TfIdfGraphIndex.vectors(spark, dir)
     val edges = TfIdfGraphIndex.edges(spark, dir)
     val qv = TfIdfGraphIndex.queryVec(spark, dir, query)
-    val entryIds = Ann.hierEntries(vecs, qv, 16, 3)
+    // entries from the PREBUILT coarse layer — a 1/16 scan as I/O (the
+    // inline pmod form reads everything and filters; hierEntriesFrom)
+    val entryIds = Ann.hierEntriesFrom(
+        TfIdfGraphIndex.coarse(spark, dir), qv, 3)
       .collect().map(_.getLong(0)).toSeq
     // seek form (graphTopKSeek ≡ graphTopK, IndexSpec-pinned): per-hop
     // literal-IN point lookups against the _srt artifacts instead of the
@@ -343,7 +346,8 @@ object SearchEngine {
     val edges = TfIdfGraphIndex.edges(spark, dir)
     val qdf = TfIdfGraphIndex.queryVecs(spark, dir, queries)
     Ann.graphTopKBatched(edges, vecs, qdf,
-      Ann.hierEntriesBatched(vecs, qdf, 16, 3), beam = 8, hops = 2, k)
+      Ann.hierEntriesBatchedFrom(TfIdfGraphIndex.coarse(spark, dir), qdf, 3),
+      beam = 8, hops = 2, k)
   }
 
   /** [[graphSearch]] with the a26 post-filter: walk oversampled 3× (the

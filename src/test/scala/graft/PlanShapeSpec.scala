@@ -541,5 +541,20 @@ class PlanShapeSpec extends SparkSpec {
     val vp = vecs.where(col("vec_id").isin(0L, 16L, 32L))
       .queryExecution.executedPlan.toString
     assert(vp.contains("PushedFilters: [In(vec_id"), vp)
+
+    // the coarse entry layer is a PREBUILT artifact (1/16 the rows as
+    // I/O — the inline pmod filter reads everything and discards 15/16),
+    // value-identical to the inline form
+    import org.apache.spark.sql.functions.{lit, pmod}
+    import graft.search.Ann
+    val coarse = graft.index.TfIdfGraphIndex.coarse(spark, Sf0001)
+    val inline = vecs.where(pmod(col("vec_id"), lit(16)) === lit(0))
+    assert(coarse.count() == inline.count() && coarse.count() > 0)
+    val qv = graft.index.TfIdfGraphIndex.queryVec(spark, Sf0001, "spark join")
+    val fromArtifact = Ann.hierEntriesFrom(coarse, qv, 3)
+      .collect().map(_.getLong(0)).toSeq
+    val inlineEntries = Ann.hierEntries(vecs, qv, 16, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fromArtifact == inlineEntries && fromArtifact.nonEmpty)
   }
 }
