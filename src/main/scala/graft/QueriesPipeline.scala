@@ -3884,7 +3884,8 @@ object QueriesPipeline {
         val edges = graft.index.KnnGraphIndex.edges(sv, d, 3, 5)
         val qv = emb.where(col("vec_id") === Queries.QueryVecId)
           .select(col("embedding").as("qvec"))
-        val entries = Ann.hierEntries(emb, qv, 16, 3)
+        val entries = Ann.hierEntriesFrom(
+          graft.index.KnnGraphIndex.coarse(sv, d, 3, 5), qv, 3)
         Ann.graphTopK(edges, emb, qv, entries, beam = 8, hops = 2, k = 10)
       },
       Some("""
@@ -3955,7 +3956,8 @@ object QueriesPipeline {
         val qv = emb.where(col("vec_id") === Queries.QueryVecId)
           .select(col("embedding").as("qvec"))
         val walked = Ann.graphTopK(edges, emb, qv,
-          Ann.hierEntries(emb, qv, 16, 3), beam = 8, hops = 3, k = 30)
+          Ann.hierEntriesFrom(graft.index.KnnGraphIndex.coarse(sv, d, 3, 5),
+            qv, 3), beam = 8, hops = 3, k = 30)
         val allowed = Tables.documents(sv, d)
           .where(col("source") === "src3")
           .select(col("doc_id").as("id"))
@@ -4038,7 +4040,8 @@ object QueriesPipeline {
         val edges = graft.index.KnnGraphIndex.edges(sv, d, 3, 5)
         val queries = emb.where(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val entries = Ann.hierEntriesBatched(emb, queries, 16, 3)
+        val entries = Ann.hierEntriesBatchedFrom(
+          graft.index.KnnGraphIndex.coarse(sv, d, 3, 5), queries, 3)
         Ann.graphTopKBatched(edges, emb, queries, entries,
           beam = 8, hops = 2, k = 5)
       },
@@ -4127,7 +4130,8 @@ object QueriesPipeline {
         val edges = graft.index.KnnGraphIndex.edges(sv, d, 3, 5)
         val qv = emb.where(col("vec_id") === Queries.QueryVecId)
           .select(col("embedding").as("qvec"))
-        val entryIds = Ann.hierEntries(emb, qv, 16, 3)
+        val entryIds = Ann.hierEntriesFrom(
+            graft.index.KnnGraphIndex.coarse(sv, d, 3, 5), qv, 3)
           .collect().map(_.getLong(0)).toSeq
         Ann.graphTopKSeek(edges, emb, qv, entryIds, beam = 8, hops = 2, k = 10)
       },

@@ -44,10 +44,18 @@ object KnnGraphIndex {
     * per-hop read is O(frontier) row groups, not O(corpus). At 100 TB
     * that is the difference between a walk hop doing point lookups and
     * re-scanning the whole adjacency each hop. */
-  def edges(spark: SparkSession, dataDir: String,
-            nprobe: Int = 3, k: Int = 5): DataFrame = {
-    val name = s"knn_graph_n${nprobe}_k${k}_srt"
-    val p = IndexCatalog.ensure(spark, dataDir, name) { out =>
+  /** Coarse-layer sampling modulus shared by every hierarchical-entry
+    * consumer of this artifact (a24/a25/a26/a27, `/api/similar-vectors`,
+    * the filtered-ANN router's post side). */
+  val CoarseMod = 16
+
+  private def ensureDir(spark: SparkSession, dataDir: String,
+                        nprobe: Int, k: Int): String = {
+    // v2 (`_srt2`): + the persisted coarse entry layer — the inline
+    // `vec_id % 16` filter can't prune row groups, so entry selection
+    // READ the whole embeddings table per query before this artifact
+    val name = s"knn_graph_n${nprobe}_k${k}_srt2"
+    IndexCatalog.ensure(spark, dataDir, name) { out =>
       val emb = Tables.embeddings(spark, dataDir)
       val centroids = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
@@ -60,7 +68,23 @@ object KnnGraphIndex {
         // the whole sf0.1 artifact in one group and prune nothing)
         .option("parquet.block.size", (1 << 20).toString)
         .parquet(s"$out/edges")
+      emb.where(pmod(col("vec_id"), lit(CoarseMod)) === lit(0))
+        .select(col("vec_id"), col("embedding"))
+        .repartitionByRange(2, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$out/coarse")
     }
-    spark.read.parquet(s"$p/edges")
   }
+
+  def edges(spark: SparkSession, dataDir: String,
+            nprobe: Int = 3, k: Int = 5): DataFrame =
+    spark.read.parquet(s"${ensureDir(spark, dataDir, nprobe, k)}/edges")
+
+  /** The prebuilt coarse entry layer (vec_id % CoarseMod == 0 subset of
+    * the embeddings table) — 1/CoarseMod of the corpus as I/O for every
+    * walk's entry selection ([[Ann.hierEntriesFrom]] scaladoc). */
+  def coarse(spark: SparkSession, dataDir: String,
+             nprobe: Int = 3, k: Int = 5): DataFrame =
+    spark.read.parquet(s"${ensureDir(spark, dataDir, nprobe, k)}/coarse")
 }

@@ -409,7 +409,8 @@ object SearchEngine {
       // a router sits in front of (5.6 s → sub-second at sf0.1)
       val emb = Tables.embeddings(spark, dir)
       val edges = graft.index.KnnGraphIndex.edges(spark, dir, 3, 5)
-      val entryIds = Ann.hierEntries(emb, qv, 16, 3)
+      val entryIds = Ann.hierEntriesFrom(
+          graft.index.KnnGraphIndex.coarse(spark, dir, 3, 5), qv, 3)
         .collect().map(_.getLong(0)).toSeq
       val walked = Ann.graphTopKSeek(edges, emb, qv, entryIds,
         beam = 8, hops = 3, k = k * 3)

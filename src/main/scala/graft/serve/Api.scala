@@ -357,7 +357,8 @@ object Api {
         case "graph" =>
           val edges = graft.index.KnnGraphIndex.edges(spark, dir, 3, 5)
           graft.search.Ann.graphTopKBatched(edges, emb, queries,
-            graft.search.Ann.hierEntriesBatched(emb, queries, 16, 3),
+            graft.search.Ann.hierEntriesBatchedFrom(
+              graft.index.KnnGraphIndex.coarse(spark, dir, 3, 5), queries, 3),
             beam = 8, hops = 2, k = count + 1)
         case _ =>
           val info = graft.index.IvfIndex.ensure(spark, dir)
