@@ -2034,7 +2034,7 @@ object Queries {
     "s19_fuzzy_match", "s20_phrase_search", "s21_chunk_retrieval",
     "s21b_chunk_indexed", "s21c_chunk_dense", "s21d_chunk_hybrid",
     "s23_faceted_search", "s24_more_like_this", "s26_autocomplete",
-    "s27_spell_suggest", "s28_graph_text_search")
+    "s27_spell_suggest", "s28_graph_text_search", "s28b_graph_grown")
 
   def queryFns: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) =>

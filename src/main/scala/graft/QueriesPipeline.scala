@@ -3226,6 +3226,87 @@ object QueriesPipeline {
         GROUP BY dv.doc_id ORDER BY score DESC, id ASC LIMIT $k
       """
 
+  /** Full mode=graph oracle for a literal query text: the s9 tfidf CTEs
+    * densified through the artifact's FLOAT cast, the a18-style
+    * IVF-blocked kNN edge build (centroids = docs 0..9, nprobe 3, k 5),
+    * the mod-16 coarse entry layer, and the a24-style 2-hop unrolled
+    * walk (beam 8). Engine-artifact-independent — it recomputes the
+    * graph from `documents` — so it grades the one-shot artifact (s28)
+    * and the incrementally-grown root (s28b) with the SAME text: grown
+    * edges hash-equal the rebuild (IncrementalKnn exactness), so one
+    * oracle covers both builds. */
+  private def graphWalkSql(queryText: String, k: Int): String = s"""
+        WITH $tfidfCtes,
+        dims AS (SELECT range::INT AS bucket FROM range(64)),
+        dvec AS (
+          SELECT d.doc_id, list(coalesce(f.w, 0.0)::FLOAT::DOUBLE
+                                ORDER BY dims.bucket) AS v
+          FROM (SELECT DISTINCT doc_id FROM dv) d
+          CROSS JOIN dims
+          LEFT JOIN dv f ON f.doc_id = d.doc_id AND f.bucket = dims.bucket
+          GROUP BY d.doc_id),
+        qtoks AS (
+          SELECT unnest(list_filter(string_split('$queryText', ' '), t -> t <> '')) AS tok),
+        qtf AS (
+          SELECT (('0x' || substr(md5(tok), 1, 8))::BIGINT % 64)::INT AS bucket,
+                 count(*) AS tf
+          FROM qtoks GROUP BY 1),
+        qw AS (SELECT qtf.bucket, qtf.tf * idf.idf AS w FROM qtf JOIN idf USING (bucket)),
+        qnorm AS (SELECT sqrt(sum(w * w)) AS norm FROM qw),
+        qv AS (SELECT bucket, w / norm AS qw FROM qw CROSS JOIN qnorm),
+        qvec AS (
+          SELECT list(coalesce(qv.qw, 0.0)::FLOAT::DOUBLE
+                      ORDER BY dims.bucket) AS v
+          FROM dims LEFT JOIN qv ON qv.bucket = dims.bucket),
+        cent AS (SELECT doc_id AS cid, v AS cvec FROM dvec WHERE doc_id < 10),
+        assign AS (
+          SELECT doc_id, cid, v FROM (
+            SELECT e.doc_id, c.cid, e.v,
+                   row_number() OVER (PARTITION BY e.doc_id
+                     ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM dvec e CROSS JOIN cent c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT src, qvec0, cid FROM (
+            SELECT e.doc_id AS src, e.v AS qvec0, c.cid,
+                   row_number() OVER (PARTITION BY e.doc_id
+                     ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM dvec e CROSS JOIN cent c)
+          WHERE rn <= 3),
+        gcand AS (
+          SELECT p.src, a.doc_id AS dst,
+                 round(list_cosine_similarity(a.v, p.qvec0), 6) AS score
+          FROM probes p JOIN assign a ON p.cid = a.cid
+          WHERE a.doc_id <> p.src),
+        edges AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY score DESC, dst ASC) AS rank
+            FROM gcand)
+          WHERE rank <= 5),
+        sc AS (
+          SELECT e.doc_id AS id,
+                 round(list_cosine_similarity(e.v, q.v), 6) AS score
+          FROM dvec e CROSS JOIN qvec q),
+        ent AS (SELECT id FROM sc WHERE id % 16 = 0
+                ORDER BY score DESC, id ASC LIMIT 3),
+        c0 AS (SELECT id, score FROM sc WHERE id IN (SELECT id FROM ent)),
+        f0 AS (SELECT id FROM c0 ORDER BY score DESC, id ASC LIMIT 8),
+        c1 AS (SELECT id, score FROM c0
+               UNION
+               SELECT sc.id, sc.score FROM sc
+               WHERE sc.id IN (SELECT e.dst FROM f0 JOIN edges e ON e.src = f0.id)),
+        f1 AS (SELECT id FROM c1 ORDER BY score DESC, id ASC LIMIT 8),
+        c2 AS (SELECT id, score FROM c1
+               UNION
+               SELECT sc.id, sc.score FROM sc
+               WHERE sc.id IN (SELECT e.dst FROM f1 JOIN edges e ON e.src = f1.id))
+        SELECT id, score FROM c2 ORDER BY score DESC, id ASC LIMIT $k
+      """
+
   val extras: Map[String, Q] = Map(
     // V1/V2/T1 composition: TF-IDF embed of query + corpus, cosine top-k —
     // the reference's full embed→search path. Served from the PREBUILT
@@ -3292,77 +3373,21 @@ object QueriesPipeline {
     // independent; the corpus-sized work happened once, in the build.
     "s28_graph_text_search" -> Q(
       (s, d) => graft.search.SearchEngine.graphSearch(s, d, TfIdfQueryText, 10),
-      Some(s"""
-        WITH $tfidfCtes,
-        dims AS (SELECT range::INT AS bucket FROM range(64)),
-        dvec AS (
-          SELECT d.doc_id, list(coalesce(f.w, 0.0)::FLOAT::DOUBLE
-                                ORDER BY dims.bucket) AS v
-          FROM (SELECT DISTINCT doc_id FROM dv) d
-          CROSS JOIN dims
-          LEFT JOIN dv f ON f.doc_id = d.doc_id AND f.bucket = dims.bucket
-          GROUP BY d.doc_id),
-        qtoks AS (
-          SELECT unnest(list_filter(string_split('$TfIdfQueryText', ' '), t -> t <> '')) AS tok),
-        qtf AS (
-          SELECT (('0x' || substr(md5(tok), 1, 8))::BIGINT % 64)::INT AS bucket,
-                 count(*) AS tf
-          FROM qtoks GROUP BY 1),
-        qw AS (SELECT qtf.bucket, qtf.tf * idf.idf AS w FROM qtf JOIN idf USING (bucket)),
-        qnorm AS (SELECT sqrt(sum(w * w)) AS norm FROM qw),
-        qv AS (SELECT bucket, w / norm AS qw FROM qw CROSS JOIN qnorm),
-        qvec AS (
-          SELECT list(coalesce(qv.qw, 0.0)::FLOAT::DOUBLE
-                      ORDER BY dims.bucket) AS v
-          FROM dims LEFT JOIN qv ON qv.bucket = dims.bucket),
-        cent AS (SELECT doc_id AS cid, v AS cvec FROM dvec WHERE doc_id < 10),
-        assign AS (
-          SELECT doc_id, cid, v FROM (
-            SELECT e.doc_id, c.cid, e.v,
-                   row_number() OVER (PARTITION BY e.doc_id
-                     ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
-                              c.cid ASC) AS rn
-            FROM dvec e CROSS JOIN cent c)
-          WHERE rn = 1),
-        probes AS (
-          SELECT src, qvec0, cid FROM (
-            SELECT e.doc_id AS src, e.v AS qvec0, c.cid,
-                   row_number() OVER (PARTITION BY e.doc_id
-                     ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
-                              c.cid ASC) AS rn
-            FROM dvec e CROSS JOIN cent c)
-          WHERE rn <= 3),
-        gcand AS (
-          SELECT p.src, a.doc_id AS dst,
-                 round(list_cosine_similarity(a.v, p.qvec0), 6) AS score
-          FROM probes p JOIN assign a ON p.cid = a.cid
-          WHERE a.doc_id <> p.src),
-        edges AS (
-          SELECT src, dst FROM (
-            SELECT src, dst,
-                   row_number() OVER (PARTITION BY src
-                     ORDER BY score DESC, dst ASC) AS rank
-            FROM gcand)
-          WHERE rank <= 5),
-        sc AS (
-          SELECT e.doc_id AS id,
-                 round(list_cosine_similarity(e.v, q.v), 6) AS score
-          FROM dvec e CROSS JOIN qvec q),
-        ent AS (SELECT id FROM sc WHERE id % 16 = 0
-                ORDER BY score DESC, id ASC LIMIT 3),
-        c0 AS (SELECT id, score FROM sc WHERE id IN (SELECT id FROM ent)),
-        f0 AS (SELECT id FROM c0 ORDER BY score DESC, id ASC LIMIT 8),
-        c1 AS (SELECT id, score FROM c0
-               UNION
-               SELECT sc.id, sc.score FROM sc
-               WHERE sc.id IN (SELECT e.dst FROM f0 JOIN edges e ON e.src = f0.id)),
-        f1 AS (SELECT id FROM c1 ORDER BY score DESC, id ASC LIMIT 8),
-        c2 AS (SELECT id, score FROM c1
-               UNION
-               SELECT sc.id, sc.score FROM sc
-               WHERE sc.id IN (SELECT e.dst FROM f1 JOIN edges e ON e.src = f1.id))
-        SELECT id, score FROM c2 ORDER BY score DESC, id ASC LIMIT 10
-      """)),
+      Some(graphWalkSql(TfIdfQueryText, 10))),
+
+    // The SAME serving walk over the incrementally-GROWN graph root
+    // (TfIdfGraphIndex.ensureGrown: frozen-idf embed, IncrementalKnn
+    // init + two appends — the engine-side of DeltaStream.textGraphIngest's
+    // per-trigger maintenance). The oracle is s28's graph-rebuild SQL
+    // with a different query text: by IncrementalKnn's exactness argument
+    // the merged segments hash-equal the one-shot build, so value-match
+    // here certifies the whole grow path (frozen-idf embed ≡ build
+    // vectors, segment merge ≡ rebuild, per-segment coarse/vecs artifacts
+    // ≡ one-shot layout) end-to-end against DuckDB.
+    "s28b_graph_grown" -> Q(
+      (s, d) => graft.search.SearchEngine.graphSearchGrown(
+        s, d, "merge stream window data", 10),
+      Some(graphWalkSql("merge stream window data", 10))),
 
     // Multimodal metadata projection: binary payload + typed meta columns
     // (decode itself is the documented stub; the schema/pushdown plumbing

@@ -69,11 +69,23 @@ import graft.tables.Tables
 object IncrementalKnn {
 
   // v2: edge segments adopted the src-sorted `_srt` seek layout
-  val Name = "knn_inc_v2"
+  // v3: + per-segment `vecs/` (vec_id-sorted seek twin of the one-shot
+  //     artifacts' `vectors/`) and `coarse/` (mod-16 entry layer) — the
+  //     two serving-side artifacts a GROWN graph previously lacked: the
+  //     seek walk's `vec_id IN (...)` lookups had nowhere prunable to go
+  //     (assign segments are cid-partitioned) and entry selection had to
+  //     filter `pmod(vec_id,16)` inline over the full merged vectors
+  val Name = "knn_inc_v3"
+
+  /** Coarse entry-layer sampling modulus — same rule as the one-shot
+    * graph artifacts ([[KnnGraphIndex.CoarseMod]]). */
+  val CoarseMod = 16
 
   private def assignDir(root: String, k: Int) = s"$root/assign/$k"
   private def probesDir(root: String, k: Int) = s"$root/probes/$k"
   private def edgesDir(root: String, k: Int) = s"$root/edges/$k"
+  private def vecsDir(root: String, k: Int) = s"$root/vecs/$k"
+  private def coarseDir(root: String, k: Int) = s"$root/coarse/$k"
 
   def version(root: String): Int = IncrementalIvf.version(root)
 
@@ -124,6 +136,29 @@ object IncrementalKnn {
       .option("parquet.block.size", (1 << 20).toString)
       .parquet(path)
 
+  /** Serving-side vector segments: the batch's (vec_id, embedding) in the
+    * vec_id-sorted small-row-group layout the seek walk's pushed
+    * `vec_id IN (...)` lookups prune ([[KnnGraphIndex]] `vectors/`), plus
+    * the mod-[[CoarseMod]] coarse entry subset as its own artifact (the
+    * pmod predicate can't prune row groups, so without it every query's
+    * entry selection reads the whole merged vector set —
+    * [[graft.search.Ann.hierEntriesFrom]] scaladoc). Both are delta-sized
+    * writes; the embedding copy is the same build-once serving trade the
+    * one-shot artifacts make. */
+  private def writeVecs(vectors: DataFrame, root: String, seg: Int): Unit = {
+    val slim = vectors.select(col("vec_id"), col("embedding"))
+    slim.repartitionByRange(8, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", (1 << 20).toString)
+      .parquet(vecsDir(root, seg))
+    slim.where(pmod(col("vec_id"), lit(CoarseMod)) === lit(0))
+      .repartitionByRange(2, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(coarseDir(root, seg))
+  }
+
   /** Per-src top-k reduction of a candidate edge set — the safe partial
     * form of the read-side merge. */
   private def topKPerSrc(cand: DataFrame, k: Int): DataFrame = {
@@ -149,6 +184,7 @@ object IncrementalKnn {
       .write.mode(SaveMode.Overwrite).parquet(probesDir(root, 0))
     writeEdges(Ann.knnGraph(vectors, cent, nprobe, k)
       .select(col("src"), col("dst"), col("score")), edgesDir(root, 0))
+    writeVecs(vectors, root, 0)
     publish(root, 1)
   }
 
@@ -200,6 +236,7 @@ object IncrementalKnn {
         round(VectorOps.cosineSim(col("svec"), col("dvec")), 6).as("score"))
 
     writeEdges(topKPerSrc(arm1.unionByName(arm2), k), edgesDir(root, v))
+    writeVecs(delta, root, v)
     publish(root, v + 1, tag)
   }
 
@@ -217,9 +254,30 @@ object IncrementalKnn {
       .orderBy(col("src"), col("rank"))
   }
 
+  /** Merged serving vectors (vec_id, embedding): union of the per-segment
+    * vec_id-sorted `vecs/` artifacts — every file keeps its tight min/max
+    * vec_id ranges, so a pushed `vec_id IN (...)` seek reads O(lookups)
+    * row groups per segment ([[graft.search.Ann.graphTopKSeek]]'s
+    * vectors side for a GROWN graph). */
+  def vectorsAll(spark: SparkSession, root: String): DataFrame = {
+    val v = version(root)
+    require(v > 0, s"knn graph at $root not initialized")
+    SegmentStore.readSegments(spark, v)(vecsDir(root, _))
+  }
+
+  /** Merged coarse entry layer (vec_id % [[CoarseMod]] == 0 subset) —
+    * 1/[[CoarseMod]] of the corpus as I/O for entry selection, exactly
+    * like the one-shot artifacts' `coarse/`. */
+  def coarseAll(spark: SparkSession, root: String): DataFrame = {
+    val v = version(root)
+    require(v > 0, s"knn graph at $root not initialized")
+    SegmentStore.readSegments(spark, v)(coarseDir(root, _))
+  }
+
   /** Fold all segments into a fresh single-segment root (read-merged
-    * edges, unioned assignment/probes, centroids republished) — the LSM
-    * tail-fold bounding read-side fan-in; old root readable throughout. */
+    * edges, unioned assignment/probes/vecs/coarse, centroids
+    * republished) — the LSM tail-fold bounding read-side fan-in; old
+    * root readable throughout. */
   def compact(spark: SparkSession, root: String, newRoot: String,
               k: Int, tag: Option[String] = None): Unit = {
     val v = version(root)
@@ -233,6 +291,7 @@ object IncrementalKnn {
       .write.mode(SaveMode.Overwrite).parquet(probesDir(newRoot, 0))
     writeEdges(edges(spark, root, k)
       .select(col("src"), col("dst"), col("score")), edgesDir(newRoot, 0))
+    writeVecs(vectorsAll(spark, root), newRoot, 0) // re-sorts the fold
     publish(newRoot, 1, tag)
   }
 

@@ -55,9 +55,24 @@ object TfIdfEmbedder {
   /** L2-normalized TF-IDF document vectors, sparse-relational:
     * (id, bucket, w) with Σ w² = 1 per id. */
   def docVectors(docs: DataFrame, idCol: String, textCol: String,
-                 dim: Int = DefaultDim): DataFrame = {
+                 dim: Int = DefaultDim): DataFrame =
+    docVectorsWithIdf(docs, idCol, textCol, idf(docs, idCol, textCol, dim))
+
+  /** [[docVectors]] against a FROZEN idf table (bucket, idf) — the
+    * production embedder contract: the model (here, the corpus idf) is
+    * trained once at index-build time and new documents embed into the
+    * SAME space forever after (the reference never retrains its
+    * `bge-small` weights per delta either). Over the training corpus
+    * itself this is exactly [[docVectors]] (`EmbedderSpec` pins it);
+    * over NEW docs, buckets absent from the frozen idf drop out — the
+    * same semantics the query side has always had
+    * ([[TfIdfIndex.queryWeights]]). A doc with no in-vocabulary token
+    * yields no rows here; dense callers zero-fill it (V6 semantics). */
+  def docVectorsWithIdf(docs: DataFrame, idCol: String, textCol: String,
+                        idfTable: DataFrame,
+                        dim: Int = DefaultDim): DataFrame = {
     val weighted = termFreqs(docs, idCol, textCol, dim)
-      .join(broadcast(idf(docs, idCol, textCol, dim)), "bucket")
+      .join(broadcast(idfTable), "bucket")
       .withColumn("w", col("tf") * col("idf"))
     val norms = weighted.groupBy(col(idCol))
       .agg(sqrt(sum(col("w") * col("w"))).as("norm"))

@@ -43,20 +43,49 @@ object TfIdfGraphIndex {
     * (serving walks start from the top-3 of this subset). */
   val CoarseMod = 16
 
+  /** Sparse (idCol, bucket, w) -> dense (vec_id, embedding float[Dim]).
+    * One map_from_entries per doc + a generated fill — no shuffle beyond
+    * the groupBy on the vectors' natural key. */
+  private def densify(sparse: DataFrame, idCol: String): DataFrame =
+    sparse
+      .groupBy(col(idCol).as("vec_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("w")))).as("m"))
+      .select(col("vec_id"),
+        expr(s"transform(sequence(0, ${Dim - 1}), " +
+          "b -> cast(coalesce(element_at(m, b), 0.0d) as float))")
+          .as("embedding"))
+
+  /** Embed a document frame into the graph's FROZEN text-embedding space:
+    * sparse TF-IDF against the corpus idf artifact (the model trained at
+    * [[TfIdfIndex]] build time — new docs never move the space, exactly
+    * like the reference's frozen `bge-small` weights), densified to
+    * float[Dim]. Docs with NO in-vocabulary token zero-fill (V6
+    * semantics: a zero vector scores 0.0 everywhere, so it parks in the
+    * graph without distorting any walk). Over the training corpus itself
+    * this reproduces the stored build vectors (EmbedderSpec pins the
+    * sparse identity; the float cast absorbs sub-ulp aggregation-order
+    * noise). */
+  def embedDocsDense(spark: SparkSession, dataDir: String, docs: DataFrame,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val idx = TfIdfIndex.ensure(spark, dataDir)
+    val idfTable = spark.read.parquet(s"$idx/idf")
+    val dense = densify(
+      TfIdfEmbedder.docVectorsWithIdf(docs, idCol, textCol, idfTable, Dim),
+      idCol)
+    docs.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .join(dense, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("embedding"),
+          expr(s"transform(sequence(0, ${Dim - 1}), b -> cast(0.0d as float))"))
+          .as("embedding"))
+  }
+
   private def ensureDir(spark: SparkSession, dataDir: String): String =
     IndexCatalog.ensure(spark, dataDir, Name) { out =>
       val tfidf = TfIdfIndex.ensure(spark, dataDir)
-      // sparse (doc_id, bucket, w) -> dense float[Dim] per doc. The pivot
-      // is one map_from_entries per doc + a generated fill — no shuffle
-      // beyond the groupBy on doc_id (the vectors table's natural key).
-      val dense = spark.read.parquet(s"$tfidf/vectors")
-        .groupBy(col("doc_id").as("vec_id"))
-        .agg(map_from_entries(collect_list(
-          struct(col("bucket"), col("w")))).as("m"))
-        .select(col("vec_id"),
-          expr(s"transform(sequence(0, ${Dim - 1}), " +
-            "b -> cast(coalesce(element_at(m, b), 0.0d) as float))")
-            .as("embedding"))
+      val dense = densify(spark.read.parquet(s"$tfidf/vectors"), "doc_id")
       dense.repartitionByRange(8, col("vec_id"))
         .sortWithinPartitions(col("vec_id"))
         .write.mode(SaveMode.Overwrite)
@@ -106,6 +135,33 @@ object TfIdfGraphIndex {
     Seq(arr.toSeq).toDF("qvec")
       .select(col("qvec").cast("array<float>").as("qvec"))
   }
+
+  // Incrementally-GROWN twin of the one-shot artifact: the same frozen
+  // embedding space, maintained by [[IncrementalKnn]] appends instead of
+  // a rebuild. This is `mode=graph`'s freshness story — the reference
+  // re-inserts new points into its live HNSW (`scripts/indexing.py:
+  // 214-260`) rather than rebuilding, and at 100 TB a nightly delta can
+  // never afford the rebuild either.
+  val IncName = "tfidf_graph_inc_v1"
+
+  /** Whole-corpus grown graph for `dataDir` (thirds: init + two appends
+    * of frozen-idf embedded docs), memoized — by [[IncrementalKnn]]'s
+    * exactness argument the merged edges hash-equal the one-shot
+    * [[ensureDir]] build, so the s28 walk oracle applies VERBATIM to a
+    * walk over this root (`s28b_graph_grown`). */
+  def ensureGrown(spark: SparkSession, dataDir: String): String =
+    IndexCatalog.ensure(spark, dataDir, IncName) { root =>
+      val docs = graft.tables.Tables.documents(spark, dataDir)
+      val dense = embedDocsDense(spark, dataDir, docs)
+      val centroids = dense.where(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      IncrementalKnn.init(
+        dense.where(pmod(col("vec_id"), lit(3)) === 0), centroids, root, 3, 5)
+      IncrementalKnn.append(
+        dense.where(pmod(col("vec_id"), lit(3)) === 1), root, 3, 5)
+      IncrementalKnn.append(
+        dense.where(pmod(col("vec_id"), lit(3)) === 2), root, 3, 5)
+    }
 
   /** N query strings embedded as (qid, qvec) — the batched twin of
     * [[queryVec]] (still all driver-side: md5 buckets + the cached idf

@@ -333,6 +333,32 @@ object SearchEngine {
     Ann.graphTopKSeek(edges, vecs, qv, entryIds, beam = 8, hops = 2, k)
   }
 
+  /** [[graphSearch]] over the incrementally-GROWN text-space graph
+    * ([[graft.index.TfIdfGraphIndex.ensureGrown]] /
+    * [[graft.streaming.DeltaStream.textGraphIngest]]) — the freshness
+    * form of `mode=graph`: the walk reads the merged committed segments,
+    * so a document is searchable one trigger interval after ingest, no
+    * rebuild. Same serving shape as the one-shot route: entries from the
+    * per-segment coarse artifacts (1/16 of the corpus as I/O), then the
+    * seek walk's pushed `src IN` / `vec_id IN` lookups against the
+    * `_srt`-sorted edge and vector segments — O(beam·k) row groups per
+    * hop at any corpus size and any segment count. Value-identical to a
+    * one-shot rebuild's walk (IncrementalKnn exactness; the s28 oracle
+    * applies verbatim as `s28b_graph_grown`). */
+  def graphSearchGrown(spark: SparkSession, dir: String, query: String,
+                       k: Int): DataFrame = {
+    import graft.index.{IncrementalKnn, TfIdfGraphIndex}
+    val root = TfIdfGraphIndex.ensureGrown(spark, dir)
+    val qv = TfIdfGraphIndex.queryVec(spark, dir, query)
+    val entryIds = Ann.hierEntriesFrom(
+        IncrementalKnn.coarseAll(spark, root), qv, 3)
+      .collect().map(_.getLong(0)).toSeq
+    Ann.graphTopKSeek(
+      IncrementalKnn.edges(spark, root, 5),
+      IncrementalKnn.vectorsAll(spark, root),
+      qv, entryIds, beam = 8, hops = 2, k)
+  }
+
   /** Batched [[graphSearch]]: N text queries, ONE plan — each embeds
     * driver-side, one coarse scan selects every query's entry points,
     * and each hop joins the SHARED edge artifact once for all queries

@@ -72,9 +72,17 @@ object Api {
       // graph mode is the walk over the tfidf-space kNN artifact — the
       // reference's HNSW serving structure reachable from a text query;
       // its filtered form is the a26 post-filter (oversampled walk).
+      // graph=grown serves the incrementally-maintained root (the
+      // textGraphIngest freshness path) instead of the one-shot build —
+      // same walk, same oracle-checked results (s28b ≡ s28 family).
+      val graphRoot = params.getOrElse("graph", "built")
+      if (mode == "graph" && !Set("built", "grown").contains(graphRoot))
+        return Response(400, err(s"Invalid graph '$graphRoot'. Must be 'built' or 'grown'"))
       val base = (mode, params.get("filter_field"), params.get("filter_value")) match {
         case ("graph", Some(f), Some(v)) =>
           SearchEngine.graphSearchFiltered(spark, dir, q, f, v, count)
+        case ("graph", _, _) if graphRoot == "grown" =>
+          SearchEngine.graphSearchGrown(spark, dir, q, count)
         case ("graph", _, _) => SearchEngine.graphSearch(spark, dir, q, count)
         case (_, Some(f), Some(v)) => filteredSearch(spark, dir, q, f, v, count)
         case _ => search(spark, dir, q, mode, count)

@@ -305,22 +305,58 @@ object DeltaStream {
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.index.{IncrementalKnn, SegmentStore}
-        // Same bounded-storage maintenance loop as [[indexIngest]].
-        val ptr = s"$graphRoot.current"
-        val tag = s"batch_$batchId"
-        val root = SegmentStore.recoverRoot(ptr, graphRoot, tag)(
-          IncrementalKnn.version, IncrementalKnn.committedHasTag)
-        if (!batch.isEmpty && !IncrementalKnn.committedHasTag(root, tag)) {
-          IncrementalKnn.append(batch, root, nprobe, k, tag = Some(tag))
-          val newRoot = IncrementalKnn.compactIfNeeded(
-            batch.sparkSession, root, k, maxSegments, tag = Some(tag))
-          if (newRoot != root) {
-            SegmentStore.setPointer(ptr, newRoot)
-            SegmentStore.retire(root)
-            ()
-          }
-        }
+        graphMaintainBatch(batch, graphRoot, batchId, nprobe, k, maxSegments)
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+
+  /** The shared per-micro-batch graph maintenance step of [[knnIngest]] /
+    * [[textGraphIngest]] — the same bounded-storage loop as
+    * [[indexIngest]]: crash-recovery sweep, idempotence tag check,
+    * append, size-tiered compaction behind a durable pointer swap. */
+  private def graphMaintainBatch(batch: DataFrame, graphRoot: String,
+                                 batchId: Long, nprobe: Int, k: Int,
+                                 maxSegments: Int): Unit = {
+    import graft.index.{IncrementalKnn, SegmentStore}
+    val ptr = s"$graphRoot.current"
+    val tag = s"batch_$batchId"
+    val root = SegmentStore.recoverRoot(ptr, graphRoot, tag)(
+      IncrementalKnn.version, IncrementalKnn.committedHasTag)
+    if (!batch.isEmpty && !IncrementalKnn.committedHasTag(root, tag)) {
+      IncrementalKnn.append(batch, root, nprobe, k, tag = Some(tag))
+      val newRoot = IncrementalKnn.compactIfNeeded(
+        batch.sparkSession, root, k, maxSegments, tag = Some(tag))
+      if (newRoot != root) {
+        SegmentStore.setPointer(ptr, newRoot)
+        SegmentStore.retire(root)
+        ()
+      }
+    }
+  }
+
+  /** Streaming TEXT-graph maintenance — `mode=graph`'s freshness story:
+    * each micro-batch of new (doc_id, text) rows embeds into the FROZEN
+    * corpus tfidf space driver-declared from `dataDir`'s idf artifact
+    * ([[graft.index.TfIdfGraphIndex.embedDocsDense]] — the model never
+    * retrains per delta, exactly like the reference's frozen `bge-small`
+    * weights) and lands as one committed [[graft.index.IncrementalKnn]]
+    * segment of the serving graph. A document is therefore graph-
+    * searchable one trigger interval after it arrives, without any
+    * rebuild — the reference's live-HNSW-insert behavior
+    * (`scripts/indexing.py:214-260`) on Spark's micro-batch clock.
+    * Same exactly-once + bounded-storage discipline as [[knnIngest]];
+    * the root must be initialized first (e.g. by
+    * [[graft.index.TfIdfGraphIndex.ensureGrown]] or an explicit
+    * `IncrementalKnn.init` over the build corpus). */
+  def textGraphIngest(docs: DataFrame, dataDir: String, graphRoot: String,
+                      checkpoint: String, nprobe: Int, k: Int,
+                      maxSegments: Int = Int.MaxValue): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dense = graft.index.TfIdfGraphIndex
+          .embedDocsDense(batch.sparkSession, dataDir, batch)
+        graphMaintainBatch(dense, graphRoot, batchId, nprobe, k, maxSegments)
       }
       .outputMode(OutputMode.Update())
       .start()

@@ -65,6 +65,21 @@ class ServeApiSpec extends SparkSpec {
       s"${rf.body}\n!=\n$expectedF")
   }
 
+  test("query endpoint mode=graph graph=grown: serves the incrementally-maintained root == direct grown walk") {
+    val q = "spark join filter"
+    val r = get("/api/query", "q" -> q, "mode" -> "graph",
+      "graph" -> "grown", "count" -> "5")
+    assert(r.status == 200, r.body)
+    val direct = graft.search.SearchEngine
+      .graphSearchGrown(spark, Sf0001, q, 5)
+    val expected = direct.toJSON.collect().mkString(",")
+    assert(r.body.contains(s""""results":[$expected]"""),
+      s"${r.body}\n!=\n$expected")
+    // unknown graph value is a 400 validation error
+    val bad = get("/api/query", "q" -> q, "mode" -> "graph", "graph" -> "x")
+    assert(bad.status == 400 && bad.body.contains("Invalid graph"), bad.body)
+  }
+
   test("query endpoint: missing q is a 422; out-of-range count is a 422") {
     assert(get("/api/query").status == 422)
     val r = get("/api/query", "q" -> "x", "count" -> "0")

@@ -473,6 +473,81 @@ class StreamingSpec extends SparkSpec {
     assert(maintained == rebuilt && rebuilt.nonEmpty)
   }
 
+  test("textGraphIngest: streamed docs embed into the FROZEN tfidf space; grown == rebuilt; new doc is graph-searchable one trigger later") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.{IncrementalKnn, TfIdfGraphIndex}
+    import graft.search.Ann
+    val corpus = graft.tables.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"))
+    // seed: the serving graph over the build corpus (frozen idf = Sf0001's)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-txtg").toString + "/g"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-txtg-ck").toString
+    val denseCorpus = TfIdfGraphIndex.embedDocsDense(spark, Sf0001, corpus)
+    val centroids = denseCorpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    IncrementalKnn.init(denseCorpus, centroids, root, 3, 5)
+
+    // stream NEW documents (ids beyond the corpus; 1600 % 16 == 0 makes
+    // the first one a coarse-layer member by construction)
+    val newDocs = Seq(
+      (1600L, "merge stream window data"),
+      (1601L, "filter join aggregate scan"),
+      (1618L, "vector index probe walk"))
+    val input = MemoryStream[(Long, String)]
+    val q = DeltaStream.textGraphIngest(
+      input.toDF().toDF("doc_id", "text"), Sf0001, root, ckpt, 3, 5)
+    try {
+      newDocs.grouped(2).foreach { g =>
+        input.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(IncrementalKnn.version(root) >= 3) // init + 2 micro-batches
+
+    // grown == whole-corpus rebuild over frozen-idf embeddings of ALL docs
+    val allDocs = corpus.unionByName(newDocs.toDF("doc_id", "text"))
+    val denseAll = TfIdfGraphIndex.embedDocsDense(spark, Sf0001, allDocs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val grown = rows(IncrementalKnn.edges(spark, root, 5))
+    val rebuilt = rows(Ann.knnGraph(denseAll, centroids, 3, 5))
+    assert(grown == rebuilt && rebuilt.nonEmpty)
+
+    // per-segment serving artifacts: vecs cover every doc, coarse is
+    // exactly the mod-16 subset (incl. the streamed 1600)
+    assert(IncrementalKnn.vectorsAll(spark, root).count() == denseAll.count())
+    val coarseIds = IncrementalKnn.coarseAll(spark, root)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expectCoarse = denseAll.where(pmod(col("vec_id"), lit(16)) === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(coarseIds == expectCoarse && coarseIds.contains(1600L))
+
+    // FRESHNESS: a query with the streamed doc's own text finds it top-1
+    // (it embeds to the same unit vector -> score 1.0, and its coarse
+    // membership guarantees it is an entry point)
+    val qv = TfIdfGraphIndex.queryVec(spark, Sf0001, "merge stream window data")
+    val entryIds = Ann.hierEntriesFrom(
+        IncrementalKnn.coarseAll(spark, root), qv, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(entryIds.contains(1600L))
+    val hits = Ann.graphTopKSeek(
+        IncrementalKnn.edges(spark, root, 5),
+        IncrementalKnn.vectorsAll(spark, root),
+        qv, entryIds, beam = 8, hops = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(hits.head == ((1600L, 1.0)))
+
+    // seek layout holds per segment: the vectors side pushes In(vec_id
+    // into EVERY committed vecs segment scan
+    val vecPlan = IncrementalKnn.vectorsAll(spark, root)
+      .where(col("vec_id").isin(1600L, 1601L))
+      .queryExecution.executedPlan.toString
+    val nVecScans = "PushedFilters: \\[In\\(vec_id".r
+      .findAllIn(vecPlan).length
+    assert(nVecScans >= IncrementalKnn.version(root), vecPlan.take(2000))
+  }
+
   test("knnIngest seek layout: graphTopKSeek == one-plan walk with pushed In(src) on a grown AND a compacted graph") {
     implicit val sqlCtx = spark.sqlContext
     import graft.index.IncrementalKnn
