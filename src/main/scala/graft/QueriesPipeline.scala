@@ -4356,6 +4356,55 @@ object QueriesPipeline {
         WHERE rank <= 5 ORDER BY src, rank
       """)),
 
+    // Point DELETES against the live graph — the reference's CRUD story
+    // on the serving index (its delete endpoint removes points from the
+    // live HNSW). Lucene/Qdrant mark-and-filter semantics: a committed
+    // tombstone segment excludes ids from every read; edges that pointed
+    // AT a deleted vector drop WITHOUT rank refill (holes in `rank` are
+    // the visible degree-degradation signal, like Lucene's deleted docs
+    // before a merge); compaction physically reclaims. The oracle is
+    // a20's whole-corpus kNN SQL verbatim plus the final tombstone WHERE
+    // — exactly what filter-after-rank guarantees.
+    "a28_graph_tombstone" -> Q(
+      (s, d) => {
+        val root = graft.index.IncrementalKnn.ensureTombstoned(s, d, 3, 5)
+        graft.index.IncrementalKnn.edges(s, root, 5)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        assign AS (
+          SELECT vec_id, cid, embedding FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT src, qvec, cid FROM (
+            SELECT e.vec_id AS src, e.embedding::DOUBLE[] AS qvec, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn <= 3),
+        cand AS (
+          SELECT p.src, a.vec_id AS dst,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], p.qvec), 6) AS score
+          FROM probes p JOIN assign a ON p.cid = a.cid
+          WHERE a.vec_id <> p.src),
+        ranked AS (
+          SELECT src, dst, score,
+                 row_number() OVER (PARTITION BY src
+                   ORDER BY score DESC, dst ASC) AS rank
+          FROM cand)
+        SELECT src, dst, score, rank::INT AS rank FROM ranked
+        WHERE rank <= 5 AND src % 7 <> 3 AND dst % 7 <> 3
+        ORDER BY src, rank
+      """)),
+
     // Semantic clusters = connected components over the kNN graph's
     // high-similarity edges (a18 ∘ d7): the graph-clustering composition
     // SemDeDup-style curation runs corpus-wide. Threshold 0.35 is

@@ -86,6 +86,8 @@ object IncrementalKnn {
   private def edgesDir(root: String, k: Int) = s"$root/edges/$k"
   private def vecsDir(root: String, k: Int) = s"$root/vecs/$k"
   private def coarseDir(root: String, k: Int) = s"$root/coarse/$k"
+  private def tombsDir(root: String, k: Int) = s"$root/tombs/seg/$k"
+  private def tombsBase(root: String) = s"$root/tombs/commit"
 
   def version(root: String): Int = IncrementalIvf.version(root)
 
@@ -242,17 +244,72 @@ object IncrementalKnn {
 
   /** The merged graph: union of all committed edge segments, one window
     * top-k per src — hash-exact the whole-corpus [[Ann.knnGraph]] rebuild
-    * against the same centroids. Schema (src, dst, score, rank). */
+    * against the same centroids. Schema (src, dst, score, rank). With
+    * tombstones present, edges touching a deleted vector are excluded
+    * AFTER the rank window (see [[delete]]): survivors keep their
+    * original ranks — holes mark the degraded degree — so the result is
+    * exactly the rebuild SQL plus a final tombstone WHERE (the a28
+    * oracle). */
   def edges(spark: SparkSession, root: String, k: Int): DataFrame = {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
     val all = SegmentStore.readSegments(spark, v)(edgesDir(root, _))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("score").desc, col("dst").asc)
-    all.withColumn("rank", row_number().over(w))
+    val ranked = all.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+    filterTombs(spark, root, ranked, Seq("src", "dst"))
       .orderBy(col("src"), col("rank"))
   }
+
+  /** Mark vectors DELETED — the missing half of the CRUD story the
+    * reference serves (its point delete/update endpoints remove vectors
+    * from the live HNSW; `app/api/endpoints/` CRUD routes). Semantics are
+    * Lucene/Qdrant mark-and-filter: a tombstone segment commits under its
+    * own versioned ledger (same marker protocol — ids first, marker
+    * last), every read-side frame excludes tombstoned ids from that
+    * moment on, and [[compact]] physically reclaims the rows and clears
+    * the ledger. Until a REBUILD, edges that pointed AT a deleted vector
+    * are dropped rather than refilled — the per-src rank keeps its holes,
+    * a visible (and documented) degree-degradation signal, exactly like
+    * Lucene's deleted docs not refilling posting tops until merge.
+    * Append-arms stay unfiltered: candidate edges into deleted vectors
+    * are generated and then filtered at read, which keeps the grown ≡
+    * rebuilt exactness argument intact for the SURVIVING pairs and keeps
+    * the oracle replayable (full kNN SQL + final tombstone WHERE).
+    * Idempotent via `tag` like [[append]] (at-least-once deleters replay
+    * safely). */
+  def delete(ids: DataFrame, root: String, tag: Option[String] = None): Unit = {
+    require(version(root) > 0, s"knn graph at $root not initialized")
+    val base = tombsBase(root)
+    if (tag.exists(t => (1 to SegmentStore.version(base))
+          .exists(v => SegmentStore.hasTag(base, v, t)))) return
+    val tv = SegmentStore.version(base)
+    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tombsDir(root, tv))
+    SegmentStore.publish(base, tv + 1, tag)
+  }
+
+  /** All committed tombstoned ids (vec_id), empty-None when none exist —
+    * the read paths skip the anti-join entirely then, so tombstone-free
+    * roots keep their exact pre-delete plans. */
+  private def tombstones(spark: SparkSession, root: String): Option[DataFrame] = {
+    val tv = SegmentStore.version(tombsBase(root))
+    if (tv == 0) None
+    else Some(SegmentStore.readSegments(spark, tv)(tombsDir(root, _))
+      .distinct())
+  }
+
+  /** Exclude tombstoned ids from `df` on `cols` (broadcast anti-joins —
+    * the deleted set is bounded by compaction cadence, never
+    * corpus-sized). */
+  private def filterTombs(spark: SparkSession, root: String, df: DataFrame,
+                          cols: Seq[String]): DataFrame =
+    tombstones(spark, root).fold(df) { t =>
+      cols.foldLeft(df)((d, c) =>
+          d.join(broadcast(t.select(col("vec_id").as(c))), Seq(c), "left_anti"))
+        .select(df.columns.map(col).toSeq: _*) // USING joins front the key
+    }
 
   /** Merged serving vectors (vec_id, embedding): union of the per-segment
     * vec_id-sorted `vecs/` artifacts — every file keeps its tight min/max
@@ -262,7 +319,8 @@ object IncrementalKnn {
   def vectorsAll(spark: SparkSession, root: String): DataFrame = {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
-    SegmentStore.readSegments(spark, v)(vecsDir(root, _))
+    filterTombs(spark, root,
+      SegmentStore.readSegments(spark, v)(vecsDir(root, _)), Seq("vec_id"))
   }
 
   /** Merged coarse entry layer (vec_id % [[CoarseMod]] == 0 subset) —
@@ -271,25 +329,30 @@ object IncrementalKnn {
   def coarseAll(spark: SparkSession, root: String): DataFrame = {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
-    SegmentStore.readSegments(spark, v)(coarseDir(root, _))
+    filterTombs(spark, root,
+      SegmentStore.readSegments(spark, v)(coarseDir(root, _)), Seq("vec_id"))
   }
 
   /** Fold all segments into a fresh single-segment root (read-merged
     * edges, unioned assignment/probes/vecs/coarse, centroids
     * republished) — the LSM tail-fold bounding read-side fan-in; old
-    * root readable throughout. */
+    * root readable throughout. Tombstoned rows are physically dropped
+    * (assign/probes/vecs/coarse by id, edges via the already-filtered
+    * read) and the new root starts with a CLEAR tombstone ledger — the
+    * reclamation half of [[delete]]'s mark-and-filter, same as a Lucene
+    * segment merge. */
   def compact(spark: SparkSession, root: String, newRoot: String,
               k: Int, tag: Option[String] = None): Unit = {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
     readCentroids(spark, root).coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$newRoot/centroids")
-    readAssignAll(spark, root, v)
+    filterTombs(spark, root, readAssignAll(spark, root, v), Seq("vec_id"))
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .partitionBy("cid").parquet(assignDir(newRoot, 0))
-    readProbesAll(spark, root, v)
+    filterTombs(spark, root, readProbesAll(spark, root, v), Seq("src"))
       .write.mode(SaveMode.Overwrite).parquet(probesDir(newRoot, 0))
-    writeEdges(edges(spark, root, k)
+    writeEdges(edges(spark, root, k) // tombstone-filtered read
       .select(col("src"), col("dst"), col("score")), edgesDir(newRoot, 0))
     writeVecs(vectorsAll(spark, root), newRoot, 0) // re-sorts the fold
     publish(newRoot, 1, tag)
@@ -317,5 +380,27 @@ object IncrementalKnn {
       init(emb.where(col("vec_id") % 3 === 0), centroids, p, nprobe, k)
       append(emb.where(col("vec_id") % 3 === 1), p, nprobe, k)
       append(emb.where(col("vec_id") % 3 === 2), p, nprobe, k)
+    }
+
+  // deterministic demo deletion set for the oracle-checked tombstone
+  // read (a28): every 7th-mod-3 vector — spread across all three
+  // segments and both edge endpoints
+  val TombName = "knn_tomb_v1"
+
+  /** [[ensure]]'s grown graph with a committed tombstone segment on top
+    * (vec_id % 7 == 3 deleted) — memoized for the `a28_graph_tombstone`
+    * oracle: the merged read must equal the whole-corpus kNN SQL plus the
+    * final tombstone WHERE, holes in `rank` preserved. */
+  def ensureTombstoned(spark: SparkSession, dataDir: String,
+                       nprobe: Int = 3, k: Int = 5): String =
+    IndexCatalog.ensure(spark, dataDir, TombName) { p =>
+      val emb = Tables.embeddings(spark, dataDir)
+      val centroids = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      init(emb.where(col("vec_id") % 3 === 0), centroids, p, nprobe, k)
+      append(emb.where(col("vec_id") % 3 === 1), p, nprobe, k)
+      append(emb.where(col("vec_id") % 3 === 2), p, nprobe, k)
+      delete(emb.where(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id")), p, tag = Some("demo_delete"))
     }
 }

@@ -616,6 +616,56 @@ class IndexSpec extends SparkSpec {
     assert(hits.nonEmpty)
   }
 
+  test("incremental knn delete: mark-and-filter reads with rank holes, idempotent replay, compact reclaims + clears the ledger") {
+    import graft.index.IncrementalKnn
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val root = Files.createTempDirectory("graft-knn-del").toString + "/g"
+    IncrementalKnn.init(emb.where(col("vec_id") % 2 === 0), centroids, root, 3, 5)
+    IncrementalKnn.append(emb.where(col("vec_id") % 2 === 1), root, 3, 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val before = rows(IncrementalKnn.edges(spark, root, 5))
+
+    // delete two ids that appear as dst at rank < 5 somewhere, so a hole
+    // in the survivor's rank sequence is guaranteed
+    val dels = before.filter(_._4 < 5).map(_._2).distinct.take(2)
+    assert(dels.size == 2)
+    IncrementalKnn.delete(dels.toDF("vec_id"), root, tag = Some("d1"))
+
+    // reads exclude the deleted ids everywhere; survivors keep original
+    // ranks (result == pre-delete edges minus deleted endpoints)
+    val after = rows(IncrementalKnn.edges(spark, root, 5))
+    assert(after == before.filterNot(e =>
+      dels.contains(e._1) || dels.contains(e._2)))
+    assert(after.exists { case (s, _, _, r) => // the hole is observable
+      r > 1 && !after.exists(o => o._1 == s && o._4 == r - 1) })
+    val vecIds = IncrementalKnn.vectorsAll(spark, root)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dels.forall(!vecIds(_)))
+    assert(IncrementalKnn.coarseAll(spark, root)
+      .select("vec_id").collect().map(_.getLong(0)).toSet.subsetOf(vecIds))
+
+    // at-least-once replay with the same tag is a no-op; a new tag with
+    // already-deleted ids is harmless (distinct union)
+    IncrementalKnn.delete(dels.toDF("vec_id"), root, tag = Some("d1"))
+    assert(rows(IncrementalKnn.edges(spark, root, 5)) == after)
+
+    // compaction physically reclaims: same surviving (src,dst,score) set,
+    // ranks now DENSE per src (the Lucene-merge analogue), ledger cleared
+    val compacted = Files.createTempDirectory("graft-knn-del-cp").toString + "/g"
+    IncrementalKnn.compact(spark, root, compacted, 5)
+    val comp = rows(IncrementalKnn.edges(spark, compacted, 5))
+    assert(comp.map(e => (e._1, e._2, e._3)).toSet ==
+      after.map(e => (e._1, e._2, e._3)).toSet)
+    comp.groupBy(_._1).foreach { case (_, es) =>
+      assert(es.map(_._4).sorted == (1 to es.size).toSeq) }
+    assert(IncrementalKnn.vectorsAll(spark, compacted)
+      .count() == vecIds.size)
+  }
+
   test("incremental knn graph: grown == whole-corpus rebuild, compacted == grown") {
     import graft.index.IncrementalKnn
     import graft.search.Ann
