@@ -1499,6 +1499,24 @@ object Queries {
         SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 12
       """)),
 
+    // Document DELETES against the live BM25 index — Lucene's exact
+    // deleted-doc semantics: tombstoned docs leave the results
+    // immediately (their postings are filtered at read) while df/n_docs/
+    // avgdl stay STALE until compaction recomputes them from survivors.
+    // The oracle is therefore the plain whole-corpus BM25 SQL (stats over
+    // ALL docs, deleted included) with a final tombstone WHERE — exactly
+    // the pre-merge Lucene serving contract.
+    "s3e_bm25_tombstone" -> Q(
+      (s, d) => graft.index.IncrementalBm25.topK(
+        s, graft.index.IncrementalBm25.ensureTombstoned(s, d), "doc_id",
+        Seq("data", "query"), 12)
+        .select(col("doc_id").as("id"), col("score")),
+      Some(s"""
+        WITH ${bm25ScoredCteFor("scored", Seq("data", "query"))}
+        SELECT id, score FROM scored WHERE id % 7 <> 3
+        ORDER BY score DESC, id ASC LIMIT 12
+      """)),
+
     // Batched multi-query BM25 (the sparse twin of a12): ONE plan answers
     // a 4-query table — postings pruned to the batch's term union, query
     // table broadcast, per-(qid, doc) partial-agg sum, per-query top-k as
@@ -2026,7 +2044,8 @@ object Queries {
     * coalesce handling is the right default. */
   private val servingSingles: Set[String] = Set(
     "s1_dense_topk", "s2_dense_threshold", "s3_bm25_topk",
-    "s3b_bm25_indexed", "s3c_bm25_incremental", "s4_hybrid_rrf",
+    "s3b_bm25_indexed", "s3c_bm25_incremental", "s3e_bm25_tombstone",
+    "s4_hybrid_rrf",
     "s5_exact_match", "s6_fusion_simple", "s7_filtered_search",
     "s8_linear_fusion", "s9_tfidf_search", "s9b_tfidf_indexed",
     "s10_znorm", "s11_result_shape", "s12_compare_modes",

@@ -3772,6 +3772,47 @@ object QueriesPipeline {
         SELECT id, score FROM hits ORDER BY score DESC, id ASC LIMIT 10
       """)),
 
+    // Vector DELETES against the live IVF index. Unlike BM25 (stale
+    // stats) and the kNN graph (rank holes), IVF mark-and-filter IS full
+    // rebuild semantics: assignment is per-vector independent under the
+    // frozen centroids, so the filtered read equals an index rebuilt
+    // without the deleted vectors — the oracle is a17's SQL with the
+    // tombstoned ids dropped from the assignment.
+    "a17b_ivf_tombstone" -> Q(
+      (s, d) => {
+        val root = graft.index.IncrementalIvf.ensureTombstoned(s, d)
+        val qv = Tables.embeddings(s, d)
+          .where(col("vec_id") === Queries.QueryVecId)
+          .select(col("embedding").as("qvec"))
+        graft.index.IncrementalIvf.topK(s, root, qv, 3, 10)
+      },
+      Some(s"""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = ${Queries.QueryVecId}),
+        assign AS (
+          SELECT e.vec_id, c.cid, e.embedding,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                            c.cid ASC) AS rn
+          FROM embeddings e CROSS JOIN cent c),
+        asg AS (SELECT vec_id, cid, embedding FROM assign
+                WHERE rn = 1 AND vec_id % 7 <> 3),
+        probes AS (
+          SELECT cid FROM (
+            SELECT c.cid,
+                   round(list_cosine_similarity(c.cvec, q.qv), 6) AS qscore
+            FROM cent c CROSS JOIN q
+            ORDER BY qscore DESC, cid ASC LIMIT 3)),
+        hits AS (
+          SELECT a.vec_id AS id,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS score
+          FROM asg a JOIN probes p ON a.cid = p.cid CROSS JOIN q)
+        SELECT id, score FROM hits ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
     // kNN graph over the whole corpus: every vector's top-5 neighbors,
     // candidates blocked by nprobe=3 IVF lists and joined via SHUFFLE
     // (the query side is the corpus — nothing broadcasts). The input

@@ -40,9 +40,11 @@ import graft.search.Bm25
   * results of a from-scratch build (IndexSpec pins it; the s3c oracle is
   * the plain whole-corpus BM25 SQL).
   *
-  * Semantics: append-only (new doc ids). Replacing a document needs a
-  * tombstone + compaction pass (segments merge into a fresh seg/0) —
-  * out of scope here; the streaming ingest path is append-mostly.
+  * Semantics: append-mostly (new doc ids), plus mark-and-filter
+  * [[delete]] — tombstoned docs leave results immediately, stats stay
+  * stale until [[compact]] reclaims postings and recomputes them
+  * (Lucene's exact deleted-doc behavior). Replacing a document is
+  * delete + append under the document's next version id.
   */
 object IncrementalBm25 {
 
@@ -125,9 +127,32 @@ object IncrementalBm25 {
     SegmentStore.publish(statsBase(root), seg + 1, tag)
   }
 
+  /** Mark documents DELETED — Lucene's exact deleted-doc semantics: the
+    * tombstoned doc's postings are excluded from every [[topK]] from this
+    * moment on (it can never be returned), but the corpus statistics
+    * (df / n_docs / avgdl) stay STALE — they still count the deleted
+    * docs — until [[compact]] physically reclaims the postings and
+    * recomputes the stats from the survivors. That is literally how
+    * Lucene serves deletes before a segment merge, and it keeps the
+    * pre-compaction read SQL-replayable (whole-corpus stats CTEs +
+    * a tombstone WHERE on the scoring rows — the s3e oracle). Idempotent
+    * via `tag`. */
+  def delete(ids: DataFrame, idCol: String, root: String,
+             tag: Option[String] = None): Unit = {
+    require(version(root) > 0, s"index at $root not initialized")
+    SegmentStore.tombWrite(ids, idCol, s"$root/tombs", tag)
+  }
+
+  private def filterTombs(spark: SparkSession, root: String, df: DataFrame,
+                          idCol: String): DataFrame =
+    SegmentStore.tombIds(spark, s"$root/tombs").fold(df)(t =>
+      df.join(broadcast(t.toDF(idCol)), Seq(idCol), "left_anti")
+        .select(df.columns.map(col).toSeq: _*))
+
   /** BM25 top-k across all committed segments, idf/length-norm applied at
     * query time from the merged stats — hash-exact the full-rebuild
-    * scores. */
+    * scores (with tombstones: survivors' scores, stale stats — see
+    * [[delete]]). */
   def topK(spark: SparkSession, root: String, idCol: String,
            terms: Seq[String], k: Int): DataFrame = {
     val v = version(root)
@@ -138,8 +163,10 @@ object IncrementalBm25 {
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     val dfreq = spark.read.parquet(s"${statsDir(root, v)}/termstats")
       .where(col("term").isin(terms: _*)) // |terms| rows
-    spark.read.parquet(segs: _*)
-      .where(col("term").isin(terms: _*)) // pushed: In(term, ...) + bloom
+    filterTombs(spark, root,
+        spark.read.parquet(segs: _*)
+          .where(col("term").isin(terms: _*)), // pushed: In(term, ...) + bloom
+        idCol)
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -185,15 +212,37 @@ object IncrementalBm25 {
     val v = version(root)
     require(v > 0, s"index at $root not initialized")
     val segs = (0 until v).map(segDir(root, _))
-    Store.optimizeLayout(spark.read.parquet(segs: _*),
+    val tombs = SegmentStore.tombIds(spark, s"$root/tombs")
+    val survivors = filterTombs(spark, root,
+      spark.read.parquet(segs: _*), idCol)
+    Store.optimizeLayout(survivors,
       segDir(newRoot, 0), Seq("term", idCol), numFiles,
       bloomCols = Seq("term"))
-    spark.read.parquet(s"${statsDir(root, v)}/termstats")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"${statsDir(newRoot, 1)}/termstats")
-    spark.read.parquet(s"${statsDir(root, v)}/corpus")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"${statsDir(newRoot, 1)}/corpus")
+    if (tombs.isEmpty) {
+      // stats carry no per-segment state — republish as-is
+      spark.read.parquet(s"${statsDir(root, v)}/termstats")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${statsDir(newRoot, 1)}/termstats")
+      spark.read.parquet(s"${statsDir(root, v)}/corpus")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${statsDir(newRoot, 1)}/corpus")
+    } else {
+      // deletes applied: recompute stats from the surviving postings —
+      // the Lucene-merge moment where stale df/n_docs/avgdl catch up;
+      // the fresh root serves scores hash-exact a rebuild without the
+      // deleted docs, and starts with a clear ledger. Postings are
+      // distinct on (term, id) so count(1) == countDistinct(id), and
+      // (id, dl) pairs are unique per doc.
+      val written = spark.read.parquet(segDir(newRoot, 0))
+      Store.optimizeLayout(
+        written.groupBy(col("term")).agg(count(lit(1)).as("df")),
+        s"${statsDir(newRoot, 1)}/termstats", Seq("term"), 1,
+        bloomCols = Seq("term"))
+      written.select(col(idCol), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${statsDir(newRoot, 1)}/corpus")
+    }
     SegmentStore.publish(statsBase(newRoot), 1, tag)
   }
 
@@ -217,5 +266,20 @@ object IncrementalBm25 {
       val all = graft.tables.Tables.documents(spark, dataDir)
       init(all.where(col("doc_id") % 2 === 0), "doc_id", "text", p)
       append(all.where(col("doc_id") % 2 === 1), "doc_id", "text", p)
+    }
+
+  val TombName = "bm25_tomb_v1"
+
+  /** [[ensure]]'s grown index with a committed tombstone segment on top
+    * (doc_id % 7 == 3 deleted) — memoized for the `s3e_bm25_tombstone`
+    * oracle: survivors' scores under STALE whole-corpus stats, i.e. the
+    * plain corpus BM25 SQL plus a tombstone WHERE on the result. */
+  def ensureTombstoned(spark: SparkSession, dataDir: String): String =
+    IndexCatalog.ensure(spark, dataDir, TombName) { p =>
+      val all = graft.tables.Tables.documents(spark, dataDir)
+      init(all.where(col("doc_id") % 2 === 0), "doc_id", "text", p)
+      append(all.where(col("doc_id") % 2 === 1), "doc_id", "text", p)
+      delete(all.where(pmod(col("doc_id"), lit(7)) === 3)
+        .select(col("doc_id")), "doc_id", p, tag = Some("demo_delete"))
     }
 }

@@ -83,7 +83,8 @@ object IncrementalIvf {
 
   /** Append a delta of new vectors as the next segment, assigned against
     * the frozen centroids. Vec ids must be new (append-only; replacing a
-    * vector needs a tombstone + [[compact]], as with the sparse twin). */
+    * vector is [[delete]] + append under a fresh id, reclaimed at
+    * [[compact]]). */
   def append(delta: DataFrame, root: String,
              tag: Option[String] = None): Unit = {
     val v = version(root)
@@ -112,6 +113,18 @@ object IncrementalIvf {
     org.apache.spark.sql.types.StructField("cid",
       org.apache.spark.sql.types.LongType)))
 
+  /** Mark vectors DELETED — mark-and-filter like [[IncrementalKnn
+    * .delete]], but here exclusion IS full rebuild semantics: IVF
+    * assignment is per-vector independent (frozen centroids), so the
+    * filtered read equals an index rebuilt without the deleted vectors —
+    * no staleness caveat at all. [[compact]]/[[retrain]] read through
+    * the filter, so they physically reclaim the rows and their fresh
+    * roots start with a clear ledger. Idempotent via `tag`. */
+  def delete(ids: DataFrame, root: String, tag: Option[String] = None): Unit = {
+    require(version(root) > 0, s"index at $root not initialized")
+    SegmentStore.tombWrite(ids, "vec_id", s"$root/tombs", tag)
+  }
+
   def readAssigned(spark: SparkSession, root: String): DataFrame = {
     val v = version(root)
     require(v > 0, s"index at $root not initialized")
@@ -119,10 +132,13 @@ object IncrementalIvf {
     // a single multi-path read would refuse to infer the partitioning),
     // unioned: the cid probe predicate pushes into EVERY arm's partition
     // filters, so each segment still prunes to its probed list dirs
-    (0 until v).map { k =>
+    val all = (0 until v).map { k =>
       spark.read.option("basePath", segDir(root, k)).schema(segSchema)
         .parquet(segDir(root, k))
     }.reduce(_ unionByName _)
+    SegmentStore.tombIds(spark, s"$root/tombs").fold(all)(t =>
+      all.join(broadcast(t), Seq("vec_id"), "left_anti")
+        .select(all.columns.map(col).toSeq: _*))
   }
 
   /** IVF top-k across all committed segments — the same
@@ -137,7 +153,9 @@ object IncrementalIvf {
     * `newRoot` (assignment rows are the same multiset, so served scores
     * are hash-identical), re-publishing the frozen centroids as-is. The
     * old root stays readable throughout; callers swap the root pointer
-    * when done — the standard LSM tail-fold, same as the sparse twin. */
+    * when done — the standard LSM tail-fold, same as the sparse twin.
+    * Reads through the tombstone filter, so deleted vectors are
+    * physically dropped and the fresh root starts with a clear ledger. */
   def compact(spark: SparkSession, root: String, newRoot: String,
               tag: Option[String] = None): Unit = {
     val v = version(root)
@@ -228,5 +246,23 @@ object IncrementalIvf {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       init(emb.where(col("vec_id") % 2 === 0), centroids, p)
       append(emb.where(col("vec_id") % 2 === 1), p)
+    }
+
+  val TombName = "ivf_tomb_v1"
+
+  /** [[ensure]]'s grown index with a committed tombstone segment on top
+    * (vec_id % 7 == 3 deleted) — memoized for the `a17b_ivf_tombstone`
+    * oracle: IVF exclusion IS rebuild semantics (see [[delete]]), so the
+    * oracle is a17's SQL with the deleted vectors dropped from the
+    * assignment. */
+  def ensureTombstoned(spark: SparkSession, dataDir: String): String =
+    IndexCatalog.ensure(spark, dataDir, TombName) { p =>
+      val emb = Tables.embeddings(spark, dataDir)
+      val centroids = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      init(emb.where(col("vec_id") % 2 === 0), centroids, p)
+      append(emb.where(col("vec_id") % 2 === 1), p)
+      delete(emb.where(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id")), p, tag = Some("demo_delete"))
     }
 }

@@ -86,8 +86,7 @@ object IncrementalKnn {
   private def edgesDir(root: String, k: Int) = s"$root/edges/$k"
   private def vecsDir(root: String, k: Int) = s"$root/vecs/$k"
   private def coarseDir(root: String, k: Int) = s"$root/coarse/$k"
-  private def tombsDir(root: String, k: Int) = s"$root/tombs/seg/$k"
-  private def tombsBase(root: String) = s"$root/tombs/commit"
+  private def tombsBase(root: String) = s"$root/tombs"
 
   def version(root: String): Int = IncrementalIvf.version(root)
 
@@ -281,23 +280,7 @@ object IncrementalKnn {
     * safely). */
   def delete(ids: DataFrame, root: String, tag: Option[String] = None): Unit = {
     require(version(root) > 0, s"knn graph at $root not initialized")
-    val base = tombsBase(root)
-    if (tag.exists(t => (1 to SegmentStore.version(base))
-          .exists(v => SegmentStore.hasTag(base, v, t)))) return
-    val tv = SegmentStore.version(base)
-    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tombsDir(root, tv))
-    SegmentStore.publish(base, tv + 1, tag)
-  }
-
-  /** All committed tombstoned ids (vec_id), empty-None when none exist —
-    * the read paths skip the anti-join entirely then, so tombstone-free
-    * roots keep their exact pre-delete plans. */
-  private def tombstones(spark: SparkSession, root: String): Option[DataFrame] = {
-    val tv = SegmentStore.version(tombsBase(root))
-    if (tv == 0) None
-    else Some(SegmentStore.readSegments(spark, tv)(tombsDir(root, _))
-      .distinct())
+    SegmentStore.tombWrite(ids, "vec_id", tombsBase(root), tag)
   }
 
   /** Exclude tombstoned ids from `df` on `cols` (broadcast anti-joins —
@@ -305,7 +288,7 @@ object IncrementalKnn {
     * corpus-sized). */
   private def filterTombs(spark: SparkSession, root: String, df: DataFrame,
                           cols: Seq[String]): DataFrame =
-    tombstones(spark, root).fold(df) { t =>
+    SegmentStore.tombIds(spark, tombsBase(root)).fold(df) { t =>
       cols.foldLeft(df)((d, c) =>
           d.join(broadcast(t.select(col("vec_id").as(c))), Seq(c), "left_anti"))
         .select(df.columns.map(col).toSeq: _*) // USING joins front the key

@@ -223,6 +223,46 @@ object SegmentStore {
     }
   }
 
+  // ---- Tombstone ledger (shared mark-and-filter delete protocol) ----
+  //
+  // One versioned ledger per index root (`<root>/tombs`): each delete
+  // commits a distinct-id parquet segment under `seg/<v>` and publishes
+  // `commit/v=<v+1>` with the standard marker protocol (ids first, marker
+  // last — a crashed delete is invisible). Readers union all committed
+  // segments; an absent ledger costs one existence probe and leaves the
+  // read plan untouched. Deletion semantics per family are documented at
+  // the call sites (Lucene/Qdrant mark-and-filter: excluded from reads
+  // immediately, physically reclaimed at the next compaction, which
+  // starts its new root with a clear ledger).
+
+  private def tombSegDir(base: String, v: Int) = s"$base/seg/$v"
+  private def tombCommitBase(base: String) = s"$base/commit"
+
+  /** Commit `ids` (single long id column) as a tombstone segment under
+    * ledger `base`. Idempotent via `tag` (at-least-once deleters replay
+    * safely — a tag visible on any committed ledger version is skipped). */
+  def tombWrite(ids: org.apache.spark.sql.DataFrame, idCol: String,
+                base: String, tag: Option[String]): Unit = {
+    val cb = tombCommitBase(base)
+    if (tag.exists(t => (1 to version(cb)).exists(v => hasTag(cb, v, t))))
+      return
+    val tv = version(cb)
+    ids.select(org.apache.spark.sql.functions.col(idCol)
+        .cast("long").as(idCol)).distinct()
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tombSegDir(base, tv))
+    publish(cb, tv + 1, tag)
+  }
+
+  /** All committed tombstoned ids under ledger `base`, or None when the
+    * ledger is empty — callers skip the anti-join entirely then, keeping
+    * tombstone-free plans exactly as they were. */
+  def tombIds(spark: SparkSession, base: String): Option[DataFrame] = {
+    val tv = version(tombCommitBase(base))
+    if (tv == 0) None
+    else Some(readSegments(spark, tv)(tombSegDir(base, _)).distinct())
+  }
+
   /** Reclaim a RETIRED index root — the storage-lifecycle half of
     * [[compactIfNeeded]]'s pointer swap. Compaction writes a fresh root
     * (no files shared with the old one) and the caller swaps its

@@ -361,6 +361,45 @@ object DeltaStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** CDC-shaped [[textGraphIngest]] — the full index-maintenance pipeline
+    * a CRUD store feeds: each micro-batch of (op, doc_id, text) changelog
+    * rows applies DELETES first ([[graft.index.IncrementalKnn.delete]]
+    * tombstones — the doc leaves every serving read this trigger) and
+    * INSERTS second (frozen-space embed + append, like
+    * [[textGraphIngest]]), all inside the ONE single-writer maintenance
+    * loop, so deletes can never race a concurrent compaction swap.
+    * Deletes and inserts carry separate idempotence tags, so an
+    * at-least-once redelivery replays both halves as no-ops.
+    * UPDATE contract: an id, once tombstoned, stays filtered until the
+    * next compaction — model updates as delete(old id) + insert under a
+    * FRESH id (the store's versioned upsert already mints one per doc
+    * version), exactly the Lucene delete+re-add discipline. */
+  def textGraphCdcIngest(changes: DataFrame, dataDir: String,
+                         graphRoot: String, checkpoint: String,
+                         nprobe: Int, k: Int,
+                         maxSegments: Int = Int.MaxValue): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.index.{IncrementalKnn, SegmentStore}
+        val ptr = s"$graphRoot.current"
+        val delTag = s"del_$batchId"
+        val root = SegmentStore.recoverRoot(ptr, graphRoot, s"batch_$batchId")(
+          IncrementalKnn.version, IncrementalKnn.committedHasTag)
+        val dels = batch.where(col("op") === "D")
+          .select(col("doc_id").cast("long").as("vec_id"))
+        if (!dels.isEmpty) IncrementalKnn.delete(dels, root, Some(delTag))
+        val ins = batch.where(col("op") === "I")
+          .select(col("doc_id"), col("text"))
+        if (!ins.isEmpty) {
+          val dense = graft.index.TfIdfGraphIndex
+            .embedDocsDense(batch.sparkSession, dataDir, ins)
+          graphMaintainBatch(dense, graphRoot, batchId, nprobe, k, maxSegments)
+        }
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+
   /** Streaming ANN serving: a continuous stream of (qid, qvec) query rows
     * answered per micro-batch by ONE batched IVF plan over a PERSISTED
     * assignment ([[graft.search.Ann.ivfTopKBatched]]). The index is the

@@ -616,6 +616,75 @@ class IndexSpec extends SparkSpec {
     assert(hits.nonEmpty)
   }
 
+  test("incremental bm25 delete: survivors only, STALE stats until compact recomputes them (Lucene deleted-doc semantics)") {
+    import graft.index.IncrementalBm25
+    import spark.implicits._
+    val all = Tables.documents(spark, Sf0001)
+    val root = Files.createTempDirectory("graft-bm25-del").toString + "/i"
+    IncrementalBm25.init(all.where(col("doc_id") % 2 === 0), "doc_id", "text", root)
+    IncrementalBm25.append(all.where(col("doc_id") % 2 === 1), "doc_id", "text", root)
+    val terms = Seq("data", "query")
+    def hits(r: String) = IncrementalBm25.topK(spark, r, "doc_id", terms, 500)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val before = hits(root)
+    val dels = before.take(3).map(_._1)
+    IncrementalBm25.delete(dels.toDF("doc_id"), "doc_id", root, tag = Some("d1"))
+
+    // deleted docs leave results NOW; survivors keep their old scores —
+    // stats are stale by design (df still counts the deleted docs)
+    val after = hits(root)
+    assert(after == before.filterNot(h => dels.contains(h._1)))
+    // idempotent replay
+    IncrementalBm25.delete(dels.toDF("doc_id"), "doc_id", root, tag = Some("d1"))
+    assert(hits(root) == after)
+
+    // compact reclaims postings AND recomputes stats: scores now equal a
+    // FRESH index built over the survivors only (df/n_docs/avgdl caught
+    // up — the Lucene segment-merge moment)
+    val compacted = Files.createTempDirectory("graft-bm25-del-cp").toString + "/i"
+    IncrementalBm25.compact(spark, root, compacted, "doc_id")
+    val fresh = Files.createTempDirectory("graft-bm25-del-fr").toString + "/i"
+    IncrementalBm25.init(all.where(!col("doc_id").isin(dels: _*)),
+      "doc_id", "text", fresh)
+    assert(hits(compacted) == hits(fresh))
+    // and compacted-without-deletes differs from the stale serving form
+    // on scores (df moved) while agreeing on the survivor id set
+    assert(hits(compacted).map(_._1).toSet == after.map(_._1).toSet)
+  }
+
+  test("incremental ivf delete: filtered read == rebuild without deleted (exact), compact reclaims") {
+    import graft.index.IncrementalIvf
+    import graft.search.Ann
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val root = Files.createTempDirectory("graft-ivf-del").toString + "/i"
+    IncrementalIvf.init(emb.where(col("vec_id") % 2 === 0), centroids, root)
+    IncrementalIvf.append(emb.where(col("vec_id") % 2 === 1), root)
+    val qv = emb.where(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    val dels = IncrementalIvf.topK(spark, root, qv, 3, 5)
+      .collect().map(_.getLong(0)).take(2).toSeq
+    IncrementalIvf.delete(dels.toDF("vec_id"), root, tag = Some("d1"))
+
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    // IVF exclusion IS rebuild semantics: filtered top-k == brute IVF
+    // over the corpus minus the deleted vectors
+    val after = hits(IncrementalIvf.topK(spark, root, qv, 3, 10))
+    val rebuilt = hits(Ann.ivfTopKAssigned(
+      Ann.ivfAssign(emb.where(!col("vec_id").isin(dels: _*)), centroids),
+      centroids, qv, 3, 10))
+    assert(after == rebuilt && !after.exists(h => dels.contains(h._1)))
+
+    // compact physically reclaims, same answers, fresh ledger
+    val compacted = Files.createTempDirectory("graft-ivf-del-cp").toString + "/i"
+    IncrementalIvf.compact(spark, root, compacted)
+    assert(hits(IncrementalIvf.topK(spark, compacted, qv, 3, 10)) == after)
+    assert(IncrementalIvf.readAssigned(spark, compacted)
+      .where(col("vec_id").isin(dels: _*)).count() == 0)
+  }
+
   test("incremental knn delete: mark-and-filter reads with rank holes, idempotent replay, compact reclaims + clears the ledger") {
     import graft.index.IncrementalKnn
     import spark.implicits._

@@ -548,6 +548,54 @@ class StreamingSpec extends SparkSpec {
     assert(nVecScans >= IncrementalKnn.version(root), vecPlan.take(2000))
   }
 
+  test("textGraphCdcIngest: changelog deletes tombstone + inserts append in one loop; redelivery-safe; delete visible same trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.{IncrementalKnn, TfIdfGraphIndex}
+    import graft.search.Ann
+    val corpus = graft.tables.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-txtcdc").toString + "/g"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-txtcdc-ck").toString
+    val denseCorpus = TfIdfGraphIndex.embedDocsDense(spark, Sf0001, corpus)
+    val centroids = denseCorpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    IncrementalKnn.init(denseCorpus, centroids, root, 3, 5)
+
+    // batch 1: two inserts; batch 2: delete a CORPUS doc + one insert
+    val input = MemoryStream[(String, Long, String)]
+    val q = DeltaStream.textGraphCdcIngest(
+      input.toDF().toDF("op", "doc_id", "text"), Sf0001, root, ckpt, 3, 5)
+    try {
+      input.addData(("I", 1700L, "merge stream window data"),
+                    ("I", 1701L, "filter join aggregate scan"))
+      q.processAllAvailable()
+      input.addData(("D", 7L, ""), ("I", 1702L, "vector index probe walk"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the deleted corpus doc is out of every serving frame; the inserted
+    // docs are in
+    val vecIds = IncrementalKnn.vectorsAll(spark, root)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!vecIds(7L) && vecIds(1700L) && vecIds(1701L) && vecIds(1702L))
+    val edges = IncrementalKnn.edges(spark, root, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(!edges.exists(e => e._1 == 7L || e._2 == 7L))
+
+    // grown+deleted == whole-corpus rebuild (incl. the doc that was live
+    // during growth) + the tombstone filter after the rank window
+    val allDocs = corpus.unionByName(Seq(
+      (1700L, "merge stream window data"), (1701L, "filter join aggregate scan"),
+      (1702L, "vector index probe walk")).toDF("doc_id", "text"))
+    val rebuilt = Ann.knnGraph(
+        TfIdfGraphIndex.embedDocsDense(spark, Sf0001, allDocs), centroids, 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .filterNot(e => e._1 == 7L || e._2 == 7L)
+    assert(edges.toSeq == rebuilt.toSeq && rebuilt.nonEmpty)
+  }
+
   test("knnIngest seek layout: graphTopKSeek == one-plan walk with pushed In(src) on a grown AND a compacted graph") {
     implicit val sqlCtx = spark.sqlContext
     import graft.index.IncrementalKnn
