@@ -1289,6 +1289,39 @@ object Queries {
         SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 10
       """)),
 
+    // VECTOR percolation (reverse ANN): saved query VECTORS are the
+    // stored side — an alert fires when a document's embedding lands
+    // within the alert's own similarity threshold ("tell me when
+    // something close to THIS arrives": near-dup alerts, content
+    // subscriptions). Alerts broadcast, codegen cosine, one threshold
+    // filter — zero shuffles; the streaming twin is
+    // DeltaStream.vectorPercolateServe (stateless, batch ≡ stream).
+    "s29_vector_percolate" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val alerts = emb.where(col("vec_id").isin(0L, 1L, 2L))
+          .select(col("vec_id").as("alert_id"), col("embedding").as("avec"))
+          .withColumn("threshold", element_at(
+            typedlit(Map(0L -> 0.30, 1L -> 0.35, 2L -> 0.40)), col("alert_id")))
+        graft.search.Percolate.vectorMatches(emb, alerts)
+          .orderBy(col("alert_id"), col("vec_id"))
+      },
+      Some("""
+        WITH alerts AS (
+          SELECT vec_id AS alert_id, embedding::DOUBLE[] AS avec,
+                 CASE vec_id WHEN 0 THEN 0.30::DOUBLE
+                             WHEN 1 THEN 0.35::DOUBLE
+                             ELSE 0.40::DOUBLE END AS threshold
+          FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        scored AS (
+          SELECT a.alert_id, e.vec_id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], a.avec), 6) AS score,
+                 a.threshold
+          FROM embeddings e CROSS JOIN alerts a)
+        SELECT alert_id, vec_id, score FROM scored WHERE score >= threshold
+        ORDER BY alert_id, vec_id
+      """)),
+
     // Percolation (s25): saved searches are the stored side, documents
     // probe them — conjunctive term match, alert table broadcast, one
     // matched-pair shuffle. Per-alert counts + first-3 matches.

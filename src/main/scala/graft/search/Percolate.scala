@@ -142,4 +142,32 @@ object Percolate {
       .where(col("hit_terms") === col("n_terms"))
       .select(col("alert_id"), col(idCol))
   }
+
+  /** VECTOR percolation — the dense twin of [[matches]]: SAVED query
+    * vectors are the stored side, and an incoming document fires an
+    * alert when its embedding lands within the alert's own similarity
+    * threshold (reverse ANN — "tell me when something close to THIS
+    * arrives": near-dup alerts, content-matching subscriptions,
+    * competitor monitoring over a doc stream).
+    *
+    * `alerts(alert_id, avec, threshold)` is the SMALL side — broadcast
+    * against the doc vectors, scored with the codegen cosine, closed with
+    * one thresh compare. Corpus cost: one scored pass, ZERO shuffles —
+    * docs below every threshold die in the filter. Firing is stateless
+    * per document (monotone in nothing — just a pure predicate), so the
+    * streaming form ([[graft.streaming.DeltaStream.vectorPercolateServe]])
+    * needs no state and the union of per-micro-batch results equals the
+    * batch run, exactly like the term form. At alert-set scale the same
+    * IVF blocking as [[graft.search.Ann.knnGraph]] applies (assign alerts
+    * to centroid lists, probe); at the thousands-of-alerts scale the
+    * broadcast form is the right plan. Output (alert_id, vec_id, score),
+    * deterministic (6 dp rounding, scores ≥ threshold kept). */
+  def vectorMatches(docs: DataFrame, alerts: DataFrame): DataFrame =
+    docs.crossJoin(broadcast(alerts))
+      .select(col("alert_id"), col("vec_id"),
+        round(graft.functions.VectorOps.cosineSim(
+          col("embedding"), col("avec")), 6).as("score"),
+        col("threshold"))
+      .where(col("score") >= col("threshold"))
+      .select(col("alert_id"), col("vec_id"), col("score"))
 }

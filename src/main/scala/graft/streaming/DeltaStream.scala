@@ -250,6 +250,25 @@ object DeltaStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Streaming VECTOR percolation — the dense twin of
+    * [[percolateIngest]]: every micro-batch of (vec_id, embedding) rows
+    * is scored against the broadcast saved-alert vectors
+    * ([[graft.search.Percolate.vectorMatches]]) and the fired
+    * (alert_id, vec_id, score) rows append to the sink. Stateless per
+    * document — the union of per-batch results equals the batch run
+    * (StreamingSpec pins it). */
+  def vectorPercolateServe(docs: DataFrame, alerts: DataFrame,
+                           outPath: String,
+                           checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.search.Percolate.vectorMatches(batch, alerts)
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outPath)
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+
   /** Streaming VECTOR index maintenance — the dense twin of
     * [[indexIngest]]: each micro-batch of new (vec_id, embedding) rows is
     * assigned against the frozen centroids and committed as ONE segment of

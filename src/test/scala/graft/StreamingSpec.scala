@@ -128,6 +128,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("vectorPercolateServe: per-batch reverse-ANN firings union to the batch run; thresholds respected") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.search.Percolate
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val alerts = emb.where(col("vec_id").isin(0L, 1L))
+      .select(col("vec_id").as("alert_id"), col("embedding").as("avec"))
+      .withColumn("threshold",
+        when(col("alert_id") === 0L, lit(0.3)).otherwise(lit(0.35)))
+    val docs = emb.limit(120).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val out = java.nio.file.Files.createTempDirectory("vperc-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vperc-ck").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = DeltaStream.vectorPercolateServe(
+      input.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+      alerts, out, ckpt)
+    try {
+      docs.grouped(50).foreach { g => input.addData(g.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(Percolate.vectorMatches(
+      spark.createDataFrame(docs.toSeq).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+      alerts))
+    assert(streamed == batch && batch.nonEmpty, s"n=${batch.size}")
+    // each alert fires on itself at 1.0, and never below its threshold
+    assert(batch.contains((0L, 0L, 1.0)) && batch.contains((1L, 1L, 1.0)))
+    assert(batch.filter(_._1 == 0L).forall(_._3 >= 0.3) &&
+           batch.filter(_._1 == 1L).forall(_._3 >= 0.35))
+  }
+
   test("percolate rejects an alert with empty terms loudly") {
     import graft.search.Percolate
     // explode() would silently drop the empty alert — it would never fire
