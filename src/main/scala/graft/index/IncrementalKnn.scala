@@ -87,6 +87,8 @@ object IncrementalKnn {
   private def vecsDir(root: String, k: Int) = s"$root/vecs/$k"
   private def coarseDir(root: String, k: Int) = s"$root/coarse/$k"
   private def tombsBase(root: String) = s"$root/tombs"
+  private def repairDir(root: String, k: Int) = s"$root/repairs/seg/$k"
+  private def repairBase(root: String) = s"$root/repairs/commit"
 
   def version(root: String): Int = IncrementalIvf.version(root)
 
@@ -252,13 +254,84 @@ object IncrementalKnn {
   def edges(spark: SparkSession, root: String, k: Int): DataFrame = {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
-    val all = SegmentStore.readSegments(spark, v)(edgesDir(root, _))
+    val base = SegmentStore.readSegments(spark, v)(edgesDir(root, _))
+    // repair segments refill post-delete rank holes (see [[repair]]).
+    // A repaired src's full top-k overlaps its stored candidate rows, so
+    // the union is deduped on (src, dst) — identical rows, max(score) is
+    // a formality. With repairs present, tombstones filter BEFORE the
+    // rank window (a stored deleted-dst row must not occupy a rank the
+    // repair refilled — every src where pre-filtering can matter is in
+    // the repaired set, whose full surviving top-k rows are present, so
+    // the window result equals the rebuild-without-deleted graph, ranks
+    // dense). Repair-free roots keep the documented filter-AFTER
+    // semantics (visible holes — the a28 oracle) and their exact
+    // pre-repair plans.
+    val rv = SegmentStore.version(repairBase(root))
+    val (all, preFiltered) =
+      if (rv == 0) (base, false)
+      else (filterTombs(spark, root,
+          base.unionByName(
+            SegmentStore.readSegments(spark, rv)(repairDir(root, _)))
+            .groupBy(col("src"), col("dst")).agg(max(col("score")).as("score")),
+          Seq("src", "dst")), true)
     val w = Window.partitionBy(col("src"))
       .orderBy(col("score").desc, col("dst").asc)
     val ranked = all.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-    filterTombs(spark, root, ranked, Seq("src", "dst"))
+    (if (preFiltered) ranked
+     else filterTombs(spark, root, ranked, Seq("src", "dst")))
       .orderBy(col("src"), col("rank"))
+  }
+
+  /** Repair post-delete degree WITHOUT a rebuild — the HNSW deferred-
+    * repair operation (Qdrant heals neighbor lists around deleted points
+    * instead of rebuilding). [[delete]] leaves rank holes: a survivor
+    * whose stored top-k pointed at deleted vectors serves fewer than k
+    * edges. This recomputes the FULL surviving candidate set for exactly
+    * those srcs — their stored probe lists equi-join the tombstone-
+    * filtered assignment — and commits the per-src top-k as a repair
+    * segment the read-side merge folds in.
+    *
+    * Exactness: a src with no holes already equals the rebuild-without-
+    * deleted top-k (candidates below a surviving top-k cannot displace
+    * it), and a repaired src is recomputed over the complete surviving
+    * candidate set — so after repair the WHOLE graph equals
+    * [[Ann.knnGraph]] over the survivors against the frozen centroids
+    * (the a29 oracle states it in SQL). Cost is delta-shaped: the
+    * repaired-src set is bounded by (deleted degree) · k, its probe join
+    * touches only those srcs' lists, never corpus × corpus. Idempotent
+    * via `tag`. */
+  def repair(spark: SparkSession, root: String, nprobe: Int, k: Int,
+             tag: Option[String] = None): Unit = {
+    val rb = repairBase(root)
+    if (tag.exists(t => (1 to SegmentStore.version(rb))
+          .exists(rv => SegmentStore.hasTag(rb, rv, t)))) return
+    val v = version(root)
+    require(v > 0, s"knn graph at $root not initialized")
+    if (SegmentStore.tombIds(spark, tombsBase(root)).isEmpty) return
+    // survivors serving fewer than k edges (incl. zero) are the holes
+    val served = edges(spark, root, k)
+      .groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val holed = vectorsAll(spark, root)
+      .select(col("vec_id").as("src"), col("embedding").as("svec"))
+      .join(served, Seq("src"), "left")
+      .where(coalesce(col("n"), lit(0L)) < k)
+      .select(col("src"), col("svec"))
+    // full surviving candidate set for exactly those srcs: stored probe
+    // lists ∩ tombstone-filtered assignment
+    val probes = filterTombs(spark, root,
+      readProbesAll(spark, root, v), Seq("src"))
+    val assignLive = filterTombs(spark, root,
+      readAssignAll(spark, root, v), Seq("vec_id"))
+    val cand = holed.join(probes, Seq("src"))
+      .join(assignLive.select(col("cid"), col("vec_id").as("dst"),
+        col("embedding").as("dvec")), Seq("cid"))
+      .where(col("dst") =!= col("src"))
+      .select(col("src"), col("dst"),
+        round(VectorOps.cosineSim(col("svec"), col("dvec")), 6).as("score"))
+    val rv = SegmentStore.version(rb)
+    writeEdges(topKPerSrc(cand, k), repairDir(root, rv))
+    SegmentStore.publish(rb, rv + 1, tag)
   }
 
   /** Mark vectors DELETED — the missing half of the CRUD story the
@@ -385,5 +458,25 @@ object IncrementalKnn {
       append(emb.where(col("vec_id") % 3 === 2), p, nprobe, k)
       delete(emb.where(pmod(col("vec_id"), lit(7)) === 3)
         .select(col("vec_id")), p, tag = Some("demo_delete"))
+    }
+
+  val RepairName = "knn_repair_v1"
+
+  /** [[ensureTombstoned]]'s graph with the holes REPAIRED — memoized for
+    * the `a29_graph_repair` oracle: after [[repair]] the merged read
+    * equals the whole-corpus kNN SQL computed over the SURVIVORS (frozen
+    * centroids unchanged), ranks dense — a rebuild nobody had to run. */
+  def ensureRepaired(spark: SparkSession, dataDir: String,
+                     nprobe: Int = 3, k: Int = 5): String =
+    IndexCatalog.ensure(spark, dataDir, RepairName) { p =>
+      val emb = Tables.embeddings(spark, dataDir)
+      val centroids = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      init(emb.where(col("vec_id") % 3 === 0), centroids, p, nprobe, k)
+      append(emb.where(col("vec_id") % 3 === 1), p, nprobe, k)
+      append(emb.where(col("vec_id") % 3 === 2), p, nprobe, k)
+      delete(emb.where(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id")), p, tag = Some("demo_delete"))
+      repair(spark, p, nprobe, k, tag = Some("demo_repair"))
     }
 }

@@ -735,6 +735,40 @@ class IndexSpec extends SparkSpec {
       .count() == vecIds.size)
   }
 
+  test("incremental knn repair: post-delete holes refill to EXACTLY the rebuild-without-deleted graph, delta-cost") {
+    import graft.index.IncrementalKnn
+    import graft.search.Ann
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val root = Files.createTempDirectory("graft-knn-rep").toString + "/g"
+    IncrementalKnn.init(emb.where(col("vec_id") % 2 === 0), centroids, root, 3, 5)
+    IncrementalKnn.append(emb.where(col("vec_id") % 2 === 1), root, 3, 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val before = rows(IncrementalKnn.edges(spark, root, 5))
+    // delete ids that appear as dsts (guaranteed holes) AND as srcs
+    val dels = before.filter(_._4 < 5).map(_._2).distinct.take(3)
+    IncrementalKnn.delete(dels.toDF("vec_id"), root, tag = Some("d1"))
+    val holed = rows(IncrementalKnn.edges(spark, root, 5))
+    assert(holed.groupBy(_._1).exists(_._2.size < 5)) // holes exist
+
+    IncrementalKnn.repair(spark, root, 3, 5, tag = Some("r1"))
+    val repaired = rows(IncrementalKnn.edges(spark, root, 5))
+    // repaired == whole rebuild over survivors (frozen centroids), dense
+    val rebuilt = rows(Ann.knnGraph(
+      emb.where(!col("vec_id").isin(dels: _*)), centroids, 3, 5))
+    assert(repaired == rebuilt && rebuilt.nonEmpty)
+
+    // idempotent replay; and compact folds the healed graph
+    IncrementalKnn.repair(spark, root, 3, 5, tag = Some("r1"))
+    assert(rows(IncrementalKnn.edges(spark, root, 5)) == repaired)
+    val compacted = Files.createTempDirectory("graft-knn-rep-cp").toString + "/g"
+    IncrementalKnn.compact(spark, root, compacted, 5)
+    assert(rows(IncrementalKnn.edges(spark, compacted, 5)) == repaired)
+  }
+
   test("incremental knn graph: grown == whole-corpus rebuild, compacted == grown") {
     import graft.index.IncrementalKnn
     import graft.search.Ann
