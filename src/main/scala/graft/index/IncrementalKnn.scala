@@ -207,7 +207,13 @@ object IncrementalKnn {
     probeLists(delta, cent, nprobe)
       .write.mode(SaveMode.Overwrite).parquet(probesDir(root, v))
 
-    val assignAll = readAssignAll(spark, root, v + 1) // old + this batch
+    // tombstone-filtered candidate arms: a segment appended AFTER deletes
+    // must not generate candidates into deleted vectors — its stored
+    // per-src top-k would otherwise be born with unrepairable holes
+    // (repair only heals holes that exist when it runs). No-op on
+    // tombstone-free roots (the grown ≡ rebuilt pins are unaffected).
+    val assignAll = filterTombs(spark, root,
+      readAssignAll(spark, root, v + 1), Seq("vec_id")) // old + this batch
     val newSeg = spark.read.parquet(assignDir(root, v))
 
     // arm 1 — new src probes the entire assignment so far (covers pairs
@@ -228,7 +234,8 @@ object IncrementalKnn {
     // arm 2 — every PRIOR vector whose probe lists intersect the delta's
     // assigned lists gains the delta's vectors as candidates. Probes are
     // slim; the src embedding joins back from the prior assign segments.
-    val oldProbes = readProbesAll(spark, root, v)
+    val oldProbes = filterTombs(spark, root,
+      readProbesAll(spark, root, v), Seq("src"))
     val cand2 = oldProbes.join(newSeg.select(col("cid"), col("vec_id").as("dst"),
         col("embedding").as("dvec")), Seq("cid"))
       .select(col("src"), col("dst"), col("dvec"))

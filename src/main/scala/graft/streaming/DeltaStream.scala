@@ -389,6 +389,11 @@ object DeltaStream {
     * loop, so deletes can never race a concurrent compaction swap.
     * Deletes and inserts carry separate idempotence tags, so an
     * at-least-once redelivery replays both halves as no-ops.
+    * With `repairAfterDelete` (the default), every delete-carrying
+    * trigger ends with [[graft.index.IncrementalKnn.repair]] — the
+    * delta-cost neighbor healing — so the served graph NEVER degrades:
+    * after each trigger it equals a rebuild over the survivors (the a29
+    * exactness argument), without any rebuild ever running.
     * UPDATE contract: an id, once tombstoned, stays filtered until the
     * next compaction — model updates as delete(old id) + insert under a
     * FRESH id (the store's versioned upsert already mints one per doc
@@ -396,23 +401,34 @@ object DeltaStream {
   def textGraphCdcIngest(changes: DataFrame, dataDir: String,
                          graphRoot: String, checkpoint: String,
                          nprobe: Int, k: Int,
-                         maxSegments: Int = Int.MaxValue): StreamingQuery =
+                         maxSegments: Int = Int.MaxValue,
+                         repairAfterDelete: Boolean = true): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.index.{IncrementalKnn, SegmentStore}
+        val spark = batch.sparkSession
         val ptr = s"$graphRoot.current"
         val delTag = s"del_$batchId"
         val root = SegmentStore.recoverRoot(ptr, graphRoot, s"batch_$batchId")(
           IncrementalKnn.version, IncrementalKnn.committedHasTag)
         val dels = batch.where(col("op") === "D")
           .select(col("doc_id").cast("long").as("vec_id"))
-        if (!dels.isEmpty) IncrementalKnn.delete(dels, root, Some(delTag))
+        if (!dels.isEmpty) {
+          IncrementalKnn.delete(dels, root, Some(delTag))
+          // heal BEFORE the insert half: if the insert triggers a
+          // compaction, the fold must see the REPAIRED edges — compacting
+          // a holed graph would bake the degraded top-k in and clear the
+          // tombstones the repair needs (holes only ever come from
+          // deletes, so repairing here is complete for this trigger)
+          if (repairAfterDelete)
+            IncrementalKnn.repair(spark, root, nprobe, k, Some(s"rep_$batchId"))
+        }
         val ins = batch.where(col("op") === "I")
           .select(col("doc_id"), col("text"))
         if (!ins.isEmpty) {
           val dense = graft.index.TfIdfGraphIndex
-            .embedDocsDense(batch.sparkSession, dataDir, ins)
+            .embedDocsDense(spark, dataDir, ins)
           graphMaintainBatch(dense, graphRoot, batchId, nprobe, k, maxSegments)
         }
       }

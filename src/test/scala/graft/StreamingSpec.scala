@@ -618,15 +618,18 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     assert(!edges.exists(e => e._1 == 7L || e._2 == 7L))
 
-    // grown+deleted == whole-corpus rebuild (incl. the doc that was live
-    // during growth) + the tombstone filter after the rank window
-    val allDocs = corpus.unionByName(Seq(
+    // the default CDC loop is SELF-HEALING (repairAfterDelete): after the
+    // delete trigger the served graph equals a rebuild over the
+    // survivors — dense ranks, no holes, and no rebuild ever ran. The
+    // insert that shared the trigger appended through the tombstone-
+    // filtered candidate arms, so even the post-delete insert (1702) is
+    // born exact.
+    val survivors = corpus.where(col("doc_id") =!= 7L).unionByName(Seq(
       (1700L, "merge stream window data"), (1701L, "filter join aggregate scan"),
       (1702L, "vector index probe walk")).toDF("doc_id", "text"))
     val rebuilt = Ann.knnGraph(
-        TfIdfGraphIndex.embedDocsDense(spark, Sf0001, allDocs), centroids, 3, 5)
+        TfIdfGraphIndex.embedDocsDense(spark, Sf0001, survivors), centroids, 3, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
-      .filterNot(e => e._1 == 7L || e._2 == 7L)
     assert(edges.toSeq == rebuilt.toSeq && rebuilt.nonEmpty)
   }
 
