@@ -1322,6 +1322,52 @@ object Queries {
         ORDER BY alert_id, vec_id
       """)),
 
+    // HYBRID percolation (s30): the alert carries BOTH a conjunctive term
+    // list and a query vector — fires only on docs containing every term
+    // AND embedding within the alert's threshold. The term conjunction is
+    // the cheap prefilter; only fired (alert, doc) pairs pay the cosine
+    // (fired-set-sized, never corpus x alerts).
+    "s30_hybrid_percolate" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val conf = Seq(
+          (1, Seq("spark", "join"), 0L, 0.2),
+          (2, Seq("scan"), 1L, 0.2))
+          .toDF("alert_id", "terms", "avec_id", "threshold")
+        val alerts = conf.join(
+          Tables.embeddings(s, d).select(col("vec_id").as("avec_id"),
+            col("embedding").as("avec")), Seq("avec_id"))
+          .select(col("alert_id"), col("terms"), col("avec"), col("threshold"))
+        graft.search.Percolate.hybridMatches(
+          Tables.documents(s, d), Tables.embeddings(s, d),
+          alerts, "doc_id", "text")
+          .orderBy(col("alert_id"), col("doc_id"))
+      },
+      Some("""
+        WITH aconf AS (
+          SELECT * FROM (VALUES
+            (1, ['spark', 'join'], 0, 0.2::DOUBLE),
+            (2, ['scan'], 1, 0.2::DOUBLE)) a(alert_id, terms, avec_id, threshold)),
+        alerts AS (
+          SELECT a.alert_id, a.terms, e.embedding::DOUBLE[] AS avec, a.threshold
+          FROM aconf a JOIN embeddings e ON e.vec_id = a.avec_id),
+        at AS (SELECT alert_id, len(terms) AS n_terms, unnest(terms) AS term
+               FROM alerts),
+        dt AS (SELECT DISTINCT doc_id, term FROM
+                (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                   t -> t <> '')) AS term FROM documents)),
+        m AS (SELECT alert_id, doc_id FROM dt JOIN at USING (term)
+              GROUP BY alert_id, n_terms, doc_id
+              HAVING count(*) = n_terms),
+        v AS (SELECT m.alert_id, m.doc_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[], al.avec), 6) AS score,
+                     al.threshold
+              FROM m JOIN embeddings e ON e.vec_id = m.doc_id
+                    JOIN alerts al ON al.alert_id = m.alert_id)
+        SELECT alert_id, doc_id, score FROM v WHERE score >= threshold
+        ORDER BY alert_id, doc_id
+      """)),
+
     // Percolation (s25): saved searches are the stored side, documents
     // probe them — conjunctive term match, alert table broadcast, one
     // matched-pair shuffle. Per-alert counts + first-3 matches.

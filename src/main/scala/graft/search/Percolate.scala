@@ -170,4 +170,32 @@ object Percolate {
         col("threshold"))
       .where(col("score") >= col("threshold"))
       .select(col("alert_id"), col("vec_id"), col("score"))
+
+  /** HYBRID percolation — a saved search with BOTH a conjunctive term
+    * list and a query vector: the alert fires only on documents that
+    * contain every term AND embed within the alert's similarity
+    * threshold (the production alerting pattern: the keyword conjunction
+    * is the cheap high-precision prefilter, the semantic check confirms).
+    * Composed to exploit exactly that: [[matches]] fires the term arm
+    * first, and ONLY the fired (alert, doc) pairs join their embeddings
+    * and pay the cosine — the vector work is fired-set-sized, never
+    * corpus × alerts. `alerts(alert_id, terms, avec, threshold)`;
+    * embeddings join `docs` on `idCol` == vec_id (the point-collection
+    * contract). Output (alert_id, idCol, score). */
+  def hybridMatches(docs: DataFrame, embeddings: DataFrame,
+                    alerts: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val fired = matches(docs,
+      alerts.select(col("alert_id"), col("terms")), idCol, textCol)
+    fired
+      .join(embeddings.withColumnRenamed("vec_id", idCol), Seq(idCol))
+      .join(broadcast(alerts.select(
+        col("alert_id"), col("avec"), col("threshold"))), Seq("alert_id"))
+      .select(col("alert_id"), col(idCol),
+        round(graft.functions.VectorOps.cosineSim(
+          col("embedding"), col("avec")), 6).as("score"),
+        col("threshold"))
+      .where(col("score") >= col("threshold"))
+      .select(col("alert_id"), col(idCol), col("score"))
+  }
 }

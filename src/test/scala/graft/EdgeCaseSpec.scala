@@ -298,4 +298,27 @@ class EdgeCaseSpec extends SparkSpec {
       .collect()
     assert(unk.length == 5 && unk.forall(r => !r.getDouble(1).isNaN))
   }
+
+  test("hybrid percolation: fires only on term-conjunction AND vector-threshold; either alone is not enough") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "spark join fast"),   // terms match; vector far -> no fire
+      (2L, "spark join slow"),   // terms match; vector close -> FIRES
+      (3L, "unrelated words")    // vector identical; no terms -> no fire
+    ).toDF("doc_id", "text")
+    val a = Seq(1.0f, 0.0f, 0.0f)
+    val far = Seq(0.0f, 1.0f, 0.0f)
+    val near = Seq(0.9f, 0.1f, 0.0f)
+    val emb = Seq((1L, far), (2L, near), (3L, a)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val alerts = Seq((7, Seq("spark", "join"), a, 0.5))
+      .toDF("alert_id", "terms", "avec", "threshold")
+      .select(col("alert_id"), col("terms"),
+        col("avec").cast("array<float>").as("avec"), col("threshold"))
+    val fired = graft.search.Percolate
+      .hybridMatches(docs, emb, alerts, "doc_id", "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(fired.toSeq == Seq((7, 2L)), fired.mkString(","))
+  }
 }
