@@ -430,6 +430,42 @@ object IncrementalKnn {
     SegmentStore.compactIfNeeded(root, version(root), maxSegments)(
       compact(spark, root, _, k, tag = tag))
 
+  /** Centroid RETRAIN for the graph family — the production answer to
+    * the frozen-centroid drift caveat ([[IncrementalIvf.retrain]]'s graph
+    * twin): re-fit kmeans on the CURRENT live vectors (tombstone-
+    * filtered), then rebuild assignment/probes/edges against the new
+    * centroids into a fresh single-segment root — the one operation that
+    * IS a rebuild by definition (new centroids change every candidate
+    * list), done at the operator's chosen cadence rather than forced per
+    * delta. Old root readable throughout; callers swap the pointer. The
+    * result serves exactly [[Ann.knnGraph]] over the live vectors against
+    * the re-fit centroids (IndexSpec pins it). */
+  def retrain(spark: SparkSession, root: String, newRoot: String,
+              numCentroids: Int, nprobe: Int, k: Int): Unit = {
+    require(version(root) > 0, s"knn graph at $root not initialized")
+    val live = vectorsAll(spark, root)
+    val assembled = live.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")))
+    val model = MlIndex.fitIvfCentroids(assembled, numCentroids)
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.map {
+        case (c, i) => (i.toLong, c.toArray.map(_.toFloat).toSeq)
+      }.toSeq.toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$newRoot/centroids")
+    val cent = readCentroids(spark, newRoot)
+    Ann.ivfAssign(live, cent)
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .partitionBy("cid").parquet(assignDir(newRoot, 0))
+    probeLists(live, cent, nprobe)
+      .write.mode(SaveMode.Overwrite).parquet(probesDir(newRoot, 0))
+    writeEdges(Ann.knnGraph(live, cent, nprobe, k)
+      .select(col("src"), col("dst"), col("score")), edgesDir(newRoot, 0))
+    writeVecs(live, newRoot, 0)
+    publish(newRoot, 1)
+  }
+
   /** Incrementally-GROWN whole-corpus graph for `dataDir` (thirds: init +
     * two appends), memoized via the IndexCatalog — oracle-checkable
     * against the same whole-corpus kNN SQL as a18 (centroids = stored

@@ -769,6 +769,35 @@ class IndexSpec extends SparkSpec {
     assert(rows(IncrementalKnn.edges(spark, compacted, 5)) == repaired)
   }
 
+  test("incremental knn retrain: fresh kmeans centroids, rebuilt graph == knnGraph over live vectors") {
+    import graft.index.IncrementalKnn
+    import graft.search.Ann
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val root = Files.createTempDirectory("graft-knn-rt").toString + "/g"
+    IncrementalKnn.init(emb.where(col("vec_id") % 2 === 0), centroids, root, 3, 5)
+    IncrementalKnn.append(emb.where(col("vec_id") % 2 === 1), root, 3, 5)
+    IncrementalKnn.delete(Seq(5L, 11L).toDF("vec_id"), root, tag = Some("d"))
+
+    val retrained = Files.createTempDirectory("graft-knn-rt2").toString + "/g"
+    IncrementalKnn.retrain(spark, root, retrained,
+      numCentroids = 8, nprobe = 3, k = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    // serves exactly knnGraph over the LIVE vectors vs the re-fit
+    // centroids; deleted ids are physically out, fresh ledger
+    val live = emb.where(!col("vec_id").isin(5L, 11L))
+    val newCent = spark.read.parquet(s"$retrained/centroids")
+    assert(newCent.count() == 8)
+    val served = rows(IncrementalKnn.edges(spark, retrained, 5))
+    val rebuilt = rows(Ann.knnGraph(live, newCent, 3, 5))
+    assert(served == rebuilt && rebuilt.nonEmpty)
+    assert(!served.exists(e => e._1 == 5L || e._2 == 5L))
+    assert(IncrementalKnn.vectorsAll(spark, retrained).count() == live.count())
+  }
+
   test("incremental knn graph: grown == whole-corpus rebuild, compacted == grown") {
     import graft.index.IncrementalKnn
     import graft.search.Ann

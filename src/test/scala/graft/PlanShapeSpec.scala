@@ -557,4 +557,33 @@ class PlanShapeSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(fromArtifact == inlineEntries && fromArtifact.nonEmpty)
   }
+
+  test("tombstone ledgers are plan-free until used: delete-free roots keep anti-join-free reads, deleted roots add ONLY broadcast anti-joins") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.index.IncrementalKnn
+    val emb = graft.tables.Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tombplan").toString + "/g"
+    IncrementalKnn.init(emb, centroids, root, 3, 5)
+
+    // pre-delete: the merged read has NO anti-join anywhere — the ledger
+    // existence probe alone gates the filter, so delete-free deployments
+    // pay nothing
+    val before = IncrementalKnn.edges(spark, root, 5)
+      .queryExecution.executedPlan.toString
+    assert(!before.contains("LeftAnti"), before.take(1500))
+
+    // post-delete: exactly the broadcast anti-joins appear (src + dst on
+    // edges) — broadcast, never a shuffled join on the corpus side
+    IncrementalKnn.delete(Seq(3L).toDF("vec_id"), root, tag = Some("p"))
+    val after = IncrementalKnn.edges(spark, root, 5)
+      .queryExecution.executedPlan.toString
+    assert(after.contains("LeftAnti"), after.take(1500))
+    assert("BroadcastHashJoin .* LeftAnti".r.findAllIn(after).size >= 2,
+      after.take(2000))
+    assert(!"SortMergeJoin .* LeftAnti".r.findAllIn(after).hasNext, after.take(2000))
+  }
 }
