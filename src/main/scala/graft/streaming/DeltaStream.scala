@@ -229,6 +229,86 @@ object DeltaStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** CDC-shaped [[indexIngest]] — the BM25 member of the family pattern
+    * ([[textGraphCdcIngest]] is the graph member): each micro-batch of
+    * (op, doc_id, text) changelog rows applies DELETES first
+    * ([[graft.index.IncrementalBm25.delete]] tombstones — the doc leaves
+    * every `topK` this trigger, stats stale until compaction per the
+    * Lucene contract) and INSERTS second, inside the one single-writer
+    * loop. Updates = delete + insert under a fresh version id. */
+  def indexCdcIngest(changes: DataFrame, indexRoot: String,
+                     checkpoint: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     maxSegments: Int = Int.MaxValue): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.index.{IncrementalBm25, SegmentStore}
+        val ptr = s"$indexRoot.current"
+        val tag = s"batch_$batchId"
+        val root = SegmentStore.recoverRoot(ptr, indexRoot, tag)(
+          IncrementalBm25.version, IncrementalBm25.committedHasTag)
+        val dels = batch.where(col("op") === "D")
+          .select(col(idCol).cast("long").as(idCol))
+        if (!dels.isEmpty && IncrementalBm25.version(root) > 0)
+          IncrementalBm25.delete(dels, idCol, root, Some(s"del_$batchId"))
+        val ins = batch.where(col("op") === "I")
+          .select(col(idCol), col(textCol))
+        if (!ins.isEmpty && !IncrementalBm25.committedHasTag(root, tag)) {
+          if (IncrementalBm25.version(root) == 0)
+            IncrementalBm25.init(ins, idCol, textCol, root,
+              numFiles = 1, tag = Some(tag))
+          else
+            IncrementalBm25.append(ins, idCol, textCol, root,
+              numFiles = 1, tag = Some(tag))
+          val newRoot = IncrementalBm25.compactIfNeeded(
+            batch.sparkSession, root, idCol, maxSegments, tag = Some(tag))
+          if (newRoot != root) {
+            SegmentStore.setPointer(ptr, newRoot)
+            SegmentStore.retire(root)
+            ()
+          }
+        }
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+
+  /** CDC-shaped [[ivfIngest]] — the IVF member of the family pattern:
+    * deletes tombstone first ([[graft.index.IncrementalIvf.delete]] —
+    * exclusion IS rebuild semantics for IVF, so the served index equals
+    * a rebuild without the deleted vectors from this trigger on, no
+    * staleness and no repair step needed), inserts append second. */
+  def ivfCdcIngest(changes: DataFrame, indexRoot: String,
+                   checkpoint: String,
+                   maxSegments: Int = Int.MaxValue): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.index.{IncrementalIvf, SegmentStore}
+        val ptr = s"$indexRoot.current"
+        val tag = s"batch_$batchId"
+        val root = SegmentStore.recoverRoot(ptr, indexRoot, tag)(
+          IncrementalIvf.version, IncrementalIvf.committedHasTag)
+        val dels = batch.where(col("op") === "D")
+          .select(col("vec_id").cast("long").as("vec_id"))
+        if (!dels.isEmpty && IncrementalIvf.version(root) > 0)
+          IncrementalIvf.delete(dels, root, Some(s"del_$batchId"))
+        val ins = batch.where(col("op") === "I")
+          .select(col("vec_id"), col("embedding"))
+        if (!ins.isEmpty && !IncrementalIvf.committedHasTag(root, tag)) {
+          IncrementalIvf.append(ins, root, tag = Some(tag))
+          val newRoot = IncrementalIvf.compactIfNeeded(
+            batch.sparkSession, root, maxSegments, tag = Some(tag))
+          if (newRoot != root) {
+            SegmentStore.setPointer(ptr, newRoot)
+            SegmentStore.retire(root)
+            ()
+          }
+        }
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+
   /** Streaming percolation: saved-search alerts fire on each arriving
     * micro-batch ([[graft.search.Percolate]] — conjunctive match is
     * per-document, so the stream needs NO state: every doc is evaluated

@@ -128,6 +128,85 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexCdcIngest: BM25 changelog — deletes leave topK same trigger (stale stats), inserts searchable; == direct build+delete") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.IncrementalBm25
+    import spark.implicits._
+    val all = graft.tables.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bmcdc").toString + "/i"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-bmcdc-ck").toString
+    val half1 = all.where(col("doc_id") % 2 === 0)
+      .collect().map(r => ("I", r.getLong(0), r.getString(1)))
+    val half2 = all.where(col("doc_id") % 2 === 1)
+      .collect().map(r => ("I", r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(String, Long, String)]
+    val q = DeltaStream.indexCdcIngest(
+      input.toDF().toDF("op", "doc_id", "text"), root, ckpt)
+    try {
+      input.addData(half1.toSeq); q.processAllAvailable()
+      // trigger 2: delete two docs + append the other half
+      input.addData(Seq(("D", 2L, ""), ("D", 4L, "")) ++ half2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def hits(r: String) = IncrementalBm25
+      .topK(spark, r, "doc_id", Seq("data", "query"), 500)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val streamed = hits(root)
+    assert(!streamed.exists(h => h._1 == 2L || h._1 == 4L))
+    // twin root built directly with the same partitions + delete set
+    val twin = java.nio.file.Files
+      .createTempDirectory("graft-bmcdc-tw").toString + "/i"
+    IncrementalBm25.init(all.where(col("doc_id") % 2 === 0), "doc_id", "text",
+      twin, numFiles = 1)
+    IncrementalBm25.delete(Seq(2L, 4L).toDF("doc_id"), "doc_id", twin)
+    IncrementalBm25.append(all.where(col("doc_id") % 2 === 1), "doc_id", "text",
+      twin, numFiles = 1)
+    assert(streamed == hits(twin) && streamed.nonEmpty)
+  }
+
+  test("ivfCdcIngest: vector changelog — deleted vectors leave topK same trigger (exact rebuild semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.IncrementalIvf
+    import graft.search.Ann
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivfcdc").toString + "/i"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ivfcdc-ck").toString
+    IncrementalIvf.init(emb.where(col("vec_id") % 2 === 0), centroids, root)
+    val rest = emb.where(col("vec_id") % 2 === 1)
+      .collect().map(r => ("I", r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(String, Long, Seq[Float])]
+    val q = DeltaStream.ivfCdcIngest(
+      input.toDF().toDF("op", "vec_id", "embedding")
+        .select(col("op"), col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding")),
+      root, ckpt)
+    try {
+      input.addData(rest.take(100).toSeq); q.processAllAvailable()
+      input.addData(Seq(("D", 6L, Seq.empty[Float]),
+        ("D", 8L, Seq.empty[Float])) ++ rest.drop(100).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val qv = emb.where(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val served = hits(IncrementalIvf.topK(spark, root, qv, 3, 10))
+    // IVF exclusion IS rebuild semantics: == brute IVF over survivors
+    val rebuilt = hits(Ann.ivfTopKAssigned(
+      Ann.ivfAssign(emb.where(!col("vec_id").isin(6L, 8L)), centroids),
+      centroids, qv, 3, 10))
+    assert(served == rebuilt && !served.exists(h => h._1 == 6L || h._1 == 8L))
+  }
+
   test("vectorPercolateServe: per-batch reverse-ANN firings union to the batch run; thresholds respected") {
     implicit val sqlCtx = spark.sqlContext
     import graft.search.Percolate
