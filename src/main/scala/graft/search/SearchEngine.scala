@@ -376,6 +376,26 @@ object SearchEngine {
       beam = 8, hops = 2, k)
   }
 
+  /** Batched [[graphSearchGrown]]: N text queries in ONE plan over the
+    * incrementally-grown root's merged segments — the throughput form of
+    * the freshness path (same artifacts, the per-hop segment scans
+    * amortize across the batch like the one-shot batched route). Per-qid
+    * results ≡ the single-query grown walk family (ServeApiSpec pins the
+    * route). */
+  def graphSearchGrownBatched(spark: SparkSession, dir: String,
+                              queries: Seq[(Long, String)],
+                              k: Int): DataFrame = {
+    import graft.index.{IncrementalKnn, TfIdfGraphIndex}
+    val root = TfIdfGraphIndex.ensureGrown(spark, dir)
+    val qdf = TfIdfGraphIndex.queryVecs(spark, dir, queries)
+    Ann.graphTopKBatched(
+      IncrementalKnn.edges(spark, root, 5),
+      IncrementalKnn.vectorsAll(spark, root),
+      qdf,
+      Ann.hierEntriesBatchedFrom(IncrementalKnn.coarseAll(spark, root), qdf, 3),
+      beam = 8, hops = 2, k)
+  }
+
   /** [[graphSearch]] with the a26 post-filter: walk oversampled 3× (the
     * reference's post-filter semantics, `search_service.py:413-423`),
     * keep survivors whose payload field matches, trim to k. */

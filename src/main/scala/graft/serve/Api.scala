@@ -317,6 +317,11 @@ object Api {
       val qs = raw.split("\\|\\|").toSeq.map(_.trim).filter(_.nonEmpty)
       if (qs.isEmpty || qs.length > 64)
         return Response(400, err("queries must carry 1..64 '||'-separated entries"))
+      // graph=grown serves the incrementally-maintained root, like the
+      // single-query route (same validation, same walk family)
+      val batchGraphRoot = params.getOrElse("graph", "built")
+      if (mode == "graph" && !Set("built", "grown").contains(batchGraphRoot))
+        return Response(400, err(s"Invalid graph '$batchGraphRoot'. Must be 'built' or 'grown'"))
       val indexed = qs.zipWithIndex.map { case (q, i) => (i.toLong, q) }
       val result = (mode match {
         case "dense" => SearchEngine.tfidfSearchBatched(spark, dir, indexed, count)
@@ -327,6 +332,8 @@ object Api {
           Bm25Index.topKBatched(spark, Bm25Index.ensure(spark, dir),
               "doc_id", termsDf, "qid", "term", count)
             .withColumnRenamed("doc_id", "id")
+        case "graph" if batchGraphRoot == "grown" =>
+          SearchEngine.graphSearchGrownBatched(spark, dir, indexed, count)
         case "graph" => SearchEngine.graphSearchBatched(spark, dir, indexed, count)
         case _ => SearchEngine.textHybridBatched(spark, dir, indexed, count)
       })

@@ -425,6 +425,22 @@ class ServeApiSpec extends SparkSpec {
           s"$mode/$q:\nbatch=${r.body}\nsingle=${single.body}")
       }
     }
+    // graph=grown: batch blocks (one-plan batched walk over the grown
+    // root's merged segments) equal the single grown route (seek walk) —
+    // the seek ≡ walk equality holding across the API boundary
+    val rg = get("/api/batch-search", "queries" -> queries.mkString("||"),
+      "mode" -> "graph", "graph" -> "grown", "count" -> "5")
+    assert(rg.status == 200, rg.body)
+    for (q <- queries) {
+      val single = get("/api/query", "q" -> q, "mode" -> "graph",
+        "graph" -> "grown", "count" -> "5")
+      val hits = "\\{\"id\":\\d+,\"score\":[-0-9.E]+\\}".r
+        .findAllIn(single.body).mkString(",")
+      assert(rg.body.contains(s"""{"query":"$q","results":[$hits]}"""),
+        s"grown/$q:\nbatch=${rg.body}\nsingle=${single.body}")
+    }
+    assert(get("/api/batch-search", "queries" -> "x", "mode" -> "graph",
+      "graph" -> "zzz").status == 400)
     assert(get("/api/batch-search", "queries" -> " || ").status == 400)
     assert(get("/api/batch-search", "queries" -> "x", "mode" -> "nope").status == 400)
   }
