@@ -1322,6 +1322,59 @@ object Queries {
         ORDER BY alert_id, vec_id
       """)),
 
+    // VECTOR percolation at ALERT-CORPUS scale (s29b): the IVF-blocked
+    // form — alerts probe nprobe centroid lists, docs sit in their
+    // nearest list, only list-sharing pairs score (one shuffle equi-join
+    // on cid, NO alert broadcast — the million-subscription shape).
+    // Blocked firings are a deterministic subset of s29's exact form;
+    // the oracle states the blocked semantics exactly.
+    "s29b_vector_percolate_blocked" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val alerts = emb.where(col("vec_id").isin(0L, 1L, 2L))
+          .select(col("vec_id").as("alert_id"), col("embedding").as("avec"))
+          .withColumn("threshold", element_at(
+            typedlit(Map(0L -> 0.30, 1L -> 0.35, 2L -> 0.40)), col("alert_id")))
+        val centroids = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        graft.search.Percolate.vectorMatchesBlocked(emb, alerts, centroids, 3)
+          .orderBy(col("alert_id"), col("vec_id"))
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        alerts AS (
+          SELECT vec_id AS alert_id, embedding::DOUBLE[] AS avec,
+                 CASE vec_id WHEN 0 THEN 0.30::DOUBLE
+                             WHEN 1 THEN 0.35::DOUBLE
+                             ELSE 0.40::DOUBLE END AS threshold
+          FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        assign AS (
+          SELECT vec_id, cid, embedding FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT alert_id, avec, threshold, cid FROM (
+            SELECT a.alert_id, a.avec, a.threshold, c.cid,
+                   row_number() OVER (PARTITION BY a.alert_id
+                     ORDER BY round(list_cosine_similarity(a.avec, c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM alerts a CROSS JOIN cent c)
+          WHERE rn <= 3),
+        scored AS (
+          SELECT p.alert_id, s.vec_id,
+                 round(list_cosine_similarity(s.embedding::DOUBLE[], p.avec), 6) AS score,
+                 p.threshold
+          FROM probes p JOIN assign s ON p.cid = s.cid)
+        SELECT alert_id, vec_id, score FROM scored WHERE score >= threshold
+        ORDER BY alert_id, vec_id
+      """)),
+
     // HYBRID percolation (s30): the alert carries BOTH a conjunctive term
     // list and a query vector — fires only on docs containing every term
     // AND embedding within the alert's threshold. The term conjunction is

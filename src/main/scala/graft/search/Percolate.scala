@@ -171,6 +171,41 @@ object Percolate {
       .where(col("score") >= col("threshold"))
       .select(col("alert_id"), col("vec_id"), col("score"))
 
+  /** [[vectorMatches]] at ALERT-CORPUS scale — the IVF-blocked form: when
+    * the alert table itself is corpus-sized (every user saves
+    * subscriptions), broadcasting it is no longer a plan. Alerts probe
+    * their `nprobe` nearest centroid lists, documents are assigned to
+    * their single nearest list, and only (alert, doc) pairs sharing a
+    * probed list are scored — the same blocking as [[Ann.knnGraph]]'s
+    * candidate join, one SHUFFLE equi-join on cid instead of a broadcast,
+    * never alerts × corpus. The block is a candidate filter, so firings
+    * are a deterministic SUBSET of the exact form (an alert can miss a
+    * doc whose list it didn't probe — the standard IVF recall trade,
+    * dialed by `nprobe`; nprobe = |centroids| is exactly
+    * [[vectorMatches]]). Deterministic and SQL-replayable as-is — the
+    * s29b oracle states the blocked semantics exactly. */
+  def vectorMatchesBlocked(docs: DataFrame, alerts: DataFrame,
+                           centroids: DataFrame, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = graft.search.Ann.ivfAssign(docs, centroids)
+    val w = Window.partitionBy(col("alert_id"))
+      .orderBy(col("pscore").desc, col("cid").asc)
+    val probes = alerts.crossJoin(broadcast(centroids))
+      .select(col("alert_id"), col("avec"), col("threshold"), col("cid"),
+        round(graft.functions.VectorOps.cosineSim(
+          col("avec"), col("cvec")), 6).as("pscore"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= nprobe)
+      .select(col("alert_id"), col("avec"), col("threshold"), col("cid"))
+    probes.join(assigned, Seq("cid"))
+      .select(col("alert_id"), col("vec_id"),
+        round(graft.functions.VectorOps.cosineSim(
+          col("embedding"), col("avec")), 6).as("score"),
+        col("threshold"))
+      .where(col("score") >= col("threshold"))
+      .select(col("alert_id"), col("vec_id"), col("score"))
+  }
+
   /** HYBRID percolation — a saved search with BOTH a conjunctive term
     * list and a query vector: the alert fires only on documents that
     * contain every term AND embed within the alert's similarity

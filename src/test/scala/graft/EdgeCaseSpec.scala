@@ -299,6 +299,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(unk.length == 5 && unk.forall(r => !r.getDouble(1).isNaN))
   }
 
+  test("blocked vector percolation: firings are a subset of exact; full probe == exact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val alerts = emb.where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("alert_id"), col("embedding").as("avec"))
+      .withColumn("threshold", lit(0.25))
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = rows(graft.search.Percolate.vectorMatches(emb, alerts))
+    val narrow = rows(graft.search.Percolate
+      .vectorMatchesBlocked(emb, alerts, centroids, 1))
+    val full = rows(graft.search.Percolate
+      .vectorMatchesBlocked(emb, alerts, centroids, 10))
+    assert(narrow.subsetOf(exact) && exact.nonEmpty)
+    assert(full == exact) // nprobe = |centroids| is exactly the broadcast form
+  }
+
   test("hybrid percolation: fires only on term-conjunction AND vector-threshold; either alone is not enough") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
