@@ -261,4 +261,43 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
     assert(out.toSeq == Seq((1L, 0L, "p q r s"), (2L, 0L, "t u v x")))
   }
+
+  test("delete+repair property: for random corpora and delete sets, repaired graph == rebuild over survivors") {
+    import graft.index.IncrementalKnn
+    import graft.search.Ann
+    // deterministic pseudo-random vectors (md5-derived components) —
+    // arbitrary geometry without Math.random; 3 trials x (corpus size,
+    // delete fraction) drawn from ScalaCheck generators
+    def vecs(n: Int, salt: Int): Seq[(Long, Seq[Float])] =
+      (0 until n).map { i =>
+        val h = MessageDigest.getInstance("MD5")
+          .digest(s"v$salt:$i".getBytes("UTF-8"))
+        (i.toLong, h.take(8).map(b => (b.toInt & 0xff) / 255.0f).toSeq)
+      }
+    val trials = samples(for {
+      n <- Gen.choose(40, 90)
+      delFrac <- Gen.choose(1, 4)
+      salt <- Gen.choose(0, 1000)
+    } yield (n, delFrac, salt), 3)
+    for (((n, delFrac, salt), t) <- trials.zipWithIndex) {
+      val emb = vecs(n, salt).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      val centroids = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-prop-rep$t").toString + "/g"
+      IncrementalKnn.init(emb.where(col("vec_id") % 2 === 0), centroids, root, 2, 3)
+      IncrementalKnn.append(emb.where(col("vec_id") % 2 === 1), root, 2, 3)
+      val dels = (0 until n).filter(_ % 7 < delFrac).map(_.toLong)
+      IncrementalKnn.delete(dels.toDF("vec_id"), root, tag = Some("d"))
+      IncrementalKnn.repair(spark, root, 2, 3, tag = Some("r"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+      val repaired = rows(IncrementalKnn.edges(spark, root, 3))
+      val rebuilt = rows(Ann.knnGraph(
+        emb.where(!col("vec_id").isin(dels: _*)), centroids, 2, 3))
+      assert(repaired == rebuilt && rebuilt.nonEmpty,
+        s"trial $t (n=$n delFrac=$delFrac salt=$salt): repaired != rebuilt")
+    }
+  }
 }
