@@ -4496,6 +4496,60 @@ object QueriesPipeline {
         WHERE rank <= 5 ORDER BY src, rank
       """)),
 
+    // Same-id point UPSERT against the live graph — the reference's
+    // Qdrant upsert overwrites a point in place. IncrementalKnn.upsert =
+    // a VERSIONED tombstone (horizon = segment count at write: earlier
+    // rows die, the re-insert's segment serves) + append under the SAME
+    // id; stale candidate pairs (scored against the old embedding) die
+    // at read and repair restores rebuild-with-current exactness. The
+    // oracle is the whole-corpus kNN SQL over the CURRENT vectors: every
+    // vec_id % 11 == 5 (with a +1 neighbor) carries its neighbor's
+    // embedding; centroids stay the ORIGINAL frozen anchors.
+    "a30_graph_upsert" -> Q(
+      (s, d) => {
+        val root = graft.index.IncrementalKnn.ensureUpserted(s, d, 3, 5)
+        graft.index.IncrementalKnn.edges(s, root, 5)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        cur AS (
+          SELECT e.vec_id,
+                 CASE WHEN e.vec_id % 11 = 5 AND n.vec_id IS NOT NULL
+                      THEN n.embedding ELSE e.embedding END AS embedding
+          FROM embeddings e
+          LEFT JOIN embeddings n ON n.vec_id = e.vec_id + 1),
+        assign AS (
+          SELECT vec_id, cid, embedding FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM cur e CROSS JOIN cent c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT src, qvec, cid FROM (
+            SELECT e.vec_id AS src, e.embedding::DOUBLE[] AS qvec, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM cur e CROSS JOIN cent c)
+          WHERE rn <= 3),
+        cand AS (
+          SELECT p.src, a.vec_id AS dst,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], p.qvec), 6) AS score
+          FROM probes p JOIN assign a ON p.cid = a.cid
+          WHERE a.vec_id <> p.src),
+        ranked AS (
+          SELECT src, dst, score,
+                 row_number() OVER (PARTITION BY src
+                   ORDER BY score DESC, dst ASC) AS rank
+          FROM cand)
+        SELECT src, dst, score, rank::INT AS rank FROM ranked
+        WHERE rank <= 5 ORDER BY src, rank
+      """)),
+
     // Semantic clusters = connected components over the kNN graph's
     // high-similarity edges (a18 ∘ d7): the graph-clustering composition
     // SemDeDup-style curation runs corpus-wide. Threshold 0.35 is

@@ -146,7 +146,8 @@ object IncrementalBm25 {
   private def filterTombs(spark: SparkSession, root: String, df: DataFrame,
                           idCol: String): DataFrame =
     SegmentStore.tombIds(spark, s"$root/tombs").fold(df)(t =>
-      df.join(broadcast(t.toDF(idCol)), Seq(idCol), "left_anti")
+      df.join(broadcast(t.select(col(t.columns.head).as(idCol))),
+          Seq(idCol), "left_anti")
         .select(df.columns.map(col).toSeq: _*))
 
   /** BM25 top-k across all committed segments, idf/length-norm applied at

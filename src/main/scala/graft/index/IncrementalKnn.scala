@@ -104,13 +104,6 @@ object IncrementalKnn {
   private def readCentroids(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/centroids")
 
-  private def readAssignAll(spark: SparkSession, root: String,
-                            upTo: Int): DataFrame =
-    SegmentStore.readSegments(spark, upTo)(assignDir(root, _))
-
-  private def readProbesAll(spark: SparkSession, root: String,
-                            upTo: Int): DataFrame =
-    SegmentStore.readSegments(spark, upTo)(probesDir(root, _))
 
   /** Top-`nprobe` centroid ids per vector — the same probe rule as
     * [[Ann.knnGraph]] (cosine desc, cid asc). Slim output (src, cid). */
@@ -208,12 +201,14 @@ object IncrementalKnn {
       .write.mode(SaveMode.Overwrite).parquet(probesDir(root, v))
 
     // tombstone-filtered candidate arms: a segment appended AFTER deletes
-    // must not generate candidates into deleted vectors — its stored
-    // per-src top-k would otherwise be born with unrepairable holes
-    // (repair only heals holes that exist when it runs). No-op on
+    // must not generate candidates into dead rows — its stored per-src
+    // top-k would otherwise be born with unrepairable holes (repair only
+    // heals holes that exist when it runs). Horizon-aware, so an
+    // upserted id participates through its CURRENT row only. No-op on
     // tombstone-free roots (the grown ≡ rebuilt pins are unaffected).
     val assignAll = filterTombs(spark, root,
-      readAssignAll(spark, root, v + 1), Seq("vec_id")) // old + this batch
+      readSegmentsTagged(spark, v + 1)(assignDir(root, _)), Seq("vec_id"))
+      .drop("__seg") // old + this batch
     val newSeg = spark.read.parquet(assignDir(root, v))
 
     // arm 1 — new src probes the entire assignment so far (covers pairs
@@ -235,11 +230,17 @@ object IncrementalKnn {
     // assigned lists gains the delta's vectors as candidates. Probes are
     // slim; the src embedding joins back from the prior assign segments.
     val oldProbes = filterTombs(spark, root,
-      readProbesAll(spark, root, v), Seq("src"))
+      readSegmentsTagged(spark, v)(probesDir(root, _)), Seq("src"))
+      .drop("__seg")
     val cand2 = oldProbes.join(newSeg.select(col("cid"), col("vec_id").as("dst"),
         col("embedding").as("dvec")), Seq("cid"))
       .select(col("src"), col("dst"), col("dvec"))
-    val oldAssign = readAssignAll(spark, root, v)
+    // horizon-filtered too: an upserted src must contribute its CURRENT
+    // embedding exactly once (the stale row would both mis-score and
+    // duplicate the pair)
+    val oldAssign = filterTombs(spark, root,
+      readSegmentsTagged(spark, v)(assignDir(root, _)), Seq("vec_id"))
+      .drop("__seg")
     val arm2 = cand2.join(oldAssign.select(col("vec_id").as("src"),
         col("embedding").as("svec")), Seq("src"))
       .select(col("src"), col("dst"),
@@ -261,32 +262,39 @@ object IncrementalKnn {
   def edges(spark: SparkSession, root: String, k: Int): DataFrame = {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
-    val base = SegmentStore.readSegments(spark, v)(edgesDir(root, _))
-    // repair segments refill post-delete rank holes (see [[repair]]).
-    // A repaired src's full top-k overlaps its stored candidate rows, so
-    // the union is deduped on (src, dst) — identical rows, max(score) is
-    // a formality. With repairs present, tombstones filter BEFORE the
-    // rank window (a stored deleted-dst row must not occupy a rank the
-    // repair refilled — every src where pre-filtering can matter is in
-    // the repaired set, whose full surviving top-k rows are present, so
-    // the window result equals the rebuild-without-deleted graph, ranks
+    val base = readSegmentsTagged(spark, v)(edgesDir(root, _))
+    // repair segments refill post-delete/post-upsert rank holes (see
+    // [[repair]]); their rows carry their OWN write horizon (`at_seg` —
+    // the index version the repair scored against), so a later upsert of
+    // an endpoint kills stale repair rows exactly like stale stored
+    // rows. The union is deduped on (src, dst) — after the horizon
+    // filter at most one version of a pair survives, max(score) is a
+    // formality. With repairs present, tombstones filter BEFORE the rank
+    // window (a stored dead row must not occupy a rank the repair
+    // refilled — every src where pre-filtering can matter is in the
+    // repaired set, whose full current top-k rows are present, so the
+    // window result equals the rebuild over current vectors, ranks
     // dense). Repair-free roots keep the documented filter-AFTER
     // semantics (visible holes — the a28 oracle) and their exact
     // pre-repair plans.
     val rv = SegmentStore.version(repairBase(root))
     val (all, preFiltered) =
       if (rv == 0) (base, false)
-      else (filterTombs(spark, root,
-          base.unionByName(
-            SegmentStore.readSegments(spark, rv)(repairDir(root, _)))
-            .groupBy(col("src"), col("dst")).agg(max(col("score")).as("score")),
-          Seq("src", "dst")), true)
+      else {
+        val rep = SegmentStore.readSegments(spark, rv)(repairDir(root, _))
+          .withColumnRenamed("at_seg", "__seg")
+        (filterTombs(spark, root, base.unionByName(rep), Seq("src", "dst"))
+          .groupBy(col("src"), col("dst")).agg(max(col("score")).as("score"))
+          .withColumn("__seg", lit(Long.MaxValue)), // survivors are current
+          true)
+      }
     val w = Window.partitionBy(col("src"))
       .orderBy(col("score").desc, col("dst").asc)
     val ranked = all.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
     (if (preFiltered) ranked
      else filterTombs(spark, root, ranked, Seq("src", "dst")))
+      .drop("__seg")
       .orderBy(col("src"), col("rank"))
   }
 
@@ -316,20 +324,50 @@ object IncrementalKnn {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
     if (SegmentStore.tombIds(spark, tombsBase(root)).isEmpty) return
-    // survivors serving fewer than k edges (incl. zero) are the holes
-    val served = edges(spark, root, k)
-      .groupBy(col("src")).agg(count(lit(1)).as("n"))
+    // detection from the DEAD ROWS themselves (counting served edges is
+    // unsound: a refill — the pre-filter read's stored extras, or an
+    // upsert's fresh pair — can restore the count while the true
+    // next-best candidate was never stored). A src needs repair when it
+    // owns a row some tombstone killed (dst side; horizon `before_seg`
+    // exceeds the row's segment) that no LATER repair has covered — a
+    // repair written at index version v_r (at_seg = v_r − 1) covers
+    // every horizon ≤ v_r, because it recomputed the src's full current
+    // candidate set at that point. Cost: the dead-row scan is one
+    // columnar pass, the repair set is bounded by the tombstone
+    // backlog's reverse degree — compaction resets both.
+    val tombs = SegmentStore.tombIds(spark, tombsBase(root)).get
+    val baseRows = readSegmentsTagged(spark, v)(edgesDir(root, _))
+    val rv0 = SegmentStore.version(repairBase(root))
+    val repRows =
+      if (rv0 == 0) None
+      else Some(SegmentStore.readSegments(spark, rv0)(repairDir(root, _))
+        .withColumnRenamed("at_seg", "__seg"))
+    val rows = repRows.fold(baseRows)(baseRows.unionByName(_))
+    val tt = broadcast(tombs.select(
+      col(tombs.columns.head).as("__dd"), col("before_seg")))
+    val need = rows
+      .join(tt, rows("dst") === tt("__dd") && rows("__seg") < tt("before_seg"))
+      .groupBy(col("src")).agg(max(col("before_seg")).as("needH"))
+    val covered = repRows.fold(need.withColumn("covH", lit(0L)))(r =>
+      need.join(r.groupBy(col("src"))
+          .agg((max(col("__seg")) + 1).as("covH")), Seq("src"), "left")
+        .na.fill(0L, Seq("covH")))
+    val repairSrcs = covered.where(col("covH") < col("needH")).select(col("src"))
     val holed = vectorsAll(spark, root)
       .select(col("vec_id").as("src"), col("embedding").as("svec"))
-      .join(served, Seq("src"), "left")
-      .where(coalesce(col("n"), lit(0L)) < k)
-      .select(col("src"), col("svec"))
-    // full surviving candidate set for exactly those srcs: stored probe
-    // lists ∩ tombstone-filtered assignment
+      .join(repairSrcs, Seq("src"), "left_semi")
+      .persist()
+    if (holed.isEmpty) { holed.unpersist(); return } // nothing to heal —
+    // no ledger version, no empty segment
+    // full CURRENT candidate set for exactly those srcs: stored probe
+    // lists ∩ horizon-filtered assignment (an upserted id participates
+    // through its current row only)
     val probes = filterTombs(spark, root,
-      readProbesAll(spark, root, v), Seq("src"))
+      readSegmentsTagged(spark, v)(probesDir(root, _)), Seq("src"))
+      .drop("__seg")
     val assignLive = filterTombs(spark, root,
-      readAssignAll(spark, root, v), Seq("vec_id"))
+      readSegmentsTagged(spark, v)(assignDir(root, _)), Seq("vec_id"))
+      .drop("__seg")
     val cand = holed.join(probes, Seq("src"))
       .join(assignLive.select(col("cid"), col("vec_id").as("dst"),
         col("embedding").as("dvec")), Seq("cid"))
@@ -337,7 +375,13 @@ object IncrementalKnn {
       .select(col("src"), col("dst"),
         round(VectorOps.cosineSim(col("svec"), col("dvec")), 6).as("score"))
     val rv = SegmentStore.version(rb)
-    writeEdges(topKPerSrc(cand, k), repairDir(root, rv))
+    // write horizon: these rows scored data current as of segment v-1 —
+    // a later upsert (tombstone horizon ≥ v) kills them like any stale
+    // stored row; earlier horizons spare them (they already used the
+    // current version)
+    writeEdges(topKPerSrc(cand, k)
+      .withColumn("at_seg", lit((v - 1).toLong)), repairDir(root, rv))
+    holed.unpersist()
     SegmentStore.publish(rb, rv + 1, tag)
   }
 
@@ -359,19 +403,63 @@ object IncrementalKnn {
     * Idempotent via `tag` like [[append]] (at-least-once deleters replay
     * safely). */
   def delete(ids: DataFrame, root: String, tag: Option[String] = None): Unit = {
-    require(version(root) > 0, s"knn graph at $root not initialized")
-    SegmentStore.tombWrite(ids, "vec_id", tombsBase(root), tag)
+    val v = version(root)
+    require(v > 0, s"knn graph at $root not initialized")
+    // horizon = the current segment count: every EXISTING row of the id
+    // dies, and a future re-insert of the same id (a new document, or
+    // [[upsert]]'s new version) serves from its own segment on — the
+    // Lucene delete-then-add semantics
+    SegmentStore.tombWrite(ids, "vec_id", tombsBase(root), tag,
+      beforeSeg = v.toLong)
   }
 
-  /** Exclude tombstoned ids from `df` on `cols` (broadcast anti-joins —
-    * the deleted set is bounded by compaction cadence, never
-    * corpus-sized). */
+  /** UPSERT — update points IN PLACE by id (the reference's Qdrant
+    * upsert overwrites a point; until now this family required
+    * delete + re-insert under a fresh id). Two steps under the caller's
+    * idempotence tag: a VERSIONED tombstone (`before_seg` = the current
+    * segment count — rows of earlier segments are dead, the re-insert's
+    * segment serves) followed by a plain [[append]] of the new vectors
+    * under the SAME ids. Stale candidate pairs (scored against the old
+    * embedding) die at read like delete-tombstoned ones — holes until
+    * [[repair]], which restores rebuild-with-current-vectors exactness
+    * (the a30 oracle states it in SQL). Append-arm coverage makes the
+    * current pairs complete: the new vectors probe everything (arm 1)
+    * and every prior src gains them as candidates (arm 2). */
+  def upsert(delta: DataFrame, root: String, nprobe: Int, k: Int,
+             tag: Option[String] = None): Unit = {
+    val v = version(root)
+    require(v > 0, s"knn graph at $root not initialized")
+    SegmentStore.tombWrite(delta.select(col("vec_id")), "vec_id",
+      tombsBase(root), tag.map(t => s"${t}_t"), beforeSeg = v.toLong)
+    if (!tag.exists(t => committedHasTag(root, t)))
+      append(delta, root, nprobe, k, tag)
+  }
+
+  /** Union of per-segment reads with each row tagged by its segment
+    * index (`__seg`) — the provenance the versioned tombstones cut
+    * against. */
+  private def readSegmentsTagged(spark: SparkSession, upTo: Int)
+                                (dir: Int => String): DataFrame =
+    (0 until upTo).map(kk =>
+      spark.read.parquet(dir(kk)).withColumn("__seg", lit(kk.toLong)))
+      .reduce(_ unionByName _)
+
+  /** Exclude dead rows from `df` on `cols` (broadcast anti-joins — the
+    * tombstone set is bounded by compaction cadence, never
+    * corpus-sized). A row is dead when its id is tombstoned AND the row's
+    * segment predates the tombstone's horizon (`__seg < before_seg`) —
+    * plain deletes carry horizon Long.MaxValue, so every version dies;
+    * an upsert's bounded horizon spares the re-inserted segment. `df`
+    * must carry `__seg` ([[readSegmentsTagged]]). */
   private def filterTombs(spark: SparkSession, root: String, df: DataFrame,
                           cols: Seq[String]): DataFrame =
     SegmentStore.tombIds(spark, tombsBase(root)).fold(df) { t =>
-      cols.foldLeft(df)((d, c) =>
-          d.join(broadcast(t.select(col("vec_id").as(c))), Seq(c), "left_anti"))
-        .select(df.columns.map(col).toSeq: _*) // USING joins front the key
+      cols.foldLeft(df) { (d, c) =>
+        val tt = broadcast(t.select(col(t.columns.head).as(s"__t_$c"),
+          col("before_seg").as(s"__b_$c")))
+        d.join(tt, d(c) === tt(s"__t_$c") && d("__seg") < tt(s"__b_$c"),
+          "left_anti")
+      }
     }
 
   /** Merged serving vectors (vec_id, embedding): union of the per-segment
@@ -383,7 +471,8 @@ object IncrementalKnn {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
     filterTombs(spark, root,
-      SegmentStore.readSegments(spark, v)(vecsDir(root, _)), Seq("vec_id"))
+      readSegmentsTagged(spark, v)(vecsDir(root, _)), Seq("vec_id"))
+      .drop("__seg")
   }
 
   /** Merged coarse entry layer (vec_id % [[CoarseMod]] == 0 subset) —
@@ -393,7 +482,8 @@ object IncrementalKnn {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
     filterTombs(spark, root,
-      SegmentStore.readSegments(spark, v)(coarseDir(root, _)), Seq("vec_id"))
+      readSegmentsTagged(spark, v)(coarseDir(root, _)), Seq("vec_id"))
+      .drop("__seg")
   }
 
   /** Fold all segments into a fresh single-segment root (read-merged
@@ -410,10 +500,14 @@ object IncrementalKnn {
     require(v > 0, s"knn graph at $root not initialized")
     readCentroids(spark, root).coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$newRoot/centroids")
-    filterTombs(spark, root, readAssignAll(spark, root, v), Seq("vec_id"))
+    filterTombs(spark, root,
+        readSegmentsTagged(spark, v)(assignDir(root, _)), Seq("vec_id"))
+      .drop("__seg")
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .partitionBy("cid").parquet(assignDir(newRoot, 0))
-    filterTombs(spark, root, readProbesAll(spark, root, v), Seq("src"))
+    filterTombs(spark, root,
+        readSegmentsTagged(spark, v)(probesDir(root, _)), Seq("src"))
+      .drop("__seg")
       .write.mode(SaveMode.Overwrite).parquet(probesDir(newRoot, 0))
     writeEdges(edges(spark, root, k) // tombstone-filtered read
       .select(col("src"), col("dst"), col("score")), edgesDir(newRoot, 0))
@@ -503,7 +597,36 @@ object IncrementalKnn {
         .select(col("vec_id")), p, tag = Some("demo_delete"))
     }
 
-  val RepairName = "knn_repair_v1"
+  // v2: repair segments carry their write horizon (`at_seg`) so upserts
+  // can kill stale repair rows
+  val RepairName = "knn_repair_v2"
+
+  val UpsertName = "knn_upsert_v1"
+
+  /** [[ensure]]'s grown graph with a same-id UPSERT applied and repaired —
+    * memoized for the `a30_graph_upsert` oracle: every vec_id % 11 == 5
+    * (that has a +1 neighbor) takes ITS NEIGHBOR'S embedding in place,
+    * then [[repair]] heals the stale-pair holes. The merged read must
+    * equal the whole-corpus kNN SQL over the CURRENT vectors (original
+    * frozen centroids — anchors are geometric, the upsert moves corpus
+    * rows, not anchors), ranks dense. */
+  def ensureUpserted(spark: SparkSession, dataDir: String,
+                     nprobe: Int = 3, k: Int = 5): String =
+    IndexCatalog.ensure(spark, dataDir, UpsertName) { p =>
+      val emb = Tables.embeddings(spark, dataDir)
+      val centroids = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      init(emb.where(col("vec_id") % 3 === 0), centroids, p, nprobe, k)
+      append(emb.where(col("vec_id") % 3 === 1), p, nprobe, k)
+      append(emb.where(col("vec_id") % 3 === 2), p, nprobe, k)
+      val updated = emb.as("a")
+        .join(emb.select(col("vec_id").as("nid"),
+          col("embedding").as("nemb")), col("a.vec_id") + 1 === col("nid"))
+        .where(pmod(col("a.vec_id"), lit(11)) === 5)
+        .select(col("a.vec_id").as("vec_id"), col("nemb").as("embedding"))
+      upsert(updated, p, nprobe, k, tag = Some("demo_upsert"))
+      repair(spark, p, nprobe, k, tag = Some("demo_upsert_repair"))
+    }
 
   /** [[ensureTombstoned]]'s graph with the holes REPAIRED — memoized for
     * the `a29_graph_repair` oracle: after [[repair]] the merged read

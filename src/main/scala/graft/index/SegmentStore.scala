@@ -240,27 +240,47 @@ object SegmentStore {
 
   /** Commit `ids` (single long id column) as a tombstone segment under
     * ledger `base`. Idempotent via `tag` (at-least-once deleters replay
-    * safely — a tag visible on any committed ledger version is skipped). */
+    * safely — a tag visible on any committed ledger version is skipped).
+    * Rows carry `before_seg` — the index-segment horizon the tombstone
+    * applies to: rows of segments `< before_seg` are dead, later
+    * segments (a re-insert of the SAME id) serve normally. A plain
+    * delete uses Long.MaxValue (all versions dead); an UPSERT passes the
+    * index version at write time, which is what makes same-id point
+    * updates possible ([[graft.index.IncrementalKnn.upsert]]). */
   def tombWrite(ids: org.apache.spark.sql.DataFrame, idCol: String,
-                base: String, tag: Option[String]): Unit = {
+                base: String, tag: Option[String],
+                beforeSeg: Long = Long.MaxValue): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
     val cb = tombCommitBase(base)
     if (tag.exists(t => (1 to version(cb)).exists(v => hasTag(cb, v, t))))
       return
     val tv = version(cb)
-    ids.select(org.apache.spark.sql.functions.col(idCol)
-        .cast("long").as(idCol)).distinct()
+    ids.select(col(idCol).cast("long").as(idCol)).distinct()
+      .withColumn("before_seg", lit(beforeSeg))
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(tombSegDir(base, tv))
     publish(cb, tv + 1, tag)
   }
 
-  /** All committed tombstoned ids under ledger `base`, or None when the
-    * ledger is empty — callers skip the anti-join entirely then, keeping
-    * tombstone-free plans exactly as they were. */
+  /** All committed tombstones under ledger `base` as (id, before_seg) —
+    * per id the MAX horizon wins (a later full delete supersedes an
+    * upsert's bounded one) — or None when the ledger is empty: callers
+    * skip the anti-join entirely then, keeping tombstone-free plans
+    * exactly as they were. Ledgers written before the horizon column
+    * existed read as full deletes. */
   def tombIds(spark: SparkSession, base: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit, max}
     val tv = version(tombCommitBase(base))
     if (tv == 0) None
-    else Some(readSegments(spark, tv)(tombSegDir(base, _)).distinct())
+    else {
+      val raw = readSegments(spark, tv)(tombSegDir(base, _))
+      val withSeg =
+        if (raw.columns.contains("before_seg")) raw
+        else raw.withColumn("before_seg", lit(Long.MaxValue))
+      val idCol = withSeg.columns.head
+      Some(withSeg.groupBy(col(idCol))
+        .agg(max(col("before_seg")).as("before_seg")))
+    }
   }
 
   /** Reclaim a RETIRED index root — the storage-lifecycle half of

@@ -469,15 +469,16 @@ object DeltaStream {
     * loop, so deletes can never race a concurrent compaction swap.
     * Deletes and inserts carry separate idempotence tags, so an
     * at-least-once redelivery replays both halves as no-ops.
-    * With `repairAfterDelete` (the default), every delete-carrying
-    * trigger ends with [[graft.index.IncrementalKnn.repair]] — the
-    * delta-cost neighbor healing — so the served graph NEVER degrades:
-    * after each trigger it equals a rebuild over the survivors (the a29
-    * exactness argument), without any rebuild ever running.
-    * UPDATE contract: an id, once tombstoned, stays filtered until the
-    * next compaction — model updates as delete(old id) + insert under a
-    * FRESH id (the store's versioned upsert already mints one per doc
-    * version), exactly the Lucene delete+re-add discipline. */
+    * With `repairAfterDelete` (the default), every delete- or
+    * update-carrying trigger runs [[graft.index.IncrementalKnn.repair]]
+    * — the delta-cost neighbor healing — BEFORE the insert half, so the
+    * served graph NEVER degrades: after each trigger it equals a rebuild
+    * over the current rows (the a29/a30 exactness arguments), without
+    * any rebuild ever running.
+    * UPDATES (`op = U`) apply IN PLACE under the same id
+    * ([[graft.index.IncrementalKnn.upsert]] — versioned tombstone +
+    * same-id re-embed+append): the old version leaves every read this
+    * trigger, the new text serves from this trigger on. */
   def textGraphCdcIngest(changes: DataFrame, dataDir: String,
                          graphRoot: String, checkpoint: String,
                          nprobe: Int, k: Int,
@@ -486,30 +487,41 @@ object DeltaStream {
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.index.{IncrementalKnn, SegmentStore}
+        import graft.index.{IncrementalKnn, SegmentStore, TfIdfGraphIndex}
         val spark = batch.sparkSession
         val ptr = s"$graphRoot.current"
-        val delTag = s"del_$batchId"
-        val root = SegmentStore.recoverRoot(ptr, graphRoot, s"batch_$batchId")(
+        val tag = s"batch_$batchId"
+        val root = SegmentStore.recoverRoot(ptr, graphRoot, tag)(
           IncrementalKnn.version, IncrementalKnn.committedHasTag)
         val dels = batch.where(col("op") === "D")
           .select(col("doc_id").cast("long").as("vec_id"))
-        if (!dels.isEmpty) {
-          IncrementalKnn.delete(dels, root, Some(delTag))
-          // heal BEFORE the insert half: if the insert triggers a
-          // compaction, the fold must see the REPAIRED edges — compacting
-          // a holed graph would bake the degraded top-k in and clear the
-          // tombstones the repair needs (holes only ever come from
-          // deletes, so repairing here is complete for this trigger)
-          if (repairAfterDelete)
-            IncrementalKnn.repair(spark, root, nprobe, k, Some(s"rep_$batchId"))
-        }
+        val hadDels = !dels.isEmpty
+        if (hadDels) IncrementalKnn.delete(dels, root, Some(s"del_$batchId"))
+        val ups = batch.where(col("op") === "U")
+          .select(col("doc_id"), col("text"))
+        val hadUps = !ups.isEmpty
+        if (hadUps) IncrementalKnn.upsert(
+          TfIdfGraphIndex.embedDocsDense(spark, dataDir, ups),
+          root, nprobe, k, Some(s"ups_$batchId"))
+        // heal BEFORE the insert half: if the insert triggers a
+        // compaction, the fold must see the REPAIRED edges — compacting
+        // a holed graph would bake the degraded top-k in and clear the
+        // tombstones the repair needs (holes only ever come from deletes
+        // and upserts, both already applied for this trigger)
+        if ((hadDels || hadUps) && repairAfterDelete)
+          IncrementalKnn.repair(spark, root, nprobe, k, Some(s"rep_$batchId"))
         val ins = batch.where(col("op") === "I")
           .select(col("doc_id"), col("text"))
-        if (!ins.isEmpty) {
-          val dense = graft.index.TfIdfGraphIndex
-            .embedDocsDense(spark, dataDir, ins)
-          graphMaintainBatch(dense, graphRoot, batchId, nprobe, k, maxSegments)
+        if (!ins.isEmpty && !IncrementalKnn.committedHasTag(root, tag))
+          IncrementalKnn.append(
+            TfIdfGraphIndex.embedDocsDense(spark, dataDir, ins),
+            root, nprobe, k, tag = Some(tag))
+        val newRoot = IncrementalKnn.compactIfNeeded(
+          spark, root, k, maxSegments, tag = Some(tag))
+        if (newRoot != root) {
+          SegmentStore.setPointer(ptr, newRoot)
+          SegmentStore.retire(root)
+          ()
         }
       }
       .outputMode(OutputMode.Update())

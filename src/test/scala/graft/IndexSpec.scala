@@ -769,6 +769,52 @@ class IndexSpec extends SparkSpec {
     assert(rows(IncrementalKnn.edges(spark, compacted, 5)) == repaired)
   }
 
+  test("incremental knn upsert: same-id in-place update + repair == rebuild with current vectors; reads serve the new version") {
+    import graft.index.IncrementalKnn
+    import graft.search.Ann
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val root = Files.createTempDirectory("graft-knn-ups").toString + "/g"
+    IncrementalKnn.init(emb.where(col("vec_id") % 2 === 0), centroids, root, 3, 5)
+    IncrementalKnn.append(emb.where(col("vec_id") % 2 === 1), root, 3, 5)
+
+    // update ids 5 and 20 IN PLACE to their +1 neighbor's embedding
+    val updated = emb.where(col("vec_id").isin(6L, 21L))
+      .select((col("vec_id") - 1).as("vec_id"), col("embedding"))
+    IncrementalKnn.upsert(updated, root, 3, 5, tag = Some("u1"))
+    IncrementalKnn.repair(spark, root, 3, 5, tag = Some("ur1"))
+
+    // vectorsAll serves exactly ONE row per id, with the NEW embedding
+    val vecs = IncrementalKnn.vectorsAll(spark, root)
+    assert(vecs.count() == emb.count())
+    val got5 = vecs.where(col("vec_id") === 5L)
+      .collect().map(_.getSeq[Float](1))
+    val want5 = emb.where(col("vec_id") === 6L)
+      .collect().map(_.getSeq[Float](1))
+    assert(got5.length == 1 && got5.head == want5.head)
+
+    // merged graph == rebuild over CURRENT vectors (frozen centroids)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val current = emb.select(col("vec_id"), col("embedding"))
+      .where(!col("vec_id").isin(5L, 20L)).unionByName(updated)
+    val served = rows(IncrementalKnn.edges(spark, root, 5))
+    val rebuilt = rows(Ann.knnGraph(current, centroids, 3, 5))
+    assert(served == rebuilt && rebuilt.nonEmpty)
+
+    // redelivery of the same upsert tag is a no-op
+    IncrementalKnn.upsert(updated, root, 3, 5, tag = Some("u1"))
+    assert(rows(IncrementalKnn.edges(spark, root, 5)) == served)
+
+    // compaction folds the current state; ledger cleared, rebuild-exact
+    val compacted = Files.createTempDirectory("graft-knn-ups-cp").toString + "/g"
+    IncrementalKnn.compact(spark, root, compacted, 5)
+    assert(rows(IncrementalKnn.edges(spark, compacted, 5)) == served)
+    assert(IncrementalKnn.vectorsAll(spark, compacted).count() == emb.count())
+  }
+
   test("incremental knn retrain: fresh kmeans centroids, rebuilt graph == knnGraph over live vectors") {
     import graft.index.IncrementalKnn
     import graft.search.Ann

@@ -686,6 +686,9 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(("D", 7L, ""), ("I", 1702L, "vector index probe walk"))
       q.processAllAvailable()
+      // trigger 3: IN-PLACE update of a corpus doc (same id, new text)
+      input.addData(("U", 11L, "spark join shuffle partition"))
+      q.processAllAvailable()
     } finally q.stop()
 
     // the deleted corpus doc is out of every serving frame; the inserted
@@ -697,19 +700,29 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     assert(!edges.exists(e => e._1 == 7L || e._2 == 7L))
 
-    // the default CDC loop is SELF-HEALING (repairAfterDelete): after the
-    // delete trigger the served graph equals a rebuild over the
-    // survivors — dense ranks, no holes, and no rebuild ever ran. The
-    // insert that shared the trigger appended through the tombstone-
-    // filtered candidate arms, so even the post-delete insert (1702) is
-    // born exact.
-    val survivors = corpus.where(col("doc_id") =!= 7L).unionByName(Seq(
+    // the default CDC loop is SELF-HEALING (repairAfterDelete): after
+    // every delete/update-carrying trigger the served graph equals a
+    // rebuild over the CURRENT rows — dense ranks, no holes, and no
+    // rebuild ever ran. The insert that shared the delete trigger
+    // appended through the tombstone-filtered candidate arms (1702 born
+    // exact), and the op=U trigger replaced doc 11's text IN PLACE
+    // (same id — the old version left every read that trigger).
+    val current = corpus.where(!col("doc_id").isin(7L, 11L)).unionByName(Seq(
+      (11L, "spark join shuffle partition"),
       (1700L, "merge stream window data"), (1701L, "filter join aggregate scan"),
       (1702L, "vector index probe walk")).toDF("doc_id", "text"))
     val rebuilt = Ann.knnGraph(
-        TfIdfGraphIndex.embedDocsDense(spark, Sf0001, survivors), centroids, 3, 5)
+        TfIdfGraphIndex.embedDocsDense(spark, Sf0001, current), centroids, 3, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     assert(edges.toSeq == rebuilt.toSeq && rebuilt.nonEmpty)
+
+    // the updated doc serves its NEW embedding (same id, new text)
+    val got11 = IncrementalKnn.vectorsAll(spark, root)
+      .where(col("vec_id") === 11L).collect().map(_.getSeq[Float](1))
+    val want11 = TfIdfGraphIndex.embedDocsDense(spark, Sf0001,
+        Seq((11L, "spark join shuffle partition")).toDF("doc_id", "text"))
+      .collect().map(_.getSeq[Float](1))
+    assert(got11.length == 1 && got11.head == want11.head)
   }
 
   test("knnIngest seek layout: graphTopKSeek == one-plan walk with pushed In(src) on a grown AND a compacted graph") {
