@@ -139,16 +139,52 @@ object IncrementalBm25 {
     * via `tag`. */
   def delete(ids: DataFrame, idCol: String, root: String,
              tag: Option[String] = None): Unit = {
-    require(version(root) > 0, s"index at $root not initialized")
-    SegmentStore.tombWrite(ids, idCol, s"$root/tombs", tag)
+    val v = version(root)
+    require(v > 0, s"index at $root not initialized")
+    // horizon = current segment count: existing postings die, a later
+    // re-insert of the same id serves (Lucene delete-then-add)
+    SegmentStore.tombWrite(ids, idCol, s"$root/tombs", tag,
+      beforeSeg = v.toLong)
   }
 
+  /** UPSERT — update a document IN PLACE by id: Lucene's update IS
+    * delete + add, and this is exactly that under one idempotence tag —
+    * a versioned tombstone (old postings die at their horizon) plus a
+    * same-id [[append]] (the new text serves from its own segment).
+    * Stats semantics follow the delete contract one step further: until
+    * [[compact]] recomputes from survivors, df/n_docs/avgdl count BOTH
+    * versions (the append merged the new version's increments in, the
+    * old version's were never subtracted) — the s3f oracle states that
+    * double-counted interim exactly, and compaction is the merge moment
+    * where the stats catch up. */
+  def upsert(delta: DataFrame, idCol: String, textCol: String, root: String,
+             numFiles: Int = 8, tag: Option[String] = None): Unit = {
+    val v = version(root)
+    require(v > 0, s"index at $root not initialized")
+    SegmentStore.tombWrite(delta.select(col(idCol)), idCol,
+      s"$root/tombs", tag.map(t => s"${t}_t"), beforeSeg = v.toLong)
+    if (!tag.exists(t => committedHasTag(root, t)))
+      append(delta, idCol, textCol, root, numFiles, tag)
+  }
+
+  /** Union of committed postings segments with per-row segment
+    * provenance (`__seg`) — the horizon the versioned tombstones cut
+    * against. */
+  private def readSegsTagged(spark: SparkSession, root: String,
+                             v: Int): DataFrame =
+    (0 until v).map(k => spark.read.parquet(segDir(root, k))
+        .withColumn("__seg", lit(k.toLong)))
+      .reduce(_ unionByName _)
+
+  /** Exclude dead postings: id tombstoned AND the row's segment predates
+    * the tombstone's horizon. `df` must carry `__seg`. */
   private def filterTombs(spark: SparkSession, root: String, df: DataFrame,
                           idCol: String): DataFrame =
     SegmentStore.tombIds(spark, s"$root/tombs").fold(df)(t =>
-      df.join(broadcast(t.select(col(t.columns.head).as(idCol))),
-          Seq(idCol), "left_anti")
-        .select(df.columns.map(col).toSeq: _*))
+      df.join(broadcast(t.select(col(t.columns.head).as("__dd"),
+          col("before_seg"))),
+        df(idCol) === col("__dd") && df("__seg") < col("before_seg"),
+        "left_anti"))
 
   /** BM25 top-k across all committed segments, idf/length-norm applied at
     * query time from the merged stats — hash-exact the full-rebuild
@@ -158,16 +194,16 @@ object IncrementalBm25 {
            terms: Seq[String], k: Int): DataFrame = {
     val v = version(root)
     require(v > 0, s"index at $root not initialized")
-    val segs = (0 until v).map(segDir(root, _))
     val stats = spark.read.parquet(s"${statsDir(root, v)}/corpus")
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     val dfreq = spark.read.parquet(s"${statsDir(root, v)}/termstats")
       .where(col("term").isin(terms: _*)) // |terms| rows
     filterTombs(spark, root,
-        spark.read.parquet(segs: _*)
+        readSegsTagged(spark, root, v)
           .where(col("term").isin(terms: _*)), // pushed: In(term, ...) + bloom
         idCol)
+      .drop("__seg")
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -212,10 +248,9 @@ object IncrementalBm25 {
               tag: Option[String] = None): Unit = {
     val v = version(root)
     require(v > 0, s"index at $root not initialized")
-    val segs = (0 until v).map(segDir(root, _))
     val tombs = SegmentStore.tombIds(spark, s"$root/tombs")
     val survivors = filterTombs(spark, root,
-      spark.read.parquet(segs: _*), idCol)
+      readSegsTagged(spark, root, v), idCol).drop("__seg")
     Store.optimizeLayout(survivors,
       segDir(newRoot, 0), Seq("term", idCol), numFiles,
       bloomCols = Seq("term"))
@@ -267,6 +302,26 @@ object IncrementalBm25 {
       val all = graft.tables.Tables.documents(spark, dataDir)
       init(all.where(col("doc_id") % 2 === 0), "doc_id", "text", p)
       append(all.where(col("doc_id") % 2 === 1), "doc_id", "text", p)
+    }
+
+  val UpsertName = "bm25_upsert_v1"
+
+  /** [[ensure]]'s grown index with a same-id document UPSERT applied —
+    * memoized for the `s3f_bm25_upsert` oracle: every doc_id % 11 == 5
+    * (with a +1 neighbor) takes its neighbor's TEXT in place. Serving
+    * reads score the CURRENT texts under the documented interim stats
+    * (both versions counted until compaction). */
+  def ensureUpserted(spark: SparkSession, dataDir: String): String =
+    IndexCatalog.ensure(spark, dataDir, UpsertName) { p =>
+      val all = graft.tables.Tables.documents(spark, dataDir)
+      init(all.where(col("doc_id") % 2 === 0), "doc_id", "text", p)
+      append(all.where(col("doc_id") % 2 === 1), "doc_id", "text", p)
+      val updated = all.as("a")
+        .join(all.select(col("doc_id").as("nid"), col("text").as("ntext")),
+          col("a.doc_id") + 1 === col("nid"))
+        .where(pmod(col("a.doc_id"), lit(11)) === 5)
+        .select(col("a.doc_id").as("doc_id"), col("ntext").as("text"))
+      upsert(updated, "doc_id", "text", p, tag = Some("demo_upsert"))
     }
 
   val TombName = "bm25_tomb_v1"

@@ -117,12 +117,34 @@ object IncrementalIvf {
     * .delete]], but here exclusion IS full rebuild semantics: IVF
     * assignment is per-vector independent (frozen centroids), so the
     * filtered read equals an index rebuilt without the deleted vectors —
-    * no staleness caveat at all. [[compact]]/[[retrain]] read through
-    * the filter, so they physically reclaim the rows and their fresh
-    * roots start with a clear ledger. Idempotent via `tag`. */
+    * no staleness caveat at all. The tombstone carries a HORIZON (the
+    * current segment count), so a later re-insert of the same id — a new
+    * document, or [[upsert]]'s new version — serves from its own segment
+    * (Lucene delete-then-add). [[compact]]/[[retrain]] read through the
+    * filter, so they physically reclaim the rows and their fresh roots
+    * start with a clear ledger. Idempotent via `tag`. */
   def delete(ids: DataFrame, root: String, tag: Option[String] = None): Unit = {
-    require(version(root) > 0, s"index at $root not initialized")
-    SegmentStore.tombWrite(ids, "vec_id", s"$root/tombs", tag)
+    val v = version(root)
+    require(v > 0, s"index at $root not initialized")
+    SegmentStore.tombWrite(ids, "vec_id", s"$root/tombs", tag,
+      beforeSeg = v.toLong)
+  }
+
+  /** UPSERT — update vectors IN PLACE by id (Qdrant's point overwrite):
+    * a versioned tombstone kills the old rows at their horizon, the
+    * same-id append serves the new version from its own segment on. For
+    * IVF this is EXACT from the same call — assignment is per-vector
+    * independent, so the filtered read equals a rebuild with the current
+    * vectors (no stale candidate pairs exist to repair; `a17c` states it
+    * in SQL). Idempotent via `tag`. */
+  def upsert(delta: DataFrame, root: String,
+             tag: Option[String] = None): Unit = {
+    val v = version(root)
+    require(v > 0, s"index at $root not initialized")
+    SegmentStore.tombWrite(delta.select(col("vec_id")), "vec_id",
+      s"$root/tombs", tag.map(t => s"${t}_t"), beforeSeg = v.toLong)
+    if (!tag.exists(t => committedHasTag(root, t)))
+      append(delta, root, tag)
   }
 
   def readAssigned(spark: SparkSession, root: String): DataFrame = {
@@ -130,15 +152,19 @@ object IncrementalIvf {
     require(v > 0, s"index at $root not initialized")
     // one read per segment root (each is its own cid-partitioned table —
     // a single multi-path read would refuse to infer the partitioning),
-    // unioned: the cid probe predicate pushes into EVERY arm's partition
-    // filters, so each segment still prunes to its probed list dirs
+    // unioned with per-row segment provenance: the cid probe predicate
+    // pushes into EVERY arm's partition filters, so each segment still
+    // prunes to its probed list dirs
     val all = (0 until v).map { k =>
       spark.read.option("basePath", segDir(root, k)).schema(segSchema)
-        .parquet(segDir(root, k))
+        .parquet(segDir(root, k)).withColumn("__seg", lit(k.toLong))
     }.reduce(_ unionByName _)
     SegmentStore.tombIds(spark, s"$root/tombs").fold(all)(t =>
-      all.join(broadcast(t), Seq("vec_id"), "left_anti")
-        .select(all.columns.map(col).toSeq: _*))
+        all.join(broadcast(t.select(col(t.columns.head).as("__dd"),
+            col("before_seg"))),
+          all("vec_id") === col("__dd") && all("__seg") < col("before_seg"),
+          "left_anti"))
+      .drop("__seg")
   }
 
   /** IVF top-k across all committed segments — the same
@@ -246,6 +272,28 @@ object IncrementalIvf {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       init(emb.where(col("vec_id") % 2 === 0), centroids, p)
       append(emb.where(col("vec_id") % 2 === 1), p)
+    }
+
+  val UpsertName = "ivf_upsert_v1"
+
+  /** [[ensure]]'s grown index with a same-id UPSERT applied — memoized
+    * for the `a17c_ivf_upsert` oracle: every vec_id % 11 == 5 (with a +1
+    * neighbor) takes its neighbor's embedding in place; the filtered
+    * read must equal a17's IVF SQL over the CURRENT vectors (frozen
+    * original centroids). */
+  def ensureUpserted(spark: SparkSession, dataDir: String): String =
+    IndexCatalog.ensure(spark, dataDir, UpsertName) { p =>
+      val emb = Tables.embeddings(spark, dataDir)
+      val centroids = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      init(emb.where(col("vec_id") % 2 === 0), centroids, p)
+      append(emb.where(col("vec_id") % 2 === 1), p)
+      val updated = emb.as("a")
+        .join(emb.select(col("vec_id").as("nid"),
+          col("embedding").as("nemb")), col("a.vec_id") + 1 === col("nid"))
+        .where(pmod(col("a.vec_id"), lit(11)) === 5)
+        .select(col("a.vec_id").as("vec_id"), col("nemb").as("embedding"))
+      upsert(updated, p, tag = Some("demo_upsert"))
     }
 
   val TombName = "ivf_tomb_v1"

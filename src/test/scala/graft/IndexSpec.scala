@@ -769,6 +769,73 @@ class IndexSpec extends SparkSpec {
     assert(rows(IncrementalKnn.edges(spark, compacted, 5)) == repaired)
   }
 
+  test("incremental ivf upsert: in-place update is exact immediately; delete-then-re-add revives the id") {
+    import graft.index.IncrementalIvf
+    import graft.search.Ann
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val root = Files.createTempDirectory("graft-ivf-ups").toString + "/i"
+    IncrementalIvf.init(emb.where(col("vec_id") % 2 === 0), centroids, root)
+    IncrementalIvf.append(emb.where(col("vec_id") % 2 === 1), root)
+
+    // in-place: id 5 takes id 6's embedding
+    val updated = emb.where(col("vec_id") === 6L)
+      .select(lit(5L).as("vec_id"), col("embedding"))
+    IncrementalIvf.upsert(updated, root, tag = Some("u1"))
+    val qv = emb.where(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val current = emb.select(col("vec_id"), col("embedding"))
+      .where(col("vec_id") =!= 5L).unionByName(updated)
+    assert(hits(IncrementalIvf.topK(spark, root, qv, 3, 10)) ==
+      hits(Ann.ivfTopKAssigned(Ann.ivfAssign(current, centroids),
+        centroids, qv, 3, 10)))
+
+    // delete then re-add revives (Lucene delete-then-add)
+    IncrementalIvf.delete(Seq(9L).toDF("vec_id"), root, tag = Some("d1"))
+    assert(IncrementalIvf.readAssigned(spark, root)
+      .where(col("vec_id") === 9L).count() == 0)
+    IncrementalIvf.append(emb.where(col("vec_id") === 9L)
+      .select(col("vec_id"), col("embedding"), col("label")), root,
+      tag = Some("a9"))
+    assert(IncrementalIvf.readAssigned(spark, root)
+      .where(col("vec_id") === 9L).count() == 1)
+  }
+
+  test("incremental bm25 upsert: new text serves immediately, old gone; compact catches the stats up to a fresh build over current") {
+    import graft.index.IncrementalBm25
+    import spark.implicits._
+    val all = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-bm25-ups").toString + "/i"
+    IncrementalBm25.init(all.where(col("doc_id") % 2 === 0), "doc_id", "text", root)
+    IncrementalBm25.append(all.where(col("doc_id") % 2 === 1), "doc_id", "text", root)
+
+    // replace doc 3's text with a unique marker token
+    val updated = Seq((3L, "zzzuniquemarker zzzuniquemarker"))
+      .toDF("doc_id", "text")
+    IncrementalBm25.upsert(updated, "doc_id", "text", root, tag = Some("u1"))
+    def hits(r: String, terms: Seq[String]) = IncrementalBm25
+      .topK(spark, r, "doc_id", terms, 500)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    // the new text is searchable under the SAME id, and no query can
+    // return the OLD version (its postings are dead): the only doc-3
+    // rows any term search sees are the marker's
+    assert(hits(root, Seq("zzzuniquemarker")).map(_._1) == Seq(3L))
+    assert(!hits(root, Seq("data", "query")).exists(_._1 == 3L))
+
+    // compaction recomputes the stats from survivors: scores equal a
+    // FRESH index over the current texts
+    val compacted = Files.createTempDirectory("graft-bm25-ups-cp").toString + "/i"
+    IncrementalBm25.compact(spark, root, compacted, "doc_id")
+    val fresh = Files.createTempDirectory("graft-bm25-ups-fr").toString + "/i"
+    IncrementalBm25.init(
+      all.where(col("doc_id") =!= 3L).unionByName(updated), "doc_id", "text", fresh)
+    assert(hits(compacted, Seq("data", "query")) == hits(fresh, Seq("data", "query")))
+    assert(hits(compacted, Seq("zzzuniquemarker")).map(_._1) == Seq(3L))
+  }
+
   test("incremental knn upsert: same-id in-place update + repair == rebuild with current vectors; reads serve the new version") {
     import graft.index.IncrementalKnn
     import graft.search.Ann
