@@ -252,6 +252,11 @@ object DeltaStream {
           .select(col(idCol).cast("long").as(idCol))
         if (!dels.isEmpty && IncrementalBm25.version(root) > 0)
           IncrementalBm25.delete(dels, idCol, root, Some(s"del_$batchId"))
+        val ups = batch.where(col("op") === "U")
+          .select(col(idCol), col(textCol))
+        if (!ups.isEmpty && IncrementalBm25.version(root) > 0)
+          IncrementalBm25.upsert(ups, idCol, textCol, root,
+            numFiles = 1, tag = Some(s"ups_$batchId"))
         val ins = batch.where(col("op") === "I")
           .select(col(idCol), col(textCol))
         if (!ins.isEmpty && !IncrementalBm25.committedHasTag(root, tag)) {
@@ -293,6 +298,10 @@ object DeltaStream {
           .select(col("vec_id").cast("long").as("vec_id"))
         if (!dels.isEmpty && IncrementalIvf.version(root) > 0)
           IncrementalIvf.delete(dels, root, Some(s"del_$batchId"))
+        val ups = batch.where(col("op") === "U")
+          .select(col("vec_id"), col("embedding"))
+        if (!ups.isEmpty && IncrementalIvf.version(root) > 0)
+          IncrementalIvf.upsert(ups, root, Some(s"ups_$batchId"))
         val ins = batch.where(col("op") === "I")
           .select(col("vec_id"), col("embedding"))
         if (!ins.isEmpty && !IncrementalIvf.committedHasTag(root, tag)) {

@@ -150,14 +150,19 @@ class StreamingSpec extends SparkSpec {
       // trigger 2: delete two docs + append the other half
       input.addData(Seq(("D", 2L, ""), ("D", 4L, "")) ++ half2.toSeq: _*)
       q.processAllAvailable()
+      // trigger 3: in-place UPDATE of doc 6's text (op = U, same id)
+      input.addData(("U", 6L, "zzcdcmarker zzcdcmarker"))
+      q.processAllAvailable()
     } finally q.stop()
 
-    def hits(r: String) = IncrementalBm25
-      .topK(spark, r, "doc_id", Seq("data", "query"), 500)
-      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    def hits(r: String, terms: Seq[String] = Seq("data", "query")) =
+      IncrementalBm25.topK(spark, r, "doc_id", terms, 500)
+        .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
     val streamed = hits(root)
     assert(!streamed.exists(h => h._1 == 2L || h._1 == 4L))
-    // twin root built directly with the same partitions + delete set
+    assert(!streamed.exists(_._1 == 6L)) // old text gone
+    assert(hits(root, Seq("zzcdcmarker")).map(_._1) == Seq(6L)) // new serves
+    // twin root built directly with the same partitions + delete/upsert set
     val twin = java.nio.file.Files
       .createTempDirectory("graft-bmcdc-tw").toString + "/i"
     IncrementalBm25.init(all.where(col("doc_id") % 2 === 0), "doc_id", "text",
@@ -165,6 +170,8 @@ class StreamingSpec extends SparkSpec {
     IncrementalBm25.delete(Seq(2L, 4L).toDF("doc_id"), "doc_id", twin)
     IncrementalBm25.append(all.where(col("doc_id") % 2 === 1), "doc_id", "text",
       twin, numFiles = 1)
+    IncrementalBm25.upsert(Seq((6L, "zzcdcmarker zzcdcmarker"))
+      .toDF("doc_id", "text"), "doc_id", "text", twin, numFiles = 1)
     assert(streamed == hits(twin) && streamed.nonEmpty)
   }
 
@@ -189,10 +196,15 @@ class StreamingSpec extends SparkSpec {
         .select(col("op"), col("vec_id"),
           col("embedding").cast("array<float>").as("embedding")),
       root, ckpt)
+    val v10new = emb.where(col("vec_id") === 12L)
+      .collect().head.getSeq[Float](1)
     try {
       input.addData(rest.take(100).toSeq); q.processAllAvailable()
       input.addData(Seq(("D", 6L, Seq.empty[Float]),
         ("D", 8L, Seq.empty[Float])) ++ rest.drop(100).toSeq: _*)
+      q.processAllAvailable()
+      // trigger 3: in-place UPDATE of id 10 to id 12's embedding
+      input.addData(("U", 10L, v10new))
       q.processAllAvailable()
     } finally q.stop()
 
@@ -200,10 +212,14 @@ class StreamingSpec extends SparkSpec {
     def hits(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
     val served = hits(IncrementalIvf.topK(spark, root, qv, 3, 10))
-    // IVF exclusion IS rebuild semantics: == brute IVF over survivors
+    // IVF exclusion IS rebuild semantics: == brute IVF over the CURRENT
+    // rows (deletes out, id 10 carrying its new embedding)
+    val current = emb.select(col("vec_id"), col("embedding"))
+      .where(!col("vec_id").isin(6L, 8L, 10L))
+      .unionByName(Seq((10L, v10new)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")))
     val rebuilt = hits(Ann.ivfTopKAssigned(
-      Ann.ivfAssign(emb.where(!col("vec_id").isin(6L, 8L)), centroids),
-      centroids, qv, 3, 10))
+      Ann.ivfAssign(current, centroids), centroids, qv, 3, 10))
     assert(served == rebuilt && !served.exists(h => h._1 == 6L || h._1 == 8L))
   }
 
