@@ -82,9 +82,9 @@ object IncrementalIvf {
   }
 
   /** Append a delta of new vectors as the next segment, assigned against
-    * the frozen centroids. Vec ids must be new (append-only; replacing a
-    * vector is [[delete]] + append under a fresh id, reclaimed at
-    * [[compact]]). */
+    * the frozen centroids. Vec ids must be unseen-or-tombstoned
+    * (replacing a LIVE vector in place is [[upsert]]; dead rows reclaim
+    * at [[compact]]). */
   def append(delta: DataFrame, root: String,
              tag: Option[String] = None): Unit = {
     val v = version(root)

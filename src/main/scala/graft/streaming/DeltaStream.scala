@@ -234,8 +234,9 @@ object DeltaStream {
     * (op, doc_id, text) changelog rows applies DELETES first
     * ([[graft.index.IncrementalBm25.delete]] tombstones — the doc leaves
     * every `topK` this trigger, stats stale until compaction per the
-    * Lucene contract) and INSERTS second, inside the one single-writer
-    * loop. Updates = delete + insert under a fresh version id. */
+    * Lucene contract), op=U UPSERTS in place
+    * ([[graft.index.IncrementalBm25.upsert]] — same id, new text), and
+    * INSERTS last, inside the one single-writer loop. */
   def indexCdcIngest(changes: DataFrame, indexRoot: String,
                      checkpoint: String,
                      idCol: String = "doc_id", textCol: String = "text",
