@@ -1421,6 +1421,54 @@ object Queries {
         ORDER BY alert_id, doc_id
       """)),
 
+    // HYBRID percolation at ALERT-CORPUS scale (s30b): the composition a
+    // million-alert subscription set needs — the term arm is the
+    // inverted-alert-index equi-join (s25b's anchor probe, NO alert
+    // broadcast) and the vector confirm broadcasts the FIRED set into
+    // one pass over the alert table (fired-set-sized cosine work).
+    // Neither anchor election nor the turned-around confirm join can
+    // change the fired set, so the oracle is s30's SQL verbatim.
+    "s30b_hybrid_inverted" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val conf = Seq(
+          (1, Seq("spark", "join"), 0L, 0.2),
+          (2, Seq("scan"), 1L, 0.2))
+          .toDF("alert_id", "terms", "avec_id", "threshold")
+        val alerts = conf.join(
+          Tables.embeddings(s, d).select(col("vec_id").as("avec_id"),
+            col("embedding").as("avec")), Seq("avec_id"))
+          .select(col("alert_id"), col("terms"), col("avec"), col("threshold"))
+        graft.search.Percolate.hybridMatchesInverted(
+          Tables.documents(s, d), Tables.embeddings(s, d),
+          alerts, "doc_id", "text")
+          .orderBy(col("alert_id"), col("doc_id"))
+      },
+      Some("""
+        WITH aconf AS (
+          SELECT * FROM (VALUES
+            (1, ['spark', 'join'], 0, 0.2::DOUBLE),
+            (2, ['scan'], 1, 0.2::DOUBLE)) a(alert_id, terms, avec_id, threshold)),
+        alerts AS (
+          SELECT a.alert_id, a.terms, e.embedding::DOUBLE[] AS avec, a.threshold
+          FROM aconf a JOIN embeddings e ON e.vec_id = a.avec_id),
+        at AS (SELECT alert_id, len(terms) AS n_terms, unnest(terms) AS term
+               FROM alerts),
+        dt AS (SELECT DISTINCT doc_id, term FROM
+                (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                   t -> t <> '')) AS term FROM documents)),
+        m AS (SELECT alert_id, doc_id FROM dt JOIN at USING (term)
+              GROUP BY alert_id, n_terms, doc_id
+              HAVING count(*) = n_terms),
+        v AS (SELECT m.alert_id, m.doc_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[], al.avec), 6) AS score,
+                     al.threshold
+              FROM m JOIN embeddings e ON e.vec_id = m.doc_id
+                    JOIN alerts al ON al.alert_id = m.alert_id)
+        SELECT alert_id, doc_id, score FROM v WHERE score >= threshold
+        ORDER BY alert_id, doc_id
+      """)),
+
     // Percolation (s25): saved searches are the stored side, documents
     // probe them — conjunctive term match, alert table broadcast, one
     // matched-pair shuffle. Per-alert counts + first-3 matches.

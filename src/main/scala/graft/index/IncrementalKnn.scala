@@ -92,6 +92,16 @@ object IncrementalKnn {
 
   def version(root: String): Int = IncrementalIvf.version(root)
 
+  /** The root's full mutation clock — (index segments, tombstone-ledger
+    * version, repair-ledger version). Any serving-side cache of resolved
+    * state (merged frames, segment lists) is valid exactly while all
+    * three are unchanged ([[graft.search.GrownServing]] keys on it);
+    * cost is three FS probes. */
+  def stateVersions(root: String): (Int, Int, Int) =
+    (version(root),
+      SegmentStore.tombVersion(tombsBase(root)),
+      SegmentStore.version(repairBase(root)))
+
   /** Idempotence check for at-least-once writers — same contract as
     * [[IncrementalIvf.committedHasTag]] (identical commit layout). */
   def committedHasTag(root: String, tag: String): Boolean =
@@ -259,6 +269,55 @@ object IncrementalKnn {
     * original ranks — holes mark the degraded degree — so the result is
     * exactly the rebuild SQL plus a final tombstone WHERE (the a28
     * oracle). */
+  /** Committed repair rows with their index horizon as `__seg` and the
+    * observed-ledger stamp `tomb_v` (0 for segments written before the
+    * stamp existed — treated as "observed nothing", so one re-repair
+    * covers them). None when no repair segment is committed. */
+  private def repairRows(spark: SparkSession, root: String): Option[DataFrame] = {
+    val rv = SegmentStore.version(repairBase(root))
+    if (rv == 0) None
+    else {
+      val raw = SegmentStore.readSegments(spark, rv)(repairDir(root, _))
+        .withColumnRenamed("at_seg", "__seg")
+      Some(
+        if (raw.columns.contains("tomb_v")) raw
+        else raw.withColumn("tomb_v", lit(0L)))
+    }
+  }
+
+  /** srcs whose served top-k is STALE: they own a row (stored or repair)
+    * that a tombstone killed (dst-side, `__seg < before_seg`) from a
+    * ledger segment NEWER than any repair stamp covering the src.
+    * Coverage is tracked on the TOMBSTONE LEDGER's version clock, not
+    * the index-segment clock: deletes and upserts never bump the index
+    * version, so delete→repair→delete with no intervening append is
+    * invisible to a segment-horizon check — a repair stamped with the
+    * ledger version it observed makes the second delete's staleness
+    * detectable. These srcs are what [[repair]] must recompute and what
+    * [[edges]] must NOT serve through the repaired pre-filter path.
+    * None when the ledger is empty. The scan is one columnar pass over
+    * the edge rows against the broadcast tombstone set; the result is
+    * bounded by the un-repaired backlog's reverse degree. */
+  private def staleSrcs(spark: SparkSession, root: String,
+                        v: Int): Option[DataFrame] =
+    SegmentStore.tombIdsVersioned(spark, tombsBase(root)).map { tombs =>
+      val baseRows = readSegmentsTagged(spark, v)(edgesDir(root, _))
+        .withColumn("tomb_v", lit(0L)) // stored rows carry no stamp
+      val rows = repairRows(spark, root).fold(baseRows)(baseRows.unionByName(_))
+      val idc = tombs.columns.head
+      val tt = broadcast(tombs.select(col(idc).as("__dd"),
+        col("before_seg"), col("tomb_v").as("__ktv")))
+      val need = rows
+        .join(tt, rows("dst") === tt("__dd") && rows("__seg") < tt("before_seg"))
+        .groupBy(col("src")).agg(max(col("__ktv")).as("needT"))
+      val covered = repairRows(spark, root).fold(
+          need.withColumn("covT", lit(0L)))(r =>
+        need.join(r.groupBy(col("src"))
+            .agg(max(col("tomb_v")).as("covT")), Seq("src"), "left")
+          .na.fill(0L, Seq("covT")))
+      covered.where(col("covT") < col("needT")).select(col("src"))
+    }
+
   def edges(spark: SparkSession, root: String, k: Int): DataFrame = {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
@@ -270,32 +329,48 @@ object IncrementalKnn {
     // rows. The union is deduped on (src, dst) — after the horizon
     // filter at most one version of a pair survives, max(score) is a
     // formality. With repairs present, tombstones filter BEFORE the rank
-    // window (a stored dead row must not occupy a rank the repair
-    // refilled — every src where pre-filtering can matter is in the
-    // repaired set, whose full current top-k rows are present, so the
-    // window result equals the rebuild over current vectors, ranks
-    // dense). Repair-free roots keep the documented filter-AFTER
-    // semantics (visible holes — the a28 oracle) and their exact
-    // pre-repair plans.
-    val rv = SegmentStore.version(repairBase(root))
-    val (all, preFiltered) =
-      if (rv == 0) (base, false)
-      else {
-        val rep = SegmentStore.readSegments(spark, rv)(repairDir(root, _))
-          .withColumnRenamed("at_seg", "__seg")
-        (filterTombs(spark, root, base.unionByName(rep), Seq("src", "dst"))
-          .groupBy(col("src"), col("dst")).agg(max(col("score")).as("score"))
-          .withColumn("__seg", lit(Long.MaxValue)), // survivors are current
-          true)
-      }
+    // window ONLY for srcs the repairs actually COVER (their full
+    // current top-k rows are present, so the window result equals the
+    // rebuild over current vectors, ranks dense). A src holed by a
+    // tombstone NEWER than its last repair stamp ([[staleSrcs]]) must
+    // NOT pre-filter — a stored below-top-k row would silently promote
+    // into a dense rank that is neither rebuild-exact nor the visible-
+    // holes contract; those srcs serve their pre-repair base rows with
+    // the filter-AFTER-rank semantics (holes visible — the degradation
+    // signal) until the next [[repair]] restores exactness. Repair-free
+    // roots keep the documented filter-AFTER semantics (the a28 oracle)
+    // and their exact pre-repair plans.
+    val rep = repairRows(spark, root)
     val w = Window.partitionBy(col("src"))
       .orderBy(col("score").desc, col("dst").asc)
-    val ranked = all.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-    (if (preFiltered) ranked
-     else filterTombs(spark, root, ranked, Seq("src", "dst")))
-      .drop("__seg")
-      .orderBy(col("src"), col("rank"))
+    val out = rep match {
+      case None =>
+        filterTombs(spark, root,
+          base.withColumn("rank", row_number().over(w))
+            .where(col("rank") <= k), Seq("src", "dst"))
+          .drop("__seg")
+      case Some(r) =>
+        val stale = broadcast(
+          staleSrcs(spark, root, v).getOrElse(base.select(col("src")).limit(0)))
+        val coveredRows = base.unionByName(r.drop("tomb_v")
+            .select(col("src"), col("dst"), col("score"), col("__seg")))
+          .join(stale, Seq("src"), "left_anti")
+        val covered = filterTombs(spark, root, coveredRows, Seq("src", "dst"))
+          .groupBy(col("src"), col("dst")).agg(max(col("score")).as("score"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= k)
+          .select(col("src"), col("dst"), col("score"), col("rank"))
+        // stale-src sidecar (empty whenever the repairs are current — the
+        // a29/a30 state): base rows only, rank first, kill after — as if
+        // their repairs never ran, holes visible
+        val staleRanked = base.join(stale, Seq("src"), "left_semi")
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= k)
+        covered.unionByName(
+          filterTombs(spark, root, staleRanked, Seq("src", "dst"))
+            .drop("__seg"))
+    }
+    out.orderBy(col("src"), col("rank"))
   }
 
   /** Repair post-delete degree WITHOUT a rebuild — the HNSW deferred-
@@ -328,31 +403,13 @@ object IncrementalKnn {
     // unsound: a refill — the pre-filter read's stored extras, or an
     // upsert's fresh pair — can restore the count while the true
     // next-best candidate was never stored). A src needs repair when it
-    // owns a row some tombstone killed (dst side; horizon `before_seg`
-    // exceeds the row's segment) that no LATER repair has covered — a
-    // repair written at index version v_r (at_seg = v_r − 1) covers
-    // every horizon ≤ v_r, because it recomputed the src's full current
-    // candidate set at that point. Cost: the dead-row scan is one
+    // owns a row some tombstone killed (dst side) that no repair with a
+    // NEWER observed-ledger stamp covers — [[staleSrcs]]; coverage runs
+    // on the tombstone ledger's version clock because deletes/upserts
+    // never bump the index version. Cost: the dead-row scan is one
     // columnar pass, the repair set is bounded by the tombstone
     // backlog's reverse degree — compaction resets both.
-    val tombs = SegmentStore.tombIds(spark, tombsBase(root)).get
-    val baseRows = readSegmentsTagged(spark, v)(edgesDir(root, _))
-    val rv0 = SegmentStore.version(repairBase(root))
-    val repRows =
-      if (rv0 == 0) None
-      else Some(SegmentStore.readSegments(spark, rv0)(repairDir(root, _))
-        .withColumnRenamed("at_seg", "__seg"))
-    val rows = repRows.fold(baseRows)(baseRows.unionByName(_))
-    val tt = broadcast(tombs.select(
-      col(tombs.columns.head).as("__dd"), col("before_seg")))
-    val need = rows
-      .join(tt, rows("dst") === tt("__dd") && rows("__seg") < tt("before_seg"))
-      .groupBy(col("src")).agg(max(col("before_seg")).as("needH"))
-    val covered = repRows.fold(need.withColumn("covH", lit(0L)))(r =>
-      need.join(r.groupBy(col("src"))
-          .agg((max(col("__seg")) + 1).as("covH")), Seq("src"), "left")
-        .na.fill(0L, Seq("covH")))
-    val repairSrcs = covered.where(col("covH") < col("needH")).select(col("src"))
+    val repairSrcs = staleSrcs(spark, root, v).get
     val holed = vectorsAll(spark, root)
       .select(col("vec_id").as("src"), col("embedding").as("svec"))
       .join(repairSrcs, Seq("src"), "left_semi")
@@ -378,9 +435,16 @@ object IncrementalKnn {
     // write horizon: these rows scored data current as of segment v-1 —
     // a later upsert (tombstone horizon ≥ v) kills them like any stale
     // stored row; earlier horizons spare them (they already used the
-    // current version)
+    // current version). `tomb_v` stamps the tombstone-LEDGER version
+    // this repair observed: [[staleSrcs]] compares killing tombstones'
+    // ledger versions against it, so a delete committed AFTER this
+    // repair (same index version — deletes don't bump it) is correctly
+    // detected as uncovered on the next pass.
     writeEdges(topKPerSrc(cand, k)
-      .withColumn("at_seg", lit((v - 1).toLong)), repairDir(root, rv))
+      .withColumn("at_seg", lit((v - 1).toLong))
+      .withColumn("tomb_v",
+        lit(SegmentStore.tombVersion(tombsBase(root)).toLong)),
+      repairDir(root, rv))
     holed.unpersist()
     SegmentStore.publish(rb, rv + 1, tag)
   }
@@ -444,6 +508,12 @@ object IncrementalKnn {
       spark.read.parquet(dir(kk)).withColumn("__seg", lit(kk.toLong)))
       .reduce(_ unionByName _)
 
+  /** [[readSegmentsTagged]] over per-segment FRAMES (for reads with a
+    * per-segment fallback, e.g. [[vecsSegment]]). */
+  private def readFramesTagged(upTo: Int)(seg: Int => DataFrame): DataFrame =
+    (0 until upTo).map(kk => seg(kk).withColumn("__seg", lit(kk.toLong)))
+      .reduce(_ unionByName _)
+
   /** Exclude dead rows from `df` on `cols` (broadcast anti-joins — the
     * tombstone set is bounded by compaction cadence, never
     * corpus-sized). A row is dead when its id is tombstoned AND the row's
@@ -467,11 +537,40 @@ object IncrementalKnn {
     * vec_id ranges, so a pushed `vec_id IN (...)` seek reads O(lookups)
     * row groups per segment ([[graft.search.Ann.graphTopKSeek]]'s
     * vectors side for a GROWN graph). */
+  /** Per-segment `vecs/` read with the PRE-v3 fallback: roots written
+    * before `knn_inc_v3` (e.g. long-lived streaming `knnIngest` roots,
+    * which are not keyed by the bumped [[Name]]) have no serving-side
+    * vecs/coarse artifacts — their slim (vec_id, embedding) rows come
+    * from the assign segment instead (cid-partitioned, so vec_id seeks
+    * don't prune there — correct but slower; every segment appended
+    * AFTER the code upgrade writes real `vecs/`, so the penalty decays
+    * with normal churn and vanishes at the next compaction, which
+    * re-writes the fold in the seek layout). One existence probe per
+    * segment. */
+  private def vecsSegment(spark: SparkSession, root: String, kk: Int): DataFrame =
+    if (SegmentStore.pathExists(vecsDir(root, kk)))
+      spark.read.parquet(vecsDir(root, kk))
+    else
+      spark.read.parquet(assignDir(root, kk))
+        .select(col("vec_id"), col("embedding"))
+
+  /** `coarse/` twin of [[vecsSegment]] — pre-v3 segments derive the
+    * mod-[[CoarseMod]] entry subset inline from assign (full-segment
+    * scan + filter, the exact cost the artifact exists to avoid; same
+    * decay story). */
+  private def coarseSegment(spark: SparkSession, root: String, kk: Int): DataFrame =
+    if (SegmentStore.pathExists(coarseDir(root, kk)))
+      spark.read.parquet(coarseDir(root, kk))
+    else
+      spark.read.parquet(assignDir(root, kk))
+        .where(pmod(col("vec_id"), lit(CoarseMod)) === lit(0))
+        .select(col("vec_id"), col("embedding"))
+
   def vectorsAll(spark: SparkSession, root: String): DataFrame = {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
     filterTombs(spark, root,
-      readSegmentsTagged(spark, v)(vecsDir(root, _)), Seq("vec_id"))
+      readFramesTagged(v)(vecsSegment(spark, root, _)), Seq("vec_id"))
       .drop("__seg")
   }
 
@@ -482,7 +581,7 @@ object IncrementalKnn {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
     filterTombs(spark, root,
-      readSegmentsTagged(spark, v)(coarseDir(root, _)), Seq("vec_id"))
+      readFramesTagged(v)(coarseSegment(spark, root, _)), Seq("vec_id"))
       .drop("__seg")
   }
 
@@ -599,9 +698,11 @@ object IncrementalKnn {
 
   // v2: repair segments carry their write horizon (`at_seg`) so upserts
   // can kill stale repair rows
-  val RepairName = "knn_repair_v2"
+  // v3: + the observed-tombstone-ledger stamp (`tomb_v`) so coverage is
+  // tracked on the ledger clock (delete→repair→delete is re-repairable)
+  val RepairName = "knn_repair_v3"
 
-  val UpsertName = "knn_upsert_v1"
+  val UpsertName = "knn_upsert_v2"
 
   /** [[ensure]]'s grown graph with a same-id UPSERT applied and repaired —
     * memoized for the `a30_graph_upsert` oracle: every vec_id % 11 == 5

@@ -58,6 +58,15 @@ object SegmentStore {
   def versionDir(versionsBase: String, v: Int): String =
     s"$versionsBase/v=$v"
 
+  /** Existence probe through the same FS resolution as every other path
+    * here — for callers that must detect optional per-segment artifacts
+    * (e.g. pre-v3 [[IncrementalKnn]] roots lack `vecs/`/`coarse/`
+    * segments and read their assign segments instead). */
+  def pathExists(path: String): Boolean = {
+    val (fs, p) = fsFor(path)
+    fs.exists(p)
+  }
+
   /** Committed version: max N among `base/v=N` children carrying the
     * marker; 0 when none exist (or the base doesn't yet). Non-conforming
     * children (e.g. `v=tmp` left by an external tool) are skipped, never
@@ -260,6 +269,35 @@ object SegmentStore {
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(tombSegDir(base, tv))
     publish(cb, tv + 1, tag)
+  }
+
+  /** Committed version of the tombstone LEDGER at `base` (0 = no
+    * tombstones). This is the coverage clock repair-style maintenance
+    * tracks against: index-segment versions do NOT advance on deletes or
+    * upserts, so "which deletes has this repair observed" can only be
+    * stated in ledger versions ([[graft.index.IncrementalKnn.repair]]
+    * stamps each repair segment with this number). */
+  def tombVersion(base: String): Int = version(tombCommitBase(base))
+
+  /** All committed tombstones under ledger `base`, one row per ledger
+    * segment entry, WITHOUT the per-id max-horizon fold of [[tombIds]]:
+    * (id, before_seg, tomb_v), where `tomb_v` is the committed ledger
+    * version that introduced the row (segment index + 1). Callers that
+    * need to know WHICH delete killed a row — e.g. repair-coverage
+    * checks comparing a killing tombstone's ledger version against a
+    * repair's observed-ledger stamp — read this form; plain kill filters
+    * keep the folded [[tombIds]]. */
+  def tombIdsVersioned(spark: SparkSession, base: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tv = version(tombCommitBase(base))
+    if (tv == 0) None
+    else Some((0 until tv).map { k =>
+      val raw = spark.read.parquet(tombSegDir(base, k))
+      val withSeg =
+        if (raw.columns.contains("before_seg")) raw
+        else raw.withColumn("before_seg", lit(Long.MaxValue))
+      withSeg.withColumn("tomb_v", lit((k + 1).toLong))
+    }.reduce(_ unionByName _))
   }
 
   /** All committed tombstones under ledger `base` as (id, before_seg) —

@@ -233,4 +233,33 @@ object Percolate {
       .where(col("score") >= col("threshold"))
       .select(col("alert_id"), col(idCol), col("score"))
   }
+
+  /** [[hybridMatches]] at ALERT-CORPUS scale — the composition the
+    * million-alert subscription set needs (neither arm broadcasts the
+    * alert table): the term conjunction fires through
+    * [[matchesInverted]] (anchor-term equi-join — the saved queries are
+    * themselves indexed), and the vector confirm turns the join around —
+    * the FIRED set (with its doc embeddings attached) broadcasts INTO
+    * one pass over the alert table, so the cosine work stays
+    * fired-set-sized and the alert table is never shuffled or
+    * broadcast. Value-identical to [[hybridMatches]] (the s30b oracle
+    * states both arms in SQL); `dfLookup` as in [[matchesInverted]].
+    * Output (alert_id, idCol, score). */
+  def hybridMatchesInverted(docs: DataFrame, embeddings: DataFrame,
+                            alerts: DataFrame, idCol: String,
+                            textCol: String,
+                            dfLookup: Option[DataFrame] = None): DataFrame = {
+    val fired = matchesInverted(docs,
+      alerts.select(col("alert_id"), col("terms")), idCol, textCol, dfLookup)
+    val firedEmb = fired
+      .join(embeddings.withColumnRenamed("vec_id", idCol), Seq(idCol))
+    alerts.select(col("alert_id"), col("avec"), col("threshold"))
+      .join(broadcast(firedEmb), Seq("alert_id"))
+      .select(col("alert_id"), col(idCol),
+        round(graft.functions.VectorOps.cosineSim(
+          col("embedding"), col("avec")), 6).as("score"),
+        col("threshold"))
+      .where(col("score") >= col("threshold"))
+      .select(col("alert_id"), col(idCol), col("score"))
+  }
 }

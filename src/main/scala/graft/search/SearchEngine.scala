@@ -347,17 +347,35 @@ object SearchEngine {
     * applies verbatim as `s28b_graph_grown`). */
   def graphSearchGrown(spark: SparkSession, dir: String, query: String,
                        k: Int): DataFrame = {
-    import graft.index.{IncrementalKnn, TfIdfGraphIndex}
+    import graft.index.TfIdfGraphIndex
     val root = TfIdfGraphIndex.ensureGrown(spark, dir)
+    // pointer + ledger + segment list resolve ONCE per mutation of the
+    // root ([[GrownServing]]) — the walk's per-hop lookups hit the
+    // persisted merged frames instead of re-running the whole
+    // segment-union + tombstone subtree every hop
+    val st = GrownServing.of(spark, root, 5)
     val qv = TfIdfGraphIndex.queryVec(spark, dir, query)
-    val entryIds = Ann.hierEntriesFrom(
-        IncrementalKnn.coarseAll(spark, root), qv, 3)
+    val entryIds = Ann.hierEntriesFrom(st.coarse, qv, 3)
       .collect().map(_.getLong(0)).toSeq
-    Ann.graphTopKSeek(
-      IncrementalKnn.edges(spark, root, 5),
-      IncrementalKnn.vectorsAll(spark, root),
-      qv, entryIds, beam = 8, hops = 2, k)
+    Ann.graphTopKSeek(st.edges, st.vectors, qv, entryIds,
+      beam = 8, hops = 2, k)
   }
+
+  /** [[graphSearchGrown]] with the a26 post-filter semantics (walk
+    * oversampled 3×, keep payload-field survivors, trim to k) — the
+    * grown-root twin of [[graphSearchFiltered]], so `mode=graph&graph=
+    * grown` with a filter serves the MAINTAINED root instead of silently
+    * falling back to the one-shot build (r10 ADVICE). */
+  def graphSearchGrownFiltered(spark: SparkSession, dir: String,
+                               query: String, filterField: String,
+                               filterValue: String, k: Int): DataFrame =
+    graphSearchGrown(spark, dir, query, k * 3)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"), col(filterField)), Seq("id"))
+      .where(col(filterField) === filterValue)
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
 
   /** Batched [[graphSearch]]: N text queries, ONE plan — each embeds
     * driver-side, one coarse scan selects every query's entry points,
@@ -385,14 +403,12 @@ object SearchEngine {
   def graphSearchGrownBatched(spark: SparkSession, dir: String,
                               queries: Seq[(Long, String)],
                               k: Int): DataFrame = {
-    import graft.index.{IncrementalKnn, TfIdfGraphIndex}
+    import graft.index.TfIdfGraphIndex
     val root = TfIdfGraphIndex.ensureGrown(spark, dir)
+    val st = GrownServing.of(spark, root, 5) // resolved once per mutation
     val qdf = TfIdfGraphIndex.queryVecs(spark, dir, queries)
-    Ann.graphTopKBatched(
-      IncrementalKnn.edges(spark, root, 5),
-      IncrementalKnn.vectorsAll(spark, root),
-      qdf,
-      Ann.hierEntriesBatchedFrom(IncrementalKnn.coarseAll(spark, root), qdf, 3),
+    Ann.graphTopKBatched(st.edges, st.vectors, qdf,
+      Ann.hierEntriesBatchedFrom(st.coarse, qdf, 3),
       beam = 8, hops = 2, k)
   }
 
@@ -424,21 +440,28 @@ object SearchEngine {
     *     per-hop work stays O(beam·k) and survivors are plentiful,
     *     while the pre-filter side would rebuild a corpus-sized join.
     *
-    * The probe is ONE aggregate over the filter column (count +
-    * conditional count, column-pruned scan); on a cluster the same
-    * number comes free from catalog column/partition stats — the routing
-    * logic is what matters. Returns (route, plan); crossover at
-    * `passFraction <= crossover` → pre-filter. Each side is
-    * value-identical to calling its strategy directly (IndexSpec pins
-    * both sides of the crossover). */
+    * The probe reads the PREBUILT per-field value-count artifact
+    * ([[graft.index.FieldStats]] — one groupBy per field at index-build
+    * time, a point lookup per query): at 100 TB the selectivity answer
+    * is a catalog stats read, never a corpus scan. Unprofiled fields
+    * fall back to the one-aggregate scan probe (column-pruned), so
+    * stats are an accelerator, not a correctness dependency. Returns
+    * (route, plan); crossover at `passFraction <= crossover` →
+    * pre-filter. Each side is value-identical to calling its strategy
+    * directly (IndexSpec pins both sides of the crossover, with the
+    * artifact probe). */
   def filteredAnn(spark: SparkSession, dir: String, queryVecId: Long,
                   filterField: String, filterValue: String, k: Int,
                   crossover: Double = 0.5): (String, DataFrame) = {
     val docs = Tables.documents(spark, dir)
-    val probe = docs.agg(
-      count(lit(1)).as("n"),
-      count(when(col(filterField) === filterValue, 1)).as("m")).head()
-    val pass = probe.getLong(1).toDouble / math.max(probe.getLong(0), 1L)
+    val pass = graft.index.FieldStats
+      .passFraction(spark, dir, filterField, filterValue)
+      .getOrElse {
+        val probe = docs.agg(
+          count(lit(1)).as("n"),
+          count(when(col(filterField) === filterValue, 1)).as("m")).head()
+        probe.getLong(1).toDouble / math.max(probe.getLong(0), 1L)
+      }
     val qv = queryVec(spark, dir, queryVecId)
     val allowed = docs.where(col(filterField) === filterValue)
       .select(col("doc_id").as("vec_id"))

@@ -79,6 +79,11 @@ object Api {
       if (mode == "graph" && !Set("built", "grown").contains(graphRoot))
         return Response(400, err(s"Invalid graph '$graphRoot'. Must be 'built' or 'grown'"))
       val base = (mode, params.get("filter_field"), params.get("filter_value")) match {
+        // grown arms FIRST: graph=grown with a filter must serve the
+        // maintained root's filtered walk, not silently fall back to the
+        // one-shot build (r10 ADVICE)
+        case ("graph", Some(f), Some(v)) if graphRoot == "grown" =>
+          SearchEngine.graphSearchGrownFiltered(spark, dir, q, f, v, count)
         case ("graph", Some(f), Some(v)) =>
           SearchEngine.graphSearchFiltered(spark, dir, q, f, v, count)
         case ("graph", _, _) if graphRoot == "grown" =>
@@ -125,6 +130,58 @@ object Api {
         case "sparse" => "sparse"; case "dense" => "dense"; case _ => "hybrid"
       }
       ok(envelope(q, hitsJson(search(spark, dir, q, mode, limit)), "mode" -> quote(mode)))
+
+    case "/api/search/ultra-fast" | "/api/search/really-fast" =>
+      // the reference's two fast-path aliases of the core vector search
+      // (search.py:164-192 ultra-fast, :257-286 really-fast — identical
+      // semantics, separate service singletons): dense search, minimal
+      // (id, score) projection, timing in the envelope. Served here by
+      // the lean path (same engine route as /api/lean-search).
+      val q = require(params, "q")
+      val count = intParam(params, "count", 10, 1, 100)
+      val kind = if (path.endsWith("ultra-fast")) "ultra_fast_vector"
+                 else "really_fast_alias"
+      val t0 = System.nanoTime()
+      val body = ewma.timed(kind)(
+        hitsJson(search(spark, dir, q, "dense", count).select("id", "score")))
+      val ms = (System.nanoTime() - t0) / 1e6
+      ok(s"""{"query":${quote(q)},"search_time_ms":${"%.1f".format(ms)},""" +
+        s""""results":$body,"search_type":${quote(kind)}}""")
+
+    case "/api/search/optimize" =>
+      // POST /api/search/optimize (search.py:376-404): warm every search
+      // service for best performance. The Spark equivalents of "optimize
+      // for collection": build/touch the serving index artifacts (BM25,
+      // TF-IDF, one-shot graph), resolve + persist the grown-root
+      // serving state, and run one probe query per mode so plan codegen
+      // and index first-touch are compiled hot before real traffic.
+      val results = Seq[(String, () => String)](
+        "bm25_index" -> (() => { Bm25Index.ensure(spark, dir); "ready" }),
+        "tfidf_index" -> (() => { TfIdfIndex.ensure(spark, dir); "ready" }),
+        "graph_index" -> (() => {
+          graft.index.TfIdfGraphIndex.vectors(spark, dir); "ready" }),
+        "grown_graph" -> (() => {
+          val root = graft.index.TfIdfGraphIndex.ensureGrown(spark, dir)
+          graft.search.GrownServing.of(spark, root, 5); "warm" }),
+        "probe_queries" -> (() => {
+          Seq("dense", "sparse", "hybrid")
+            .foreach(m => search(spark, dir, "test", m, 1).count())
+          SearchEngine.graphSearch(spark, dir, "test", 1).count()
+          "ok" })
+      ).map { case (name, step) =>
+        val r = try step() catch { case e: Exception => s"error: ${e.getMessage}" }
+        s""""$name":${quote(r)}"""
+      }
+      ok(s"""{"status":"completed","optimization_results":{${results.mkString(",")}}}""")
+
+    case "/api/search/cache" =>
+      // DELETE /api/search/cache (search.py:409-433): clear all embedding
+      // caches. Here that is the driver-side query-vector LRU plus the
+      // persisted grown-root serving frames (the reloadable state this
+      // engine keeps warm between requests).
+      SearchEngine.invalidateQueryVecCache()
+      graft.search.GrownServing.clear()
+      ok("""{"status":"success","message":"All search caches cleared"}""")
 
     case "/api/search/compare" => // Q10 (search.py:293-349)
       val q = require(params, "q")

@@ -229,18 +229,65 @@ object DeltaStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Collapse a CDC micro-batch to the NET operation per key — the
+    * in-batch ordering contract (r10 ADVICE): the ingest loops apply ops
+    * grouped D→U→I, so without collapsing, an insert followed by a
+    * delete of the same key IN ONE TRIGGER would resurrect the row (the
+    * delete's horizon predates the re-insert's segment) and two updates
+    * of one key would both append. With `seqCol` (the changelog's own
+    * order — log offset, LSN; any real changelog carries one), the
+    * highest-seq op per key wins, and a surviving `I` whose key had
+    * earlier in-batch ops is promoted to `U` (the key may pre-exist —
+    * e.g. D-then-I re-insert — and upsert's tombstone-then-append is
+    * exactly delete-then-add, harmless when the key is new). Without
+    * `seqCol` the order is unrecoverable from a DataFrame, so the
+    * at-most-one-op-per-key-per-trigger precondition is ENFORCED loudly
+    * (one aggregate over the request-sized micro-batch) instead of
+    * silently misapplied. */
+  private[streaming] def collapseCdc(batch: DataFrame, idCol: String,
+                                     seqCol: Option[String]): DataFrame =
+    seqCol match {
+      case Some(s) =>
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy(col(idCol))
+          .orderBy(col(s).desc)
+        val wAll = Window.partitionBy(col(idCol))
+        batch
+          .withColumn("__rn", row_number().over(wOrd))
+          .withColumn("__nops", count(lit(1)).over(wAll))
+          .where(col("__rn") === 1)
+          .withColumn("op",
+            when(col("op") === "I" && col("__nops") > 1, lit("U"))
+              .otherwise(col("op")))
+          .drop("__rn", "__nops")
+      case None =>
+        val dup = batch.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+          .where(col("n") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"CDC micro-batch carries multiple ops for $idCol=" +
+            s"${dup.headOption.map(_.get(0)).getOrElse("?")} and no seq " +
+            "column — pass seqCol so the batch collapses to the net op " +
+            "per key (in-batch order is not recoverable otherwise)")
+        batch
+    }
+
   /** CDC-shaped [[indexIngest]] — the BM25 member of the family pattern
     * ([[textGraphCdcIngest]] is the graph member): each micro-batch of
-    * (op, doc_id, text) changelog rows applies DELETES first
+    * (op, doc_id, text) changelog rows is collapsed to the net op per
+    * key ([[collapseCdc]] — pass `seqCol` when a trigger can carry
+    * multiple ops for one key), then DELETES apply first
     * ([[graft.index.IncrementalBm25.delete]] tombstones — the doc leaves
     * every `topK` this trigger, stats stale until compaction per the
     * Lucene contract), op=U UPSERTS in place
     * ([[graft.index.IncrementalBm25.upsert]] — same id, new text), and
-    * INSERTS last, inside the one single-writer loop. */
+    * INSERTS last, inside the one single-writer loop. On an
+    * uninitialized root, net-U rows fold into the init set (they are
+    * net inserts by definition there). */
   def indexCdcIngest(changes: DataFrame, indexRoot: String,
                      checkpoint: String,
                      idCol: String = "doc_id", textCol: String = "text",
-                     maxSegments: Int = Int.MaxValue): StreamingQuery =
+                     maxSegments: Int = Int.MaxValue,
+                     seqCol: Option[String] = None): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -249,17 +296,20 @@ object DeltaStream {
         val tag = s"batch_$batchId"
         val root = SegmentStore.recoverRoot(ptr, indexRoot, tag)(
           IncrementalBm25.version, IncrementalBm25.committedHasTag)
-        val dels = batch.where(col("op") === "D")
+        val nb = collapseCdc(batch, idCol, seqCol)
+        val live = IncrementalBm25.version(root) > 0
+        val dels = nb.where(col("op") === "D")
           .select(col(idCol).cast("long").as(idCol))
-        if (!dels.isEmpty && IncrementalBm25.version(root) > 0)
+        if (!dels.isEmpty && live)
           IncrementalBm25.delete(dels, idCol, root, Some(s"del_$batchId"))
-        val ups = batch.where(col("op") === "U")
+        val ups0 = nb.where(col("op") === "U")
           .select(col(idCol), col(textCol))
-        if (!ups.isEmpty && IncrementalBm25.version(root) > 0)
-          IncrementalBm25.upsert(ups, idCol, textCol, root,
+        if (live && !ups0.isEmpty)
+          IncrementalBm25.upsert(ups0, idCol, textCol, root,
             numFiles = 1, tag = Some(s"ups_$batchId"))
-        val ins = batch.where(col("op") === "I")
+        val ins0 = nb.where(col("op") === "I")
           .select(col(idCol), col(textCol))
+        val ins = if (live) ins0 else ins0.unionByName(ups0)
         if (!ins.isEmpty && !IncrementalBm25.committedHasTag(root, tag)) {
           if (IncrementalBm25.version(root) == 0)
             IncrementalBm25.init(ins, idCol, textCol, root,
@@ -280,13 +330,18 @@ object DeltaStream {
       .start()
 
   /** CDC-shaped [[ivfIngest]] — the IVF member of the family pattern:
-    * deletes tombstone first ([[graft.index.IncrementalIvf.delete]] —
-    * exclusion IS rebuild semantics for IVF, so the served index equals
-    * a rebuild without the deleted vectors from this trigger on, no
-    * staleness and no repair step needed), inserts append second. */
+    * the micro-batch collapses to the net op per key ([[collapseCdc]];
+    * pass `seqCol` for multi-op-per-key triggers), then deletes
+    * tombstone first ([[graft.index.IncrementalIvf.delete]] — exclusion
+    * IS rebuild semantics for IVF, so the served index equals a rebuild
+    * without the deleted vectors from this trigger on, no staleness and
+    * no repair step needed), upserts and inserts follow. The stream
+    * must be initialized first ([[graft.index.IncrementalIvf.init]]
+    * freezes the centroids). */
   def ivfCdcIngest(changes: DataFrame, indexRoot: String,
                    checkpoint: String,
-                   maxSegments: Int = Int.MaxValue): StreamingQuery =
+                   maxSegments: Int = Int.MaxValue,
+                   seqCol: Option[String] = None): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -295,15 +350,16 @@ object DeltaStream {
         val tag = s"batch_$batchId"
         val root = SegmentStore.recoverRoot(ptr, indexRoot, tag)(
           IncrementalIvf.version, IncrementalIvf.committedHasTag)
-        val dels = batch.where(col("op") === "D")
+        val nb = collapseCdc(batch, "vec_id", seqCol)
+        val dels = nb.where(col("op") === "D")
           .select(col("vec_id").cast("long").as("vec_id"))
         if (!dels.isEmpty && IncrementalIvf.version(root) > 0)
           IncrementalIvf.delete(dels, root, Some(s"del_$batchId"))
-        val ups = batch.where(col("op") === "U")
+        val ups = nb.where(col("op") === "U")
           .select(col("vec_id"), col("embedding"))
         if (!ups.isEmpty && IncrementalIvf.version(root) > 0)
           IncrementalIvf.upsert(ups, root, Some(s"ups_$batchId"))
-        val ins = batch.where(col("op") === "I")
+        val ins = nb.where(col("op") === "I")
           .select(col("vec_id"), col("embedding"))
         if (!ins.isEmpty && !IncrementalIvf.committedHasTag(root, tag)) {
           IncrementalIvf.append(ins, root, tag = Some(tag))
@@ -488,12 +544,15 @@ object DeltaStream {
     * UPDATES (`op = U`) apply IN PLACE under the same id
     * ([[graft.index.IncrementalKnn.upsert]] — versioned tombstone +
     * same-id re-embed+append): the old version leaves every read this
-    * trigger, the new text serves from this trigger on. */
+    * trigger, the new text serves from this trigger on. The micro-batch
+    * collapses to the net op per key first ([[collapseCdc]] — pass
+    * `seqCol` when one trigger can carry several ops for a key). */
   def textGraphCdcIngest(changes: DataFrame, dataDir: String,
                          graphRoot: String, checkpoint: String,
                          nprobe: Int, k: Int,
                          maxSegments: Int = Int.MaxValue,
-                         repairAfterDelete: Boolean = true): StreamingQuery =
+                         repairAfterDelete: Boolean = true,
+                         seqCol: Option[String] = None): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -503,11 +562,12 @@ object DeltaStream {
         val tag = s"batch_$batchId"
         val root = SegmentStore.recoverRoot(ptr, graphRoot, tag)(
           IncrementalKnn.version, IncrementalKnn.committedHasTag)
-        val dels = batch.where(col("op") === "D")
+        val nb = collapseCdc(batch, "doc_id", seqCol)
+        val dels = nb.where(col("op") === "D")
           .select(col("doc_id").cast("long").as("vec_id"))
         val hadDels = !dels.isEmpty
         if (hadDels) IncrementalKnn.delete(dels, root, Some(s"del_$batchId"))
-        val ups = batch.where(col("op") === "U")
+        val ups = nb.where(col("op") === "U")
           .select(col("doc_id"), col("text"))
         val hadUps = !ups.isEmpty
         if (hadUps) IncrementalKnn.upsert(
@@ -520,7 +580,7 @@ object DeltaStream {
         // and upserts, both already applied for this trigger)
         if ((hadDels || hadUps) && repairAfterDelete)
           IncrementalKnn.repair(spark, root, nprobe, k, Some(s"rep_$batchId"))
-        val ins = batch.where(col("op") === "I")
+        val ins = nb.where(col("op") === "I")
           .select(col("doc_id"), col("text"))
         if (!ins.isEmpty && !IncrementalKnn.committedHasTag(root, tag))
           IncrementalKnn.append(

@@ -340,4 +340,36 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(fired.toSeq == Seq((7, 2L)), fired.mkString(","))
   }
+
+  test("hybrid percolation INVERTED == broadcast composition at a non-broadcastable alert count; anchor probe stays shuffled") {
+    // the alert-corpus-scale composition (r10 VERDICT #3): term arm =
+    // inverted anchor equi-join, vector confirm = fired set broadcast
+    // INTO one pass over the alert table. Fired set must be identical to
+    // the thousands-scale broadcast composition; the term arm's anchor
+    // probe must stay a shuffled join (the alert table is the premise
+    // that cannot broadcast).
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    // hundreds of alerts synthesized from the corpus itself: each doc's
+    // first two distinct tokens + its own embedding at threshold 0.2
+    val alerts = docs.where(col("doc_id") < 300)
+      .select(col("doc_id").as("alert_id"),
+        slice(array_distinct(graft.functions.TextOps.tokens(col("text"))),
+          1, 2).as("terms"))
+      .join(emb.select(col("vec_id").as("alert_id"),
+        col("embedding").as("avec")), Seq("alert_id"))
+      .withColumn("threshold", lit(0.2))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inv = graft.search.Percolate
+      .hybridMatchesInverted(docs, emb, alerts, "doc_id", "text")
+    assert(inv.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"), "anchor probe must be shuffled")
+    val invRows = rows(inv)
+    val bcRows = rows(graft.search.Percolate
+      .hybridMatches(docs, emb, alerts, "doc_id", "text"))
+    assert(invRows == bcRows && invRows.nonEmpty,
+      s"inverted hybrid diverged: ${invRows.size} vs ${bcRows.size}")
+  }
 }

@@ -911,6 +911,139 @@ class IndexSpec extends SparkSpec {
     assert(IncrementalKnn.vectorsAll(spark, retrained).count() == live.count())
   }
 
+  test("incremental knn delete AFTER repair: ledger-clock coverage re-repairs, holes stay visible meanwhile (r10 ADVICE)") {
+    // delete -> repair -> delete with NO intervening append: deletes
+    // never bump the index version, so a segment-horizon coverage check
+    // would treat the second delete as already covered — srcs whose
+    // repair rows it killed would never be re-repaired and the served
+    // graph would silently diverge from the rebuild. Coverage now runs
+    // on the tombstone LEDGER's version clock (repair segments carry the
+    // `tomb_v` stamp they observed).
+    import graft.index.IncrementalKnn
+    import graft.search.Ann
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val root = Files.createTempDirectory("graft-knn-drd").toString + "/g"
+    IncrementalKnn.init(emb.where(col("vec_id") % 2 === 0), centroids, root, 3, 5)
+    IncrementalKnn.append(emb.where(col("vec_id") % 2 === 1), root, 3, 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val before = rows(IncrementalKnn.edges(spark, root, 5))
+
+    val delsA = before.filter(_._4 < 5).map(_._2).distinct.take(2)
+    IncrementalKnn.delete(delsA.toDF("vec_id"), root, tag = Some("d1"))
+    IncrementalKnn.repair(spark, root, 3, 5, tag = Some("r1"))
+    val repaired = rows(IncrementalKnn.edges(spark, root, 5))
+
+    // second delete: dsts at rank < 5 in the REPAIRED graph (so repair
+    // rows are among the killed), disjoint from the first set
+    val delsB = repaired.filter(e => e._4 < 5 && !delsA.contains(e._2))
+      .map(_._2).distinct.take(2)
+    assert(delsB.size == 2)
+    IncrementalKnn.delete(delsB.toDF("vec_id"), root, tag = Some("d2"))
+    val allDels = delsA ++ delsB
+
+    // BEFORE the second repair: no dead endpoint is served, and the new
+    // holes are VISIBLE (stale srcs fall back to rank-then-filter over
+    // their stored rows — stored below-top-k rows must NOT silently
+    // promote into dense ranks)
+    val between = rows(IncrementalKnn.edges(spark, root, 5))
+    assert(!between.exists(e => allDels.contains(e._1) || allDels.contains(e._2)))
+    assert(between.exists { case (s, _, _, r) =>
+      r > 1 && !between.exists(o => o._1 == s && o._4 == r - 1) })
+
+    // the second repair must actually fire (ledger clock: needT=2 >
+    // covT=1 for the re-holed srcs) and restore rebuild-exactness
+    IncrementalKnn.repair(spark, root, 3, 5, tag = Some("r2"))
+    val healed = rows(IncrementalKnn.edges(spark, root, 5))
+    val rebuilt = rows(Ann.knnGraph(
+      emb.where(!col("vec_id").isin(allDels: _*)), centroids, 3, 5))
+    assert(healed == rebuilt && rebuilt.nonEmpty)
+    // and the compacted fold agrees
+    val compacted = Files.createTempDirectory("graft-knn-drd-cp").toString + "/g"
+    IncrementalKnn.compact(spark, root, compacted, 5)
+    assert(rows(IncrementalKnn.edges(spark, compacted, 5)) == healed)
+  }
+
+  test("incremental knn retrain under a PENDING upsert horizon == rebuild over current vectors (r10 VERDICT #7)") {
+    import graft.index.IncrementalKnn
+    import graft.search.Ann
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val root = Files.createTempDirectory("graft-knn-rtu").toString + "/g"
+    IncrementalKnn.init(emb.where(col("vec_id") % 2 === 0), centroids, root, 3, 5)
+    IncrementalKnn.append(emb.where(col("vec_id") % 2 === 1), root, 3, 5)
+    // upsert (versioned tombstone horizon), NO repair and NO compact —
+    // retrain must read exactly one CURRENT row per id through the
+    // pending horizon
+    val updated = emb.where(col("vec_id") === 8L)
+      .select(lit(7L).as("vec_id"), col("embedding"))
+    IncrementalKnn.upsert(updated, root, 3, 5, tag = Some("u1"))
+
+    val retrained = Files.createTempDirectory("graft-knn-rtu2").toString + "/g"
+    IncrementalKnn.retrain(spark, root, retrained,
+      numCentroids = 8, nprobe = 3, k = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val current = emb.select(col("vec_id"), col("embedding"))
+      .where(col("vec_id") =!= 7L).unionByName(updated)
+    val newCent = spark.read.parquet(s"$retrained/centroids")
+    val served = rows(IncrementalKnn.edges(spark, retrained, 5))
+    val rebuilt = rows(Ann.knnGraph(current, newCent, 3, 5))
+    assert(served == rebuilt && rebuilt.nonEmpty)
+    // exactly one row per id, carrying the NEW embedding for id 7
+    val vecs = IncrementalKnn.vectorsAll(spark, retrained)
+    assert(vecs.count() == emb.count())
+    assert(vecs.where(col("vec_id") === 7L).collect()
+      .map(_.getSeq[Float](1)).head ==
+      emb.where(col("vec_id") === 8L).collect().map(_.getSeq[Float](1)).head)
+  }
+
+  test("incremental knn pre-v3 root (no vecs/coarse segments) reads fall back to assign; repair works (r10 ADVICE)") {
+    import graft.index.IncrementalKnn
+    import graft.search.Ann
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val root = Files.createTempDirectory("graft-knn-legacy").toString + "/g"
+    IncrementalKnn.init(emb.where(col("vec_id") % 2 === 0), centroids, root, 3, 5)
+    IncrementalKnn.append(emb.where(col("vec_id") % 2 === 1), root, 3, 5)
+    // simulate a root written before knn_inc_v3: the serving-side vector
+    // artifacts don't exist (e.g. a long-lived streaming graphRoot)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/vecs"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/coarse"), true)
+
+    // vectorsAll/coarseAll serve from the assign segments
+    assert(IncrementalKnn.vectorsAll(spark, root).count() == emb.count())
+    val coarse = IncrementalKnn.coarseAll(spark, root)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(coarse.nonEmpty && coarse.forall(_ % IncrementalKnn.CoarseMod == 0))
+
+    // delete + repair (repair reads vectorsAll) still heal to the rebuild
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val before = rows(IncrementalKnn.edges(spark, root, 5))
+    val dels = before.filter(_._4 < 5).map(_._2).distinct.take(2)
+    IncrementalKnn.delete(dels.toDF("vec_id"), root, tag = Some("d1"))
+    IncrementalKnn.repair(spark, root, 3, 5, tag = Some("r1"))
+    val healed = rows(IncrementalKnn.edges(spark, root, 5))
+    val rebuilt = rows(Ann.knnGraph(
+      emb.where(!col("vec_id").isin(dels: _*)), centroids, 3, 5))
+    assert(healed == rebuilt && rebuilt.nonEmpty)
+    // compaction writes the fold in the CURRENT layout — real vecs/
+    val compacted = Files.createTempDirectory("graft-knn-legacy-cp").toString + "/g"
+    IncrementalKnn.compact(spark, root, compacted, 5)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$compacted/vecs/0")))
+    assert(rows(IncrementalKnn.edges(spark, compacted, 5)) == healed)
+  }
+
   test("incremental knn graph: grown == whole-corpus rebuild, compacted == grown") {
     import graft.index.IncrementalKnn
     import graft.search.Ann
@@ -988,6 +1121,30 @@ class IndexSpec extends SparkSpec {
     val (route3, _) = SearchEngine.filteredAnn(
       spark, Sf0001, 0L, "lang", "en", 10, crossover = 0.5)
     assert(route3 == "prefilter_ivf", route3)
+
+    // the selectivity probe is a CATALOG-STATS lookup (r10 VERDICT #4):
+    // its plan reads the prebuilt fieldstats artifact, never the
+    // documents table — at 100 TB the probe must not be a corpus scan
+    import graft.index.FieldStats
+    val probePlan = FieldStats.probe(spark, Sf0001, "source", "src3").get
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains(FieldStats.Name), probePlan.take(500))
+    assert(!probePlan.contains("documents"), probePlan.take(500))
+    // artifact numbers == the scan probe's numbers
+    val n = docs.count().toDouble
+    val m = docs.where(col("source") === "src3").count().toDouble
+    assert(FieldStats.passFraction(spark, Sf0001, "source", "src3")
+      .contains(m / n))
+    // absent value -> genuine 0 (the build saw every row); unprofiled
+    // field -> None (callers fall back to the scan probe)
+    assert(FieldStats.passFraction(spark, Sf0001, "source", "zz_nope")
+      .contains(0.0))
+    assert(FieldStats.passFraction(spark, Sf0001, "text", "x").isEmpty)
+    // unprofiled-field routing still works end-to-end via the fallback
+    val (route4, df4) = SearchEngine.filteredAnn(
+      spark, Sf0001, 0L, "n_chars",
+      docs.select("n_chars").head().get(0).toString, 10)
+    assert(route4 == "prefilter_ivf" && df4.columns.sameElements(Array("id", "score")))
   }
 
   // ------------------------------------------------------------------

@@ -78,6 +78,56 @@ class ServeApiSpec extends SparkSpec {
     // unknown graph value is a 400 validation error
     val bad = get("/api/query", "q" -> q, "mode" -> "graph", "graph" -> "x")
     assert(bad.status == 400 && bad.body.contains("Invalid graph"), bad.body)
+
+    // grown + filter serves the MAINTAINED root's filtered walk (r10
+    // ADVICE: this combination silently fell through to the one-shot
+    // built root before)
+    val rf = get("/api/query", "q" -> q, "mode" -> "graph",
+      "graph" -> "grown", "filter_field" -> "lang", "filter_value" -> "en",
+      "count" -> "5")
+    assert(rf.status == 200, rf.body)
+    val directF = graft.search.SearchEngine
+      .graphSearchGrownFiltered(spark, Sf0001, q, "lang", "en", 5)
+    val expectedF = directF.toJSON.collect().mkString(",")
+    assert(rf.body.contains(s""""results":[$expectedF]"""),
+      s"${rf.body}\n!=\n$expectedF")
+  }
+
+  test("operational routes: ultra-fast/really-fast aliases, optimize warm-up, cache clear (search.py:164-433)") {
+    // the two fast-path aliases serve the lean dense search with the
+    // reference's envelope (query, search_time_ms, results, search_type)
+    for ((p, kind) <- Seq(
+        "/api/search/ultra-fast" -> "ultra_fast_vector",
+        "/api/search/really-fast" -> "really_fast_alias")) {
+      val r = get(p, "q" -> "spark join", "count" -> "3")
+      assert(r.status == 200, s"$p: ${r.body}")
+      assert(r.body.contains(s""""search_type":"$kind""""), r.body)
+      assert(r.body.contains("\"search_time_ms\":"), r.body)
+      assert(r.body.contains("\"id\":") && r.body.contains("\"score\":"), r.body)
+      assert(!r.body.contains("\"text\""), r.body) // lean projection
+      // same results as the lean route (alias contract)
+      val lean = get("/api/lean-search", "q" -> "spark join", "count" -> "3")
+      val hits = """"results":(\[.*?\])""".r
+      assert(hits.findFirstMatchIn(r.body).map(_.group(1)) ==
+        hits.findFirstMatchIn(lean.body).map(_.group(1)), s"$p != lean")
+      assert(get(p, "count" -> "3").status == 422) // q required
+    }
+
+    // optimize: every service warms, none errors
+    val opt = get("/api/search/optimize")
+    assert(opt.status == 200, opt.body)
+    assert(opt.body.contains("\"status\":\"completed\""), opt.body)
+    for (svc <- Seq("bm25_index", "tfidf_index", "graph_index",
+        "grown_graph", "probe_queries"))
+      assert(opt.body.contains(s""""$svc":"""), opt.body)
+    assert(!opt.body.contains("error:"), opt.body)
+
+    // cache clear succeeds and the engine still serves afterwards (the
+    // caches are warm-state, never correctness state)
+    val clear = get("/api/search/cache")
+    assert(clear.status == 200 && clear.body.contains("cleared"), clear.body)
+    val after = get("/api/search/ultra-fast", "q" -> "spark join", "count" -> "3")
+    assert(after.status == 200, after.body)
   }
 
   test("query endpoint: missing q is a 422; out-of-range count is a 422") {

@@ -175,6 +175,146 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == hits(twin) && streamed.nonEmpty)
   }
 
+  test("indexCdcIngest with seqCol: one trigger carrying several ops per key collapses to the NET op (r10 ADVICE)") {
+    // I-then-D must NOT resurrect (the delete's horizon would predate the
+    // re-insert's segment), U-then-U must not double-append postings, and
+    // D-then-I must revive under the re-insert — all inside ONE trigger,
+    // ordered by the changelog's own seq column.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.IncrementalBm25
+    import spark.implicits._
+    val all = graft.tables.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bmcdc-seq").toString + "/i"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-bmcdc-seq-ck").toString
+    val seed = all.where(col("doc_id") < 40)
+      .collect().map(r => ("I", r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(String, Long, String, Long)]
+    val q = DeltaStream.indexCdcIngest(
+      input.toDF().toDF("op", "doc_id", "text", "seq"), root, ckpt,
+      seqCol = Some("seq"))
+    try {
+      input.addData(seed.zipWithIndex.map { case ((o, i, t), s) =>
+        (o, i, t, s.toLong) }.toSeq)
+      q.processAllAvailable()
+      // ONE trigger, three interleavings:
+      //   id 900: I then D            -> net absent
+      //   id 6:   U then U            -> net = the LAST text, once
+      //   id 8:   D then I (re-add)   -> net = the new text
+      input.addData(
+        ("I", 900L, "zzephemeral zzephemeral", 0L),
+        ("U", 6L, "zzfirstversion zzfirstversion", 1L),
+        ("D", 900L, "", 2L),
+        ("D", 8L, "", 3L),
+        ("U", 6L, "zzsecondversion zzsecondversion", 4L),
+        ("I", 8L, "zzrevived zzrevived", 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def hits(r: String, terms: Seq[String]) =
+      IncrementalBm25.topK(spark, r, "doc_id", terms, 500)
+        .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(hits(root, Seq("zzephemeral")).isEmpty) // I-then-D stays dead
+    assert(hits(root, Seq("zzfirstversion")).isEmpty) // first U superseded
+    assert(hits(root, Seq("zzsecondversion")).map(_._1) == Seq(6L))
+    assert(hits(root, Seq("zzrevived")).map(_._1) == Seq(8L))
+    assert(!hits(root, Seq("data", "query")).exists(h =>
+      h._1 == 900L || h._1 == 6L || h._1 == 8L)) // old versions gone
+
+    // without seqCol a multi-op-per-key trigger is REFUSED loudly (the
+    // order is unrecoverable), never silently misapplied
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-bmcdc-noseq").toString + "/i"
+    val ckpt2 = java.nio.file.Files
+      .createTempDirectory("graft-bmcdc-noseq-ck").toString
+    val input2 = MemoryStream[(String, Long, String)]
+    val q2 = DeltaStream.indexCdcIngest(
+      input2.toDF().toDF("op", "doc_id", "text"), root2, ckpt2)
+    try {
+      input2.addData(("I", 1L, "aa bb"), ("D", 1L, ""))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+  }
+
+  test("textGraphCdcIngest convergence property: random interleaved I/U/D changelog == fresh build over the net document set (r10 VERDICT #6)") {
+    // the order-of-operations space, swept instead of hand-picked: a
+    // seeded random changelog (multi-op keys inside triggers, seq-ordered)
+    // streams through the full delete+upsert+repair+append loop, and the
+    // served graph must equal a one-shot rebuild over whatever documents
+    // survive — for every seed.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.{IncrementalKnn, TfIdfGraphIndex}
+    import graft.search.Ann
+    import spark.implicits._
+    val corpus = graft.tables.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 60)
+    val words = Seq("merge", "stream", "window", "data", "filter", "join",
+      "aggregate", "scan", "vector", "index", "probe", "walk")
+    for (seedVal <- Seq(11L, 42L)) {
+      val rnd = new scala.util.Random(seedVal)
+      def text() = Seq.fill(4)(words(rnd.nextInt(words.length))).mkString(" ")
+      val model = scala.collection.mutable.LinkedHashMap[Long, String]()
+      corpus.collect().foreach(r => model(r.getLong(0)) = r.getString(1))
+      var nextNew = 2000L + seedVal * 100
+
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-cdc-prop$seedVal").toString + "/g"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft-cdc-prop-ck$seedVal").toString
+      val denseCorpus = TfIdfGraphIndex.embedDocsDense(spark, Sf0001,
+        corpus)
+      val centroids = denseCorpus.where(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      IncrementalKnn.init(denseCorpus, centroids, root, 3, 5)
+
+      val input = MemoryStream[(String, Long, String, Long)]
+      val q = DeltaStream.textGraphCdcIngest(
+        input.toDF().toDF("op", "doc_id", "text", "seq"),
+        Sf0001, root, ckpt, 3, 5, seqCol = Some("seq"))
+      try {
+        var seq = 0L
+        for (_ <- 0 until 3) { // 3 triggers x 8 ops
+          val ops = (0 until 8).map { _ =>
+            seq += 1
+            val live = model.keys.toIndexedSeq
+            rnd.nextInt(4) match {
+              case 0 => // insert a NEW key (valid changelogs never I an existing one)
+                val id = nextNew; nextNew += 1
+                val t = text(); model(id) = t; ("I", id, t, seq)
+              case 1 if live.nonEmpty => // delete a live key
+                val id = live(rnd.nextInt(live.size))
+                model.remove(id); ("D", id, "", seq)
+              case _ if live.nonEmpty => // update a live key in place
+                val id = live(rnd.nextInt(live.size))
+                val t = text(); model(id) = t; ("U", id, t, seq)
+              case _ =>
+                val id = nextNew; nextNew += 1
+                val t = text(); model(id) = t; ("I", id, t, seq)
+            }
+          }
+          input.addData(ops)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+
+      // served == one-shot rebuild over the model's net document set
+      val net = model.toSeq.map { case (id, t) => (id, t) }
+        .toDF("doc_id", "text")
+      val rebuilt = Ann.knnGraph(
+          TfIdfGraphIndex.embedDocsDense(spark, Sf0001, net), centroids, 3, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+      val served = IncrementalKnn.edges(spark, root, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+      assert(served == rebuilt && rebuilt.nonEmpty,
+        s"seed $seedVal diverged: served ${served.size} vs rebuilt ${rebuilt.size}")
+    }
+  }
+
   test("ivfCdcIngest: vector changelog — deleted vectors leave topK same trigger (exact rebuild semantics)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.index.IncrementalIvf
