@@ -350,25 +350,39 @@ object IncrementalKnn {
             .where(col("rank") <= k), Seq("src", "dst"))
           .drop("__seg")
       case Some(r) =>
-        val stale = broadcast(
-          staleSrcs(spark, root, v).getOrElse(base.select(col("src")).limit(0)))
-        val coveredRows = base.unionByName(r.drop("tomb_v")
-            .select(col("src"), col("dst"), col("score"), col("__seg")))
-          .join(stale, Seq("src"), "left_anti")
+        // the stale set is MATERIALIZED once (localCheckpoint — bounded
+        // by the unrepaired backlog's reverse degree, empty whenever the
+        // repairs are current, i.e. the steady a29/a30 state) so the
+        // detection subtree never re-executes per consumer, and the
+        // current-repairs case short-circuits to the exact pre-split
+        // plan: one bounded detection pass is the whole cost of the
+        // ledger-clock soundness check. Compaction clears both ledgers
+        // and returns the root to the single-scan plan.
+        val stale = staleSrcs(spark, root, v)
+          .getOrElse(base.select(col("src")).limit(0))
+          .localCheckpoint()
+        val hasStale = !stale.isEmpty
+        val merged = base.unionByName(r.drop("tomb_v")
+          .select(col("src"), col("dst"), col("score"), col("__seg")))
+        val coveredRows =
+          if (hasStale) merged.join(broadcast(stale), Seq("src"), "left_anti")
+          else merged
         val covered = filterTombs(spark, root, coveredRows, Seq("src", "dst"))
           .groupBy(col("src"), col("dst")).agg(max(col("score")).as("score"))
           .withColumn("rank", row_number().over(w))
           .where(col("rank") <= k)
           .select(col("src"), col("dst"), col("score"), col("rank"))
-        // stale-src sidecar (empty whenever the repairs are current — the
-        // a29/a30 state): base rows only, rank first, kill after — as if
-        // their repairs never ran, holes visible
-        val staleRanked = base.join(stale, Seq("src"), "left_semi")
-          .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= k)
-        covered.unionByName(
-          filterTombs(spark, root, staleRanked, Seq("src", "dst"))
-            .drop("__seg"))
+        if (!hasStale) covered
+        else {
+          // stale-src sidecar: base rows only, rank first, kill after —
+          // as if their repairs never ran, holes visible
+          val staleRanked = base.join(broadcast(stale), Seq("src"), "left_semi")
+            .withColumn("rank", row_number().over(w))
+            .where(col("rank") <= k)
+          covered.unionByName(
+            filterTombs(spark, root, staleRanked, Seq("src", "dst"))
+              .drop("__seg"))
+        }
     }
     out.orderBy(col("src"), col("rank"))
   }

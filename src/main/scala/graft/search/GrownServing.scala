@@ -51,7 +51,17 @@ object GrownServing {
     val key = s"$root#k=$k"
     val clock = IncrementalKnn.stateVersions(root)
     val hit = cache.get(key)
-    if (hit != null && hit.clock == clock) hit
+    if (hit != null && hit.clock == clock) {
+      // an external storage sweep (a bench harness unpersisting between
+      // queries, an admin unpersist-all) may have dropped the frames
+      // while the resolve stayed valid; re-pin lazily — persist on an
+      // unpersisted frame re-registers it, the next use refills
+      Seq(hit.edges, hit.vectors, hit.coarse).foreach { df =>
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          df.persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      hit
+    }
     else synchronized {
       val h2 = cache.get(key)
       if (h2 != null && h2.clock == clock) h2

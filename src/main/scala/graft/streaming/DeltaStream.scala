@@ -415,6 +415,38 @@ object DeltaStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Streaming HYBRID percolation — the term+vector member of the
+    * percolation matrix's streaming column ([[percolateIngest]] = term,
+    * [[vectorPercolateServe]] = vector): each micro-batch of (idCol,
+    * textCol, embedding) rows fires alerts that match BOTH the
+    * conjunctive term list and the similarity threshold
+    * ([[graft.search.Percolate.hybridMatches]]); fired (alert_id, id,
+    * score) rows append to `outPath`. Stateless per document like the
+    * other two — the union of per-batch firings equals the batch run
+    * (StreamingSpec pins it). `inverted` picks the alert-corpus-scale
+    * composition ([[graft.search.Percolate.hybridMatchesInverted]] —
+    * same fired set, no alert broadcast) for million-alert
+    * subscription stores. */
+  def hybridPercolateServe(docs: DataFrame, alerts: DataFrame,
+                           outPath: String, checkpoint: String,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           inverted: Boolean = false): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val emb = batch.select(col(idCol).cast("long").as("vec_id"),
+          col("embedding"))
+        val m =
+          if (inverted) graft.search.Percolate.hybridMatchesInverted(
+            batch, emb, alerts, idCol, textCol)
+          else graft.search.Percolate.hybridMatches(
+            batch, emb, alerts, idCol, textCol)
+        m.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outPath)
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+
   /** Streaming VECTOR index maintenance — the dense twin of
     * [[indexIngest]]: each micro-batch of new (vec_id, embedding) rows is
     * assigned against the frozen centroids and committed as ONE segment of

@@ -397,6 +397,53 @@ class StreamingSpec extends SparkSpec {
            batch.filter(_._1 == 1L).forall(_._3 >= 0.35))
   }
 
+  test("hybridPercolateServe: per-batch term+vector firings union to the batch run, broadcast AND inverted compositions") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.search.Percolate
+    import spark.implicits._
+    val docsT = graft.tables.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val alerts = Seq((1L, Seq("spark", "join"), 0L, 0.2),
+        (2L, Seq("scan"), 1L, 0.2))
+      .toDF("alert_id", "terms", "avec_id", "threshold")
+      .join(emb.select(col("vec_id").as("avec_id"),
+        col("embedding").as("avec")), Seq("avec_id"))
+      .select(col("alert_id"), col("terms"), col("avec"), col("threshold"))
+    // the stream carries (doc_id, text, embedding) — the point-collection
+    // row shape (text + its vector arrive together)
+    val rows0 = docsT.join(emb.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .limit(200).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2)))
+    def run(inverted: Boolean): Set[(Long, Long, Double)] = {
+      val out = java.nio.file.Files.createTempDirectory("hperc-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("hperc-ck").toString
+      val input = MemoryStream[(Long, String, Seq[Float])]
+      val q = DeltaStream.hybridPercolateServe(
+        input.toDF().toDF("doc_id", "text", "embedding")
+          .select(col("doc_id"), col("text"),
+            col("embedding").cast("array<float>").as("embedding")),
+        alerts, out, ckpt, inverted = inverted)
+      try {
+        rows0.grouped(80).foreach { g =>
+          input.addData(g.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val streamedDocs = spark.createDataFrame(rows0.toSeq)
+      .toDF("doc_id", "text", "embedding")
+    val batch = Percolate.hybridMatches(
+        streamedDocs.select(col("doc_id"), col("text")),
+        streamedDocs.select(col("doc_id").as("vec_id"),
+          col("embedding").cast("array<float>").as("embedding")),
+        alerts, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(inverted = false) == batch && batch.nonEmpty, s"n=${batch.size}")
+    assert(run(inverted = true) == batch) // same fired set, no alert broadcast
+  }
+
   test("percolate rejects an alert with empty terms loudly") {
     import graft.search.Percolate
     // explode() would silently drop the empty alert — it would never fire
