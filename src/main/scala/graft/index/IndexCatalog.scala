@@ -67,6 +67,10 @@ object IndexCatalog {
     val p = Paths.get(path(dataDir, name))
     built.remove(p.toString)
     TfIdfIndex.invalidateIdfCacheUnder(p.toString)
+    // RAM-resident serving frames derived from this artifact must not
+    // outlive the rebuild (their clock is a constant for build-once
+    // artifacts — invalidation IS their only staleness signal)
+    graft.search.ServingCache.clear()
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))

@@ -315,15 +315,29 @@ object SearchEngine {
     * entry points, and per-hop work is O(beam·k) against the src-sorted
     * edge artifact — corpus-size-independent, unlike the dense tfidf
     * scan. Output (id, score), the same shape as every other mode. */
+  /** One-shot tfidf-graph serving frames (vectors, edges, coarse) —
+    * RAM-resident via [[ServingCache]] (the artifacts are build-once
+    * immutable, so the clock is a constant; cached batches keep the
+    * `_srt` layouts' sortedness, so per-batch min/max stats prune the
+    * walk's `IN` lookups like the parquet row groups did). */
+  private def tfidfGraphServing(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.index.TfIdfGraphIndex
+    val Seq(v, e, c) = ServingCache.frames(s"tfidfgraph:$dir", ()) {
+      Seq(TfIdfGraphIndex.vectors(spark, dir),
+        TfIdfGraphIndex.edges(spark, dir),
+        TfIdfGraphIndex.coarse(spark, dir))
+    }
+    (v, e, c)
+  }
+
   def graphSearch(spark: SparkSession, dir: String, query: String, k: Int): DataFrame = {
     import graft.index.TfIdfGraphIndex
-    val vecs = TfIdfGraphIndex.vectors(spark, dir)
-    val edges = TfIdfGraphIndex.edges(spark, dir)
+    val (vecs, edges, coarse) = tfidfGraphServing(spark, dir)
     val qv = TfIdfGraphIndex.queryVec(spark, dir, query)
     // entries from the PREBUILT coarse layer — a 1/16 scan as I/O (the
     // inline pmod form reads everything and filters; hierEntriesFrom)
-    val entryIds = Ann.hierEntriesFrom(
-        TfIdfGraphIndex.coarse(spark, dir), qv, 3)
+    val entryIds = Ann.hierEntriesFrom(coarse, qv, 3)
       .collect().map(_.getLong(0)).toSeq
     // seek form (graphTopKSeek ≡ graphTopK, IndexSpec-pinned): per-hop
     // literal-IN point lookups against the _srt artifacts instead of the
@@ -386,11 +400,10 @@ object SearchEngine {
   def graphSearchBatched(spark: SparkSession, dir: String,
                          queries: Seq[(Long, String)], k: Int): DataFrame = {
     import graft.index.TfIdfGraphIndex
-    val vecs = TfIdfGraphIndex.vectors(spark, dir)
-    val edges = TfIdfGraphIndex.edges(spark, dir)
+    val (vecs, edges, coarse) = tfidfGraphServing(spark, dir)
     val qdf = TfIdfGraphIndex.queryVecs(spark, dir, queries)
     Ann.graphTopKBatched(edges, vecs, qdf,
-      Ann.hierEntriesBatchedFrom(TfIdfGraphIndex.coarse(spark, dir), qdf, 3),
+      Ann.hierEntriesBatchedFrom(coarse, qdf, 3),
       beam = 8, hops = 2, k)
   }
 
@@ -475,11 +488,14 @@ object SearchEngine {
       // seek form of the walk (graphTopKSeek ≡ graphTopK, IndexSpec-pinned):
       // per-hop point lookups against the _srt artifact instead of the
       // one-plan walk's per-hop corpus scans — the serving-latency form
-      // a router sits in front of (5.6 s → sub-second at sf0.1)
+      // a router sits in front of (5.6 s → sub-second at sf0.1). The
+      // immutable artifact frames serve RAM-resident ([[ServingCache]]).
       val emb = Tables.embeddings(spark, dir)
-      val edges = graft.index.KnnGraphIndex.edges(spark, dir, 3, 5)
-      val entryIds = Ann.hierEntriesFrom(
-          graft.index.KnnGraphIndex.coarse(spark, dir, 3, 5), qv, 3)
+      val Seq(edges, coarse) = ServingCache.frames(s"knngraph:$dir:3:5", ()) {
+        Seq(graft.index.KnnGraphIndex.edges(spark, dir, 3, 5),
+          graft.index.KnnGraphIndex.coarse(spark, dir, 3, 5))
+      }
+      val entryIds = Ann.hierEntriesFrom(coarse, qv, 3)
         .collect().map(_.getLong(0)).toSeq
       val walked = Ann.graphTopKSeek(edges, emb, qv, entryIds,
         beam = 8, hops = 3, k = k * 3)

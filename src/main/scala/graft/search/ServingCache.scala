@@ -1,0 +1,67 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Generic mutation-clock-keyed cache of PERSISTED serving frames — the
+  * one serving-tier pattern behind [[GrownServing]] (grown kNN roots),
+  * the one-shot graph artifacts ([[SearchEngine.graphSearch]]), and any
+  * future RAM-resident index state: resolve + persist a read's frames
+  * once, re-validate per request against a cheap clock, rebuild (and
+  * unpersist the stale frames) only when the clock moves.
+  *
+  * The reference keeps its serving index RAM-resident (`on_disk=False`);
+  * on a cluster `persist(MEMORY_AND_DISK)` spreads the same state over
+  * executor storage memory. Cached batches inherit the source layout's
+  * sortedness, so the in-memory scan's per-batch min/max stats keep
+  * pruning point lookups the way the parquet row groups did.
+  *
+  * `clock` is compared with `==`: pass the state's version tuple for
+  * mutable roots ([[graft.index.IncrementalKnn.stateVersions]]), or a
+  * constant (`()`) for immutable build-once artifacts (the IndexCatalog
+  * contract: an artifact path never changes content after its marker).
+  *
+  * An EXTERNAL storage sweep (a bench harness unpersisting everything
+  * between queries, an admin unpersist-all) can drop the frames while
+  * the resolve stays valid — hits re-pin lazily (persist on an
+  * unpersisted frame re-registers it; the next use refills). */
+object ServingCache {
+
+  private final case class Entry(clock: Any, frames: Seq[DataFrame])
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  /** The persisted frames for `key`, built (and warmed — counted, so the
+    * first request after a mutation pays the fill, not every request)
+    * iff absent or `clock` moved. */
+  def frames(key: String, clock: Any)(build: => Seq[DataFrame]): Seq[DataFrame] = {
+    val hit = cache.get(key)
+    if (hit != null && hit.clock == clock) { repin(hit.frames); hit.frames }
+    else synchronized {
+      val h2 = cache.get(key)
+      if (h2 != null && h2.clock == clock) { repin(h2.frames); h2.frames }
+      else {
+        if (h2 != null) h2.frames.foreach(_.unpersist(blocking = false))
+        val fs = build
+        fs.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+        fs.foreach(_.count())
+        cache.put(key, Entry(clock, fs))
+        fs
+      }
+    }
+  }
+
+  private def repin(fs: Seq[DataFrame]): Unit =
+    fs.foreach { df =>
+      if (df.storageLevel == StorageLevel.NONE)
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Drop every cached entry's frames (the `DELETE /api/search/cache`
+    * surface; tests that rewrite fixture dirs in place). */
+  def clear(): Unit = synchronized {
+    cache.values.forEach(e => e.frames.foreach(_.unpersist(blocking = false)))
+    cache.clear()
+  }
+}

@@ -427,10 +427,15 @@ object Api {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val res = (method match {
         case "graph" =>
-          val edges = graft.index.KnnGraphIndex.edges(spark, dir, 3, 5)
+          // immutable artifact frames serve RAM-resident (ServingCache —
+          // same key as the filtered-ANN router's walk side)
+          val Seq(edges, coarse) = graft.search.ServingCache
+            .frames(s"knngraph:$dir:3:5", ()) {
+              Seq(graft.index.KnnGraphIndex.edges(spark, dir, 3, 5),
+                graft.index.KnnGraphIndex.coarse(spark, dir, 3, 5))
+            }
           graft.search.Ann.graphTopKBatched(edges, emb, queries,
-            graft.search.Ann.hierEntriesBatchedFrom(
-              graft.index.KnnGraphIndex.coarse(spark, dir, 3, 5), queries, 3),
+            graft.search.Ann.hierEntriesBatchedFrom(coarse, queries, 3),
             beam = 8, hops = 2, k = count + 1)
         case _ =>
           val info = graft.index.IvfIndex.ensure(spark, dir)

@@ -1044,6 +1044,127 @@ class IndexSpec extends SparkSpec {
     assert(rows(IncrementalKnn.edges(spark, compacted, 5)) == healed)
   }
 
+  test("incremental knn mutation-sequence property: random delete/upsert/append/repair/compact keeps the serving invariants") {
+    // the op space between the hand-built lifecycle tests: seeded random
+    // sequences WITHOUT a repair after every delete (the CDC loop always
+    // heals same-trigger; here the stale mid-states are exercised).
+    // Invariants after EVERY op: no dead endpoint served, one row per
+    // (src, dst), per-src ranks positive and distinct. After repair:
+    // served == whole rebuild over the current vectors (dense). After
+    // compact: the (src, dst, score) set is preserved exactly and ranks
+    // come out dense (the Lucene-merge re-rank).
+    import graft.index.IncrementalKnn
+    import graft.search.Ann
+    import spark.implicits._
+    val emb0 = Tables.embeddings(spark, Sf0001).where(col("vec_id") < 120)
+    val centroids = emb0.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val pool = Tables.embeddings(spark, Sf0001)
+      .where(col("vec_id") >= 120 && col("vec_id") < 200)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toBuffer
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+
+    for (seed <- Seq(7L, 23L)) {
+      val rnd = new scala.util.Random(seed)
+      val model = scala.collection.mutable.LinkedHashMap[Long, Seq[Float]]()
+      emb0.collect().foreach(r => model(r.getLong(0)) = r.getSeq[Float](1))
+      var root = Files.createTempDirectory(s"graft-knn-prop$seed").toString + "/g"
+      IncrementalKnn.init(emb0, centroids, root, 3, 5)
+      var tombstoned = false // live tombstones since the last compact
+      var opN = 0
+
+      def modelDf = model.toSeq.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      def checkAlways(served: Seq[(Long, Long, Double, Int)]): Unit = {
+        val live = model.keySet
+        assert(served.forall(e => live(e._1) && live(e._2)),
+          s"seed $seed op $opN: served a dead endpoint")
+        assert(served.map(e => (e._1, e._2)).distinct.size == served.size,
+          s"seed $seed op $opN: duplicate (src,dst)")
+        served.groupBy(_._1).foreach { case (s, es) =>
+          val rs = es.map(_._4)
+          assert(rs.forall(_ >= 1) && rs.distinct.size == rs.size,
+            s"seed $seed op $opN src $s: bad ranks $rs") }
+      }
+
+      for (_ <- 0 until 7) {
+        opN += 1
+        rnd.nextInt(5) match {
+          case 0 => // delete up to 2 live non-centroid ids
+            val live = model.keys.filter(_ >= 10).toIndexedSeq
+            val ids = rnd.shuffle(live).take(1 + rnd.nextInt(2))
+            if (ids.nonEmpty) {
+              IncrementalKnn.delete(ids.toDF("vec_id"), root,
+                tag = Some(s"p$seed-$opN"))
+              ids.foreach(model.remove)
+              tombstoned = true
+            }
+          case 1 => // upsert a live id to a pool embedding (in place)
+            val live = model.keys.filter(_ >= 10).toIndexedSeq
+            if (live.nonEmpty && pool.nonEmpty) {
+              val id = live(rnd.nextInt(live.size))
+              val (_, newEmb) = pool.remove(0)
+              IncrementalKnn.upsert(
+                Seq((id, newEmb)).toDF("vec_id", "embedding")
+                  .select(col("vec_id"),
+                    col("embedding").cast("array<float>").as("embedding")),
+                root, 3, 5, tag = Some(s"p$seed-$opN"))
+              model(id) = newEmb
+              tombstoned = true
+            }
+          case 2 => // append 2 new ids
+            if (pool.size >= 2) {
+              val batch = Seq(pool.remove(0), pool.remove(0))
+              IncrementalKnn.append(
+                batch.toDF("vec_id", "embedding")
+                  .select(col("vec_id"),
+                    col("embedding").cast("array<float>").as("embedding")),
+                root, 3, 5, tag = Some(s"p$seed-$opN"))
+              batch.foreach { case (id, e) => model(id) = e }
+            }
+          case 3 => // repair — after it the graph must be rebuild-exact
+            IncrementalKnn.repair(spark, root, 3, 5, tag = Some(s"p$seed-$opN"))
+            if (tombstoned) {
+              val served = rows(IncrementalKnn.edges(spark, root, 5))
+              val rebuilt = rows(Ann.knnGraph(modelDf, centroids, 3, 5))
+              assert(served == rebuilt,
+                s"seed $seed op $opN: post-repair != rebuild")
+            }
+          case _ => // heal-then-compact (the CDC loop's discipline: folding
+            // a HOLED graph would physically reclaim the dead-row evidence
+            // and bake the degraded top-k in — the first draft of this test
+            // compacted unhealed states and correctly caught exactly that
+            // documented degradation); after the fold: triple set preserved
+            // vs the healed read, ranks dense, ledger clear, rebuild-exact
+            IncrementalKnn.repair(spark, root, 3, 5, tag = Some(s"p$seed-$opN-r"))
+            val before = rows(IncrementalKnn.edges(spark, root, 5))
+            val newRoot = Files
+              .createTempDirectory(s"graft-knn-propc$seed-$opN").toString + "/g"
+            IncrementalKnn.compact(spark, root, newRoot, 5)
+            val after = rows(IncrementalKnn.edges(spark, newRoot, 5))
+            assert(after.map(e => (e._1, e._2, e._3)).toSet ==
+              before.map(e => (e._1, e._2, e._3)).toSet,
+              s"seed $seed op $opN: compact changed the edge set")
+            after.groupBy(_._1).foreach { case (_, es) =>
+              assert(es.map(_._4).sorted == (1 to es.size).toSeq,
+                s"seed $seed op $opN: compact ranks not dense") }
+            assert(after == rows(Ann.knnGraph(modelDf, centroids, 3, 5)),
+              s"seed $seed op $opN: healed compact != rebuild")
+            root = newRoot
+            tombstoned = false
+        }
+        checkAlways(rows(IncrementalKnn.edges(spark, root, 5)))
+      }
+      // close each sequence with the healing contract end-to-end
+      IncrementalKnn.repair(spark, root, 3, 5, tag = Some(s"p$seed-final"))
+      val served = rows(IncrementalKnn.edges(spark, root, 5))
+      val rebuilt = rows(Ann.knnGraph(modelDf, centroids, 3, 5))
+      assert(served == rebuilt && rebuilt.nonEmpty,
+        s"seed $seed: final repair != rebuild")
+    }
+  }
+
   test("incremental knn graph: grown == whole-corpus rebuild, compacted == grown") {
     import graft.index.IncrementalKnn
     import graft.search.Ann
