@@ -111,24 +111,30 @@ object Api {
       val detailed = SearchEngine.resultShape(spark, dir, base.select("id", "score"))
       ok(envelope(q, hitsJson(detailed, count), "count" -> count.toString))
 
-    case "/api/fusion-search" => // Q2 (search.py:200-224): q, count 1..100
+    case "/api/fusion-search" | "/api/search/fusion" => // Q2 (search.py:200-224): q, count 1..100 — /api/search/fusion is the reference's literal route
       val q = require(params, "q")
       val count = intParam(params, "count", 10, 1, 100)
       ok(envelope(q,
         ewma.timed("fusion")(hitsJson(fusionSearch(spark, dir, q, count)))))
 
-    case "/api/lean-search" => // Q9 minimal projection (search.py:231-255): q, count 1..100
+    case "/api/lean-search" | "/api/search/lean" => // Q9 minimal projection (search.py:231-255): q, count 1..100 — /api/search/lean is the reference's literal route
       val q = require(params, "q")
       val count = intParam(params, "count", 10, 1, 100)
       ok(envelope(q, ewma.timed("lean")(
         hitsJson(search(spark, dir, q, "dense", count).select("id", "score")))))
 
-    case "/api/search-dense" | "/api/search-sparse" | "/api/search-hybrid" =>
+    case "/api/search-dense" | "/api/search-sparse" | "/api/search-hybrid"
+       | "/api/dense" | "/api/sparse" | "/api/hybrid" =>
+      // the reference mounts its search router at prefix /api, so the
+      // LIVE literal routes are /api/dense|sparse|hybrid
+      // (search.py:439-541 + main.py:24); the /api/search-* spellings
+      // are kept as this engine's original aliases
       val q = require(params, "query")
       val limit = intParam(params, "limit", 10, 1, 50)
-      val mode = path.stripPrefix("/api/search-") match {
-        case "sparse" => "sparse"; case "dense" => "dense"; case _ => "hybrid"
-      }
+      val mode =
+        if (path.endsWith("sparse")) "sparse"
+        else if (path.endsWith("dense")) "dense"
+        else "hybrid"
       ok(envelope(q, hitsJson(search(spark, dir, q, mode, limit)), "mode" -> quote(mode)))
 
     case "/api/search/ultra-fast" | "/api/search/really-fast" =>
@@ -281,7 +287,7 @@ object Api {
       }
       ok(s"""{"query":${quote(q)},"facets":[$body]}""")
 
-    case "/api/performance-stats" => // search.py:356-374
+    case "/api/performance-stats" | "/api/search/performance-stats" => // search.py:356-374 (second spelling = the reference's literal route)
       val cells = ewma.snapshot.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       ok(s"""{"ewma_ms":{${cells.mkString(",")}}}""")

@@ -130,6 +130,29 @@ class ServeApiSpec extends SparkSpec {
     assert(after.status == 200, after.body)
   }
 
+  test("reference literal routes: /api/dense|sparse|hybrid, /api/search/{fusion,lean,performance-stats} alias the engine routes") {
+    // the reference mounts its search router at prefix /api (main.py:24),
+    // so these are the paths a porting client actually calls; each must
+    // serve byte-identically to this engine's original spelling
+    for ((ref, ours) <- Seq(
+        "/api/dense" -> "/api/search-dense",
+        "/api/sparse" -> "/api/search-sparse",
+        "/api/hybrid" -> "/api/search-hybrid")) {
+      val a = get(ref, "query" -> "spark join filter", "limit" -> "5")
+      val b = get(ours, "query" -> "spark join filter", "limit" -> "5")
+      assert(a.status == 200 && a.body == b.body, s"$ref != $ours:\n${a.body}\n${b.body}")
+    }
+    for ((ref, ours) <- Seq(
+        "/api/search/fusion" -> "/api/fusion-search",
+        "/api/search/lean" -> "/api/lean-search")) {
+      val a = get(ref, "q" -> "spark join filter", "count" -> "5")
+      val b = get(ours, "q" -> "spark join filter", "count" -> "5")
+      assert(a.status == 200 && a.body == b.body, s"$ref != $ours")
+    }
+    val ps = get("/api/search/performance-stats")
+    assert(ps.status == 200 && ps.body.contains("ewma_ms"), ps.body)
+  }
+
   test("query endpoint: missing q is a 422; out-of-range count is a 422") {
     assert(get("/api/query").status == 422)
     val r = get("/api/query", "q" -> "x", "count" -> "0")
