@@ -317,6 +317,14 @@ object DeltaStream {
           else
             IncrementalBm25.append(ins, idCol, textCol, root,
               numFiles = 1, tag = Some(tag))
+        }
+        // compaction check runs for EVERY op mix, not just inserts:
+        // upserts append a segment each (and deletes grow the tombstone
+        // ledger the fold clears), so a pure-U/D changelog — the common
+        // steady-state CDC shape — must still hit the size-tiered fold or
+        // segment fan-in grows without bound ([[textGraphCdcIngest]]
+        // always had it hoisted; this loop gated it on inserts).
+        if (IncrementalBm25.version(root) > 0) {
           val newRoot = IncrementalBm25.compactIfNeeded(
             batch.sparkSession, root, idCol, maxSegments, tag = Some(tag))
           if (newRoot != root) {
@@ -361,8 +369,12 @@ object DeltaStream {
           IncrementalIvf.upsert(ups, root, Some(s"ups_$batchId"))
         val ins = nb.where(col("op") === "I")
           .select(col("vec_id"), col("embedding"))
-        if (!ins.isEmpty && !IncrementalIvf.committedHasTag(root, tag)) {
+        if (!ins.isEmpty && !IncrementalIvf.committedHasTag(root, tag))
           IncrementalIvf.append(ins, root, tag = Some(tag))
+        // hoisted like [[textGraphCdcIngest]]'s: upsert-only triggers
+        // append segments too and must still reach the fold (see the
+        // BM25 loop above)
+        if (IncrementalIvf.version(root) > 0) {
           val newRoot = IncrementalIvf.compactIfNeeded(
             batch.sparkSession, root, maxSegments, tag = Some(tag))
           if (newRoot != root) {

@@ -25,6 +25,89 @@ class IndexSpec extends SparkSpec {
     assert(indexed == direct && direct.nonEmpty)
   }
 
+  test("bm25 maxscore: pruned topK == exact topK across query shapes; fixture exercises the PRUNED path") {
+    val docs = Tables.documents(spark, Sf0001)
+    val out = Files.createTempDirectory("graft-bm25-ms").toString
+    Bm25Index.build(docs, "doc_id", "text", out)
+    def exact(terms: Seq[String], k: Int) =
+      Bm25Index.topK(spark, out, "doc_id", terms, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def pruned(terms: Seq[String], k: Int) =
+      Bm25Index.topKMaxScore(spark, out, "doc_id", terms, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the dominant real-query shape: one rare term + common ones
+    val mix = Seq("dup", "the", "a")
+    assert(pruned(mix, 10) == exact(mix, 10) && exact(mix, 10).size == 10)
+    // uniformly common terms (θ can't separate) — degrades to exact
+    val common = Seq("the", "a", "spark")
+    assert(pruned(common, 10) == exact(common, 10))
+    // unknown term mixed in; single term; k past the matching set
+    assert(pruned(Seq("dup", "zzznoterm"), 5) == exact(Seq("dup", "zzznoterm"), 5))
+    assert(pruned(Seq("dup"), 5) == exact(Seq("dup"), 5))
+    assert(pruned(Seq("dup", "the"), 5000) == exact(Seq("dup", "the"), 5000))
+    // prove the mix fixture took the PRUNED path, not the degraded one:
+    // recompute the MaxScore precondition — the non-top terms' summed
+    // upper bounds must fall below the rare list's own k-th best full
+    // score (so 'the'/'a' are non-essential and candidates = dup docs)
+    val ubs = spark.read.parquet(s"$out/termstats")
+      .where(col("term").isin(mix: _*))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(ubs.keySet == mix.toSet)
+    val t1 = mix.maxBy(ubs) // 'dup' — the rare, high-idf list
+    assert(t1 == "dup")
+    val theta = exact(mix, 10) // dup ∈ every top doc ⇒ θ over dup docs
+      .map(_._2).min
+    assert((ubs - t1).values.sum < theta - 1e-6,
+      s"fixture no longer exercises pruning: ubs=$ubs theta=$theta")
+  }
+
+  test("bm25 prf expansion: two-pass loop == independently recomputed expansion over the direct-path weights") {
+    val docs = Tables.documents(spark, Sf0001)
+    val out = Files.createTempDirectory("graft-bm25-prf").toString
+    Bm25Index.build(docs, "doc_id", "text", out)
+    val terms = Seq("spark", "join", "filter")
+    val got = Bm25Index.prfExpandTopK(spark, out, docs, "doc_id", "text",
+        terms, fbDocs = 3, nExp = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // independent recompute of the expansion election: direct (unindexed)
+    // per-(term, doc) BM25 weights over the whole corpus, fb docs from
+    // the direct topK, expansion = top-2 summed weight outside the query
+    val base = docs.select(col("doc_id"),
+        graft.functions.TextOps.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val tf = base.select(col("doc_id"), col("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val w = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(graft.search.Bm25.K1 + 1)) /
+          (col("tf") + lit(graft.search.Bm25.K1) *
+            (lit(1 - graft.search.Bm25.B) +
+              lit(graft.search.Bm25.B) * col("dl") / col("avgdl"))))
+      .select(col("term"), col("doc_id"), col("w"))
+    val fbIds = Bm25.topK(docs, "doc_id", "text", terms, 3)
+      .collect().map(_.getLong(0)).toSeq
+    val expansion = w.where(col("doc_id").isin(fbIds: _*))
+      .where(!col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(round(sum(col("w")), 6).as("ew"))
+      .orderBy(col("ew").desc, col("term").asc).limit(2)
+      .collect().map(_.getString(0)).toSeq
+    assert(expansion.size == 2 && expansion.intersect(terms).isEmpty)
+    val expected = Bm25.topK(docs, "doc_id", "text", terms ++ expansion, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected && got.size == 10)
+    // degenerate fb: a query matching nothing expands to nothing and
+    // serves the plain (empty) base result, never an error
+    val none = Bm25Index.prfExpandTopK(spark, out, docs, "doc_id", "text",
+      Seq("zzznosuchterm"), 3, 2, 10)
+    assert(none.collect().isEmpty)
+  }
+
   test("incremental bm25: grown index == full rebuild, appends shift scores, crash-safe") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, Sf0001)
@@ -265,12 +348,23 @@ class IndexSpec extends SparkSpec {
 
     // the per-hop reads must SEEK: literal IN predicates pushed to the
     // sorted artifact / vectors parquet scans (row-group min/max pruning)
+    // — or, when ServingCache has already pinned the same artifact path
+    // RAM-resident (Spark's CacheManager substitutes the InMemoryRelation
+    // into every later plan over that path), the same IN predicate as the
+    // InMemoryTableScan's scan filter: cached batches inherit the sorted
+    // layout, so per-batch min/max stats prune the point lookups exactly
+    // the way the parquet row groups did
+    def seeks(plan: String, c: String): Boolean =
+      plan.contains(s"PushedFilters: [In($c") ||
+        (plan.contains("InMemoryTableScan") &&
+          s"""InMemoryTableScan [^\\n]*\\[$c#\\d+L? IN \\(""".r
+            .findFirstIn(plan).isDefined)
     val hopEdges = edges.where(col("src").isin(entryIds: _*))
       .queryExecution.executedPlan.toString
-    assert(hopEdges.contains("PushedFilters: [In(src"), hopEdges)
+    assert(seeks(hopEdges, "src"), hopEdges)
     val hopVecs = emb.where(col("vec_id").isin(entryIds: _*))
       .queryExecution.executedPlan.toString
-    assert(hopVecs.contains("PushedFilters: [In(vec_id"), hopVecs)
+    assert(seeks(hopVecs, "vec_id"), hopVecs)
   }
 
   test("pq: every (vector, subspace) encodes; ADC re-rank holds recall vs brute force") {

@@ -240,6 +240,44 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("indexCdcIngest: upsert-only triggers still reach the size-tiered fold (compaction not gated on inserts)") {
+    // the common steady-state CDC shape is pure updates — without the
+    // hoisted compaction check those triggers append segments forever
+    // and never fold, so segment fan-in (and the tombstone ledger) grow
+    // without bound
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.{IncrementalBm25, SegmentStore}
+    import spark.implicits._
+    val all = graft.tables.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bmcdc-uc").toString + "/i"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-bmcdc-uc-ck").toString
+    val seed = all.where(col("doc_id") < 30)
+      .collect().map(r => ("I", r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(String, Long, String)]
+    val q = DeltaStream.indexCdcIngest(
+      input.toDF().toDF("op", "doc_id", "text"), root, ckpt,
+      maxSegments = 2)
+    try {
+      input.addData(seed.toSeq); q.processAllAvailable()
+      // three UPDATE-ONLY triggers: each appends one upsert segment; the
+      // third crosses maxSegments=2 and must compact + swap the pointer
+      input.addData(("U", 3L, "zzucompact one")); q.processAllAvailable()
+      input.addData(("U", 5L, "zzucompact two")); q.processAllAvailable()
+      input.addData(("U", 7L, "zzucompact three")); q.processAllAvailable()
+    } finally q.stop()
+    val cur = SegmentStore.getPointer(s"$root.current").getOrElse(root)
+    assert(cur != root, "pure-U triggers never swapped the pointer — " +
+      "compaction still gated on inserts")
+    assert(IncrementalBm25.version(cur) <= 2,
+      s"fold never ran: ${IncrementalBm25.version(cur)} segments")
+    val hits = IncrementalBm25.topK(spark, cur, "doc_id",
+      Seq("zzucompact"), 10).collect().map(_.getLong(0)).toSet
+    assert(hits == Set(3L, 5L, 7L))
+  }
+
   test("textGraphCdcIngest convergence property: random interleaved I/U/D changelog == fresh build over the net document set (r10 VERDICT #6)") {
     // the order-of-operations space, swept instead of hand-picked: a
     // seeded random changelog (multi-op keys inside triggers, seq-ordered)
