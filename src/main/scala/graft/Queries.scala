@@ -1663,6 +1663,72 @@ object Queries {
         SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 15
       """)),
 
+    // MAXSCORE-pruned BM25 (Turtle & Flood upper-bound elimination — the
+    // WAND/MaxScore family every production inverted index runs): docs
+    // are fully scored only when they hold an ESSENTIAL term (per-term
+    // max impact from the termstats artifact; θ from the rarest list's
+    // own top-k), provably EXACT — so the oracle is the plain exact-BM25
+    // SQL, a pruning nobody can observe in the results. The term mix
+    // (one rare term + the two commonest) is the dominant real-query
+    // shape and the one MaxScore exists for: the common lists never
+    // drive candidate generation.
+    "s3g_bm25_maxscore" -> Q(
+      (s, d) => graft.index.Bm25Index.topKMaxScore(
+        s, graft.index.Bm25Index.ensure(s, d), "doc_id",
+        Seq("dup", "the", "a"), 10)
+        .select(col("doc_id").as("id"), col("score")),
+      Some(s"""
+        WITH ${bm25ScoredCteFor("scored", Seq("dup", "the", "a"))}
+        SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
+    // Pseudo-relevance-feedback query expansion (the RM3-shaped PRF
+    // two-pass loop — Lavrenko & Croft relevance models as Anserini/
+    // Terrier run them): base top-3 docs are assumed relevant, their 2
+    // highest-impact non-query terms (summed stored BM25 weight, term
+    // asc tiebreak) join the query, and the expanded set re-ranks.
+    // Deterministic end to end, so BOTH passes replay in SQL.
+    "s31_prf_expansion" -> Q(
+      (s, d) => graft.index.Bm25Index.prfExpandTopK(
+        s, graft.index.Bm25Index.ensure(s, d), Tables.documents(s, d),
+        "doc_id", "text", QueryTerms, fbDocs = 3, nExp = 2, 10)
+        .select(col("doc_id").as("id"), col("score")),
+      Some(s"""
+        WITH prf_base2 AS (
+          SELECT doc_id, toks, len(toks) AS dl FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents)
+        ), prf_stats AS (
+          SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl FROM prf_base2
+        ), prf_tf AS (
+          SELECT doc_id, dl, term, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM prf_base2)
+          GROUP BY doc_id, dl, term
+        ), prf_df AS (
+          SELECT term, count(*) AS df FROM prf_tf GROUP BY term
+        ), prf_w AS (
+          SELECT t.doc_id, t.term,
+            ln(1.0::DOUBLE + (st.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) *
+            (t.tf * 2.2::DOUBLE) /
+            (t.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * t.dl / st.avgdl)) AS w
+          FROM prf_tf t, prf_df f, prf_stats st WHERE t.term = f.term
+        ), prf_fb AS (
+          SELECT doc_id, round(sum(w), 6) AS score FROM prf_w
+          WHERE term IN ('spark', 'join', 'filter')
+          GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 3
+        ), prf_exp AS (
+          SELECT w.term, round(sum(w.w), 6) AS ew
+          FROM prf_w w JOIN prf_fb fb ON w.doc_id = fb.doc_id
+          WHERE w.term NOT IN ('spark', 'join', 'filter')
+          GROUP BY w.term ORDER BY ew DESC, w.term ASC LIMIT 2
+        )
+        SELECT doc_id AS id, round(sum(w), 6) AS score FROM prf_w
+        WHERE term IN ('spark', 'join', 'filter')
+           OR term IN (SELECT term FROM prf_exp)
+        GROUP BY doc_id ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
     // Incremental index maintenance: BM25 served from an index GROWN in
     // two appends (half the corpus at init, half appended) — raw
     // immutable postings segments + versioned merged stats, idf applied
@@ -2280,6 +2346,7 @@ object Queries {
   private val servingSingles: Set[String] = Set(
     "s1_dense_topk", "s2_dense_threshold", "s3_bm25_topk",
     "s3b_bm25_indexed", "s3c_bm25_incremental", "s3e_bm25_tombstone",
+    "s3g_bm25_maxscore", "s31_prf_expansion",
     "s4_hybrid_rrf",
     "s5_exact_match", "s6_fusion_simple", "s7_filtered_search",
     "s8_linear_fusion", "s9_tfidf_search", "s9b_tfidf_indexed",

@@ -28,9 +28,11 @@ import graft.tables.Tables
   */
 object Bm25Index {
 
-  // versioned: v2 added the precomputed impact weight column — a layout
-  // change, so v1 artifacts must never be reused
-  val Name = "bm25_v2"
+  // versioned: v2 added the precomputed impact weight column; v3 added
+  // the per-term MAX impact (`maxw`) to termstats — the MaxScore upper
+  // bound ([[topKMaxScore]]). Layout changes, so older artifacts must
+  // never be reused.
+  val Name = "bm25_v3"
 
   def build(docs: DataFrame, idCol: String, textCol: String, out: String,
             numFiles: Int = 8): Unit = {
@@ -45,8 +47,6 @@ object Bm25Index {
 
     // tf is distinct on (term, id): count(1) == countDistinct(id).
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    Store.optimizeLayout(dfreq, s"$out/termstats", Seq("term"), 1,
-      bloomCols = Seq("term"))
 
     val stats = base.agg(count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))
@@ -70,6 +70,17 @@ object Bm25Index {
       .select(col("term"), col(idCol), col("dl"), col("tf"), col("w"))
     Store.optimizeLayout(postings, s"$out/postings", Seq("term", idCol),
       numFiles, bloomCols = Seq("term"))
+
+    // termstats with the per-term MAX impact weight — the upper bound
+    // MaxScore prunes with ([[topKMaxScore]]; impact-ordered engines
+    // store exactly this per list). Aggregated from the just-written
+    // postings (one columnar (term, w) pass, distinct on (term, id), so
+    // count(1) is still df), not a recompute of the weight pipeline.
+    val ts = docs.sparkSession.read.parquet(s"$out/postings")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), max(col("w")).as("maxw"))
+    Store.optimizeLayout(ts, s"$out/termstats", Seq("term"), 1,
+      bloomCols = Seq("term"))
   }
 
   /** BM25 top-k against a prebuilt index: scan the query terms' postings
@@ -128,6 +139,124 @@ object Bm25Index {
       .transform(df =>
         if (ordered) df.orderBy(col(qidCol), col("score").desc, col(idCol).asc)
         else df)
+  }
+
+  /** BM25 top-k with MAXSCORE pruning (Turtle & Flood's upper-bound
+    * candidate elimination, the set-at-a-time form modern impact-ordered
+    * engines run — Lucene's WAND/MaxScore `TopScoreDocCollector`): docs
+    * are fully scored ONLY when they contain at least one ESSENTIAL
+    * term, and the result is PROVABLY the exact [[topK]] — the oracle is
+    * the plain exact-BM25 SQL.
+    *
+    * The argument: let U(t) be term t's maximum impact weight (stored
+    * per-term in the v3 termstats artifact — a point read, never a
+    * postings pass), terms sorted U desc. θ = the k-th best FULL score
+    * among docs holding t1 (a valid lower bound of the true k-th best —
+    * any subset's k-th best is). Essential terms = the minimal prefix
+    * t1..tp with Σ U(t_{p+1}..t_n) < θ: a doc containing only
+    * non-essential terms scores ≤ that suffix sum < θ ≤ the true k-th
+    * best, so it cannot place — strictly, so ties are safe (a 1e-6 guard
+    * absorbs the 6-dp score rounding). Docs in no essential list are
+    * never scored.
+    *
+    * Why it matters at scale: a query mixing one rare term with common
+    * ones (the dominant real-query shape) scores only the rare term's
+    * posting list instead of the union — the common terms' corpus-sized
+    * lists are READ (their weights complete the candidates' scores) but
+    * never drive candidate generation, so the partial-agg shuffle is
+    * candidate-sized, not union-sized; with per-list impact ordering the
+    * read side would prune too. θ costs one k-row collect over the
+    * t1-docs subset (t1 = highest max-impact ≈ rarest list — the
+    * smallest one); the UB read is |terms| rows. When pruning cannot
+    * help (all terms essential — e.g. uniformly common terms, or fewer
+    * than k docs hold t1 so θ is unbounded), the plan degrades to
+    * exactly [[topK]]'s. */
+  def topKMaxScore(spark: SparkSession, indexDir: String, idCol: String,
+                   terms: Seq[String], k: Int): DataFrame = {
+    val posts = spark.read.parquet(s"$indexDir/postings")
+      .where(col("term").isin(terms: _*)) // pushed: In(term, ...) + bloom
+    // per-term upper bounds: a point read of the termstats artifact
+    // (query-literal-sized, like the query terms themselves)
+    val ubs = spark.read.parquet(s"$indexDir/termstats")
+      .where(col("term").isin(terms: _*))
+      .select(col("term"), col("maxw"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy { case (t, u) => (-u, t) }
+    val exact = () => posts
+      .groupBy(col(idCol))
+      .agg(round(sum(col("w")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+    if (ubs.length <= 1) return exact() // one list: nothing to prune
+    // θ: k-th best FULL score over docs holding the top-UB term (its
+    // list is the candidate seed — typically the rarest, smallest one)
+    val t1 = ubs.head._1
+    val t1Docs = posts.where(col("term") === t1).select(col(idCol)).distinct()
+    val seedTop = posts.join(broadcast(t1Docs), Seq(idCol))
+      .groupBy(col(idCol)).agg(round(sum(col("w")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc).limit(k)
+      .collect()
+    if (seedTop.length < k) return exact() // θ unbounded — no pruning
+    val theta = seedTop.map(_.getDouble(1)).min
+    // minimal essential prefix: suffix(i) = Σ U over terms i..n-1
+    val suffix = ubs.map(_._2).scanRight(0.0)(_ + _)
+    val p = (1 to ubs.length)
+      .find(i => suffix(i) < theta - 1e-6).getOrElse(ubs.length)
+    val essential = ubs.take(p).map(_._1)
+    val cands = posts.where(col("term").isin(essential: _*))
+      .select(col(idCol)).distinct()
+    posts.join(broadcast(cands), Seq(idCol))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("w")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Pseudo-relevance-feedback query EXPANSION — the RM3-shaped PRF loop
+    * (Lavrenko & Croft relevance models; Anserini/Terrier run exactly
+    * this two-pass plan): the base query's top-`fbDocs` docs are assumed
+    * relevant, the `nExp` highest-impact terms of those docs (summed
+    * stored BM25 weight, the original terms excluded, term-asc
+    * tiebreak) join the query, and the EXPANDED term set re-runs
+    * [[topK]]. Deterministic end to end (6-dp rounding before every
+    * ordering), so the whole loop is SQL-replayable — the oracle states
+    * both passes.
+    *
+    * Scale shape: pass 1 is [[topK]] (pushed postings seek). Expansion
+    * vocabulary comes from the FEEDBACK DOCS' OWN TEXT (a pushed
+    * `id IN (fb)` point read of the docs table — fbDocs rows), never
+    * from a doc-major postings pass (postings are term-sorted; a
+    * by-doc scan of them would read the corpus). Their candidate terms
+    * then seek the postings the normal way (`term IN`, fb-vocabulary
+    * sized) joined to the fb-doc broadcast, so expansion costs two
+    * point reads + one tiny agg. Driver state: fb ids (fbDocs), fb
+    * vocabulary (the distinct tokens of fbDocs docs), both
+    * feedback-sized — the same "query literal" contract as the terms
+    * argument itself. */
+  def prfExpandTopK(spark: SparkSession, indexDir: String, docs: DataFrame,
+                    idCol: String, textCol: String, terms: Seq[String],
+                    fbDocs: Int, nExp: Int, k: Int): DataFrame = {
+    val fbIds = topK(spark, indexDir, idCol, terms, fbDocs)
+      .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+    if (fbIds.isEmpty) return topK(spark, indexDir, idCol, terms, k)
+    val fbTerms = docs.where(col(idCol).isin(fbIds: _*)) // pushed In(id)
+      .select(explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
+      .where(!col("term").isin(terms: _*))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val expansion =
+      if (fbTerms.isEmpty) Seq.empty[String]
+      else {
+        import spark.implicits._
+        spark.read.parquet(s"$indexDir/postings")
+          .where(col("term").isin(fbTerms: _*)) // pushed In(term) + bloom
+          .join(broadcast(fbIds.toDF(idCol)), Seq(idCol))
+          .groupBy(col("term"))
+          .agg(round(sum(col("w")), 6).as("ew"))
+          .orderBy(col("ew").desc, col("term").asc)
+          .limit(nExp)
+          .collect().map(_.getString(0)).toSeq
+      }
+    topK(spark, indexDir, idCol, terms ++ expansion, k)
   }
 
   /** Exact-phrase top-k through the inverted index: candidates are docs
