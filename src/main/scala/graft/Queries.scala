@@ -1682,6 +1682,63 @@ object Queries {
         SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 10
       """)),
 
+    // Hit HIGHLIGHTING: the best window-of-10 snippet per BM25 hit
+    // (Lucene UnifiedHighlighter surface) — most query-term occurrences
+    // wins, leftmost on ties. Pure integer arithmetic over the k hit
+    // docs' tokens (pushed id IN point read), so the whole surface
+    // replays in SQL.
+    "s32_snippets" -> Q(
+      (s, d) => SearchEngine.snippets(s, d, QueryTerms, 10, 10),
+      Some(s"""
+        WITH ${bm25ScoredCte("sn_scored")},
+        sn_hits AS (
+          SELECT id, score FROM sn_scored
+          ORDER BY score DESC, id ASC LIMIT 10
+        ), sn_toks AS (
+          SELECT d.doc_id AS id,
+                 list_filter(string_split(d.text, ' '), t -> t <> '') AS toks
+          FROM documents d JOIN sn_hits h ON d.doc_id = h.id
+        ), sn_pos AS (
+          SELECT id, toks, unnest(range(0, len(toks))) AS pos FROM sn_toks
+        ), sn_win AS (
+          SELECT id, toks, pos,
+                 sum(CASE WHEN toks[pos + 1] IN ('spark', 'join', 'filter')
+                     THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS n_hits
+          FROM sn_pos
+        ), sn_best AS (
+          SELECT id, n_hits::BIGINT AS n_hits,
+                 array_to_string(toks[pos + 1 : pos + 10], ' ') AS snippet,
+                 row_number() OVER (PARTITION BY id
+                   ORDER BY n_hits DESC, pos ASC) AS rn
+          FROM sn_win
+        )
+        SELECT h.id, h.score, b.n_hits, b.snippet
+        FROM sn_hits h JOIN sn_best b ON h.id = b.id AND b.rn = 1
+        ORDER BY h.score DESC, h.id ASC
+      """)),
+
+    // CASCADE retrieval (L1/L2 retrieve-then-rerank): BM25 recalls a
+    // 50-doc shortlist, exact cosine vs the query vector re-scores it,
+    // top-10 serve. The vector pass is candidate-sized (pushed
+    // vec_id IN point read) — the reason cascades exist.
+    "s33_cascade_rerank" -> Q(
+      (s, d) => SearchEngine.cascadeRerank(s, d, QueryTerms, QueryVecId,
+        50, 10),
+      Some(s"""
+        WITH ${bm25ScoredCte("cc_scored")},
+        cc_cand AS (
+          SELECT id FROM cc_scored ORDER BY score DESC, id ASC LIMIT 50
+        )
+        SELECT e.vec_id AS id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                 (SELECT embedding::DOUBLE[] FROM embeddings
+                  WHERE vec_id = 0)), 6) AS score
+        FROM embeddings e JOIN cc_cand c ON e.vec_id = c.id
+        ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
     // Pseudo-relevance-feedback query expansion (the RM3-shaped PRF
     // two-pass loop — Lavrenko & Croft relevance models as Anserini/
     // Terrier run them): base top-3 docs are assumed relevant, their 2
@@ -2346,7 +2403,8 @@ object Queries {
   private val servingSingles: Set[String] = Set(
     "s1_dense_topk", "s2_dense_threshold", "s3_bm25_topk",
     "s3b_bm25_indexed", "s3c_bm25_incremental", "s3e_bm25_tombstone",
-    "s3g_bm25_maxscore", "s31_prf_expansion",
+    "s3g_bm25_maxscore", "s31_prf_expansion", "s32_snippets",
+    "s33_cascade_rerank",
     "s4_hybrid_rrf",
     "s5_exact_match", "s6_fusion_simple", "s7_filtered_search",
     "s8_linear_fusion", "s9_tfidf_search", "s9b_tfidf_indexed",

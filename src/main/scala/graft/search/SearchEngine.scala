@@ -177,6 +177,77 @@ object SearchEngine {
         spark, graft.index.Bm25Index.ensure(spark, dir), "doc_id", terms, k)
       .withColumnRenamed("doc_id", "id")
 
+  /** Hit HIGHLIGHTING — the best snippet window per result (Lucene's
+    * UnifiedHighlighter surface; the reference renders its hits
+    * client-side from the raw description — at an API tier the snippet
+    * is computed where the text lives). For each of the query's top-`k`
+    * BM25 hits, the `window`-token span containing the MOST query-term
+    * occurrences wins (leftmost on ties; trailing spans may be shorter
+    * at the doc tail), returned as (id, score, n_hits, snippet).
+    *
+    * All integer arithmetic — deterministic with no rounding rules, so
+    * the whole surface replays in SQL. Cost shape: the hit ids are a
+    * k-row collect (request-sized, the same contract as the query
+    * terms), their texts a pushed `doc_id IN` point read; the window
+    * scan is per-hit-doc token arithmetic — k docs, never the corpus —
+    * and the rank shuffle is partitioned by the k hit ids. */
+  def snippets(spark: SparkSession, dir: String, terms: Seq[String],
+               k: Int, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = bm25TopK(spark, dir, terms, k) // (id, score)
+    val ids = hits.select(col("id")).collect().map(_.getLong(0)).toSeq
+    if (ids.isEmpty)
+      return hits.withColumn("n_hits", lit(0L))
+        .withColumn("snippet", lit(""))
+    val toks = Tables.documents(spark, dir)
+      .where(col("doc_id").isin(ids: _*)) // pushed In(doc_id) point read
+      .select(col("doc_id").as("id"),
+        graft.functions.TextOps.tokens(col("text")).as("toks"))
+    val wSpan = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    val wBest = Window.partitionBy(col("id"))
+      .orderBy(col("n_hits").desc, col("pos").asc)
+    val best = toks
+      .select(col("id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("flag",
+        when(col("tok").isin(terms: _*), 1L).otherwise(0L))
+      .withColumn("n_hits", sum(col("flag")).over(wSpan))
+      .withColumn("rn", row_number().over(wBest))
+      .where(col("rn") === 1)
+      .select(col("id"), col("n_hits").cast("long").as("n_hits"),
+        array_join(slice(col("toks"), col("pos") + 1, lit(window)), " ")
+          .as("snippet"))
+    hits.join(best, Seq("id"))
+      .select(col("id"), col("score"), col("n_hits"), col("snippet"))
+      .orderBy(col("score").desc, col("id").asc)
+  }
+
+  /** CASCADE retrieval — the L1/L2 retrieve-then-rerank every production
+    * search stack runs (BM25 recalls cheap and wide, the dense model
+    * re-scores the shortlist): the sparse arm's top-`l1` candidates are
+    * EXACTLY re-scored by cosine against the query vector and the top-`k`
+    * re-ranked survivors serve. The vector work is candidate-sized — the
+    * entire reason cascades exist — and the candidate ids (a request-
+    * sized collect, like the query terms) push `vec_id IN` into the
+    * embeddings scan, so the L2 pass is a point read + codegen cosine,
+    * never a corpus pass. */
+  def cascadeRerank(spark: SparkSession, dir: String, terms: Seq[String],
+                    qvecId: Long, l1: Int, k: Int): DataFrame = {
+    val cand = bm25TopK(spark, dir, terms, l1)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    val emb = Tables.embeddings(spark, dir)
+    val qv = emb.where(col("vec_id") === qvecId)
+      .select(col("embedding").as("qvec"))
+    emb.where(col("vec_id").isin(cand: _*)) // pushed In(vec_id) point read
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("id"),
+        round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** V1/V2 text search over the prebuilt TF-IDF index (query embeds only
     * the query string; doc vectors + idf are indexing-time artifacts). */
   def tfidfSearch(spark: SparkSession, dir: String, query: String, k: Int): DataFrame =

@@ -372,4 +372,64 @@ class EdgeCaseSpec extends SparkSpec {
     assert(invRows == bcRows && invRows.nonEmpty,
       s"inverted hybrid diverged: ${invRows.size} vs ${bcRows.size}")
   }
+
+  test("snippets: window semantics — densest span wins, leftmost on ties, short docs serve whole text") {
+    // hand-checkable corpus routed through a scratch index: doc 1's
+    // densest 3-token window is the trailing 'join spark join' (2 hits
+    // for [spark join] at pos 2: 'filter join spark'? no — count per
+    // start: pos 3 'join spark join' = 3 hits); doc 2 shorter than the
+    // window serves its full text; leftmost tie on doc 3 (two windows
+    // with 1 hit each -> pos 0 wins)
+    val docs = Seq(
+      (1L, "alpha beta filter join spark join"),
+      (2L, "spark join"),
+      (3L, "spark beta gamma spark")).toDF("doc_id", "text")
+    val out = Files.createTempDirectory("graft-snip").toString
+    graft.index.Bm25Index.build(docs, "doc_id", "text", out)
+    import org.apache.spark.sql.expressions.Window
+    // inline the SearchEngine.snippets body against the scratch index
+    // (the public surface binds to a dataDir's ensured index)
+    val hits = graft.index.Bm25Index.topK(spark, out, "doc_id",
+      Seq("spark", "join"), 10).withColumnRenamed("doc_id", "id")
+    val ids = hits.select(col("id")).collect().map(_.getLong(0)).toSeq
+    val toks = docs.where(col("doc_id").isin(ids: _*))
+      .select(col("doc_id").as("id"),
+        graft.functions.TextOps.tokens(col("text")).as("toks"))
+    val wSpan = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 2)
+    val wBest = Window.partitionBy(col("id"))
+      .orderBy(col("n_hits").desc, col("pos").asc)
+    val best = toks
+      .select(col("id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("flag",
+        when(col("tok").isin("spark", "join"), 1L).otherwise(0L))
+      .withColumn("n_hits", sum(col("flag")).over(wSpan))
+      .withColumn("rn", row_number().over(wBest))
+      .where(col("rn") === 1)
+      .select(col("id"), col("n_hits"),
+        array_join(slice(col("toks"), col("pos") + 1, lit(3)), " ")
+          .as("snippet"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(best(1L) == (3L, "join spark join"))
+    assert(best(2L) == (2L, "spark join")) // shorter than the window
+    assert(best(3L) == (1L, "spark beta gamma")) // leftmost tie
+  }
+
+  test("cascade rerank: L2 order is pure cosine over the L1 shortlist; shortlist membership is L1's") {
+    val got = graft.search.SearchEngine.cascadeRerank(
+        spark, Sf0001, Seq("spark", "join", "filter"), 0L, 50, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val shortlist = graft.search.SearchEngine.bm25TopK(
+        spark, Sf0001, Seq("spark", "join", "filter"), 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).forall(shortlist), "L2 invented a candidate")
+    // re-scoring is the exact dense cosine: every served score matches
+    // the corpus-wide dense ranking's score for that id
+    val dense = graft.search.SearchEngine.denseTopK(spark, Sf0001, 0L, 500)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    got.foreach { case (id, s) => assert(s == dense(id), s"drift for $id") }
+    assert(got == got.sortBy { case (id, s) => (-s, id) } && got.size == 10)
+  }
 }

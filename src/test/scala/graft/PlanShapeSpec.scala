@@ -25,6 +25,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("bm25 maxscore: candidate join broadcasts, postings scans keep the pushed term seek") {
+    val idx = graft.index.Bm25Index.ensure(spark, Sf0001)
+    val plan = graft.index.Bm25Index
+      .topKMaxScore(spark, idx, "doc_id", Seq("dup", "the", "a"), 10)
+      .queryExecution.executedPlan.toString
+    // the full-scoring pass: pushed In(term) seek on postings, essential
+    // candidates BROADCAST onto it (candidate-sized, never a corpus
+    // shuffle), partial-agg sum, TakeOrdered — the θ/UB probes behind it
+    // are k-row / |terms|-row point reads
+    assert(plan.contains("PushedFilters: [In(term"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"maxscore candidate join must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("chunk retrieval from the prebuilt index is a postings seek, not a corpus re-chunk") {
     val idx = graft.index.ChunkIndex.ensure(spark, Sf0001)
     val plan = graft.index.ChunkIndex.topK(spark, idx, Seq("merge", "vector"), 12)
