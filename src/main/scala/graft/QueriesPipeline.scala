@@ -3438,6 +3438,36 @@ object QueriesPipeline {
         ORDER BY media_id, frame_idx
       """)),
 
+    // Frame-fingerprint VIDEO dedup (the ContentID shape): near-dup
+    // suspects = videos sharing >= 1 sampled frame fingerprint, candidate
+    // pairs from an equi-join on the fingerprint (never all-pairs),
+    // boilerplate fingerprints (df > 50) gated out before the join — the
+    // d-family LSH discipline applied to media.
+    "m4_frame_dedup" -> Q(
+      (s, d) => graft.multimodal.Multimodal
+        .frameDupPairs(graft.multimodal.Multimodal
+          .attachMedia(docs(s, d), "doc_id", "text"), "doc_id", 8, 12, 1)
+        .select(col("id_a"), col("id_b"), col("shared_frames")),
+      Some("""
+        WITH v AS (
+          SELECT doc_id AS media_id, hex(encode(text)) AS hx
+          FROM documents WHERE doc_id % 3 = 2),
+        fr AS (
+          SELECT DISTINCT media_id,
+                 substr(hx, ((fi * length(hx)) // 8)::INT + 1, 24) AS frame
+          FROM v CROSS JOIN range(0, 8) r(fi)
+          WHERE length(substr(hx, ((fi * length(hx)) // 8)::INT + 1, 24)) > 0),
+        keep AS (SELECT frame FROM fr GROUP BY frame HAVING count(*) <= 50),
+        fk AS (SELECT media_id, frame FROM fr JOIN keep USING (frame)),
+        p AS (
+          SELECT a.media_id AS id_a, b.media_id AS id_b,
+                 count(*) AS shared_frames
+          FROM fk a JOIN fk b ON a.frame = b.frame AND a.media_id < b.media_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, shared_frames::BIGINT AS shared_frames FROM p
+        WHERE shared_frames >= 1 ORDER BY id_a, id_b
+      """)),
+
     // Multimodal retrieval end-to-end: payload -> deterministic stand-in
     // embedding (16-bin nibble histogram, pure Column exprs) -> cosine
     // top-k. The full media search path with the model call stubbed at

@@ -111,4 +111,38 @@ object Multimodal {
         s"substring(__hex, cast((frame_idx * __hexlen) div $n AS INT) + 1, ${frameBytes * 2})"))
       .where(length(col("frame")) > 0)
       .drop("__hex", "__hexlen")
+
+  /** Frame-fingerprint VIDEO dedup — the YouTube/ContentID shape over
+    * the [[frameSample]] fingerprints: two videos are near-dup suspects
+    * when ≥ `minShared` of their sampled frame fingerprints collide
+    * exactly. The plan is the d-family's LSH discipline applied to
+    * media: candidate pairs come from an EQUI-JOIN on the fingerprint —
+    * only media whose fingerprints actually collide ever meet, never
+    * all-pairs — and super-common fingerprints (a black frame, a
+    * silence block: boilerplate, not identity) are dropped by the
+    * `maxFrameDf` gate BEFORE the join, which is what bounds the
+    * per-fingerprint fan-out at corpus scale (the same size gate as
+    * MinHash band buckets). Counting shared fingerprints per pair is a
+    * partial-agg groupBy; output (id_a, id_b, shared_frames),
+    * id_a < id_b, fully deterministic (exact string equality — a real
+    * deployment swaps the hex windows for perceptual hashes at the
+    * [[frameSample]] slot; everything downstream is hash-agnostic). */
+  def frameDupPairs(media: DataFrame, idCol: String, n: Int,
+                    frameBytes: Int, minShared: Int,
+                    maxFrameDf: Int = 50): DataFrame = {
+    val fr = frameSample(media, n, frameBytes)
+      .select(col(idCol), col("frame")).distinct()
+    val keep = fr.groupBy(col("frame"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxFrameDf)
+      .select(col("frame"))
+    val fk = fr.join(keep, Seq("frame"))
+    fk.select(col("frame"), col(idCol).as("id_a"))
+      .join(fk.select(col("frame"), col(idCol).as("id_b")), Seq("frame"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -639,6 +639,10 @@ object Api {
     * at index build. Serves /api/suggest and /api/spell. */
   private def termStats(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${Bm25Index.ensure(spark, dir)}/termstats")
+      // (term, df) projection: the v3 artifact also carries the MaxScore
+      // `maxw` column, which these routes don't read — and whose presence
+      // must not shift the routes' positional row access
+      .select(col("term"), col("df"))
 
   /** Upload/import preprocessing shared by /api/load-data and the admin
     * import routes — text backfill + stable id, exactly the reference's

@@ -44,6 +44,33 @@ class MultimodalSourcesSpec extends SparkSpec {
     }
   }
 
+  test("frameDupPairs: exact-dup videos share every frame; boilerplate gate drops super-common fingerprints") {
+    // three videos (kind = id % 3 == 2): 2 and 8 are byte-identical ->
+    // all 4 sampled frames collide; 5 is distinct. A fourth/fifth/sixth
+    // sharing one common SHORT payload exercises the df gate.
+    val docs = Seq(
+      (2L, "spark join filter scan merge sort the table"),
+      (5L, "completely different words here with nothing shared"),
+      (8L, "spark join filter scan merge sort the table"),
+      (11L, "zz"), (14L, "zz"), (17L, "zz")).toDF("doc_id", "text")
+    val media = Multimodal.attachMedia(docs, "doc_id", "text")
+    val pairs = Multimodal
+      .frameDupPairs(media, "doc_id", 4, 6, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // identical payloads: every distinct sampled fingerprint collides
+    assert(pairs.exists { case (a, b, s) => a == 2L && b == 8L && s >= 1 })
+    assert(!pairs.exists { case (a, b, _) => a == 5L || b == 5L })
+    // the 'zz' trio shares all its (tiny) frames pairwise at df 3 <= 50
+    assert(pairs.count { case (a, b, _) =>
+      Set(11L, 14L, 17L)(a) && Set(11L, 14L, 17L)(b) } == 3)
+    // df gate: with maxFrameDf = 2 the zz trio's fingerprints (df 3)
+    // are boilerplate and drop; the identical pair (df 2) survives
+    val gated = Multimodal
+      .frameDupPairs(media, "doc_id", 4, 6, minShared = 1, maxFrameDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gated.toSet == Set((2L, 8L)))
+  }
+
   test("json source: array file, derived text columns, stable ids") {
     val dir = Files.createTempDirectory("graft-json").toFile
     val f = new java.io.File(dir, "batch.json")
