@@ -2480,6 +2480,48 @@ object QueriesPipeline {
                       / ((len(t) - 19) * 20.0)
                  END, 6) AS mattr
         FROM t WHERE len(t) > 0 ORDER BY doc_id
+      """)),
+
+    // GLOBAL concat-and-chunk packing (the GPT-pretraining layout: one
+    // corpus-wide token stream cut every B tokens, docs spanning chunk
+    // boundaries) — the t9 counterpart whose order is GLOBAL, i.e. the
+    // plan that must NOT be a single-partition window. SeqPack computes
+    // the global token offset with a two-pass distributed prefix sum
+    // (range-partition → per-partition sums, `parts` rows to the driver
+    // → broadcast exclusive offsets + per-partition window), so every
+    // task scans only its own partition at any corpus size. Output: the
+    // boundary-SPANNING docs (the rows whose loss-masking the training
+    // loader has to handle) with their offsets and spans. The oracle
+    // states the one-window form DuckDB can afford at test scale; the
+    // spec pins two-pass ≡ one-window on the same rows.
+    "t44_global_pack" -> Q(
+      (s, d) => {
+        val withTok = docs(s, d).select(col("doc_id"),
+          TextOps.tokenCountWs(col("text")).cast("long").as("n_tok"))
+        graft.functions.SeqPack.pack(withTok, "doc_id", "n_tok",
+            budget = 512L, parts = 8)
+          .where(col("last_bin") > col("first_bin"))
+          .select(col("doc_id"), col("n_tok"), col("start_off"),
+            col("first_bin"), col("last_bin"), col("n_bins"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, len($tokensSql)::BIGINT AS n_tok FROM documents),
+        c AS (
+          SELECT doc_id, n_tok,
+                 (sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   - n_tok)::BIGINT AS start_off
+          FROM t),
+        b AS (
+          SELECT doc_id, n_tok, start_off,
+                 floor(start_off / 512)::BIGINT AS first_bin,
+                 floor((start_off + greatest(n_tok, 1) - 1) / 512)::BIGINT
+                   AS last_bin
+          FROM c)
+        SELECT doc_id, n_tok, start_off, first_bin, last_bin,
+               (last_bin - first_bin + 1)::BIGINT AS n_bins
+        FROM b WHERE last_bin > first_bin ORDER BY doc_id
       """)))
 
   val ann: Map[String, Q] = Map(

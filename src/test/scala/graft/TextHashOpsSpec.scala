@@ -360,4 +360,42 @@ class TextHashOpsSpec extends SparkSpec {
       "site.internal" -> "site.internal",
       "co.uk" -> "co.uk"), rd)
   }
+
+  test("SeqPack.globalOffsets: two-pass prefix sum == the one-window cumsum, on a genuinely multi-partition run") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.SeqPack
+    // 200 docs, irregular token counts incl. zeros; 8 range partitions
+    val docs = (0L until 200L).map(i => (i, (i * 7 + 3) % 23)).toDF("id", "n")
+    val got = SeqPack.globalOffsets(docs, "id", "n", parts = 8)
+    // the plan must actually fan out: the order key is RANGE-partitioned
+    // (pid order == key order — the recomposition precondition) and the
+    // window is per-partition, never a no-partition global sort funnel
+    // (the final partition COUNT is an AQE artifact at test scale — the
+    // shape is the contract)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(800))
+    assert(plan.contains("hashpartitioning(__pid"), plan.take(800))
+    // the naive one-task spelling is the semantic definition
+    val want = docs.withColumn("start_off",
+      sum(col("n")).over(Window.orderBy(col("id"))) - col("n"))
+    val g = got.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val w = want.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(g.sameElements(w))
+  }
+
+  test("SeqPack.pack: boundary spans, zero-token docs, and more-partitions-than-rows") {
+    import graft.functions.SeqPack
+    // budget 10: doc 1 (n=8) [0,8) bin 0; doc 2 (n=0) degenerate at off 8
+    // bin 0; doc 3 (n=15) [8,23) SPANS bins 0..2; doc 4 (n=2) [23,25) bin 2
+    val docs = Seq((1L, 8L), (2L, 0L), (3L, 15L), (4L, 2L)).toDF("id", "n")
+    val out = SeqPack.pack(docs, "id", "n", budget = 10L, parts = 16)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 1L),
+      (2L, 8L, 0L, 0L, 1L),   // 0 tokens: its start bin, spanning nothing
+      (3L, 8L, 0L, 2L, 3L),   // crosses two boundaries
+      (4L, 23L, 2L, 2L, 1L)))
+  }
 }
