@@ -321,6 +321,60 @@ object SegmentStore {
     }
   }
 
+  /** Crash-consistent SNAPSHOT of an index root (backup/restore — the
+    * operational surface Qdrant serves as collection snapshots; at
+    * 100 TB a snapshot is a listing + a distributable copy job, and its
+    * consistency comes from the same marker protocol every reader
+    * already honors, not from quiescing writers).
+    *
+    * One recursive listing of `src` fixes the snapshot's view; then data
+    * files copy FIRST and the `_COMMITTED` markers from that listing
+    * copy LAST — the writer protocol re-applied to the copy, giving two
+    * guarantees with zero coordination:
+    *
+    *   - a crash mid-snapshot leaves a copy whose highest versions have
+    *     data but no marker: readers resolve the last fully-copied
+    *     committed version (or version 0, loudly refused) — never a
+    *     committed version with missing files;
+    *   - a concurrent single-writer appending version N+1 during the
+    *     copy is invisible: N+1's marker wasn't in the listing, so the
+    *     copy commits exactly the list-time version (any N+1 data files
+    *     that snuck into the listing arrive marker-less, i.e. orphaned,
+    *     and the retry writer's overwrite semantics already handle
+    *     orphans).
+    *
+    * Uncommitted source orphans copy as uncommitted orphans (their
+    * markers don't exist to copy) — the snapshot never "launders" a
+    * torn write into a committed one. RESTORE is the same call with the
+    * arguments flipped: roots are path-addressed, so a restored tree IS
+    * a serving root (the spec pins snapshot ≡ source reads, and
+    * isolation from post-snapshot mutations of the source). Empty
+    * directories carry no state in this layout (all protocol state is
+    * files), so they are not reproduced. */
+  def snapshot(src: String, dest: String): Unit = {
+    val (fs, sp0) = fsFor(src)
+    require(fs.exists(sp0), s"snapshot source $src does not exist")
+    val sp = fs.makeQualified(sp0)
+    val (dfs, dp) = fsFor(dest)
+    require(!dfs.exists(dp) || dfs.listStatus(dp).isEmpty,
+      s"snapshot destination $dest exists and is not empty")
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+    val prefix = sp.toString + "/"
+    val files = scala.collection.mutable.ArrayBuffer[Path]()
+    val it = fs.listFiles(sp, true)
+    while (it.hasNext) files += it.next().getPath
+    val (markers, data) = files.partition(_.getName == CommitMarker)
+    def copy(p: Path): Unit = {
+      val rel = p.toString.stripPrefix(prefix)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, p, dfs, new Path(dest, rel), false, conf)
+    }
+    data.foreach(copy)
+    markers.foreach(copy)
+  }
+
   /** Reclaim a RETIRED index root — the storage-lifecycle half of
     * [[compactIfNeeded]]'s pointer swap. Compaction writes a fresh root
     * (no files shared with the old one) and the caller swaps its

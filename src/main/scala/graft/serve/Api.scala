@@ -624,6 +624,20 @@ object Api {
           s""""vectors_count":$n,"segments_count":1}""")
       }
 
+    case "/api/admin/snapshot" =>
+      // Collection-snapshot surface (Qdrant serves POST /collections/
+      // {name}/snapshots; the engine's equivalent unit is an index ROOT).
+      // Snapshots the incrementally-grown graph root — the one serving
+      // index that MUTATES and therefore the one worth backing up —
+      // crash-consistently ([[graft.index.SegmentStore.snapshot]]: data
+      // files first, commit markers last, so a torn copy is unreadable
+      // rather than wrong). Restore is an ops action on path-addressed
+      // roots: point any reader (or a fresh snapshot back) at the copy.
+      val dest = require(params, "dest")
+      val src = graft.index.TfIdfGraphIndex.ensureGrown(spark, dir)
+      graft.index.SegmentStore.snapshot(src, dest)
+      ok(s"""{"success":true,"src":${quote(src)},"dest":${quote(dest)}}""")
+
     case "/api/admin/reload_whitelist" =>
       // Q12's whitelist-reload endpoint is DEAD CODE in the reference:
       // admin.py:111-134 calls search_service.reload_whitelist(), which

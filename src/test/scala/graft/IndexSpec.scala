@@ -1486,4 +1486,62 @@ class IndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
     assert(after == expected && expected.nonEmpty)
   }
+
+  test("SegmentStore.snapshot: a mutated root's snapshot serves identical reads, is isolated from later mutations, and never launders uncommitted orphans") {
+    import graft.index.{IncrementalKnn, SegmentStore}
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val root = Files.createTempDirectory("graft-snap").toString + "/g"
+    IncrementalKnn.init(emb.where(col("vec_id") % 2 === 0), centroids, root, 3, 5)
+    IncrementalKnn.append(emb.where(col("vec_id") % 2 === 1), root, 3, 5)
+    def rows(r: String) = IncrementalKnn.edges(spark, r, 5).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getInt(3))).toSeq
+    val dels = rows(root).filter(_._4 < 5).map(_._2).distinct.take(2)
+    IncrementalKnn.delete(dels.toDF("vec_id"), root, tag = Some("sd1"))
+    IncrementalKnn.repair(spark, root, 3, 5, tag = Some("sr1"))
+    IncrementalKnn.upsert(
+      emb.where(col("vec_id") === 4)
+        .select(col("vec_id"), col("embedding")), root, 3, 5,
+      tag = Some("su1"))
+    val live = rows(root)
+
+    // plant an UNCOMMITTED orphan version dir in the source (a crashed
+    // writer's leavings): data present, no marker
+    val orphan = new java.io.File(s"$root/assign/5/v=99")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(
+      orphan.toPath.resolve("part-junk.parquet"), "not parquet")
+
+    val snap = Files.createTempDirectory("graft-snap-dst").toString + "/g"
+    SegmentStore.snapshot(root, snap)
+    // the copy serves bit-identical reads (segments, tombstones, repairs
+    // — every ledger came across at its committed version)
+    assert(rows(snap) == live && live.nonEmpty)
+    // the orphan copied WITHOUT a marker: still invisible to version()
+    assert(SegmentStore.version(s"$snap/assign/5") ==
+      SegmentStore.version(s"$root/assign/5"))
+    assert(new java.io.File(s"$snap/assign/5/v=99/part-junk.parquet").exists())
+    assert(!new java.io.File(s"$snap/assign/5/v=99/_COMMITTED").exists())
+
+    // isolation: mutate the SOURCE after the snapshot — the snapshot's
+    // reads must not move
+    val moreDels = live.filter(e => e._4 < 5 && !dels.contains(e._2))
+      .map(_._2).distinct.take(1)
+    IncrementalKnn.delete(moreDels.toDF("vec_id"), root, tag = Some("sd2"))
+    assert(rows(snap) == live)
+    assert(rows(root) != live)
+
+    // restore = the same copy back to a fresh path; it serves the
+    // snapshot-time state
+    val restored = Files.createTempDirectory("graft-snap-rst").toString + "/g"
+    SegmentStore.snapshot(snap, restored)
+    assert(rows(restored) == live)
+
+    // guard: refusing to overwrite a non-empty destination
+    intercept[IllegalArgumentException] {
+      SegmentStore.snapshot(root, snap)
+    }
+  }
 }

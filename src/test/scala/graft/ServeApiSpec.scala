@@ -213,6 +213,23 @@ class ServeApiSpec extends SparkSpec {
     assert(wl.status == 200 && wl.body.contains("stub"), wl.body)
   }
 
+  test("admin snapshot: backs up the grown graph root crash-consistently; the copy serves identical edges") {
+    import graft.index.{IncrementalKnn, TfIdfGraphIndex}
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-api-snap").toString + "/backup"
+    val r = get("/api/admin/snapshot", "dest" -> dest)
+    assert(r.status == 200, r.body)
+    assert(r.body.contains("\"success\":true"), r.body)
+    // the backup is a serving root: identical merged reads to the live one
+    val src = TfIdfGraphIndex.ensureGrown(spark, Sf0001)
+    def rows(root: String) = IncrementalKnn.edges(spark, root, 5).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getInt(3))).toSeq
+    assert(rows(dest) == rows(src) && rows(src).nonEmpty)
+    // a second snapshot to the same (now non-empty) dest is refused as a
+    // client error (422 — the require() path)
+    assert(get("/api/admin/snapshot", "dest" -> dest).status == 422)
+  }
+
   test("admin import/importdelta/reset: truncate+load, delta upsert, round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft-admin").toFile
     val fullDir = new java.io.File(dir, "full"); fullDir.mkdirs()
