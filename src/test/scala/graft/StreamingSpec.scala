@@ -353,6 +353,154 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("indexCdcIngest convergence property: random interleaved I/U/D changelog, then compact == fresh BM25 build over the net document set") {
+    // the BM25 member of the family sweep: pre-compaction stats are
+    // stale by design (Lucene deleted-doc semantics), so the family's
+    // convergence statement is compact(root) == init(net docs) — the
+    // same contract the example-based upsert test pins, swept over a
+    // seeded random changelog with multi-op keys inside triggers.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.IncrementalBm25
+    import spark.implicits._
+    val corpus = graft.tables.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 60)
+    val words = Seq("merge", "stream", "window", "data", "filter", "join",
+      "aggregate", "scan", "vector", "index", "probe", "walk")
+    for (seedVal <- Seq(7L, 23L)) {
+      val rnd = new scala.util.Random(seedVal)
+      def text() = Seq.fill(4)(words(rnd.nextInt(words.length))).mkString(" ")
+      val model = scala.collection.mutable.LinkedHashMap[Long, String]()
+      corpus.collect().foreach(r => model(r.getLong(0)) = r.getString(1))
+      var nextNew = 3000L + seedVal * 100
+
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-bmprop$seedVal").toString + "/i"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft-bmprop-ck$seedVal").toString
+      IncrementalBm25.init(corpus, "doc_id", "text", root, numFiles = 1)
+
+      val input = MemoryStream[(String, Long, String, Long)]
+      val q = DeltaStream.indexCdcIngest(
+        input.toDF().toDF("op", "doc_id", "text", "seq"),
+        root, ckpt, seqCol = Some("seq"))
+      try {
+        var seq = 0L
+        for (_ <- 0 until 3) {
+          val ops = (0 until 8).map { _ =>
+            seq += 1
+            val live = model.keys.toIndexedSeq
+            rnd.nextInt(4) match {
+              case 0 =>
+                val id = nextNew; nextNew += 1
+                val t = text(); model(id) = t; ("I", id, t, seq)
+              case 1 if live.nonEmpty =>
+                val id = live(rnd.nextInt(live.size))
+                model.remove(id); ("D", id, "", seq)
+              case _ if live.nonEmpty =>
+                val id = live(rnd.nextInt(live.size))
+                val t = text(); model(id) = t; ("U", id, t, seq)
+              case _ =>
+                val id = nextNew; nextNew += 1
+                val t = text(); model(id) = t; ("I", id, t, seq)
+            }
+          }
+          input.addData(ops)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+
+      val compacted = java.nio.file.Files
+        .createTempDirectory(s"graft-bmprop-cp$seedVal").toString + "/i"
+      IncrementalBm25.compact(spark, root, compacted, "doc_id")
+      val fresh = java.nio.file.Files
+        .createTempDirectory(s"graft-bmprop-fr$seedVal").toString + "/i"
+      IncrementalBm25.init(model.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", fresh, numFiles = 1)
+      def hits(r: String, terms: Seq[String]) = IncrementalBm25
+        .topK(spark, r, "doc_id", terms, 500)
+        .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+      for (terms <- Seq(Seq("data", "query"), Seq("merge", "walk"),
+          Seq("stream"))) {
+        val (c, f) = (hits(compacted, terms), hits(fresh, terms))
+        assert(c == f, s"seed $seedVal terms $terms: ${c.size} vs ${f.size}")
+      }
+      assert(hits(compacted, Seq("data", "query")).nonEmpty)
+    }
+  }
+
+  test("ivfCdcIngest convergence property: random interleaved I/U/D vector changelog == brute IVF over the net vector set") {
+    // the IVF member: reads are exact-rebuild-semantics immediately (no
+    // compaction needed for the comparison) — served topK must equal
+    // brute IVF over whatever vectors survive the changelog, every seed.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.IncrementalIvf
+    import graft.search.Ann
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .where(col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    for (seedVal <- Seq(5L, 31L)) {
+      val rnd = new scala.util.Random(seedVal)
+      def vec() = Seq.fill(64)(rnd.nextFloat())
+      val model = scala.collection.mutable.LinkedHashMap[Long, Seq[Float]]()
+      emb.collect().foreach(r => model(r.getLong(0)) = r.getSeq[Float](1))
+      var nextNew = 5000L + seedVal * 100
+
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-ivfprop$seedVal").toString + "/i"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft-ivfprop-ck$seedVal").toString
+      IncrementalIvf.init(emb, centroids, root)
+
+      val input = MemoryStream[(String, Long, Seq[Float], Long)]
+      val q = DeltaStream.ivfCdcIngest(
+        input.toDF().toDF("op", "vec_id", "embedding", "seq")
+          .select(col("op"), col("vec_id"),
+            col("embedding").cast("array<float>").as("embedding"), col("seq")),
+        root, ckpt, seqCol = Some("seq"))
+      try {
+        var seq = 0L
+        for (_ <- 0 until 3) {
+          val ops = (0 until 8).map { _ =>
+            seq += 1
+            val live = model.keys.toIndexedSeq
+            rnd.nextInt(4) match {
+              case 0 =>
+                val id = nextNew; nextNew += 1
+                val v = vec(); model(id) = v; ("I", id, v, seq)
+              case 1 if live.nonEmpty =>
+                val id = live(rnd.nextInt(live.size))
+                model.remove(id); ("D", id, Seq.empty[Float], seq)
+              case _ if live.nonEmpty =>
+                val id = live(rnd.nextInt(live.size))
+                val v = vec(); model(id) = v; ("U", id, v, seq)
+              case _ =>
+                val id = nextNew; nextNew += 1
+                val v = vec(); model(id) = v; ("I", id, v, seq)
+            }
+          }
+          input.addData(ops)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+
+      val qv = emb.where(col("vec_id") === 0L)
+        .select(col("embedding").as("qvec"))
+      def hits(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+      val current = model.toSeq.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      val served = hits(IncrementalIvf.topK(spark, root, qv, 3, 10))
+      val rebuilt = hits(Ann.ivfTopKAssigned(
+        Ann.ivfAssign(current, centroids), centroids, qv, 3, 10))
+      assert(served == rebuilt && served.nonEmpty,
+        s"seed $seedVal diverged: $served vs $rebuilt")
+    }
+  }
+
   test("ivfCdcIngest: vector changelog — deleted vectors leave topK same trigger (exact rebuild semantics)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.index.IncrementalIvf
