@@ -1739,6 +1739,48 @@ object Queries {
         ORDER BY score DESC, id ASC LIMIT 10
       """)),
 
+    // DEEP PAGINATION via search_after cursors (the ES/OpenSearch
+    // contract, and the only pagination that scales: page N is the same
+    // postings-seek + cursor-filter + top-k plan as page 1, where
+    // OFFSET drags offset+k rows through the final ordering — O(k) vs
+    // O(N·k) rows at depth N). Pages 2 and 3 are fetched by CHAINED
+    // cursors (each page's last (score, id) feeds the next call); the
+    // oracle states the same rows as OFFSET arithmetic over the exact
+    // scoring, which is precisely the tiling claim (no gaps, no
+    // repeats) the deterministic (score desc, id asc) order makes true.
+    "s34_search_after" -> Q(
+      (s, d) => {
+        val pageSize = 5
+        def cursor(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+          val last = df.orderBy(col("score").desc, col("id").asc)
+            .collect().last
+          (last.getDouble(1), last.getLong(0))
+        }
+        val p1 = SearchEngine.bm25TopK(s, d, QueryTerms, pageSize)
+        val (s1, id1) = cursor(p1)
+        val p2 = SearchEngine.bm25TopKAfter(s, d, QueryTerms, pageSize, s1, id1)
+        val (s2, id2) = cursor(p2)
+        val p3 = SearchEngine.bm25TopKAfter(s, d, QueryTerms, pageSize, s2, id2)
+        p2.withColumn("page", lit(2L))
+          .unionByName(p3.withColumn("page", lit(3L)))
+          .select(col("page"), col("id"), col("score"))
+          .orderBy(col("page"), col("score").desc, col("id").asc)
+      },
+      Some(s"""
+        WITH ${bm25ScoredCte("sa_scored")},
+        sa_p2 AS (
+          SELECT id, score FROM sa_scored
+          ORDER BY score DESC, id ASC LIMIT 5 OFFSET 5
+        ), sa_p3 AS (
+          SELECT id, score FROM sa_scored
+          ORDER BY score DESC, id ASC LIMIT 5 OFFSET 10
+        )
+        SELECT 2::BIGINT AS page, id, score FROM sa_p2
+        UNION ALL
+        SELECT 3::BIGINT AS page, id, score FROM sa_p3
+        ORDER BY page, score DESC, id ASC
+      """)),
+
     // Pseudo-relevance-feedback query expansion (the RM3-shaped PRF
     // two-pass loop — Lavrenko & Croft relevance models as Anserini/
     // Terrier run them): base top-3 docs are assumed relevant, their 2

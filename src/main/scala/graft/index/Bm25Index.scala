@@ -96,6 +96,30 @@ object Bm25Index {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
+  /** Cursor-paged [[topK]] — Elasticsearch `search_after` semantics: the
+    * k rows strictly AFTER position (afterScore, afterId) in the
+    * (score desc, id asc) total order. This is how deep pagination must
+    * work at scale: page N costs the SAME plan as page 1 (postings
+    * seek → partial agg → cursor filter → top-k), where OFFSET-paging
+    * drags offset+k rows through the final ordering on every page —
+    * O(k) vs O(N·k) at depth N. The cursor filter sits BEFORE the
+    * top-k, so the per-partition partial top-k (WindowGroupLimit /
+    * TakeOrderedAndProject) works on post-cursor rows only. The total
+    * order is deterministic (6-dp rounded scores, id tiebreak), so
+    * chained pages tile the full result with no gaps or repeats — the
+    * oracle states page≡OFFSET equality in SQL. */
+  def topKAfter(spark: SparkSession, indexDir: String, idCol: String,
+                terms: Seq[String], k: Int,
+                afterScore: Double, afterId: Long): DataFrame =
+    spark.read.parquet(s"$indexDir/postings")
+      .where(col("term").isin(terms: _*)) // pushed: In(term, ...) + bloom
+      .groupBy(col(idCol))
+      .agg(round(sum(col("w")), 6).as("score"))
+      .where(col("score") < afterScore ||
+        (col("score") === afterScore && col(idCol) > afterId))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
   /** Batched multi-query BM25 — the sparse twin of
     * [[graft.search.Ann.ivfTopKBatched]]: ONE plan answers a whole query
     * TABLE, which is the legitimate answer to Spark's per-job scheduling

@@ -177,6 +177,16 @@ object SearchEngine {
         spark, graft.index.Bm25Index.ensure(spark, dir), "doc_id", terms, k)
       .withColumnRenamed("doc_id", "id")
 
+  /** Cursor page of [[bm25TopK]] — `search_after`-style deep pagination
+    * (see [[graft.index.Bm25Index.topKAfter]]): the k hits strictly
+    * after (afterScore, afterId) in the (score desc, id asc) order. */
+  def bm25TopKAfter(spark: SparkSession, dir: String, terms: Seq[String],
+                    k: Int, afterScore: Double, afterId: Long): DataFrame =
+    graft.index.Bm25Index.topKAfter(
+        spark, graft.index.Bm25Index.ensure(spark, dir), "doc_id", terms, k,
+        afterScore, afterId)
+      .withColumnRenamed("doc_id", "id")
+
   /** Hit HIGHLIGHTING — the best snippet window per result (Lucene's
     * UnifiedHighlighter surface; the reference renders its hits
     * client-side from the raw description — at an API tier the snippet

@@ -137,6 +137,26 @@ object Api {
         else "hybrid"
       ok(envelope(q, hitsJson(search(spark, dir, q, mode, limit)), "mode" -> quote(mode)))
 
+    case "/api/search/page" =>
+      // Cursor-paged sparse search — the `search_after` deep-pagination
+      // surface (ES/OpenSearch contract; see Bm25Index.topKAfter for why
+      // OFFSET-paging is the wrong plan at scale). No cursor params →
+      // the first page; subsequent requests echo the LAST hit's
+      // (score, id) back as after_score/after_id. Chained pages tile the
+      // full ordering exactly (the s34 oracle states page ≡ OFFSET).
+      val q = require(params, "q")
+      val count = intParam(params, "count", 10, 1, 100)
+      val terms = TfIdfIndex.tokensOf(q)
+      val page = (params.get("after_score"), params.get("after_id")) match {
+        case (Some(sc), Some(id)) =>
+          SearchEngine.bm25TopKAfter(spark, dir, terms, count,
+            sc.toDouble, id.toLong)
+        case (None, None) => SearchEngine.bm25TopK(spark, dir, terms, count)
+        case _ => return Response(400,
+          err("after_score and after_id must be passed together"))
+      }
+      ok(envelope(q, ewma.timed("page")(hitsJson(page))))
+
     case "/api/search/ultra-fast" | "/api/search/really-fast" =>
       // the reference's two fast-path aliases of the core vector search
       // (search.py:164-192 ultra-fast, :257-286 really-fast — identical

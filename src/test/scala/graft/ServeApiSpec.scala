@@ -213,6 +213,32 @@ class ServeApiSpec extends SparkSpec {
     assert(wl.status == 200 && wl.body.contains("stub"), wl.body)
   }
 
+  test("search/page: cursor pagination tiles the direct topK ordering; half a cursor is a 400") {
+    import graft.index.TfIdfIndex
+    import graft.search.SearchEngine
+    val q = "spark join filter"
+    val terms = TfIdfIndex.tokensOf(q)
+    // ground truth: the first 10 of the deterministic total order
+    val full = SearchEngine.bm25TopK(spark, Sf0001, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val p1 = get("/api/search/page", "q" -> q, "count" -> "5")
+    assert(p1.status == 200, p1.body)
+    // drive the cursor exactly like a client: last hit's (score, id)
+    val (cid, cscore) = (full(4)._1, full(4)._2)
+    val p2 = get("/api/search/page", "q" -> q, "count" -> "5",
+      "after_score" -> cscore.toString, "after_id" -> cid.toString)
+    assert(p2.status == 200, p2.body)
+    // page 2's hits are exactly rows 5..9 of the direct ordering
+    full.drop(5).foreach { case (id, score) =>
+      assert(p2.body.contains(s""""id":$id,"""), s"$id missing: ${p2.body}")
+    }
+    full.take(5).foreach { case (id, _) =>
+      assert(!p2.body.contains(s""""id":$id,"""), s"$id leaked: ${p2.body}")
+    }
+    val bad = get("/api/search/page", "q" -> q, "after_score" -> "1.0")
+    assert(bad.status == 400, bad.body)
+  }
+
   test("admin snapshot: backs up the grown graph root crash-consistently; the copy serves identical edges") {
     import graft.index.{IncrementalKnn, TfIdfGraphIndex}
     val dest = java.nio.file.Files
