@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,22 +15,32 @@ import org.apache.spark.sql.functions._
   * corpus through ONE task. At 100 TB that plan does not finish.
   *
   * [[globalOffsets]] is the scale-correct spelling: the classic two-pass
-  * distributed prefix sum.
+  * distributed prefix sum, with the buckets derived from the ORDER-KEY
+  * VALUE, never from a physical partition id.
   *
-  *  - Pass 1: range-repartition on the order key (so partition `i`'s
-  *    keys all precede partition `i+1`'s), then ONE partial-aggregated
-  *    `groupBy(partition_id)` — the result is `parts` rows, collected to
-  *    the driver. Driver state is bounded by the PARTITION COUNT, never
-  *    the data (the same contract as AQE's per-partition statistics).
-  *  - Pass 2: exclusive per-partition offsets broadcast back (a
-  *    `parts`-row join), plus a window cumsum PARTITIONED BY partition
-  *    id — every task scans only its own partition, in parallel.
+  *  - Bucketing: `parts`-quantile boundaries of the order key (one
+  *    map-side-combined `percentile_approx` pass, collected once as
+  *    plan literals), bucket = #boundaries below the key. Value-derived
+  *    bucketing is what makes the two passes AGREE: the obvious
+  *    alternative — `repartitionByRange` + `spark_partition_id()` — is
+  *    evaluated independently per action, and RangePartitioner's sample
+  *    seed is nondeterministic, so pass 1's offsets can be joined
+  *    against pass 2's DIFFERENT boundaries (observed at sf0.1: ~1k-row
+  *    offset drift). A pure value function cannot disagree with itself.
+  *  - Pass 1: ONE partial-aggregated `groupBy(bucket)` — `parts` rows
+  *    to the driver; driver state is bounded by the bucket count,
+  *    never the data (the same contract as AQE's per-partition stats).
+  *  - Pass 2: exclusive per-bucket offsets broadcast back (a
+  *    `parts`-row join) plus a window cumsum PARTITIONED BY bucket —
+  *    every task scans only its own bucket, in parallel.
   *
-  * The result is EXACT and boundary-placement-independent: range
-  * partitioning only moves where the per-partition sums are cut, not
-  * what they add up to, so the recomposed offsets equal the one-task
-  * cumsum bit-for-bit (the spec pins ≡ on a multi-partition run; the
-  * DuckDB oracle states the one-window form).
+  * The result is EXACT and boundary-placement-independent: boundaries
+  * only move where the per-bucket sums are cut, not what they add up
+  * to, so the recomposed offsets equal the one-task cumsum bit-for-bit
+  * at ANY boundary choice (the spec pins ≡ on multi-bucket runs; the
+  * DuckDB oracle states the one-window form). Degenerate boundary sets
+  * (tiny or constant-key inputs) just mean fewer live buckets — still
+  * exact, just less parallel.
   *
   * Offsets in hand, chunk membership is pure per-row arithmetic: a doc
   * starting at `start_off` with `n` tokens occupies bins
@@ -38,31 +48,49 @@ import org.apache.spark.sql.functions._
   * doc degenerates to its start bin, spanning nothing). */
 object SeqPack {
 
+  /** Bucket id for `key`: how many of the quantile `boundaries` lie
+    * strictly below it (keys equal to a boundary land in the lower
+    * bucket — any consistent tie rule works, it only shifts boundary
+    * placement). */
+  private def bucketOf(key: Column, boundaries: Seq[Double]): Column =
+    boundaries.map(b => when(key > lit(b), 1).otherwise(0))
+      .foldLeft(lit(0))(_ + _)
+
   /** `start_off` = exclusive global cumsum of `nTokCol` in `idCol` order,
     * via the two-pass distributed prefix sum described above. Output
     * columns: the input's plus `start_off`. `idCol` must be unique (it
-    * is the total order). */
+    * is the total order) and numeric-orderable. */
   def globalOffsets(docs: DataFrame, idCol: String, nTokCol: String,
                     parts: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val ranged = docs.repartitionByRange(parts, col(idCol))
-      .withColumn("__pid", spark_partition_id())
-    // pass 1: per-partition token totals — `parts` rows at most (empty
-    // partitions simply don't appear), the only driver-side state
-    val partSums = ranged.groupBy(col("__pid"))
+    require(parts > 0, "parts must be positive")
+    // bucket boundaries: (parts-1)-quantiles of the order key, one agg
+    // pass, collected ONCE as literals — both passes below share them
+    val qs = (1 until parts).map(i => i.toDouble / parts)
+    val boundaries: Seq[Double] =
+      if (parts == 1) Seq.empty
+      else docs.select(percentile_approx(col(idCol).cast("double"),
+          array(qs.map(lit): _*), lit(10000)).as("bs"))
+        .collect().headOption
+        .flatMap(r => Option(r.getSeq[Double](0))).getOrElse(Seq.empty)
+    val bucketed = docs.withColumn("__pid",
+      bucketOf(col(idCol).cast("double"), boundaries))
+    // pass 1: per-bucket token totals — at most `parts` rows (empty
+    // buckets don't appear), the only driver-side state
+    val partSums = bucketed.groupBy(col("__pid"))
       .agg(sum(col(nTokCol).cast("long")).as("__psum"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    // exclusive prefix over pid order: partition i's docs all start at
-    // Σ sums(0..i-1) — range partitioning guarantees pid order == key
-    // order, which is what makes the recomposition exact
+    // exclusive prefix over bucket order: bucket i's docs all start at
+    // Σ sums(0..i-1) — value-derived buckets are order-consistent by
+    // construction, which is what makes the recomposition exact
     val offs = partSums.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) =>
       (pid + 1, acc + s)
     }.init.zip(partSums).map { case ((_, off), (pid, _)) => (pid, off) }
+    val spark = docs.sparkSession
+    import spark.implicits._
     val offDf = broadcast(offs.toSeq.toDF("__pid", "__off"))
-    // pass 2: per-partition local cumsum + broadcast offset
+    // pass 2: per-bucket local cumsum + broadcast offset
     val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-    ranged.join(offDf, Seq("__pid"))
+    bucketed.join(offDf, Seq("__pid"))
       .withColumn("start_off",
         col("__off") + sum(col(nTokCol).cast("long")).over(w)
           - col(nTokCol).cast("long"))

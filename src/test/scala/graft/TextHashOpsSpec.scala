@@ -367,13 +367,10 @@ class TextHashOpsSpec extends SparkSpec {
     // 200 docs, irregular token counts incl. zeros; 8 range partitions
     val docs = (0L until 200L).map(i => (i, (i * 7 + 3) % 23)).toDF("id", "n")
     val got = SeqPack.globalOffsets(docs, "id", "n", parts = 8)
-    // the plan must actually fan out: the order key is RANGE-partitioned
-    // (pid order == key order — the recomposition precondition) and the
-    // window is per-partition, never a no-partition global sort funnel
-    // (the final partition COUNT is an AQE artifact at test scale — the
-    // shape is the contract)
+    // the plan must actually fan out: the cumsum window is PER-BUCKET
+    // (hash exchange on the value-derived bucket id), never a
+    // no-partition global sort funnel
     val plan = got.queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning"), plan.take(800))
     assert(plan.contains("hashpartitioning(__pid"), plan.take(800))
     // the naive one-task spelling is the semantic definition
     val want = docs.withColumn("start_off",
@@ -381,6 +378,26 @@ class TextHashOpsSpec extends SparkSpec {
     val g = got.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
     val w = want.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(g.sameElements(w))
+  }
+
+  test("SeqPack.globalOffsets: boundary-placement independence — skewed keys, repeated evaluation, and parts=1 all agree") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.SeqPack
+    // skewed, non-contiguous keys: quantile boundaries land unevenly and
+    // several buckets stay near-empty — offsets must not care
+    val docs = ((0L until 500L).map(i => i * i * 7L % 100000L).distinct)
+      .map(id => (id, id % 17)).toDF("id", "n")
+    def offs(parts: Int) = SeqPack.globalOffsets(docs, "id", "n", parts)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val want = docs.withColumn("start_off",
+        sum(col("n")).over(Window.orderBy(col("id"))) - col("n"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(offs(8) == want)
+    assert(offs(1) == want)   // degenerate single bucket: still exact
+    assert(offs(8) == offs(8)) // re-evaluation: a pure value function
+                               // cannot disagree with itself (the
+                               // repartitionByRange+spark_partition_id
+                               // spelling DID, via resampled boundaries)
   }
 
   test("SeqPack.pack: boundary spans, zero-token docs, and more-partitions-than-rows") {
