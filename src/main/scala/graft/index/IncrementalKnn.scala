@@ -102,6 +102,29 @@ object IncrementalKnn {
       SegmentStore.tombVersion(tombsBase(root)),
       SegmentStore.version(repairBase(root)))
 
+  /** Operational health of a mutable root — the observability a LIVE
+    * index needs and a build-once one doesn't (Lucene exposes segment +
+    * deleted-doc counts for exactly this). Beyond the three clocks of
+    * [[stateVersions]]: `n_tombstoned_ids` is the ledger backlog
+    * compaction will fold, and `n_stale_srcs` is the ONE alertable
+    * number — srcs whose served rows a tombstone killed AFTER their
+    * last repair (0 = every read is rebuild-exact; >0 = visible-holes
+    * degraded until the next repair). Costs two bounded jobs (ledger
+    * distinct + the staleness detection pass — the same one
+    * [[edges]] pays when ledgers are non-empty); an admin-route price,
+    * not a serving-path one. */
+  def stats(spark: SparkSession, root: String): Map[String, Long] = {
+    val (v, tv, rv) = stateVersions(root)
+    val nTombs = SegmentStore.tombIds(spark, tombsBase(root))
+      .map(_.count()).getOrElse(0L)
+    val nStale = // rv==0 counts too: holes with no repairs are still holes
+      if (tv == 0) 0L
+      else staleSrcs(spark, root, v).map(_.count()).getOrElse(0L)
+    Map("index_version" -> v.toLong, "tombstone_ledger_version" -> tv.toLong,
+      "repair_ledger_version" -> rv.toLong, "n_tombstoned_ids" -> nTombs,
+      "n_stale_srcs" -> nStale)
+  }
+
   /** Idempotence check for at-least-once writers — same contract as
     * [[IncrementalIvf.committedHasTag]] (identical commit layout). */
   def committedHasTag(root: String, tag: String): Boolean =

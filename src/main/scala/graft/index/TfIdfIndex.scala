@@ -102,6 +102,31 @@ object TfIdfIndex {
       .limit(k)
   }
 
+  /** Cursor-paged [[searchText]] — the dense arm of the `search_after`
+    * deep-pagination contract (sparse twin:
+    * [[graft.index.Bm25Index.topKAfter]], same argument: the cursor
+    * filter sits BEFORE the top-k, so page N is page 1's plan, never
+    * OFFSET's O(N·k) rows through the final ordering). */
+  def searchTextAfter(spark: SparkSession, indexDir: String, idCol: String,
+                      query: String, k: Int,
+                      afterScore: Double, afterId: Long,
+                      dim: Int = Dim): DataFrame = {
+    val qw = queryWeights(spark, indexDir, query, dim)
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    if (qw.isEmpty)
+      return vectors.where(lit(false))
+        .groupBy(col(idCol)).agg(round(sum(col("w")), 6).as("score"))
+    vectors
+      .where(col("bucket").isin(qw.keys.toSeq: _*)) // pushed: In(bucket, ...)
+      .withColumn("qw", element_at(typedlit(qw), col("bucket")))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("w") * col("qw")), 6).as("score"))
+      .where(col("score") < afterScore ||
+        (col("score") === afterScore && col(idCol) > afterId))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Batched [[searchText]]: N text queries through ONE pushed-filter scan
     * of the UNION of their bucket ranges. Each query embeds driver-side as
     * usual; the (qid, bucket, qw) rows — ≤ N·|query tokens| of them — ride

@@ -146,11 +146,22 @@ object Api {
       // full ordering exactly (the s34 oracle states page ≡ OFFSET).
       val q = require(params, "q")
       val count = intParam(params, "count", 10, 1, 100)
+      val pageMode = params.getOrElse("mode", "sparse")
+      if (!Set("sparse", "dense").contains(pageMode))
+        return Response(400, err(s"Invalid mode '$pageMode' for paging. " +
+          "Must be 'sparse' or 'dense'"))
       val terms = TfIdfIndex.tokensOf(q)
       val page = (params.get("after_score"), params.get("after_id")) match {
+        case (Some(sc), Some(id)) if pageMode == "dense" =>
+          TfIdfIndex.searchTextAfter(spark,
+              TfIdfIndex.ensure(spark, dir), "doc_id", q, count,
+              sc.toDouble, id.toLong)
+            .withColumnRenamed("doc_id", "id")
         case (Some(sc), Some(id)) =>
           SearchEngine.bm25TopKAfter(spark, dir, terms, count,
             sc.toDouble, id.toLong)
+        case (None, None) if pageMode == "dense" =>
+          SearchEngine.tfidfSearch(spark, dir, q, count)
         case (None, None) => SearchEngine.bm25TopK(spark, dir, terms, count)
         case _ => return Response(400,
           err("after_score and after_id must be passed together"))
@@ -643,6 +654,18 @@ object Api {
         ok(s"""{"collection":${quote(name)},"points_count":$n,""" +
           s""""vectors_count":$n,"segments_count":1}""")
       }
+
+    case "/api/admin/index-stats" =>
+      // Observability for the MUTABLE serving root (Lucene's segment +
+      // deleted-doc counters, Qdrant's collection status): the three
+      // mutation clocks, the tombstone backlog compaction will fold,
+      // and n_stale_srcs — the one alertable number (0 = every read is
+      // rebuild-exact; >0 = visible-holes degraded until next repair).
+      val src = graft.index.TfIdfGraphIndex.ensureGrown(spark, dir)
+      val st = graft.index.IncrementalKnn.stats(spark, src)
+      ok(st.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${quote(k)}:$v" }
+        .mkString(s"""{"root":${quote(src)},""", ",", "}"))
 
     case "/api/admin/snapshot" =>
       // Collection-snapshot surface (Qdrant serves POST /collections/

@@ -1487,6 +1487,38 @@ class IndexSpec extends SparkSpec {
     assert(after == expected && expected.nonEmpty)
   }
 
+  test("IncrementalKnn.stats: clocks, tombstone backlog, and the stale-src health signal across a delete/repair cycle") {
+    import graft.index.IncrementalKnn
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val root = Files.createTempDirectory("graft-stats").toString + "/g"
+    IncrementalKnn.init(emb.where(col("vec_id") % 2 === 0), centroids, root, 3, 5)
+    IncrementalKnn.append(emb.where(col("vec_id") % 2 === 1), root, 3, 5)
+    val clean = IncrementalKnn.stats(spark, root)
+    assert(clean("index_version") == 2L && clean("tombstone_ledger_version") == 0L
+      && clean("repair_ledger_version") == 0L && clean("n_tombstoned_ids") == 0L
+      && clean("n_stale_srcs") == 0L, clean.toString)
+
+    // delete two served dsts: backlog = 2, and the holed srcs show up as
+    // stale (no repairs yet — holes with no repairs are still holes)
+    val dels = IncrementalKnn.edges(spark, root, 5).collect()
+      .filter(_.getInt(3) < 5).map(_.getLong(1)).distinct.take(2)
+    IncrementalKnn.delete(dels.toSeq.toDF("vec_id"), root, tag = Some("st1"))
+    val holed = IncrementalKnn.stats(spark, root)
+    assert(holed("tombstone_ledger_version") == 1L
+      && holed("n_tombstoned_ids") == 2L
+      && holed("n_stale_srcs") > 0L, holed.toString)
+
+    // repair: the health signal returns to 0 (every read rebuild-exact)
+    IncrementalKnn.repair(spark, root, 3, 5, tag = Some("st2"))
+    val healed = IncrementalKnn.stats(spark, root)
+    assert(healed("repair_ledger_version") == 1L
+      && healed("n_stale_srcs") == 0L
+      && healed("n_tombstoned_ids") == 2L, healed.toString)
+  }
+
   test("SegmentStore.snapshot: a mutated root's snapshot serves identical reads, is isolated from later mutations, and never launders uncommitted orphans") {
     import graft.index.{IncrementalKnn, SegmentStore}
     import spark.implicits._

@@ -237,6 +237,28 @@ class ServeApiSpec extends SparkSpec {
     }
     val bad = get("/api/search/page", "q" -> q, "after_score" -> "1.0")
     assert(bad.status == 400, bad.body)
+
+    // dense arm: same tiling against the direct tfidf ordering
+    val dfull = SearchEngine.tfidfSearch(spark, Sf0001, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (did, dscore) = (dfull(4)._1, dfull(4)._2)
+    val dp2 = get("/api/search/page", "q" -> q, "count" -> "5",
+      "mode" -> "dense",
+      "after_score" -> dscore.toString, "after_id" -> did.toString)
+    assert(dp2.status == 200, dp2.body)
+    dfull.drop(5).foreach { case (id, _) =>
+      assert(dp2.body.contains(s""""id":$id,"""), s"$id missing: ${dp2.body}")
+    }
+    assert(get("/api/search/page", "q" -> q, "mode" -> "telepathy")
+      .status == 400)
+  }
+
+  test("admin index-stats: reports the grown root's clocks and a clean health signal") {
+    val r = get("/api/admin/index-stats")
+    assert(r.status == 200, r.body)
+    assert(r.body.contains("\"index_version\":3"), r.body) // init + 2 appends
+    assert(r.body.contains("\"n_stale_srcs\":0"), r.body)
+    assert(r.body.contains("\"n_tombstoned_ids\":0"), r.body)
   }
 
   test("admin snapshot: backs up the grown graph root crash-consistently; the copy serves identical edges") {
