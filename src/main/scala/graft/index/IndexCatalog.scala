@@ -59,6 +59,21 @@ object IndexCatalog {
     p
   }
 
+  /** Register an artifact tree placed at `path(dataDir, name)` by an
+    * EXTERNAL copy (a snapshot restore) as built: the restored tree
+    * carries its own `_GRAFT_INDEX_READY` marker (snapshots copy it), so
+    * adoption is just the memo add after validating the marker — a
+    * restore of a tree with no marker is a torn copy and is refused.
+    * Callers must [[invalidate]] first (clears memo, caches, and the
+    * previous tree), then copy, then adopt. */
+  def adopt(dataDir: String, name: String): String = {
+    val p = path(dataDir, name)
+    require(Files.exists(Paths.get(p, "_GRAFT_INDEX_READY")),
+      s"cannot adopt $p: no _GRAFT_INDEX_READY marker (torn restore?)")
+    built.add(p)
+    p
+  }
+
   /** Drop the memo (tests that rewrite a fixture dir in place). Also
     * clears driver-side caches derived from this index (the TF-IDF idf
     * table) — a rebuilt index must never be queried with stale cached

@@ -34,15 +34,22 @@ object ServingCache {
 
   /** The persisted frames for `key`, built (and warmed — counted, so the
     * first request after a mutation pays the fill, not every request)
-    * iff absent or `clock` moved. */
-  def frames(key: String, clock: Any)(build: => Seq[DataFrame]): Seq[DataFrame] = {
-    val hit = cache.get(key)
-    if (hit != null && hit.clock == clock) { repin(hit.frames); hit.frames }
-    else synchronized {
-      val h2 = cache.get(key)
-      if (h2 != null && h2.clock == clock) { repin(h2.frames); h2.frames }
+    * iff absent or `clock` moved.
+    *
+    * Fully synchronized — including the hit path's repin. An
+    * unsynchronized fast path would race [[clear]]: clear() unpersists
+    * and drops the entry, a concurrent hit re-persists the same frames,
+    * and the re-pinned storage is tracked by nothing — a storage leak
+    * per race. The monitor cost is a map probe + storageLevel checks
+    * per request (the FS clock probes happen OUTSIDE, in the caller);
+    * the build runs under the lock by design — concurrent first
+    * requests after a mutation must produce ONE fill, not N. */
+  def frames(key: String, clock: Any)(build: => Seq[DataFrame]): Seq[DataFrame] =
+    synchronized {
+      val hit = cache.get(key)
+      if (hit != null && hit.clock == clock) { repin(hit.frames); hit.frames }
       else {
-        if (h2 != null) h2.frames.foreach(_.unpersist(blocking = false))
+        if (hit != null) hit.frames.foreach(_.unpersist(blocking = false))
         val fs = build
         fs.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
         fs.foreach(_.count())
@@ -50,7 +57,6 @@ object ServingCache {
         fs
       }
     }
-  }
 
   private def repin(fs: Seq[DataFrame]): Unit =
     fs.foreach { df =>

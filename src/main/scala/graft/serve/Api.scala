@@ -667,6 +667,28 @@ object Api {
         .map { case (k, v) => s"${quote(k)}:$v" }
         .mkString(s"""{"root":${quote(src)},""", ",", "}"))
 
+    case "/api/admin/restore" =>
+      // The restore half of the backup story: replace the LIVE grown
+      // graph root with a snapshot tree. Order matters and each step is
+      // crash-shaped like the rest of the storage layer: validate the
+      // snapshot is a committed root first (a torn copy resolves to
+      // version 0 and is refused before anything is touched), THEN
+      // invalidate (drops the memo, clears every serving cache, deletes
+      // the old tree), copy the snapshot in (markers land last), and
+      // adopt. A crash mid-restore leaves a tree without its catalog
+      // marker — refused by adopt, rebuilt or re-restored, never served
+      // torn.
+      val src = require(params, "src")
+      import graft.index.{IncrementalKnn, IndexCatalog, SegmentStore, TfIdfGraphIndex}
+      if (IncrementalKnn.version(src) == 0)
+        return Response(422, err(
+          s"snapshot at '$src' has no committed index version — torn copy?"))
+      IndexCatalog.invalidate(dir, TfIdfGraphIndex.IncName)
+      val live = IndexCatalog.path(dir, TfIdfGraphIndex.IncName)
+      SegmentStore.snapshot(src, live)
+      IndexCatalog.adopt(dir, TfIdfGraphIndex.IncName)
+      ok(s"""{"success":true,"src":${quote(src)},"restored_to":${quote(live)}}""")
+
     case "/api/admin/snapshot" =>
       // Collection-snapshot surface (Qdrant serves POST /collections/
       // {name}/snapshots; the engine's equivalent unit is an index ROOT).

@@ -278,6 +278,33 @@ class ServeApiSpec extends SparkSpec {
     assert(get("/api/admin/snapshot", "dest" -> dest).status == 422)
   }
 
+  test("admin restore: snapshot back into the live grown root; serving resumes identically; torn copies refused") {
+    import graft.index.{IncrementalKnn, TfIdfGraphIndex}
+    val q = "spark join filter"
+    val before = get("/api/query", "q" -> q, "mode" -> "graph",
+      "graph" -> "grown", "count" -> "5")
+    assert(before.status == 200, before.body)
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-api-restore").toString + "/backup"
+    assert(get("/api/admin/snapshot", "dest" -> dest).status == 200)
+    // restore the snapshot into the live root (content-identical here —
+    // the library-level mutated-root restore is pinned in IndexSpec)
+    val r = get("/api/admin/restore", "src" -> dest)
+    assert(r.status == 200, r.body)
+    // serving resumes with the same results through the rebuilt caches
+    val after = get("/api/query", "q" -> q, "mode" -> "graph",
+      "graph" -> "grown", "count" -> "5")
+    assert(after.status == 200 && after.body == before.body,
+      s"before=${before.body}\nafter=${after.body}")
+    // a torn/empty copy is refused before anything is touched
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft-api-restore-torn").toString + "/nothing"
+    val torn = get("/api/admin/restore", "src" -> empty)
+    assert(torn.status == 422, torn.body)
+    assert(get("/api/query", "q" -> q, "mode" -> "graph",
+      "graph" -> "grown", "count" -> "5").status == 200)
+  }
+
   test("admin import/importdelta/reset: truncate+load, delta upsert, round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft-admin").toFile
     val fullDir = new java.io.File(dir, "full"); fullDir.mkdirs()
