@@ -417,20 +417,45 @@ object Api {
       if (mode == "graph" && !Set("built", "grown").contains(batchGraphRoot))
         return Response(400, err(s"Invalid graph '$batchGraphRoot'. Must be 'built' or 'grown'"))
       val indexed = qs.zipWithIndex.map { case (q, i) => (i.toLong, q) }
-      val result = (mode match {
-        case "dense" => SearchEngine.tfidfSearchBatched(spark, dir, indexed, count)
+      // optional payload filter: the batched arm oversamples 3× and
+      // post-filters — the same contract as the single-query detail
+      // route and a26 (post-filter of an oversampled walk); the per-qid
+      // re-cut is ONE rank window over the already-batched rows
+      val (ff, fv) = (params.get("filter_field"), params.get("filter_value"))
+      val filtered = ff.isDefined && fv.isDefined
+      if (ff.isDefined != fv.isDefined)
+        return Response(400,
+          err("filter_field and filter_value must be passed together"))
+      val fetch = if (filtered) count * 3 else count
+      val result0 = (mode match {
+        case "dense" => SearchEngine.tfidfSearchBatched(spark, dir, indexed, fetch)
         case "sparse" =>
           // distinct: the single-query topK dedupes via isin(terms)
           val termsDf = spark.createDataFrame(indexed.flatMap { case (qid, q) =>
             TfIdfIndex.tokensOf(q).distinct.map(t => (qid, t)) }).toDF("qid", "term")
           Bm25Index.topKBatched(spark, Bm25Index.ensure(spark, dir),
-              "doc_id", termsDf, "qid", "term", count)
+              "doc_id", termsDf, "qid", "term", fetch)
             .withColumnRenamed("doc_id", "id")
         case "graph" if batchGraphRoot == "grown" =>
-          SearchEngine.graphSearchGrownBatched(spark, dir, indexed, count)
-        case "graph" => SearchEngine.graphSearchBatched(spark, dir, indexed, count)
-        case _ => SearchEngine.textHybridBatched(spark, dir, indexed, count)
+          SearchEngine.graphSearchGrownBatched(spark, dir, indexed, fetch)
+        case "graph" => SearchEngine.graphSearchBatched(spark, dir, indexed, fetch)
+        case _ => SearchEngine.textHybridBatched(spark, dir, indexed, fetch)
       })
+      val result =
+        if (!filtered) result0
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("id").asc)
+          result0
+            .join(graft.tables.Tables.documents(spark, dir)
+              .select(col("doc_id").as("id"), col(ff.get)), Seq("id"))
+            .where(col(ff.get) === fv.get)
+            .withColumn("__rn", row_number().over(w))
+            .where(col("__rn") <= count)
+            .select(col("qid"), col("id"), col("score"))
+            .orderBy(col("qid"), col("score").desc, col("id").asc)
+        }
       // group rows per qid driver-side (≤ 64·count rows by construction).
       // The timed block wraps the COLLECT, not the plan construction —
       // DataFrame builders return unexecuted plans, so timing them would

@@ -610,6 +610,43 @@ class ServeApiSpec extends SparkSpec {
     assert(get("/api/batch-search", "queries" -> "x", "mode" -> "nope").status == 400)
   }
 
+  test("batch-search with a payload filter: blocks == the 3x-oversampled post-filter recompute; half a filter is a 400") {
+    import org.apache.spark.sql.functions.col
+    import graft.index.TfIdfIndex
+    import graft.search.SearchEngine
+    val q = "spark join filter"
+    def expected(arm: org.apache.spark.sql.DataFrame) = arm
+      .join(graft.tables.Tables.documents(spark, Sf0001)
+        .select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .where(col("lang") === "en")
+      .orderBy(col("score").desc, col("id").asc).limit(5)
+      .collect().map(r => s"""{"id":${r.getLong(0)},"score":${r.getDouble(1)}}""")
+      .mkString(",")
+    // sparse arm: the batched filtered block must equal the single-query
+    // topK at 3x, post-filtered, re-cut (batched == loop is pinned
+    // elsewhere; this pins the filter composition on top)
+    val rs = get("/api/batch-search", "queries" -> q, "mode" -> "sparse",
+      "count" -> "5", "filter_field" -> "lang", "filter_value" -> "en")
+    assert(rs.status == 200, rs.body)
+    val expSparse = expected(
+      SearchEngine.bm25TopK(spark, Sf0001, TfIdfIndex.tokensOf(q), 15))
+    assert(rs.body.contains(s""""results":[$expSparse]"""),
+      s"sparse:\nbatch=${rs.body}\nexpect=$expSparse")
+    // graph arm: == the single filtered walk (graphSearchFiltered is
+    // itself the 3x post-filter composition)
+    val rgf = get("/api/batch-search", "queries" -> q, "mode" -> "graph",
+      "count" -> "5", "filter_field" -> "lang", "filter_value" -> "en")
+    assert(rgf.status == 200, rgf.body)
+    val expGraph = SearchEngine
+      .graphSearchFiltered(spark, Sf0001, q, "lang", "en", 5)
+      .collect().map(r => s"""{"id":${r.getLong(0)},"score":${r.getDouble(1)}}""")
+      .mkString(",")
+    assert(rgf.body.contains(s""""results":[$expGraph]"""),
+      s"graph:\nbatch=${rgf.body}\nexpect=$expGraph")
+    assert(get("/api/batch-search", "queries" -> q,
+      "filter_field" -> "lang").status == 400)
+  }
+
   test("similar-vectors: recommend-by-stored-point matches the engine, excludes self") {
     import org.apache.spark.sql.functions.col
     for (method <- Seq("graph", "ivf")) {
