@@ -350,7 +350,11 @@ object SegmentStore {
     * a serving root (the spec pins snapshot ≡ source reads, and
     * isolation from post-snapshot mutations of the source). Empty
     * directories carry no state in this layout (all protocol state is
-    * files), so they are not reproduced. */
+    * files), so they are not reproduced. For POINTER-MANAGED roots
+    * (the streaming ingests' bounded-storage loops) use
+    * [[snapshotCurrent]] — compaction moves the live tree to a sibling
+    * directory, and snapshotting the original path would faithfully
+    * back up a retired husk. */
   def snapshot(src: String, dest: String): Unit = {
     val (fs, sp0) = fsFor(src)
     require(fs.exists(sp0), s"snapshot source $src does not exist")
@@ -373,6 +377,21 @@ object SegmentStore {
     }
     data.foreach(copy)
     markers.foreach(copy)
+  }
+
+  /** [[snapshot]] for a POINTER-MANAGED root (the streaming ingests'
+    * bounded-storage loops): compaction folds into a SIBLING directory
+    * (`<root>-c<v>`) and swaps the `<root>.current` pointer, so once any
+    * compaction has run, the original path is a retired husk — a plain
+    * `snapshot(root, dest)` would faithfully back up the WRONG tree.
+    * This resolves the pointer first (same convention every ingest
+    * writes) and snapshots the CURRENT root; returns the resolved source
+    * path so the caller can record what was backed up. Restore is
+    * unchanged: copy anywhere, point readers (or the pointer) at it. */
+  def snapshotCurrent(indexRoot: String, dest: String): String = {
+    val src = getPointer(s"$indexRoot.current").getOrElse(indexRoot)
+    snapshot(src, dest)
+    src
   }
 
   /** Reclaim a RETIRED index root — the storage-lifecycle half of

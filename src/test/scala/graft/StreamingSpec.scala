@@ -868,6 +868,20 @@ class StreamingSpec extends SparkSpec {
     val nBatches = (docs.length + 99) / 100
     assert((0 until nBatches).exists(b =>
       graft.index.IncrementalBm25.committedHasTag(cur.get, s"batch_$b")))
+
+    // snapshotCurrent resolves the pointer before copying: the ORIGINAL
+    // path is a retired husk after compaction, and a plain snapshot of
+    // it would back up the wrong tree (it has no committed version at
+    // all here — snapshot(root) would even refuse); the managed form
+    // backs up the live sibling and the copy serves identically
+    val snap = java.nio.file.Files
+      .createTempDirectory("graft-lc-snap").toString + "/backup"
+    val resolved = graft.index.SegmentStore.snapshotCurrent(root, snap)
+    assert(resolved == cur.get && resolved != root, resolved)
+    val restoredHits = graft.index.IncrementalBm25
+      .topK(spark, snap, "doc_id", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(restoredHits == streamed)
   }
 
   test("ivfIngest: streamed segments serve hash-identical ANN to a monolithic assignment") {
