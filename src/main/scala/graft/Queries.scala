@@ -1682,6 +1682,31 @@ object Queries {
         SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 10
       """)),
 
+    // MaxScore × batching: the pruned form at THROUGHPUT — a whole query
+    // batch where each qid's partial-agg shuffle is candidate-sized (its
+    // essential lists' docs), two batch-bounded collects (UBs + the
+    // one-plan-for-all-qids seed top-k), one final plan. Per-qid results
+    // provably equal the exact batch, so the oracle is a UNION of plain
+    // exact-BM25 SELECTs — the pruning is invisible by construction.
+    // qid 0 takes the pruned path on this fixture (the s3g precondition
+    // proof covers the same mix); qid 1 is uniformly common (all terms
+    // essential — rides the plan unpruned, still exact).
+    "s3h_bm25_maxscore_batched" -> Q(
+      (s, d) => graft.index.Bm25Index.topKMaxScoreBatched(
+        s, graft.index.Bm25Index.ensure(s, d), "doc_id",
+        Seq(0L -> Seq("dup", "the", "a"), 1L -> Seq("the", "a", "spark")), 10)
+        .select(col("qid"), col("doc_id").as("id"), col("score")),
+      Some(s"""
+        WITH ${bm25ScoredCteFor("msb0", Seq("dup", "the", "a"))},
+        ${bm25ScoredCteFor("msb1", Seq("the", "a", "spark"))},
+        p0 AS (SELECT id, score FROM msb0 ORDER BY score DESC, id ASC LIMIT 10),
+        p1 AS (SELECT id, score FROM msb1 ORDER BY score DESC, id ASC LIMIT 10)
+        SELECT 0::BIGINT AS qid, id, score FROM p0
+        UNION ALL
+        SELECT 1::BIGINT AS qid, id, score FROM p1
+        ORDER BY qid, score DESC, id ASC
+      """)),
+
     // Hit HIGHLIGHTING: the best window-of-10 snippet per BM25 hit
     // (Lucene UnifiedHighlighter surface) — most query-term occurrences
     // wins, leftmost on ties. Pure integer arithmetic over the k hit

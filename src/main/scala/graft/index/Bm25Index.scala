@@ -236,6 +236,89 @@ object Bm25Index {
       .limit(k)
   }
 
+  /** [[topKMaxScore]] × [[topKBatched]]: MaxScore-pruned BM25 for a
+    * whole query BATCH — per-qid candidate-sized shuffles at batched
+    * throughput. Same exactness argument per qid (θ from the qid's own
+    * t1-doc top-k, essential-prefix elimination, 1e-6 tie guard), so
+    * per-qid results are PROVABLY identical to [[topKBatched]] /
+    * [[topK]] (the spec pins both equalities).
+    *
+    * Plan shape: TWO batch-bounded collects (the per-term upper bounds —
+    * |batch terms| rows — and the seed pass's per-qid t1-doc top-k —
+    * |Q|·k rows), then ONE final plan whose partial-agg shuffle carries
+    * only (qid, candidate) rows: a qid mixing one rare with common
+    * terms contributes its rare list's docs, not the union's. The seed
+    * pass itself is one plan for ALL qids (t1-doc sets equi-join the
+    * broadcast (qid, term) rows, full scores aggregate per (qid, doc),
+    * per-qid rank ≤ k). Degenerate qids — single-term, θ unbounded
+    * (fewer than k docs hold t1), or nothing prunable — keep all terms
+    * essential and just ride the same final plan as [[topKBatched]]'s
+    * rows. Driver state: batch terms, UBs, |Q|·k seed rows — all
+    * request-sized, the standing "query literal" contract. */
+  def topKMaxScoreBatched(spark: SparkSession, indexDir: String,
+                          idCol: String, queries: Seq[(Long, Seq[String])],
+                          k: Int): DataFrame = {
+    import spark.implicits._
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col(idCol).asc)
+    val perQid = queries.map { case (q, ts) => (q, ts.distinct) }
+    val allTerms = perQid.flatMap(_._2).distinct
+    if (allTerms.isEmpty)
+      return spark.read.parquet(s"$indexDir/postings").where(lit(false))
+        .select(col(idCol)).crossJoin(Seq.empty[Long].toDF("qid").limit(0))
+        .select(col("qid"), col(idCol), lit(0.0).as("score"))
+    val posts = spark.read.parquet(s"$indexDir/postings")
+      .where(col("term").isin(allTerms: _*)) // pushed: In(term, ...) + bloom
+    // collect 1: per-term upper bounds for the whole batch
+    val ub = spark.read.parquet(s"$indexDir/termstats")
+      .where(col("term").isin(allTerms: _*))
+      .select(col("term"), col("maxw"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ubsOf = perQid.map { case (q, ts) =>
+      q -> ts.filter(ub.contains).sortBy(t => (-ub(t), t))
+    }.toMap
+    // seed pass, one plan for all qids: full scores of each qid's
+    // t1-docs, per-qid top-k — collect 2 (|Q|·k rows)
+    val t1Df = broadcast(perQid.flatMap { case (q, _) =>
+      ubsOf(q).headOption.map(t1 => (q, t1)) }.toDF("qid", "term"))
+    val qtermDf = broadcast(perQid.flatMap { case (q, ts) =>
+      ts.map(t => (q, t)) }.toDF("qid", "term"))
+    val t1Docs = posts.join(t1Df, "term").select(col("qid"), col(idCol)).distinct()
+    val seedTop = posts.join(qtermDf, "term")
+      .join(t1Docs, Seq("qid", idCol), "left_semi")
+      .groupBy(col("qid"), col(idCol))
+      .agg(round(sum(col("w")), 6).as("score"))
+      .withColumn("__rn", row_number().over(rank))
+      .where(col("__rn") <= k)
+      .groupBy(col("qid"))
+      .agg(min(col("score")).as("theta"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // per-qid essential prefix (driver arithmetic over request-sized state)
+    val essDf = broadcast(perQid.flatMap { case (q, ts) =>
+      val ubs = ubsOf(q)
+      val essential = seedTop.get(q) match {
+        case Some((theta, n)) if n >= k && ubs.length > 1 =>
+          val suffix = ubs.map(ub).scanRight(0.0)(_ + _)
+          val p = (1 to ubs.length)
+            .find(i => suffix(i) < theta - 1e-6).getOrElse(ubs.length)
+          ubs.take(p)
+        case _ => ts // θ unbounded / single list: no pruning, stay exact
+      }
+      essential.map(t => (q, t))
+    }.toDF("qid", "term"))
+    // final plan: candidates from essential lists only, completed scores
+    // from the qid's full term set
+    val cands = posts.join(essDf, "term").select(col("qid"), col(idCol)).distinct()
+    posts.join(qtermDf, "term")
+      .join(cands, Seq("qid", idCol), "left_semi")
+      .groupBy(col("qid"), col(idCol))
+      .agg(round(sum(col("w")), 6).as("score"))
+      .withColumn("__rn", row_number().over(rank))
+      .where(col("__rn") <= k)
+      .select(col("qid"), col(idCol), col("score"))
+      .orderBy(col("qid"), col("score").desc, col(idCol).asc)
+  }
+
   /** Pseudo-relevance-feedback query EXPANSION — the RM3-shaped PRF loop
     * (Lavrenko & Croft relevance models; Anserini/Terrier run exactly
     * this two-pass plan): the base query's top-`fbDocs` docs are assumed

@@ -184,6 +184,35 @@ class IndexSpec extends SparkSpec {
       "qid", "term", 7).count() == 0L)
   }
 
+  test("batched maxscore bm25: pruned batch == exact batch == per-query pruned loop, incl. degenerate qids") {
+    val out = Files.createTempDirectory("graft-bm25-msb").toString
+    Bm25Index.build(Tables.documents(spark, Sf0001), "doc_id", "text", out)
+    // qid 0 is the s3g pruned-path mix (the single-query test proves it
+    // prunes on this fixture); 1 is uniformly-common (θ can't separate);
+    // 2 is single-term; 3 mixes an OOV term; 4 repeats a token
+    val specs = Seq(
+      0L -> Seq("dup", "the", "a"),
+      1L -> Seq("the", "a", "spark"),
+      2L -> Seq("dup"),
+      3L -> Seq("dup", "zzznoterm"),
+      4L -> Seq("data", "query", "data"))
+    val got = Bm25Index.topKMaxScoreBatched(spark, out, "doc_id", specs, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    specs.foreach { case (qid, terms) =>
+      val exact = Bm25Index.topK(spark, out, "doc_id", terms.distinct, 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val prunedSingle = Bm25Index
+        .topKMaxScore(spark, out, "doc_id", terms.distinct, 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got(qid) == exact && exact.nonEmpty, s"qid=$qid vs exact")
+      assert(got(qid) == prunedSingle, s"qid=$qid vs single pruned")
+    }
+    // all-OOV batch degenerates to an empty frame, not an error
+    assert(Bm25Index.topKMaxScoreBatched(spark, out, "doc_id",
+      Seq(9L -> Seq("zzznoterm")), 7).count() == 0L)
+  }
+
   test("tfidf: indexed searchText == embedder searchText (hash-exact)") {
     val docs = Tables.documents(spark, Sf0001)
     val out = Files.createTempDirectory("graft-tfidf-idx").toString
