@@ -2522,6 +2522,47 @@ object QueriesPipeline {
         SELECT doc_id, n_tok, start_off, first_bin, last_bin,
                (last_bin - first_bin + 1)::BIGINT AS n_bins
         FROM b WHERE last_bin > first_bin ORDER BY doc_id
+      """)),
+
+    // The per-bin manifest of t44 — the training loader's actual input:
+    // (bin, doc, off_in_bin, len) intersections that drive boundary
+    // attention/loss masking. Pure per-row arithmetic after the offsets
+    // (one generator, output-proportional fan-out); every FULL bin's
+    // lens sum to the budget exactly — the packing audit both engines
+    // state. Sampled to every 7th bin to keep the gate result bounded.
+    "t45_pack_manifest" -> Q(
+      (s, d) => {
+        val withTok = docs(s, d).select(col("doc_id"),
+          TextOps.tokenCountWs(col("text")).cast("long").as("n_tok"))
+        graft.functions.SeqPack.binManifest(withTok, "doc_id", "n_tok",
+            budget = 512L, parts = 8)
+          .where(col("bin") % 7 === 0)
+          .orderBy(col("bin"), col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, len($tokensSql)::BIGINT AS n_tok FROM documents),
+        c AS (
+          SELECT doc_id, n_tok,
+                 (sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   - n_tok)::BIGINT AS start_off
+          FROM t WHERE n_tok > 0),
+        b AS (
+          SELECT doc_id, n_tok, start_off,
+                 floor(start_off / 512)::BIGINT AS first_bin,
+                 floor((start_off + n_tok - 1) / 512)::BIGINT AS last_bin
+          FROM c),
+        m AS (
+          SELECT unnest(range(first_bin, last_bin + 1)) AS bin,
+                 doc_id, n_tok, start_off
+          FROM b)
+        SELECT bin,
+               doc_id,
+               (greatest(start_off, bin * 512) - bin * 512)::BIGINT
+                 AS off_in_bin,
+               (least(start_off + n_tok, bin * 512 + 512)
+                 - greatest(start_off, bin * 512))::BIGINT AS len
+        FROM m WHERE bin % 7 = 0 ORDER BY bin, doc_id
       """)))
 
   val ann: Map[String, Q] = Map(

@@ -109,4 +109,34 @@ object SeqPack {
           + greatest(col(nTokCol).cast("long"), lit(1L)) - 1) / budget))
       .withColumn("n_bins", col("last_bin") - col("first_bin") + 1L)
   }
+
+  /** The per-BIN manifest of [[pack]] — the training loader's actual
+    * input: for every (bin, doc) intersection, where the doc's tokens
+    * sit inside the bin (`off_in_bin`) and how many land there (`len`).
+    * This is what drives attention/loss masking at sequence boundaries
+    * (tokens of doc A must not attend into doc B) and what makes the
+    * packing auditable: per bin, Σ len = budget exactly for every full
+    * bin (the spec and the oracle both state it).
+    *
+    * Plan shape: [[pack]]'s two-pass offsets, then ONE generator
+    * (`sequence(first_bin, last_bin)` exploded) — per-row fan-out is the
+    * doc's span count, corpus-wide total is exactly
+    * ceil(total_tokens/budget) + boundary crossings, so the manifest is
+    * output-proportional, never quadratic. Zero-token docs emit nothing
+    * (no tokens, nothing to mask). */
+  def binManifest(docs: DataFrame, idCol: String, nTokCol: String,
+                  budget: Long, parts: Int): DataFrame = {
+    val packed = pack(docs, idCol, nTokCol, budget, parts)
+      .where(col(nTokCol) > 0)
+    packed
+      .withColumn("bin", explode(sequence(col("first_bin"), col("last_bin"))))
+      .withColumn("__binStart", col("bin") * budget)
+      .withColumn("off_in_bin",
+        greatest(col("start_off"), col("__binStart")) - col("__binStart"))
+      .withColumn("len",
+        least(col("start_off") + col(nTokCol).cast("long"),
+            col("__binStart") + budget)
+          - greatest(col("start_off"), col("__binStart")))
+      .select(col("bin"), col(idCol), col("off_in_bin"), col("len"))
+  }
 }

@@ -400,6 +400,27 @@ class TextHashOpsSpec extends SparkSpec {
                                // spelling DID, via resampled boundaries)
   }
 
+  test("SeqPack.binManifest: full bins tile [0, budget) exactly; zero-token docs emit nothing") {
+    import graft.functions.SeqPack
+    // 4 docs, 25 tokens total, budget 10: bins 0,1 full, bin 2 partial
+    val docs = Seq((1L, 8L), (2L, 0L), (3L, 15L), (4L, 2L)).toDF("id", "n")
+    val m = SeqPack.binManifest(docs, "id", "n", budget = 10L, parts = 4)
+      .orderBy("bin", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m.toSeq == Seq(
+      (0L, 1L, 0L, 8L), (0L, 3L, 8L, 2L),   // bin 0: doc1[0,8) doc3[8,10)
+      (1L, 3L, 0L, 10L),                     // bin 1: doc3 alone
+      (2L, 3L, 0L, 3L), (2L, 4L, 3L, 2L)))   // bin 2 partial: 3+2=5 of 10
+    // audit: every full bin's lens sum to the budget and tile exactly
+    for (bin <- Seq(0L, 1L)) {
+      val segs = m.filter(_._1 == bin).map(s => (s._3, s._4)).sortBy(_._1)
+      assert(segs.map(_._2).sum == 10L, s"bin $bin not full")
+      assert(segs.scanLeft(0L)(_ + _._2).init.sameElements(segs.map(_._1)),
+        s"bin $bin segments don't tile: ${segs.toSeq}")
+    }
+    assert(!m.exists(_._2 == 2L)) // the zero-token doc appears nowhere
+  }
+
   test("SeqPack.pack: boundary spans, zero-token docs, and more-partitions-than-rows") {
     import graft.functions.SeqPack
     // budget 10: doc 1 (n=8) [0,8) bin 0; doc 2 (n=0) degenerate at off 8
