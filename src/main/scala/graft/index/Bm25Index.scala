@@ -150,7 +150,10 @@ object Bm25Index {
       .orderBy(col("score").desc, col(idCol).asc)
     spark.read.parquet(s"$indexDir/postings")
       .where(col("term").isin(terms: _*)) // pushed: In(term, ...) + bloom
-      .join(broadcast(queries.select(col(qidCol), col(termCol).as("term"))),
+      // distinct: a duplicated (qid, term) input row must not make the
+      // join fan out and double-count that term's weight in sum(w)
+      .join(broadcast(
+        queries.select(col(qidCol), col(termCol).as("term")).distinct()),
         "term")
       .groupBy(col(qidCol), col(idCol))
       .agg(round(sum(col("w")), 6).as("score"))
@@ -261,7 +264,13 @@ object Bm25Index {
     import spark.implicits._
     val rank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col(idCol).asc)
-    val perQid = queries.map { case (q, ts) => (q, ts.distinct) }
+    // duplicate qid ENTRIES merge into one term set (first-occurrence
+    // order) — without this, each duplicate entry would contribute its
+    // own (qid, term) rows to the broadcast frames and the sum(w)
+    // aggregation would silently double-count shared terms
+    val perQid = queries.map(_._1).distinct.map { q =>
+      (q, queries.collect { case (`q`, ts) => ts }.flatten.distinct)
+    }
     val allTerms = perQid.flatMap(_._2).distinct
     if (allTerms.isEmpty)
       return spark.read.parquet(s"$indexDir/postings").where(lit(false))

@@ -32,20 +32,35 @@ object ServingCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
+  /** One lock PER KEY, not one global monitor: a cache fill runs the
+    * build — including the persist+count materialization jobs — under
+    * its lock (concurrent first requests after a mutation must produce
+    * ONE fill, not N), and under a single global lock that fill would
+    * stall every request to every OTHER key, including pure hits on
+    * unrelated indexes, for the full build duration. Per-key monitors
+    * keep the clear()-vs-repin leak protection (for a given key, repin
+    * and unpersist still serialize) while hits and fills of distinct
+    * keys proceed in parallel. The lock map grows one Object per
+    * distinct key ever seen — bounded by the index-artifact count, never
+    * by request volume. */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(key: String): Object =
+    locks.computeIfAbsent(key, _ => new Object)
+
   /** The persisted frames for `key`, built (and warmed — counted, so the
     * first request after a mutation pays the fill, not every request)
     * iff absent or `clock` moved.
     *
-    * Fully synchronized — including the hit path's repin. An
-    * unsynchronized fast path would race [[clear]]: clear() unpersists
-    * and drops the entry, a concurrent hit re-persists the same frames,
-    * and the re-pinned storage is tracked by nothing — a storage leak
-    * per race. The monitor cost is a map probe + storageLevel checks
-    * per request (the FS clock probes happen OUTSIDE, in the caller);
-    * the build runs under the lock by design — concurrent first
-    * requests after a mutation must produce ONE fill, not N. */
+    * Synchronized on the KEY's monitor — including the hit path's
+    * repin. An unsynchronized fast path would race [[clear]]: clear()
+    * unpersists and drops the entry, a concurrent hit re-persists the
+    * same frames, and the re-pinned storage is tracked by nothing — a
+    * storage leak per race. The monitor cost is a map probe +
+    * storageLevel checks per request (the FS clock probes happen
+    * OUTSIDE, in the caller). */
   def frames(key: String, clock: Any)(build: => Seq[DataFrame]): Seq[DataFrame] =
-    synchronized {
+    lockFor(key).synchronized {
       val hit = cache.get(key)
       if (hit != null && hit.clock == clock) { repin(hit.frames); hit.frames }
       else {
@@ -65,9 +80,19 @@ object ServingCache {
     }
 
   /** Drop every cached entry's frames (the `DELETE /api/search/cache`
-    * surface; tests that rewrite fixture dirs in place). */
-  def clear(): Unit = synchronized {
-    cache.values.forEach(e => e.frames.foreach(_.unpersist(blocking = false)))
-    cache.clear()
+    * surface; tests that rewrite fixture dirs in place). Takes each
+    * key's monitor in turn (never nested — deadlock-free), so for every
+    * key the unpersist serializes against that key's hits/fills exactly
+    * as before; a fill racing the snapshot may insert a NEW key after
+    * clear's pass, which is the same post-clear fill it would have run
+    * anyway. */
+  def clear(): Unit = {
+    val keys = new java.util.ArrayList(cache.keySet())
+    keys.forEach { k =>
+      lockFor(k).synchronized {
+        val e = cache.remove(k)
+        if (e != null) e.frames.foreach(_.unpersist(blocking = false))
+      }
+    }
   }
 }

@@ -464,11 +464,20 @@ object Api {
         result.select("qid", "id", "score").collect())
         .groupBy(_.getLong(0))
       val blocks = indexed.map { case (qid, q) =>
-        val hits = byQid.getOrElse(qid, Array.empty)
+        val rows = byQid.getOrElse(qid, Array.empty)
+        val hits = rows
           .map(r => s"""{"id":${r.getLong(1)},"score":${r.getDouble(2)}}""")
-        s"""{"query":${quote(q)},"results":[${hits.mkString(",")}]}"""
+        // a filtered block that under-fills is a RECALL BOUND, not an
+        // empty corpus: only the 3×-oversampled head was filtered, so
+        // matching docs may exist deeper in the ranking — surfaced per
+        // block so a client can retry with a larger count (or
+        // unfiltered) instead of silently trusting a short list
+        val bound = if (filtered && rows.length < count)
+          s""","exhausted":true""" else ""
+        s"""{"query":${quote(q)},"results":[${hits.mkString(",")}]$bound}"""
       }
-      ok(s"""{"mode":${quote(mode)},"batch_size":${qs.length},"batches":[${blocks.mkString(",")}]}""")
+      val filterNote = if (filtered) s""","filter_oversample":3""" else ""
+      ok(s"""{"mode":${quote(mode)},"batch_size":${qs.length}$filterNote,"batches":[${blocks.mkString(",")}]}""")
 
     case "/api/similar-vectors" => // recommend-by-stored-point (Qdrant's
       // recommend API, which the reference's engine exposes): 1..64 stored

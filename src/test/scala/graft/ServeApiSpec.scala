@@ -645,6 +645,20 @@ class ServeApiSpec extends SparkSpec {
       s"graph:\nbatch=${rgf.body}\nexpect=$expGraph")
     assert(get("/api/batch-search", "queries" -> q,
       "filter_field" -> "lang").status == 400)
+    // recall bound surfaced, not silent: a filtered block that
+    // under-fills carries "exhausted":true — only the 3x-oversampled
+    // head was filtered, so matches may exist deeper in the ranking —
+    // and the response names the oversample factor
+    val rz = get("/api/batch-search", "queries" -> q, "mode" -> "sparse",
+      "count" -> "5", "filter_field" -> "lang",
+      "filter_value" -> "zz-no-such-lang")
+    assert(rz.status == 200, rz.body)
+    assert(rz.body.contains(""""results":[],"exhausted":true"""), rz.body)
+    assert(rz.body.contains(""""filter_oversample":3"""), rz.body)
+    // a FULL filtered block carries no flag (the en sparse arm above
+    // filled all 5 — re-assert against the same response body)
+    if (expSparse.count(_ == '}') >= 5)
+      assert(!rs.body.contains("exhausted"), rs.body)
   }
 
   test("similar-vectors: recommend-by-stored-point matches the engine, excludes self") {

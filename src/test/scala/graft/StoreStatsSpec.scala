@@ -183,4 +183,48 @@ class StoreStatsSpec extends SparkSpec {
       Store.replaceSnapshot(v(9), p); assert(readV(p) == 9)
     }
   }
+
+  test("ServingCache: a fill of one key never blocks requests to another key") {
+    // the lock is PER KEY — a long build (persist+count jobs) of one
+    // index's frames must not stall pure hits or fills on unrelated
+    // keys (r11 ADVICE: the global monitor was a throughput cliff after
+    // every mutation/invalidation)
+    import graft.search.ServingCache
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    ServingCache.clear()
+    val inBuild = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val slow = new Thread(() => {
+      ServingCache.frames("svc-spec-slow", ()) {
+        inBuild.countDown()
+        release.await(60, TimeUnit.SECONDS)
+        Seq(Seq(1L).toDF("x"))
+      }
+      ()
+    })
+    slow.start()
+    assert(inBuild.await(60, TimeUnit.SECONDS), "slow build never started")
+    try {
+      // under a global monitor this future could only complete after
+      // `release` fires — i.e. it would time out here
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val fast = Future {
+        ServingCache.frames("svc-spec-fast", ())(Seq(Seq(2L).toDF("y")))
+          .head.collect().map(_.getLong(0)).toSeq
+      }
+      assert(Await.result(fast, 60.seconds) == Seq(2L),
+        "fill of an unrelated key was blocked by the slow build")
+    } finally {
+      release.countDown()
+      slow.join(60000)
+    }
+    assert(!slow.isAlive)
+    // both entries landed and clear() drops them (per-key monitors)
+    assert(ServingCache.frames("svc-spec-slow", ())(fail("must be a hit"))
+      .head.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    ServingCache.clear()
+  }
 }
