@@ -3974,6 +3974,57 @@ object QueriesPipeline {
         SELECT id, score FROM hits ORDER BY score DESC, id ASC LIMIT 10
       """)),
 
+    // TAIL-FOLD compaction on the live IVF index — the bounded-write-
+    // amplification maintenance move (segments past the first fold into
+    // ONE; the big init segment is REFERENCED by the new manifest, never
+    // rewritten — write cost O(tail), not O(corpus)). The fold is pure
+    // reorganization: tombstones bake into the folded rows and the
+    // folded segment's logical number sits above every committed
+    // horizon, so the read is STILL a17's IVF SQL over the CURRENT
+    // vectors (deleted dropped, upserted replaced; the fixture keeps the
+    // two sets disjoint so the oracle composes the WHEREs).
+    "a31_ivf_tailfold" -> Q(
+      (s, d) => {
+        val root = graft.index.IncrementalIvf.ensureTailFolded(s, d)
+        val qv = Tables.embeddings(s, d)
+          .where(col("vec_id") === Queries.QueryVecId)
+          .select(col("embedding").as("qvec"))
+        graft.index.IncrementalIvf.topK(s, root, qv, 3, 10)
+      },
+      Some(s"""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = ${Queries.QueryVecId}),
+        cur AS (
+          SELECT e.vec_id,
+                 CASE WHEN e.vec_id % 11 = 5 AND e.vec_id % 7 <> 3
+                           AND n.vec_id IS NOT NULL
+                      THEN n.embedding ELSE e.embedding END AS embedding
+          FROM embeddings e
+          LEFT JOIN embeddings n ON n.vec_id = e.vec_id + 1
+          WHERE e.vec_id % 7 <> 3),
+        assign AS (
+          SELECT e.vec_id, c.cid, e.embedding,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                            c.cid ASC) AS rn
+          FROM cur e CROSS JOIN cent c),
+        asg AS (SELECT vec_id, cid, embedding FROM assign WHERE rn = 1),
+        probes AS (
+          SELECT cid FROM (
+            SELECT c.cid,
+                   round(list_cosine_similarity(c.cvec, q.qv), 6) AS qscore
+            FROM cent c CROSS JOIN q
+            ORDER BY qscore DESC, cid ASC LIMIT 3)),
+        hits AS (
+          SELECT a.vec_id AS id,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS score
+          FROM asg a JOIN probes p ON a.cid = p.cid CROSS JOIN q)
+        SELECT id, score FROM hits ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
     // kNN graph over the whole corpus: every vector's top-5 neighbors,
     // candidates blocked by nprobe=3 IVF lists and joined via SHUFFLE
     // (the query side is the corpus — nothing broadcasts). The input

@@ -62,6 +62,43 @@ object IncrementalIvf {
   private def publish(root: String, v: Int, tag: Option[String]): Unit =
     SegmentStore.publish(commitBase(root), v, tag)
 
+  // ---- Manifest-addressed segment resolution (tail-fold support) ----
+  // A root reads positionally (`seg/0..v-1`, logical == position) until
+  // its first [[tailFold]] publishes a manifest; from then on the
+  // committed manifest IS the segment list. See the design note in
+  // [[SegmentStore]] (manifest section) and docs/PLANS.md.
+
+  /** Committed segment list as root-relative manifest entries —
+    * synthesized for positional roots so fold/append logic has one
+    * shape. */
+  private def entryList(root: String): Seq[SegmentStore.ManifestEntry] =
+    SegmentStore.currentManifest(commitBase(root)) match {
+      case Some(m) => m.entries
+      case None => (0 until version(root))
+        .map(k => SegmentStore.ManifestEntry(s"seg/$k", k.toLong))
+    }
+
+  /** Read fan-in — the read-amplification dial ([[tailFoldIfNeeded]]'s
+    * trigger). Equals `version(root)` until the first fold; after folds
+    * it counts the LIVE segment list, which the version clock (one bump
+    * per mutation, forever) no longer reflects. */
+  def fanIn(root: String): Int = entryList(root).size
+
+  /** Ledger version absorbed by the last full fold — readers skip
+    * ledger segments at or below it (their kills are physically gone). */
+  private def tombRebase(root: String): Int =
+    SegmentStore.currentManifest(commitBase(root)).map(_.tombRebase)
+      .getOrElse(0)
+
+  /** Logical number of the NEXT segment — the horizon a delete committed
+    * now carries. Strictly above every live row's `__seg` tag, including
+    * folded segments (a fold assigns its output the `nextLogical` at
+    * fold time precisely so pre-fold horizons spare it — the kills they
+    * state are baked into the folded rows). */
+  private def logicalNext(root: String): Long =
+    SegmentStore.currentManifest(commitBase(root)).map(_.nextLogical)
+      .getOrElse(version(root).toLong)
+
   private def writeSegment(vectors: DataFrame, centroids: DataFrame,
                            root: String, seg: Int): Unit =
     Ann.ivfAssign(vectors, centroids)
@@ -89,8 +126,21 @@ object IncrementalIvf {
              tag: Option[String] = None): Unit = {
     val v = version(root)
     require(v > 0, s"index at $root not initialized — call init first")
-    writeSegment(delta, readCentroids(delta.sparkSession, root), root, v)
-    publish(root, v + 1, tag)
+    SegmentStore.currentManifest(commitBase(root)) match {
+      case None => // positional root: physical dir index == version
+        writeSegment(delta, readCentroids(delta.sparkSession, root), root, v)
+        publish(root, v + 1, tag)
+      case Some(m) => // manifest root: next physical id, entry + marker
+        // publish in ONE atomic step (the manifest rides the version dir)
+        writeSegment(delta, readCentroids(delta.sparkSession, root), root,
+          m.nextPhysical)
+        SegmentStore.publishManifest(commitBase(root), v + 1, tag,
+          m.copy(
+            entries = m.entries :+ SegmentStore.ManifestEntry(
+              s"seg/${m.nextPhysical}", m.nextLogical),
+            nextLogical = m.nextLogical + 1,
+            nextPhysical = m.nextPhysical + 1))
+    }
   }
 
   def readCentroids(spark: SparkSession, root: String): DataFrame =
@@ -127,7 +177,7 @@ object IncrementalIvf {
     val v = version(root)
     require(v > 0, s"index at $root not initialized")
     SegmentStore.tombWrite(ids, "vec_id", s"$root/tombs", tag,
-      beforeSeg = v.toLong)
+      beforeSeg = logicalNext(root))
   }
 
   /** UPSERT — update vectors IN PLACE by id (Qdrant's point overwrite):
@@ -142,7 +192,7 @@ object IncrementalIvf {
     val v = version(root)
     require(v > 0, s"index at $root not initialized")
     SegmentStore.tombWrite(delta.select(col("vec_id")), "vec_id",
-      s"$root/tombs", tag.map(t => s"${t}_t"), beforeSeg = v.toLong)
+      s"$root/tombs", tag.map(t => s"${t}_t"), beforeSeg = logicalNext(root))
     if (!tag.exists(t => committedHasTag(root, t)))
       append(delta, root, tag)
   }
@@ -152,14 +202,17 @@ object IncrementalIvf {
     require(v > 0, s"index at $root not initialized")
     // one read per segment root (each is its own cid-partitioned table —
     // a single multi-path read would refuse to infer the partitioning),
-    // unioned with per-row segment provenance: the cid probe predicate
-    // pushes into EVERY arm's partition filters, so each segment still
-    // prunes to its probed list dirs
-    val all = (0 until v).map { k =>
-      spark.read.option("basePath", segDir(root, k)).schema(segSchema)
-        .parquet(segDir(root, k)).withColumn("__seg", lit(k.toLong))
+    // unioned with per-row LOGICAL segment provenance: the cid probe
+    // predicate pushes into EVERY arm's partition filters, so each
+    // segment still prunes to its probed list dirs. The segment list
+    // comes from the committed manifest when one exists (post-fold
+    // roots); ledger segments a full fold absorbed are skipped.
+    val all = entryList(root).map { e =>
+      val p = s"$root/${e.dir}"
+      spark.read.option("basePath", p).schema(segSchema)
+        .parquet(p).withColumn("__seg", lit(e.logicalSeg))
     }.reduce(_ unionByName _)
-    SegmentStore.tombIds(spark, s"$root/tombs").fold(all)(t =>
+    SegmentStore.tombIds(spark, s"$root/tombs", tombRebase(root)).fold(all)(t =>
         all.join(broadcast(t.select(col(t.columns.head).as("__dd"),
             col("before_seg"))),
           all("vec_id") === col("__dd") && all("__seg") < col("before_seg"),
@@ -204,6 +257,106 @@ object IncrementalIvf {
                       maxSegments: Int, tag: Option[String] = None): String =
     SegmentStore.compactIfNeeded(root, version(root), maxSegments)(
       compact(spark, root, _, tag = tag))
+
+  /** Sweep physical segment dirs no committed manifest references —
+    * folded-away tails whose post-publish removal a crash skipped, and
+    * orphans of crashed appends. Runs at the start of every
+    * [[tailFold]]; safe under the single-writer discipline every
+    * mutation here already assumes (an append IN FLIGHT would have its
+    * uncommitted dir swept — don't run fold and append concurrently,
+    * which the maintenance loops never do). */
+  private def gcUnreferencedSegs(root: String): Unit = {
+    val referenced = entryList(root).map(_.dir.stripPrefix("seg/")).toSet
+    SegmentStore.listChildDirs(s"$root/seg").filterNot(referenced)
+      .foreach(c => SegmentStore.deleteTree(s"$root/seg/$c"))
+  }
+
+  /** TAIL-FOLD: fold every segment past the first `keep` into ONE fresh
+    * physical segment IN THIS ROOT, leaving the prefix untouched — the
+    * bounded-write-amplification compaction docs/PLANS.md designed
+    * (size-tiered folds rewrite the small recent tail; the big old
+    * prefix is REFERENCED by the new manifest, not rewritten). Write
+    * cost is O(tail bytes); [[compact]]'s full fold — still the deep
+    * clean that reclaims prefix tombstones and resets storage into a
+    * fresh root — stays O(corpus), which is exactly why a steady-state
+    * 100 TB ingest runs THIS between rare deep cleans.
+    *
+    * Soundness (the horizon algebra):
+    *   - all tombstones visible at fold time are APPLIED to the folded
+    *     rows (they are physically reclaimed from the tail);
+    *   - the folded segment takes logical number `nextLogical` —
+    *     strictly ABOVE every horizon committed so far — so existing
+    *     ledger entries spare the folded rows without any ledger
+    *     rewrite, while still killing prefix rows exactly as before;
+    *   - a delete committed AFTER the fold carries a yet-higher horizon
+    *     and kills folded rows normally;
+    *   - a FULL fold (`keep = 0`) leaves no live target for any existing
+    *     ledger entry, so the manifest records the absorbed ledger
+    *     version (`tombRebase`) and readers skip those ledger segments —
+    *     the anti-join input stays bounded by the churn since the last
+    *     full fold, without resetting the ledger's version clock.
+    *
+    * Publishes manifest + version + `tag` in ONE atomic marker (the
+    * manifest rides the commit version dir). Crash windows: before the
+    * marker — orphan folded dir, swept by the next fold's GC pass, old
+    * state served; after the marker — the folded-away tail dirs are
+    * swept here post-publish and by the next fold's GC if THAT is
+    * interrupted. Idempotent via `tag`. The old tail stays readable
+    * until the post-publish sweep — callers with long-running readers
+    * should drain them first (same drain policy as [[compact]]'s
+    * pointer swap). */
+  def tailFold(spark: SparkSession, root: String, keep: Int = 1,
+               tag: Option[String] = None): Unit = {
+    val v = version(root)
+    require(v > 0, s"index at $root not initialized")
+    require(keep >= 0, s"keep must be >= 0, got $keep")
+    if (tag.exists(t => committedHasTag(root, t))) return
+    gcUnreferencedSegs(root)
+    val entries = entryList(root)
+    if (entries.size <= keep) return // empty tail — nothing to fold
+    val cur = SegmentStore.currentManifest(commitBase(root))
+    val nextPhys = cur.map(_.nextPhysical).getOrElse(v)
+    val nextLog = cur.map(_.nextLogical).getOrElse(v.toLong)
+    val rebase = cur.map(_.tombRebase).getOrElse(0)
+    val (prefix, tail) = entries.splitAt(keep)
+    val tailRows = tail.map { e =>
+      val p = s"$root/${e.dir}"
+      spark.read.option("basePath", p).schema(segSchema)
+        .parquet(p).withColumn("__seg", lit(e.logicalSeg))
+    }.reduce(_ unionByName _)
+    val live = SegmentStore.tombIds(spark, s"$root/tombs", rebase)
+      .fold(tailRows)(t =>
+        tailRows.join(broadcast(t.select(col(t.columns.head).as("__dd"),
+            col("before_seg"))),
+          tailRows("vec_id") === col("__dd") &&
+            tailRows("__seg") < col("before_seg"),
+          "left_anti"))
+    live.select(col("vec_id"), col("embedding"), col("cid"))
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .partitionBy("cid")
+      .parquet(segDir(root, nextPhys))
+    val newRebase =
+      if (keep == 0) SegmentStore.tombVersion(s"$root/tombs") else rebase
+    SegmentStore.publishManifest(commitBase(root), v + 1, tag,
+      SegmentStore.Manifest(
+        prefix :+ SegmentStore.ManifestEntry(s"seg/$nextPhys", nextLog),
+        nextLogical = nextLog + 1,
+        nextPhysical = nextPhys + 1,
+        tombRebase = newRebase))
+    // post-publish reclamation of the folded-away tail (crash-safe: the
+    // next fold's GC pass finishes an interrupted sweep)
+    tail.foreach(e => SegmentStore.deleteTree(s"$root/${e.dir}"))
+  }
+
+  /** Size-tiered trigger for [[tailFold]]: fold the tail when the READ
+    * fan-in (live segment count — not the ever-growing version clock)
+    * exceeds `maxSegments`. The steady-state maintenance call for a
+    * long-running ingest: write cost per trigger is O(maxSegments ·
+    * batch), independent of corpus size. */
+  def tailFoldIfNeeded(spark: SparkSession, root: String, maxSegments: Int,
+                       keep: Int = 1, tag: Option[String] = None): Unit =
+    if (fanIn(root) > maxSegments) tailFold(spark, root, keep, tag)
 
   /** Centroid RETRAIN — the production answer to the frozen-centroid
     * drift caveat in the object doc: re-fit kmeans centroids on the
@@ -294,6 +447,34 @@ object IncrementalIvf {
         .where(pmod(col("a.vec_id"), lit(11)) === 5)
         .select(col("a.vec_id").as("vec_id"), col("nemb").as("embedding"))
       upsert(updated, p, tag = Some("demo_upsert"))
+    }
+
+  val TailFoldName = "ivf_tailfold_v1"
+
+  /** Grown index with a delete + a same-id upsert applied and then a
+    * TAIL-FOLD (keep = 1: segments 1..3 fold into one, the init segment
+    * untouched) — memoized for the `a31_ivf_tailfold` oracle: the fold
+    * is pure reorganization, so the read must STILL equal a17's IVF SQL
+    * over the current vectors (deleted dropped, upserted replaced —
+    * non-overlapping sets so the oracle composes the two WHEREs). */
+  def ensureTailFolded(spark: SparkSession, dataDir: String): String =
+    IndexCatalog.ensure(spark, dataDir, TailFoldName) { p =>
+      val emb = Tables.embeddings(spark, dataDir)
+      val centroids = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      init(emb.where(col("vec_id") % 3 === 0), centroids, p)
+      append(emb.where(col("vec_id") % 3 === 1), p)
+      append(emb.where(col("vec_id") % 3 === 2), p)
+      delete(emb.where(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id")), p, tag = Some("demo_tf_delete"))
+      val updated = emb.as("a")
+        .join(emb.select(col("vec_id").as("nid"),
+          col("embedding").as("nemb")), col("a.vec_id") + 1 === col("nid"))
+        .where(pmod(col("a.vec_id"), lit(11)) === 5 &&
+          pmod(col("a.vec_id"), lit(7)) =!= 3)
+        .select(col("a.vec_id").as("vec_id"), col("nemb").as("embedding"))
+      upsert(updated, p, tag = Some("demo_tf_upsert"))
+      tailFold(spark, p, keep = 1, tag = Some("demo_tf_fold"))
     }
 
   val TombName = "ivf_tomb_v1"

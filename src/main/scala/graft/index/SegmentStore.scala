@@ -39,6 +39,12 @@ object SegmentStore {
 
   val CommitMarker = "_COMMITTED"
 
+  /** The catalog's build-complete marker ([[IndexCatalog]] writes it
+    * after a successful build and refuses to adopt a tree without it).
+    * Named here because [[snapshot]]'s copy ordering must treat it as
+    * the LAST file of a tree, not as data. */
+  val ReadyMarker = "_GRAFT_INDEX_READY"
+
   /** FileSystem for `path`, resolved through the active Spark session's
     * Hadoop configuration when one exists (credentials, fs.* overrides),
     * plain defaults otherwise — keeps callers' String-path signatures. */
@@ -108,6 +114,144 @@ object SegmentStore {
     * visible anywhere in the committed history is skipped). */
   def anyCommittedHasTag(versionsBase: String, tag: String): Boolean =
     (1 to version(versionsBase)).exists(v => hasTag(versionsBase, v, tag))
+
+  // ---- Manifest-addressed segment lists (the tail-fold enabler) ----
+  //
+  // The positional layout (`seg/0..v-1`, version = segment count) makes
+  // every compaction a FULL fold: the new root must contain every byte,
+  // including the large old prefix that didn't change — O(corpus) write
+  // cost per fold, the classic size-tiered-vs-full-merge gap that
+  // dominates write amplification at 100 TB (docs/PLANS.md records the
+  // analysis). A MANIFEST breaks position = identity: a committed
+  // version can carry an explicit segment list (physical dir +
+  // per-segment logical horizon number), so a tail-fold publishes one
+  // small folded segment plus one small manifest and the untouched
+  // prefix is REFERENCED, not rewritten.
+  //
+  // Design constraints honored here:
+  //  - ONE atomic step per mutation: the manifest payload lives INSIDE
+  //    the commit version dir (`commit/v=N/manifest`, like setPointer's
+  //    `root` payload) and publishes under the same single `_COMMITTED`
+  //    marker as the version's idempotence tag — no second marker, no
+  //    torn append-vs-manifest state, `version()` semantics unchanged.
+  //  - NO ledger rewrite on fold: the folded segment takes logical
+  //    number `nextLogical` — ABOVE every tombstone horizon committed so
+  //    far — so existing ledger entries spare the folded rows (their
+  //    kills are baked into the fold) while still killing prefix rows
+  //    (`seg < horizon` unchanged there), and post-fold deletes use a
+  //    yet-higher horizon that correctly kills folded rows. Logical
+  //    numbers are not positions; they only feed the horizon algebra.
+  //  - Ledger REBASE on full folds: a fold that consumed EVERY segment
+  //    baked every tombstone in, so the manifest records the ledger
+  //    version it absorbed (`tombRebase`) and readers skip ledger
+  //    segments below it — bounding the broadcast anti-join input
+  //    without deleting ledger history (the version clock never resets).
+  //
+  // A root without a committed manifest reads positionally, exactly as
+  // before — manifests appear at the first tail-fold, so existing roots
+  // and write paths are untouched until they opt in.
+
+  /** One manifest segment entry: `dir` is root-relative, `logicalSeg`
+    * is the row horizon tag ([[graft.index.IncrementalIvf]] reads tag
+    * rows `__seg = logicalSeg`). */
+  final case class ManifestEntry(dir: String, logicalSeg: Long)
+
+  /** A committed segment list. `nextLogical` numbers the next append
+    * (and is the horizon a delete committed NOW uses — strictly above
+    * every live row's tag); `nextPhysical` names the next physical dir
+    * (never reused, so folded-away dirs can be swept without racing a
+    * retry); `tombRebase` is the tombstone-ledger version whose entries
+    * are fully baked into the current segments (readers skip them). */
+  final case class Manifest(entries: Seq[ManifestEntry], nextLogical: Long,
+                            nextPhysical: Int, tombRebase: Int)
+
+  private def manifestPath(versionsBase: String, v: Int): Path =
+    new Path(versionDir(versionsBase, v), "manifest")
+
+  /** Serialize `m` as the version payload — fixed line format, no JSON
+    * dependency; dirs must not contain tabs or newlines (they are
+    * writer-chosen `seg/<n>` names). */
+  private def renderManifest(m: Manifest): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("nextLogical=").append(m.nextLogical).append('\n')
+    sb.append("nextPhysical=").append(m.nextPhysical).append('\n')
+    sb.append("tombRebase=").append(m.tombRebase).append('\n')
+    m.entries.foreach { e =>
+      sb.append("entry=").append(e.dir).append('\t')
+        .append(e.logicalSeg).append('\n')
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  private def parseManifest(bytes: Array[Byte]): Manifest = {
+    val lines = new String(bytes, "UTF-8").split('\n').filter(_.nonEmpty)
+    def field(k: String): String = lines
+      .collectFirst { case l if l.startsWith(s"$k=") => l.drop(k.length + 1) }
+      .getOrElse(sys.error(s"manifest missing field $k"))
+    val entries = lines.toSeq.filter(_.startsWith("entry=")).map { l =>
+      val parts = l.drop("entry=".length).split('\t')
+      require(parts.length == 2, s"malformed manifest entry: $l")
+      ManifestEntry(parts(0), parts(1).toLong)
+    }
+    Manifest(entries, field("nextLogical").toLong,
+      field("nextPhysical").toInt, field("tombRebase").toInt)
+  }
+
+  /** Publish version `v` CARRYING a manifest: payload + optional tag
+    * first, the atomic marker last — one visible step for the segment
+    * list change and the version bump together. */
+  def publishManifest(versionsBase: String, v: Int, tag: Option[String],
+                      manifest: Manifest): Unit = {
+    val (fs, p) = fsFor(versionDir(versionsBase, v))
+    fs.mkdirs(p)
+    val out = fs.create(manifestPath(versionsBase, v), true)
+    try out.write(renderManifest(manifest)) finally out.close()
+    tag.foreach(t => touch(fs, new Path(p, s"_tag_$t")))
+    touch(fs, new Path(p, CommitMarker))
+  }
+
+  /** The manifest committed at version `v` of `versionsBase`, or None
+    * when that version carries no payload (positional root, or a version
+    * published before the first fold). */
+  def manifestAt(versionsBase: String, v: Int): Option[Manifest] = {
+    if (v <= 0) return None
+    val (fs, _) = fsFor(versionsBase)
+    val mp = manifestPath(versionsBase, v)
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(parseManifest(buf.toByteArray))
+      } finally in.close()
+    }
+  }
+
+  /** The CURRENT committed manifest of `versionsBase` (at
+    * `version(versionsBase)`), or None for positional roots. */
+  def currentManifest(versionsBase: String): Option[Manifest] =
+    manifestAt(versionsBase, version(versionsBase))
+
+  /** Child directory names of `path` (empty when absent) — the GC
+    * sweep's view of a root's physical segment pool. */
+  def listChildDirs(path: String): Seq[String] = {
+    val (fs, p) = fsFor(path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).iterator.filter(_.isDirectory)
+      .map(_.getPath.getName).toSeq
+  }
+
+  /** Recursive delete of a marker-less data directory (a folded-away or
+    * orphaned physical segment — protocol state lives under the commit
+    * ledger, never inside these, so no marker-first discipline applies).
+    * Idempotent. */
+  def deleteTree(path: String): Boolean = {
+    val (fs, p) = fsFor(path)
+    fs.exists(p) && fs.delete(p, true)
+  }
 
   /** Union of per-segment reads for segments `0 until upTo` — the shared
     * read-side fan-in of every incremental index. */
@@ -287,11 +431,12 @@ object SegmentStore {
     * checks comparing a killing tombstone's ledger version against a
     * repair's observed-ledger stamp — read this form; plain kill filters
     * keep the folded [[tombIds]]. */
-  def tombIdsVersioned(spark: SparkSession, base: String): Option[DataFrame] = {
+  def tombIdsVersioned(spark: SparkSession, base: String,
+                       fromVersion: Int = 0): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{col, lit}
     val tv = version(tombCommitBase(base))
-    if (tv == 0) None
-    else Some((0 until tv).map { k =>
+    if (tv <= fromVersion) None
+    else Some((fromVersion until tv).map { k =>
       val raw = spark.read.parquet(tombSegDir(base, k))
       val withSeg =
         if (raw.columns.contains("before_seg")) raw
@@ -305,13 +450,18 @@ object SegmentStore {
     * upsert's bounded one) — or None when the ledger is empty: callers
     * skip the anti-join entirely then, keeping tombstone-free plans
     * exactly as they were. Ledgers written before the horizon column
-    * existed read as full deletes. */
-  def tombIds(spark: SparkSession, base: String): Option[DataFrame] = {
+    * existed read as full deletes. `fromVersion` skips ledger segments
+    * at or below a manifest's `tombRebase` (their kills are physically
+    * baked into a full fold — see the manifest section above). */
+  def tombIds(spark: SparkSession, base: String,
+              fromVersion: Int = 0): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{col, lit, max}
     val tv = version(tombCommitBase(base))
-    if (tv == 0) None
+    if (tv <= fromVersion) None
     else {
-      val raw = readSegments(spark, tv)(tombSegDir(base, _))
+      val raw = (fromVersion until tv)
+        .map(k => spark.read.parquet(tombSegDir(base, k)))
+        .reduce(_ unionByName _)
       val withSeg =
         if (raw.columns.contains("before_seg")) raw
         else raw.withColumn("before_seg", lit(Long.MaxValue))
@@ -327,15 +477,30 @@ object SegmentStore {
     * consistency comes from the same marker protocol every reader
     * already honors, not from quiescing writers).
     *
-    * One recursive listing of `src` fixes the snapshot's view; then data
-    * files copy FIRST and the `_COMMITTED` markers from that listing
-    * copy LAST — the writer protocol re-applied to the copy, giving two
-    * guarantees with zero coordination:
+    * One recursive listing of `src` fixes the snapshot's view; then the
+    * files copy in FOUR strictly-ordered passes — data, tombstone/repair
+    * ledger `_COMMITTED` markers, segment-ledger `_COMMITTED` markers,
+    * and the catalog `_GRAFT_INDEX_READY` marker dead last — the writer
+    * protocol re-applied to the copy, giving these guarantees with zero
+    * coordination:
     *
     *   - a crash mid-snapshot leaves a copy whose highest versions have
     *     data but no marker: readers resolve the last fully-copied
     *     committed version (or version 0, loudly refused) — never a
     *     committed version with missing files;
+    *   - a crash DURING the marker pass can only leave the copy with
+    *     MORE tombstone/repair ledger committed than segment ledger
+    *     committed, never less (ledger markers land before segment
+    *     markers): over-applied kill filters hide rows conservatively;
+    *     the reverse tear — committed segments whose deletes vanished —
+    *     would silently RESURRECT deleted rows, and is impossible by
+    *     this ordering;
+    *   - the catalog `_GRAFT_INDEX_READY` marker (when the source tree
+    *     carries one) copies strictly AFTER every `_COMMITTED` marker,
+    *     so a torn restore can never present a ready-but-incomplete tree
+    *     to [[graft.index.IndexCatalog.ensure]]/[[graft.index.IndexCatalog.adopt]]
+    *     — the ready marker's presence in a snapshot copy certifies the
+    *     whole marker set beneath it arrived;
     *   - a concurrent single-writer appending version N+1 during the
     *     copy is invisible: N+1's marker wasn't in the listing, so the
     *     copy commits exactly the list-time version (any N+1 data files
@@ -369,14 +534,54 @@ object SegmentStore {
     val files = scala.collection.mutable.ArrayBuffer[Path]()
     val it = fs.listFiles(sp, true)
     while (it.hasNext) files += it.next().getPath
-    val (markers, data) = files.partition(_.getName == CommitMarker)
     def copy(p: Path): Unit = {
       val rel = p.toString.stripPrefix(prefix)
       org.apache.hadoop.fs.FileUtil.copy(
         fs, p, dfs, new Path(dest, rel), false, conf)
     }
-    data.foreach(copy)
-    markers.foreach(copy)
+    orderForCopy(files.toSeq).foreach(copy)
+  }
+
+  /** The crash-safety ordering of [[snapshot]]'s copy, as a pure plan
+    * (unit-testable without fault injection): data files, then
+    * tombstone/repair ledger `_COMMITTED` markers, then segment-ledger
+    * `_COMMITTED` markers, then any `_GRAFT_INDEX_READY` marker dead
+    * last. Cross-ledger marker order: tombstone + repair ledgers commit
+    * in the copy BEFORE the segment ledger (see [[snapshot]]'s contract
+    * — a marker-pass tear must over-delete, never resurrect). */
+  private[graft] def orderForCopy(files: Seq[Path]): Seq[Path] = {
+    val (ready, rest) = files.partition(_.getName == ReadyMarker)
+    val (markers, data) = rest.partition(_.getName == CommitMarker)
+    val (ledgerMarkers, segMarkers) = markers.partition { p =>
+      val s = p.toString
+      s.contains("/tombs/") || s.contains("/repairs/")
+    }
+    data ++ ledgerMarkers ++ segMarkers ++ ready
+  }
+
+  /** Verify `dest` carries every protocol marker the `src` tree carries
+    * (same relative paths) — the cheap completeness certificate a
+    * restore takes BEFORE adopting the copy into serving: data files
+    * copy before markers, so marker-set equality implies every file a
+    * committed version references arrived. Returns the missing relative
+    * paths (empty = mirror complete). Cost: two recursive listings —
+    * metadata-only at any corpus size. */
+  def missingMarkers(src: String, dest: String): Seq[String] = {
+    def markerSet(root: String): Set[String] = {
+      val (fs, p0) = fsFor(root)
+      if (!fs.exists(p0)) return Set.empty
+      val p = fs.makeQualified(p0)
+      val prefix = p.toString + "/"
+      val out = scala.collection.mutable.Set[String]()
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName == CommitMarker || f.getName == ReadyMarker)
+          out += f.toString.stripPrefix(prefix)
+      }
+      out.toSet
+    }
+    (markerSet(src) -- markerSet(dest)).toSeq.sorted
   }
 
   /** [[snapshot]] for a POINTER-MANAGED root (the streaming ingests'

@@ -708,10 +708,13 @@ object Api {
       // snapshot is a committed root first (a torn copy resolves to
       // version 0 and is refused before anything is touched), THEN
       // invalidate (drops the memo, clears every serving cache, deletes
-      // the old tree), copy the snapshot in (markers land last), and
-      // adopt. A crash mid-restore leaves a tree without its catalog
-      // marker — refused by adopt, rebuilt or re-restored, never served
-      // torn.
+      // the old tree), copy the snapshot in (ledger markers before
+      // segment markers, ready marker dead last), verify the copy
+      // mirrors every source marker, and adopt. A crash mid-restore
+      // leaves a tree without its catalog marker — refused by adopt,
+      // rebuilt or re-restored, never served torn; a tear inside the
+      // marker pass can only over-apply deletes, never resurrect them
+      // (SegmentStore.snapshot's cross-ledger ordering).
       val src = require(params, "src")
       import graft.index.{IncrementalKnn, IndexCatalog, SegmentStore, TfIdfGraphIndex}
       if (IncrementalKnn.version(src) == 0)
@@ -720,6 +723,10 @@ object Api {
       IndexCatalog.invalidate(dir, TfIdfGraphIndex.IncName)
       val live = IndexCatalog.path(dir, TfIdfGraphIndex.IncName)
       SegmentStore.snapshot(src, live)
+      val missing = SegmentStore.missingMarkers(src, live)
+      if (missing.nonEmpty)
+        return Response(500, err(
+          s"restore copy incomplete — missing markers: ${missing.mkString(", ")}"))
       IndexCatalog.adopt(dir, TfIdfGraphIndex.IncName)
       ok(s"""{"success":true,"src":${quote(src)},"restored_to":${quote(live)}}""")
 

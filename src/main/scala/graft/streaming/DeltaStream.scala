@@ -349,7 +349,8 @@ object DeltaStream {
   def ivfCdcIngest(changes: DataFrame, indexRoot: String,
                    checkpoint: String,
                    maxSegments: Int = Int.MaxValue,
-                   seqCol: Option[String] = None): StreamingQuery =
+                   seqCol: Option[String] = None,
+                   tailFoldCompaction: Boolean = false): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -375,12 +376,23 @@ object DeltaStream {
         // append segments too and must still reach the fold (see the
         // BM25 loop above)
         if (IncrementalIvf.version(root) > 0) {
-          val newRoot = IncrementalIvf.compactIfNeeded(
-            batch.sparkSession, root, maxSegments, tag = Some(tag))
-          if (newRoot != root) {
-            SegmentStore.setPointer(ptr, newRoot)
-            SegmentStore.retire(root)
-            ()
+          if (tailFoldCompaction) {
+            // in-place bounded-write fold: O(tail) per trigger instead
+            // of the full fold's O(corpus) rewrite — the steady-state
+            // choice for a long-running 100 TB ingest (the pointer
+            // never moves; readers keep their path). Trigger on READ
+            // fan-in, which the version clock stops reflecting after
+            // the first fold.
+            IncrementalIvf.tailFoldIfNeeded(batch.sparkSession, root,
+              maxSegments, tag = Some(s"fold_$batchId"))
+          } else {
+            val newRoot = IncrementalIvf.compactIfNeeded(
+              batch.sparkSession, root, maxSegments, tag = Some(tag))
+            if (newRoot != root) {
+              SegmentStore.setPointer(ptr, newRoot)
+              SegmentStore.retire(root)
+              ()
+            }
           }
         }
       }

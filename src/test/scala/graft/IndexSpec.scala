@@ -1604,5 +1604,153 @@ class IndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SegmentStore.snapshot(root, snap)
     }
+
+    // missingMarkers: the restore-time completeness certificate — a full
+    // copy mirrors every protocol marker; a torn copy names what's gone.
+    // (snap→restored, not root→snap: the source root was mutated after
+    // the snapshot, so it legitimately carries markers snap lacks.)
+    assert(SegmentStore.missingMarkers(snap, restored).isEmpty)
+    val torn = new java.io.File(s"$restored/tombs/commit/v=1/_COMMITTED")
+    assert(torn.exists() && torn.delete())
+    assert(SegmentStore.missingMarkers(snap, restored) ==
+      Seq("tombs/commit/v=1/_COMMITTED"))
+  }
+
+  test("SegmentStore.orderForCopy: ready marker dead last; tombstone/repair ledger markers before segment markers; data first") {
+    import graft.index.SegmentStore
+    import org.apache.hadoop.fs.Path
+    // Shuffled listing of a representative root: segment data + markers,
+    // both ledgers' markers, an orphan, and the catalog ready marker.
+    val files = Seq(
+      "g/_GRAFT_INDEX_READY",
+      "g/assign/5/v=2/_COMMITTED",
+      "g/tombs/seg/0/part-0.parquet",
+      "g/assign/5/v=1/_COMMITTED",
+      "g/tombs/commit/v=1/_COMMITTED",
+      "g/repairs/commit/v=1/_COMMITTED",
+      "g/assign/5/v=1/part-0.parquet",
+      "g/repairs/seg/0/part-0.parquet",
+      "g/assign/5/v=99/part-junk.parquet"
+    ).map(new Path(_))
+    val ordered = SegmentStore.orderForCopy(files).map(_.toString)
+    val idx = ordered.zipWithIndex.toMap
+    val dataIdx = Seq("g/tombs/seg/0/part-0.parquet",
+      "g/assign/5/v=1/part-0.parquet", "g/repairs/seg/0/part-0.parquet",
+      "g/assign/5/v=99/part-junk.parquet").map(idx)
+    val ledgerIdx = Seq("g/tombs/commit/v=1/_COMMITTED",
+      "g/repairs/commit/v=1/_COMMITTED").map(idx)
+    val segIdx = Seq("g/assign/5/v=1/_COMMITTED",
+      "g/assign/5/v=2/_COMMITTED").map(idx)
+    // every data file before every marker
+    assert(dataIdx.max < ledgerIdx.min)
+    // every tombstone/repair ledger marker before every segment marker:
+    // a tear mid-marker-pass can over-delete but never resurrect
+    assert(ledgerIdx.max < segIdx.min)
+    // the catalog ready marker is the final file of the whole copy
+    assert(idx("g/_GRAFT_INDEX_READY") == ordered.size - 1)
+    // nothing dropped or duplicated
+    assert(ordered.sorted == files.map(_.toString).sorted)
+  }
+
+  test("incremental ivf tail-fold: fold == pre-fold reads, prefix untouched, horizons sound across the fold, full fold rebases the ledger") {
+    import graft.index.{IncrementalIvf, SegmentStore}
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qv = emb.where(col("vec_id") === 7L).select(col("embedding").as("qvec"))
+    val root = Files.createTempDirectory("graft-ivf-tf").toString + "/idx"
+    IncrementalIvf.init(emb.where(col("vec_id") % 3 === 0), centroids, root)
+    IncrementalIvf.append(emb.where(col("vec_id") % 3 === 1), root)
+    IncrementalIvf.append(emb.where(col("vec_id") % 3 === 2), root)
+    IncrementalIvf.delete(emb.where(pmod(col("vec_id"), lit(7)) === 3)
+      .select(col("vec_id")), root, tag = Some("tfd1"))
+    val updated = emb.as("a")
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nemb")),
+        col("a.vec_id") + 1 === col("nid"))
+      .where(pmod(col("a.vec_id"), lit(11)) === 5)
+      .select(col("a.vec_id").as("vec_id"), col("nemb").as("embedding"))
+    IncrementalIvf.upsert(updated, root, tag = Some("tfu1"))
+
+    def reads(r: String) = IncrementalIvf.readAssigned(spark, r)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    def top(r: String) = IncrementalIvf.topK(spark, r, qv, nprobe = 3, k = 15)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val pre = reads(root); val preTop = top(root)
+    assert(IncrementalIvf.version(root) == 4 && IncrementalIvf.fanIn(root) == 4)
+
+    def fileprint(dir: String): Set[(String, Long, Long)] = {
+      val base = java.nio.file.Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (base.relativize(p).toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
+    }
+    val prefixBefore = fileprint(s"$root/seg/0")
+
+    // tail-fold keeping the big base: segments 1..3 fold into seg/4
+    IncrementalIvf.tailFold(spark, root, keep = 1, tag = Some("tf1"))
+    IncrementalIvf.tailFold(spark, root, keep = 1, tag = Some("tf1")) // idempotent
+    assert(IncrementalIvf.version(root) == 5 && IncrementalIvf.fanIn(root) == 2)
+    assert(reads(root) == pre && top(root) == preTop && pre.nonEmpty)
+    // the write-amplification contract: the kept prefix was NOT rewritten
+    assert(fileprint(s"$root/seg/0") == prefixBefore)
+    // folded-away tail dirs reclaimed; the fold landed at the next physical id
+    assert(!new java.io.File(s"$root/seg/1").exists()
+      && !new java.io.File(s"$root/seg/2").exists()
+      && !new java.io.File(s"$root/seg/3").exists()
+      && new java.io.File(s"$root/seg/4").exists())
+
+    // append AFTER the fold serves alongside the folded rows
+    val extra = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    IncrementalIvf.append(extra, root, tag = Some("tfa1"))
+    assert(IncrementalIvf.fanIn(root) == 3)
+    val extraIds = extra.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(reads(root).map(_._1) == pre.map(_._1) ++ extraIds)
+
+    // delete AFTER the fold kills a row living IN the folded segment
+    // (horizon algebra: post-fold horizons exceed the folded logical seg)
+    val victim = pre.map(_._1)
+      .filter(id => id % 3 == 1 && id % 7 != 3 && id % 11 != 5).min
+    IncrementalIvf.delete(Seq(victim).toDF("vec_id"), root, tag = Some("tfd2"))
+    val afterVictim = reads(root)
+    val afterVictimTop = top(root)
+    assert(afterVictim.map(_._1) == pre.map(_._1) ++ extraIds - victim)
+
+    // FULL fold (keep = 0): every tombstone baked, ledger rebased — the
+    // read stops paying for ledger history without resetting its clock
+    IncrementalIvf.tailFold(spark, root, keep = 0, tag = Some("tf2"))
+    assert(IncrementalIvf.fanIn(root) == 1)
+    val m = SegmentStore.currentManifest(s"$root/commit").get
+    assert(m.tombRebase == SegmentStore.tombVersion(s"$root/tombs")
+      && m.tombRebase == 3, m.toString) // tfd1, tfu1's tombstone, tfd2
+    assert(SegmentStore.tombIds(spark, s"$root/tombs", m.tombRebase).isEmpty)
+    assert(SegmentStore.tombIds(spark, s"$root/tombs").nonEmpty) // history kept
+    assert(reads(root) == afterVictim && top(root) == afterVictimTop)
+
+    // mutations still work post-full-fold: a fresh delete kills folded rows
+    val victim2 = (afterVictim.map(_._1) - victim)
+      .filter(id => id % 3 == 2 && id % 7 != 3 && id % 11 != 5).min
+    IncrementalIvf.delete(Seq(victim2).toDF("vec_id"), root, tag = Some("tfd3"))
+    assert(reads(root).map(_._1) == afterVictim.map(_._1) - victim2)
+
+    // crash-window debris: an unreferenced physical dir is invisible to
+    // reads and swept by the next fold's GC pass (even a no-op fold)
+    val junk = new java.io.File(s"$root/seg/77")
+    junk.mkdirs()
+    java.nio.file.Files.writeString(
+      junk.toPath.resolve("part-junk.parquet"), "not parquet")
+    assert(reads(root).map(_._1) == afterVictim.map(_._1) - victim2)
+    IncrementalIvf.tailFold(spark, root, keep = 1, tag = Some("tf3"))
+    assert(!junk.exists())
+
+    // the deep clean still composes: compact a manifest root into a fresh
+    // positional root, reads identical
+    val compacted = Files.createTempDirectory("graft-ivf-tf-cp").toString + "/idx"
+    IncrementalIvf.compact(spark, root, compacted)
+    assert(reads(compacted) == reads(root) && top(compacted) == top(root))
   }
 }

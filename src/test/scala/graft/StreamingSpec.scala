@@ -501,6 +501,85 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ivfCdcIngest with tail-fold compaction: convergence holds while the root folds IN PLACE (bounded fan-in, no pointer swap)") {
+    // same convergence statement as the property test above, but the
+    // loop compacts via the manifest tail-fold: the root path never
+    // moves, read fan-in stays bounded, and served results still equal
+    // brute IVF over the net vector set — the steady-state 100 TB mode.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.{IncrementalIvf, SegmentStore}
+    import graft.search.Ann
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .where(col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val rnd = new scala.util.Random(17L)
+    def vec() = Seq.fill(64)(rnd.nextFloat())
+    val model = scala.collection.mutable.LinkedHashMap[Long, Seq[Float]]()
+    emb.collect().foreach(r => model(r.getLong(0)) = r.getSeq[Float](1))
+    var nextNew = 9000L
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivftf-cdc").toString + "/i"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ivftf-cdc-ck").toString
+    IncrementalIvf.init(emb, centroids, root)
+
+    val input = MemoryStream[(String, Long, Seq[Float], Long)]
+    val q = DeltaStream.ivfCdcIngest(
+      input.toDF().toDF("op", "vec_id", "embedding", "seq")
+        .select(col("op"), col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"), col("seq")),
+      root, ckpt, maxSegments = 2, seqCol = Some("seq"),
+      tailFoldCompaction = true)
+    try {
+      var seq = 0L
+      for (_ <- 0 until 4) {
+        val ops = (0 until 8).map { _ =>
+          seq += 1
+          val live = model.keys.toIndexedSeq
+          rnd.nextInt(4) match {
+            case 0 =>
+              val id = nextNew; nextNew += 1
+              val v = vec(); model(id) = v; ("I", id, v, seq)
+            case 1 if live.nonEmpty =>
+              val id = live(rnd.nextInt(live.size))
+              model.remove(id); ("D", id, Seq.empty[Float], seq)
+            case _ if live.nonEmpty =>
+              val id = live(rnd.nextInt(live.size))
+              val v = vec(); model(id) = v; ("U", id, v, seq)
+            case _ =>
+              val id = nextNew; nextNew += 1
+              val v = vec(); model(id) = v; ("I", id, v, seq)
+          }
+        }
+        input.addData(ops)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // the root folded in place: a manifest is committed, the pointer
+    // never moved, and read fan-in is bounded by the trigger
+    assert(SegmentStore.getPointer(s"$root.current").isEmpty)
+    assert(SegmentStore.currentManifest(s"$root/commit").nonEmpty)
+    assert(IncrementalIvf.fanIn(root) <= 3,
+      s"fan-in ${IncrementalIvf.fanIn(root)} not bounded")
+
+    val qv = emb.where(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val current = model.toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val served = hits(IncrementalIvf.topK(spark, root, qv, 3, 10))
+    val rebuilt = hits(Ann.ivfTopKAssigned(
+      Ann.ivfAssign(current, centroids), centroids, qv, 3, 10))
+    assert(served == rebuilt && served.nonEmpty,
+      s"tail-fold CDC diverged: $served vs $rebuilt")
+  }
+
   test("ivfCdcIngest: vector changelog — deleted vectors leave topK same trigger (exact rebuild semantics)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.index.IncrementalIvf
