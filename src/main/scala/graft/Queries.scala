@@ -1942,6 +1942,62 @@ object Queries {
         SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 12
       """)),
 
+    // TAIL-FOLD compaction on the live BM25 index — the sparse twin of
+    // a31: postings segments past the first fold into ONE (term-sorted +
+    // bloom, the seek layout preserved) while the init segment is only
+    // REFERENCED by the new manifest — O(tail) write cost. A partial
+    // fold reclaims dead tail postings (the rows the read already
+    // filtered) and republishes stats VERBATIM (the family's stale-stats
+    // contract: df/n_docs/avgdl catch up only at the full merge), so the
+    // read equals the s3f interim SQL minus the deleted docs.
+    "s3i_bm25_tailfold" -> Q(
+      (s, d) => graft.index.IncrementalBm25.topK(
+        s, graft.index.IncrementalBm25.ensureTailFolded(s, d), "doc_id",
+        Seq("data", "query"), 12)
+        .select(col("doc_id").as("id"), col("score")),
+      Some("""
+        WITH u AS (
+          SELECT a.doc_id, b.text
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 11 = 5 AND a.doc_id % 7 <> 3),
+        allver AS (
+          SELECT doc_id, text, 0 AS ver FROM documents
+          UNION ALL SELECT doc_id, text, 1 AS ver FROM u),
+        cur AS (
+          SELECT d.doc_id, coalesce(u.text, d.text) AS text
+          FROM documents d LEFT JOIN u ON u.doc_id = d.doc_id),
+        av AS (SELECT doc_id, ver,
+                      list_filter(string_split(text, ' '), t -> t <> '') AS toks
+               FROM allver),
+        av2 AS (SELECT doc_id, ver, toks, len(toks) AS dl FROM av),
+        st AS (SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl FROM av2),
+        dfreq AS (
+          SELECT term, count(*) AS df FROM (
+            SELECT DISTINCT doc_id, ver, term FROM
+              (SELECT doc_id, ver, unnest(toks) AS term FROM av2))
+          WHERE term IN ('data', 'query') GROUP BY term),
+        c AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM cur),
+        c2 AS (SELECT doc_id, toks, len(toks) AS dl FROM c),
+        tf AS (
+          SELECT doc_id, dl, term, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM c2)
+          WHERE term IN ('data', 'query')
+          GROUP BY doc_id, dl, term),
+        scored AS (
+          SELECT t.doc_id AS id, round(sum(
+            ln(1.0::DOUBLE + (st.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) *
+            (t.tf * 2.2::DOUBLE) /
+            (t.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * t.dl / st.avgdl))
+          ), 6) AS score
+          FROM tf t, dfreq f, st
+          WHERE t.term = f.term
+          GROUP BY t.doc_id)
+        SELECT id, score FROM scored WHERE id % 7 <> 3
+        ORDER BY score DESC, id ASC LIMIT 12
+      """)),
+
     // Batched multi-query BM25 (the sparse twin of a12): ONE plan answers
     // a 4-query table — postings pruned to the batch's term union, query
     // table broadcast, per-(qid, doc) partial-agg sum, per-query top-k as
@@ -2470,7 +2526,7 @@ object Queries {
   private val servingSingles: Set[String] = Set(
     "s1_dense_topk", "s2_dense_threshold", "s3_bm25_topk",
     "s3b_bm25_indexed", "s3c_bm25_incremental", "s3e_bm25_tombstone",
-    "s3g_bm25_maxscore", "s31_prf_expansion", "s32_snippets",
+    "s3g_bm25_maxscore", "s3i_bm25_tailfold", "s31_prf_expansion", "s32_snippets",
     "s33_cascade_rerank",
     "s4_hybrid_rrf",
     "s5_exact_match", "s6_fusion_simple", "s7_filtered_search",

@@ -4658,6 +4658,53 @@ object QueriesPipeline {
         ORDER BY src, rank
       """)),
 
+    // TAIL-FOLD compaction on the live kNN GRAPH — the graph member of
+    // the a31/s3i family, with the family-specific rule: the fold is
+    // PURE reorganization (folded rows keep their original logical
+    // horizons as a stored column), so tombstone cuts, repair coverage,
+    // and rank semantics are byte-identical and the oracle is a29's
+    // rebuild-over-survivors SQL VERBATIM — the fold is invisible to the
+    // read while write cost drops from O(corpus) to O(tail).
+    "a32_graph_tailfold" -> Q(
+      (s, d) => {
+        val root = graft.index.IncrementalKnn.ensureTailFolded(s, d, 3, 5)
+        graft.index.IncrementalKnn.edges(s, root, 5)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        live AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 3),
+        assign AS (
+          SELECT vec_id, cid, embedding FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM live e CROSS JOIN cent c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT src, qvec, cid FROM (
+            SELECT e.vec_id AS src, e.embedding::DOUBLE[] AS qvec, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM live e CROSS JOIN cent c)
+          WHERE rn <= 3),
+        cand AS (
+          SELECT p.src, a.vec_id AS dst,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], p.qvec), 6) AS score
+          FROM probes p JOIN assign a ON p.cid = a.cid
+          WHERE a.vec_id <> p.src),
+        ranked AS (
+          SELECT src, dst, score,
+                 row_number() OVER (PARTITION BY src
+                   ORDER BY score DESC, dst ASC) AS rank
+          FROM cand)
+        SELECT src, dst, score, rank::INT AS rank FROM ranked
+        WHERE rank <= 5 ORDER BY src, rank
+      """)),
+
     // Post-delete graph REPAIR — the HNSW deferred-repair operation:
     // IncrementalKnn.repair recomputes the full surviving candidate set
     // for exactly the srcs whose top-k lost a deleted neighbor (stored

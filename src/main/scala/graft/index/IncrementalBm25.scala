@@ -81,6 +81,35 @@ object IncrementalBm25 {
     * appears as soon as the write starts, so only the marker commits). */
   def version(root: String): Int = SegmentStore.version(statsBase(root))
 
+  // ---- Manifest-addressed segment resolution (tail-fold support) ----
+  // Same design as [[IncrementalIvf]]'s (see the [[SegmentStore]]
+  // manifest section): positional `seg/0..v-1` until the first
+  // [[tailFold]] publishes a manifest inside the stats version dir; the
+  // manifest then IS the postings-segment list, and the stats payload
+  // keeps riding every version as before.
+
+  private def entryList(root: String): Seq[SegmentStore.ManifestEntry] =
+    SegmentStore.currentManifest(statsBase(root)) match {
+      case Some(m) => m.entries
+      case None => (0 until version(root))
+        .map(k => SegmentStore.ManifestEntry(s"seg/$k", k.toLong))
+    }
+
+  /** Read fan-in — the read-amplification dial ([[tailFoldIfNeeded]]'s
+    * trigger); the version clock stops reflecting it after folds. */
+  def fanIn(root: String): Int = entryList(root).size
+
+  private def tombRebase(root: String): Int =
+    SegmentStore.currentManifest(statsBase(root)).map(_.tombRebase)
+      .getOrElse(0)
+
+  /** Logical number of the NEXT segment — the horizon a delete committed
+    * now carries (strictly above every live posting's tag; see
+    * [[IncrementalIvf.logicalNext]] for the fold-sparing argument). */
+  private def logicalNext(root: String): Long =
+    SegmentStore.currentManifest(statsBase(root)).map(_.nextLogical)
+      .getOrElse(version(root).toLong)
+
   /** Build segment 0 + stats v=1. `tag` is an optional idempotence tag
     * committed atomically with the version (see [[committedHasTag]]). */
   def init(docs: DataFrame, idCol: String, textCol: String, root: String,
@@ -100,31 +129,44 @@ object IncrementalBm25 {
                            root: String, seg: Int, numFiles: Int,
                            tag: Option[String] = None): Unit = {
     val spark = docs.sparkSession
+    val v = if (seg == 0) 0 else version(root)
+    val manifest = SegmentStore.currentManifest(statsBase(root))
+    // manifest roots decouple physical dir from the version clock
+    val phys = manifest.map(_.nextPhysical).getOrElse(seg)
     val postings = postingsOf(docs, idCol, textCol)
     // segment first — invisible until the matching stats version lands
-    Store.optimizeLayout(postings, segDir(root, seg), Seq("term", idCol),
+    Store.optimizeLayout(postings, segDir(root, phys), Seq("term", idCol),
       numFiles, bloomCols = Seq("term"))
     // re-read what was written: one source of truth for the merge
-    val written = spark.read.parquet(segDir(root, seg))
+    val written = spark.read.parquet(segDir(root, phys))
     val (dfreq, corpus) = statsOf(written, docs, textCol)
     val (mergedDf, mergedCorpus) =
       if (seg == 0) (dfreq, corpus)
       else {
-        val oldDf = spark.read.parquet(s"${statsDir(root, seg)}/termstats")
-        val oldCorpus = spark.read.parquet(s"${statsDir(root, seg)}/corpus")
+        val oldDf = spark.read.parquet(s"${statsDir(root, v)}/termstats")
+        val oldCorpus = spark.read.parquet(s"${statsDir(root, v)}/corpus")
         (oldDf.unionByName(dfreq).groupBy(col("term"))
            .agg(sum(col("df")).as("df")),
          oldCorpus.unionByName(corpus)
            .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
       }
-    Store.optimizeLayout(mergedDf, s"${statsDir(root, seg + 1)}/termstats",
+    Store.optimizeLayout(mergedDf, s"${statsDir(root, v + 1)}/termstats",
       Seq("term"), 1, bloomCols = Seq("term"))
     mergedCorpus.coalesce(1).write.mode("overwrite")
-      .parquet(s"${statsDir(root, seg + 1)}/corpus")
+      .parquet(s"${statsDir(root, v + 1)}/corpus")
     // publish: tag first, then the atomic commit marker — the version (and
     // its tag) become visible in one namespace op, after every artifact
-    // is fully on disk
-    SegmentStore.publish(statsBase(root), seg + 1, tag)
+    // is fully on disk. Manifest roots publish the appended entry in the
+    // SAME atomic step.
+    manifest match {
+      case None => SegmentStore.publish(statsBase(root), v + 1, tag)
+      case Some(m) => SegmentStore.publishManifest(statsBase(root), v + 1, tag,
+        m.copy(
+          entries = m.entries :+ SegmentStore.ManifestEntry(
+            s"seg/${m.nextPhysical}", m.nextLogical),
+          nextLogical = m.nextLogical + 1,
+          nextPhysical = m.nextPhysical + 1))
+    }
   }
 
   /** Mark documents DELETED — Lucene's exact deleted-doc semantics: the
@@ -141,10 +183,10 @@ object IncrementalBm25 {
              tag: Option[String] = None): Unit = {
     val v = version(root)
     require(v > 0, s"index at $root not initialized")
-    // horizon = current segment count: existing postings die, a later
-    // re-insert of the same id serves (Lucene delete-then-add)
+    // horizon = current logical segment number: existing postings die, a
+    // later re-insert of the same id serves (Lucene delete-then-add)
     SegmentStore.tombWrite(ids, idCol, s"$root/tombs", tag,
-      beforeSeg = v.toLong)
+      beforeSeg = logicalNext(root))
   }
 
   /** UPSERT — update a document IN PLACE by id: Lucene's update IS
@@ -162,25 +204,27 @@ object IncrementalBm25 {
     val v = version(root)
     require(v > 0, s"index at $root not initialized")
     SegmentStore.tombWrite(delta.select(col(idCol)), idCol,
-      s"$root/tombs", tag.map(t => s"${t}_t"), beforeSeg = v.toLong)
+      s"$root/tombs", tag.map(t => s"${t}_t"), beforeSeg = logicalNext(root))
     if (!tag.exists(t => committedHasTag(root, t)))
       append(delta, idCol, textCol, root, numFiles, tag)
   }
 
-  /** Union of committed postings segments with per-row segment
+  /** Union of committed postings segments with per-row LOGICAL segment
     * provenance (`__seg`) — the horizon the versioned tombstones cut
-    * against. */
+    * against. Manifest-aware (the `v` parameter is ignored on manifest
+    * roots — the committed entry list is authoritative there). */
   private def readSegsTagged(spark: SparkSession, root: String,
                              v: Int): DataFrame =
-    (0 until v).map(k => spark.read.parquet(segDir(root, k))
-        .withColumn("__seg", lit(k.toLong)))
+    entryList(root).map(e => spark.read.parquet(s"$root/${e.dir}")
+        .withColumn("__seg", lit(e.logicalSeg)))
       .reduce(_ unionByName _)
 
   /** Exclude dead postings: id tombstoned AND the row's segment predates
-    * the tombstone's horizon. `df` must carry `__seg`. */
+    * the tombstone's horizon. `df` must carry `__seg`. Ledger segments a
+    * full fold absorbed are skipped. */
   private def filterTombs(spark: SparkSession, root: String, df: DataFrame,
                           idCol: String): DataFrame =
-    SegmentStore.tombIds(spark, s"$root/tombs").fold(df)(t =>
+    SegmentStore.tombIds(spark, s"$root/tombs", tombRebase(root)).fold(df)(t =>
       df.join(broadcast(t.select(col(t.columns.head).as("__dd"),
           col("before_seg"))),
         df(idCol) === col("__dd") && df("__seg") < col("before_seg"),
@@ -294,6 +338,97 @@ object IncrementalBm25 {
     SegmentStore.compactIfNeeded(root, version(root), maxSegments)(
       compact(spark, root, _, idCol, tag = tag))
 
+  private def gcUnreferencedSegs(root: String): Unit = {
+    val referenced = entryList(root).map(_.dir.stripPrefix("seg/")).toSet
+    SegmentStore.listChildDirs(s"$root/seg").filterNot(referenced)
+      .foreach(c => SegmentStore.deleteTree(s"$root/seg/$c"))
+  }
+
+  /** TAIL-FOLD: fold every postings segment past the first `keep` into
+    * ONE fresh segment IN THIS ROOT — the sparse twin of
+    * [[IncrementalIvf.tailFold]] (same manifest protocol, same horizon
+    * algebra, same O(tail)-not-O(corpus) write cost; see that scaladoc
+    * and docs/PLANS.md). The fold keeps the seek layout (term-sorted +
+    * bloom), so pushed `term IN (...)` pruning survives folds.
+    *
+    * Stats semantics follow the family's delete contract: a PARTIAL fold
+    * (`keep >= 1`) republishes the current stats VERBATIM — physically
+    * reclaiming dead tail postings changes which rows score, exactly
+    * like the read-side tombstone filter did, while df/n_docs/avgdl stay
+    * stale until a full merge (Lucene's deleted docs before a merge). A
+    * FULL fold (`keep = 0`) IS the merge moment: every posting is read
+    * anyway, so stats are recomputed from the survivors and the absorbed
+    * ledger history is rebased away — byte-for-byte the [[compact]]
+    * catch-up, without rewriting a prefix that doesn't exist. */
+  def tailFold(spark: SparkSession, root: String, idCol: String,
+               keep: Int = 1, numFiles: Int = 8,
+               tag: Option[String] = None): Unit = {
+    val v = version(root)
+    require(v > 0, s"index at $root not initialized")
+    require(keep >= 0, s"keep must be >= 0, got $keep")
+    if (tag.exists(t => committedHasTag(root, t))) return
+    gcUnreferencedSegs(root)
+    val entries = entryList(root)
+    if (entries.size <= keep) return // empty tail — nothing to fold
+    val cur = SegmentStore.currentManifest(statsBase(root))
+    val nextPhys = cur.map(_.nextPhysical).getOrElse(v)
+    val nextLog = cur.map(_.nextLogical).getOrElse(v.toLong)
+    val rebase = cur.map(_.tombRebase).getOrElse(0)
+    val (prefix, tail) = entries.splitAt(keep)
+    val tailRows = tail.map(e => spark.read.parquet(s"$root/${e.dir}")
+        .withColumn("__seg", lit(e.logicalSeg)))
+      .reduce(_ unionByName _)
+    val live = SegmentStore.tombIds(spark, s"$root/tombs", rebase)
+      .fold(tailRows)(t =>
+        tailRows.join(broadcast(t.select(col(t.columns.head).as("__dd"),
+            col("before_seg"))),
+          tailRows(idCol) === col("__dd") &&
+            tailRows("__seg") < col("before_seg"),
+          "left_anti"))
+      .drop("__seg")
+    Store.optimizeLayout(live, segDir(root, nextPhys), Seq("term", idCol),
+      numFiles, bloomCols = Seq("term"))
+    if (keep == 0) {
+      // the merge moment: stats catch up from the surviving postings
+      val written = spark.read.parquet(segDir(root, nextPhys))
+      Store.optimizeLayout(
+        written.groupBy(col("term")).agg(count(lit(1)).as("df")),
+        s"${statsDir(root, v + 1)}/termstats", Seq("term"), 1,
+        bloomCols = Seq("term"))
+      written.select(col(idCol), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("dl").cast("long")).as("sum_dl"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${statsDir(root, v + 1)}/corpus")
+    } else {
+      // partial fold: stats stay stale by contract — republish verbatim
+      // (through optimizeLayout so the termstats seek layout survives)
+      Store.optimizeLayout(
+        spark.read.parquet(s"${statsDir(root, v)}/termstats"),
+        s"${statsDir(root, v + 1)}/termstats", Seq("term"), 1,
+        bloomCols = Seq("term"))
+      spark.read.parquet(s"${statsDir(root, v)}/corpus")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${statsDir(root, v + 1)}/corpus")
+    }
+    val newRebase =
+      if (keep == 0) SegmentStore.tombVersion(s"$root/tombs") else rebase
+    SegmentStore.publishManifest(statsBase(root), v + 1, tag,
+      SegmentStore.Manifest(
+        prefix :+ SegmentStore.ManifestEntry(s"seg/$nextPhys", nextLog),
+        nextLogical = nextLog + 1,
+        nextPhysical = nextPhys + 1,
+        tombRebase = newRebase))
+    tail.foreach(e => SegmentStore.deleteTree(s"$root/${e.dir}"))
+  }
+
+  /** Size-tiered trigger for [[tailFold]] — fold on READ fan-in, the
+    * steady-state O(maxSegments · batch) maintenance call. */
+  def tailFoldIfNeeded(spark: SparkSession, root: String, idCol: String,
+                       maxSegments: Int, keep: Int = 1,
+                       tag: Option[String] = None): Unit =
+    if (fanIn(root) > maxSegments) tailFold(spark, root, idCol, keep, tag = tag)
+
   /** Ensure an incrementally-GROWN documents index for `dataDir`: half the
     * corpus at init, the rest appended — exercising the real maintenance
     * path while staying oracle-checkable against whole-corpus SQL. */
@@ -322,6 +457,33 @@ object IncrementalBm25 {
         .where(pmod(col("a.doc_id"), lit(11)) === 5)
         .select(col("a.doc_id").as("doc_id"), col("ntext").as("text"))
       upsert(updated, "doc_id", "text", p, tag = Some("demo_upsert"))
+    }
+
+  val TailFoldName = "bm25_tailfold_v1"
+
+  /** Grown index with a delete + a same-id upsert and then a TAIL-FOLD
+    * (keep = 1) — memoized for the `s3i_bm25_tailfold` oracle. A partial
+    * fold is pure postings reorganization under the family's stale-stats
+    * contract: dead tail postings are physically reclaimed (same rows
+    * the read-side filter excluded) and the stats republish VERBATIM, so
+    * the read must equal the s3f-style interim SQL (stats over originals
+    * ∪ new versions, scoring rows over current texts) minus the deleted
+    * docs. Delete and upsert sets are disjoint so the oracle composes. */
+  def ensureTailFolded(spark: SparkSession, dataDir: String): String =
+    IndexCatalog.ensure(spark, dataDir, TailFoldName) { p =>
+      val all = graft.tables.Tables.documents(spark, dataDir)
+      init(all.where(col("doc_id") % 2 === 0), "doc_id", "text", p)
+      append(all.where(col("doc_id") % 2 === 1), "doc_id", "text", p)
+      delete(all.where(pmod(col("doc_id"), lit(7)) === 3)
+        .select(col("doc_id")), "doc_id", p, tag = Some("demo_tf_delete"))
+      val updated = all.as("a")
+        .join(all.select(col("doc_id").as("nid"), col("text").as("ntext")),
+          col("a.doc_id") + 1 === col("nid"))
+        .where(pmod(col("a.doc_id"), lit(11)) === 5 &&
+          pmod(col("a.doc_id"), lit(7)) =!= 3)
+        .select(col("a.doc_id").as("doc_id"), col("ntext").as("text"))
+      upsert(updated, "doc_id", "text", p, tag = Some("demo_tf_upsert"))
+      tailFold(spark, p, "doc_id", keep = 1, tag = Some("demo_tf_fold"))
     }
 
   val TombName = "bm25_tomb_v1"

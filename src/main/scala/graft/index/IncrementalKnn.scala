@@ -134,6 +134,62 @@ object IncrementalKnn {
                       tag: Option[String] = None): Unit =
     SegmentStore.publish(s"$root/commit", v, tag)
 
+  // ---- Manifest-addressed segment resolution (tail-fold support) ----
+  // Same commit-dir manifest protocol as [[IncrementalIvf]] (see the
+  // [[SegmentStore]] manifest section), with TWO family-specific rules:
+  //
+  //  - a manifest entry's `dir` is the segment's PHYSICAL NUMBER (this
+  //    family has five per-segment artifact kinds — assign/probes/
+  //    edges/vecs/coarse — all sharing the number);
+  //  - a FOLDED segment stores each row's original logical `__seg` as a
+  //    COLUMN (entry `logicalSeg == -1` marks it): the fold is PURE
+  //    reorganization — same rows, same horizons, fewer directories —
+  //    so tombstone filters, repair-coverage clocks, and the stale-src
+  //    visible-holes semantics are identical by construction, with no
+  //    gating on repair state and no interaction with the upsert
+  //    horizon algebra. Dead-row reclamation stays with [[compact]]
+  //    (the deep clean), exactly like Lucene's partial merges vs full.
+
+  private def segEntries(root: String): Seq[SegmentStore.ManifestEntry] =
+    SegmentStore.currentManifest(s"$root/commit") match {
+      case Some(m) => m.entries
+      case None => (0 until version(root))
+        .map(k => SegmentStore.ManifestEntry(k.toString, k.toLong))
+    }
+
+  /** Read fan-in (live segment count) — [[tailFoldIfNeeded]]'s trigger;
+    * the version clock stops reflecting it after the first fold. */
+  def fanIn(root: String): Int = segEntries(root).size
+
+  /** Logical number of the NEXT segment — the horizon a delete or
+    * upsert committed now carries (strictly above every live row's
+    * `__seg`). Equals `version(root)` until the first fold. */
+  private def logicalNext(root: String): Long =
+    SegmentStore.currentManifest(s"$root/commit").map(_.nextLogical)
+      .getOrElse(version(root).toLong)
+
+  /** Union of committed segments of one artifact KIND, each row tagged
+    * with its logical `__seg` — from the manifest entry for plain
+    * segments, from the stored column for folded ones. `dir` maps a
+    * physical number to the kind's path. */
+  private def readEntriesTagged(spark: SparkSession, root: String)
+                               (dir: String => String): DataFrame =
+    segEntries(root).map { e =>
+      val df = spark.read.parquet(dir(e.dir))
+      if (e.logicalSeg >= 0) df.withColumn("__seg", lit(e.logicalSeg))
+      else df // folded mixed-horizon segment: __seg is a stored column
+    }.reduce(_ unionByName _)
+
+  /** [[readEntriesTagged]] over per-segment FRAMES (vecs/coarse, which
+    * need the pre-v3 fallback probe per physical segment). */
+  private def readFramesEntriesTagged(root: String)
+                                     (seg: String => DataFrame): DataFrame =
+    segEntries(root).map { e =>
+      val df = seg(e.dir)
+      if (e.logicalSeg >= 0) df.withColumn("__seg", lit(e.logicalSeg))
+      else df
+    }.reduce(_ unionByName _)
+
   private def readCentroids(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/centroids")
 
@@ -174,18 +230,18 @@ object IncrementalKnn {
     * [[graft.search.Ann.hierEntriesFrom]] scaladoc). Both are delta-sized
     * writes; the embedding copy is the same build-once serving trade the
     * one-shot artifacts make. */
-  private def writeVecs(vectors: DataFrame, root: String, seg: Int): Unit = {
+  private def writeVecs(vectors: DataFrame, root: String, seg: String): Unit = {
     val slim = vectors.select(col("vec_id"), col("embedding"))
     slim.repartitionByRange(8, col("vec_id"))
       .sortWithinPartitions(col("vec_id"))
       .write.mode(SaveMode.Overwrite)
       .option("parquet.block.size", (1 << 20).toString)
-      .parquet(vecsDir(root, seg))
+      .parquet(s"$root/vecs/$seg")
     slim.where(pmod(col("vec_id"), lit(CoarseMod)) === lit(0))
       .repartitionByRange(2, col("vec_id"))
       .sortWithinPartitions(col("vec_id"))
       .write.mode(SaveMode.Overwrite)
-      .parquet(coarseDir(root, seg))
+      .parquet(s"$root/coarse/$seg")
   }
 
   /** Per-src top-k reduction of a candidate edge set — the safe partial
@@ -213,7 +269,7 @@ object IncrementalKnn {
       .write.mode(SaveMode.Overwrite).parquet(probesDir(root, 0))
     writeEdges(Ann.knnGraph(vectors, cent, nprobe, k)
       .select(col("src"), col("dst"), col("score")), edgesDir(root, 0))
-    writeVecs(vectors, root, 0)
+    writeVecs(vectors, root, "0")
     publish(root, 1)
   }
 
@@ -226,12 +282,15 @@ object IncrementalKnn {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized — call init first")
     val cent = readCentroids(spark, root)
+    val cur = SegmentStore.currentManifest(s"$root/commit")
+    val phys = cur.map(_.nextPhysical.toString).getOrElse(v.toString)
+    val logical = cur.map(_.nextLogical).getOrElse(v.toLong)
 
     val newAssign = Ann.ivfAssign(delta, cent)
     newAssign.write.mode(SaveMode.Overwrite).option("compression", "zstd")
-      .partitionBy("cid").parquet(assignDir(root, v))
+      .partitionBy("cid").parquet(s"$root/assign/$phys")
     probeLists(delta, cent, nprobe)
-      .write.mode(SaveMode.Overwrite).parquet(probesDir(root, v))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/probes/$phys")
 
     // tombstone-filtered candidate arms: a segment appended AFTER deletes
     // must not generate candidates into dead rows — its stored per-src
@@ -239,10 +298,12 @@ object IncrementalKnn {
     // heals holes that exist when it runs). Horizon-aware, so an
     // upserted id participates through its CURRENT row only. No-op on
     // tombstone-free roots (the grown ≡ rebuilt pins are unaffected).
+    val newSeg = spark.read.parquet(s"$root/assign/$phys")
     val assignAll = filterTombs(spark, root,
-      readSegmentsTagged(spark, v + 1)(assignDir(root, _)), Seq("vec_id"))
+      readEntriesTagged(spark, root)(p => s"$root/assign/$p")
+        .unionByName(newSeg.withColumn("__seg", lit(logical))),
+      Seq("vec_id"))
       .drop("__seg") // old + this batch
-    val newSeg = spark.read.parquet(assignDir(root, v))
 
     // arm 1 — new src probes the entire assignment so far (covers pairs
     // whose src arrived in this batch, including same-batch pairs)
@@ -263,7 +324,7 @@ object IncrementalKnn {
     // assigned lists gains the delta's vectors as candidates. Probes are
     // slim; the src embedding joins back from the prior assign segments.
     val oldProbes = filterTombs(spark, root,
-      readSegmentsTagged(spark, v)(probesDir(root, _)), Seq("src"))
+      readEntriesTagged(spark, root)(p => s"$root/probes/$p"), Seq("src"))
       .drop("__seg")
     val cand2 = oldProbes.join(newSeg.select(col("cid"), col("vec_id").as("dst"),
         col("embedding").as("dvec")), Seq("cid"))
@@ -272,16 +333,23 @@ object IncrementalKnn {
     // embedding exactly once (the stale row would both mis-score and
     // duplicate the pair)
     val oldAssign = filterTombs(spark, root,
-      readSegmentsTagged(spark, v)(assignDir(root, _)), Seq("vec_id"))
+      readEntriesTagged(spark, root)(p => s"$root/assign/$p"), Seq("vec_id"))
       .drop("__seg")
     val arm2 = cand2.join(oldAssign.select(col("vec_id").as("src"),
         col("embedding").as("svec")), Seq("src"))
       .select(col("src"), col("dst"),
         round(VectorOps.cosineSim(col("svec"), col("dvec")), 6).as("score"))
 
-    writeEdges(topKPerSrc(arm1.unionByName(arm2), k), edgesDir(root, v))
-    writeVecs(delta, root, v)
-    publish(root, v + 1, tag)
+    writeEdges(topKPerSrc(arm1.unionByName(arm2), k), s"$root/edges/$phys")
+    writeVecs(delta, root, phys)
+    cur match {
+      case None => publish(root, v + 1, tag)
+      case Some(m) => SegmentStore.publishManifest(s"$root/commit", v + 1, tag,
+        m.copy(
+          entries = m.entries :+ SegmentStore.ManifestEntry(phys, logical),
+          nextLogical = logical + 1,
+          nextPhysical = m.nextPhysical + 1))
+    }
   }
 
   /** The merged graph: union of all committed edge segments, one window
@@ -324,7 +392,7 @@ object IncrementalKnn {
   private def staleSrcs(spark: SparkSession, root: String,
                         v: Int): Option[DataFrame] =
     SegmentStore.tombIdsVersioned(spark, tombsBase(root)).map { tombs =>
-      val baseRows = readSegmentsTagged(spark, v)(edgesDir(root, _))
+      val baseRows = readEntriesTagged(spark, root)(p => s"$root/edges/$p")
         .withColumn("tomb_v", lit(0L)) // stored rows carry no stamp
       val rows = repairRows(spark, root).fold(baseRows)(baseRows.unionByName(_))
       val idc = tombs.columns.head
@@ -344,7 +412,7 @@ object IncrementalKnn {
   def edges(spark: SparkSession, root: String, k: Int): DataFrame = {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
-    val base = readSegmentsTagged(spark, v)(edgesDir(root, _))
+    val base = readEntriesTagged(spark, root)(p => s"$root/edges/$p")
     // repair segments refill post-delete/post-upsert rank holes (see
     // [[repair]]); their rows carry their OWN write horizon (`at_seg` —
     // the index version the repair scored against), so a later upsert of
@@ -457,10 +525,10 @@ object IncrementalKnn {
     // lists ∩ horizon-filtered assignment (an upserted id participates
     // through its current row only)
     val probes = filterTombs(spark, root,
-      readSegmentsTagged(spark, v)(probesDir(root, _)), Seq("src"))
+      readEntriesTagged(spark, root)(p => s"$root/probes/$p"), Seq("src"))
       .drop("__seg")
     val assignLive = filterTombs(spark, root,
-      readSegmentsTagged(spark, v)(assignDir(root, _)), Seq("vec_id"))
+      readEntriesTagged(spark, root)(p => s"$root/assign/$p"), Seq("vec_id"))
       .drop("__seg")
     val cand = holed.join(probes, Seq("src"))
       .join(assignLive.select(col("cid"), col("vec_id").as("dst"),
@@ -478,7 +546,7 @@ object IncrementalKnn {
     // repair (same index version — deletes don't bump it) is correctly
     // detected as uncovered on the next pass.
     writeEdges(topKPerSrc(cand, k)
-      .withColumn("at_seg", lit((v - 1).toLong))
+      .withColumn("at_seg", lit(logicalNext(root) - 1L))
       .withColumn("tomb_v",
         lit(SegmentStore.tombVersion(tombsBase(root)).toLong)),
       repairDir(root, rv))
@@ -506,12 +574,12 @@ object IncrementalKnn {
   def delete(ids: DataFrame, root: String, tag: Option[String] = None): Unit = {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
-    // horizon = the current segment count: every EXISTING row of the id
-    // dies, and a future re-insert of the same id (a new document, or
-    // [[upsert]]'s new version) serves from its own segment on — the
-    // Lucene delete-then-add semantics
+    // horizon = the current NEXT logical number: every EXISTING row of
+    // the id dies, and a future re-insert of the same id (a new
+    // document, or [[upsert]]'s new version) serves from its own segment
+    // on — the Lucene delete-then-add semantics
     SegmentStore.tombWrite(ids, "vec_id", tombsBase(root), tag,
-      beforeSeg = v.toLong)
+      beforeSeg = logicalNext(root))
   }
 
   /** UPSERT — update points IN PLACE by id (the reference's Qdrant
@@ -531,7 +599,7 @@ object IncrementalKnn {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
     SegmentStore.tombWrite(delta.select(col("vec_id")), "vec_id",
-      tombsBase(root), tag.map(t => s"${t}_t"), beforeSeg = v.toLong)
+      tombsBase(root), tag.map(t => s"${t}_t"), beforeSeg = logicalNext(root))
     if (!tag.exists(t => committedHasTag(root, t)))
       append(delta, root, nprobe, k, tag)
   }
@@ -539,25 +607,13 @@ object IncrementalKnn {
   /** Union of per-segment reads with each row tagged by its segment
     * index (`__seg`) — the provenance the versioned tombstones cut
     * against. */
-  private def readSegmentsTagged(spark: SparkSession, upTo: Int)
-                                (dir: Int => String): DataFrame =
-    (0 until upTo).map(kk =>
-      spark.read.parquet(dir(kk)).withColumn("__seg", lit(kk.toLong)))
-      .reduce(_ unionByName _)
-
-  /** [[readSegmentsTagged]] over per-segment FRAMES (for reads with a
-    * per-segment fallback, e.g. [[vecsSegment]]). */
-  private def readFramesTagged(upTo: Int)(seg: Int => DataFrame): DataFrame =
-    (0 until upTo).map(kk => seg(kk).withColumn("__seg", lit(kk.toLong)))
-      .reduce(_ unionByName _)
-
   /** Exclude dead rows from `df` on `cols` (broadcast anti-joins — the
     * tombstone set is bounded by compaction cadence, never
     * corpus-sized). A row is dead when its id is tombstoned AND the row's
     * segment predates the tombstone's horizon (`__seg < before_seg`) —
     * plain deletes carry horizon Long.MaxValue, so every version dies;
     * an upsert's bounded horizon spares the re-inserted segment. `df`
-    * must carry `__seg` ([[readSegmentsTagged]]). */
+    * must carry `__seg` ([[readEntriesTagged]]). */
   private def filterTombs(spark: SparkSession, root: String, df: DataFrame,
                           cols: Seq[String]): DataFrame =
     SegmentStore.tombIds(spark, tombsBase(root)).fold(df) { t =>
@@ -584,22 +640,22 @@ object IncrementalKnn {
     * with normal churn and vanishes at the next compaction, which
     * re-writes the fold in the seek layout). One existence probe per
     * segment. */
-  private def vecsSegment(spark: SparkSession, root: String, kk: Int): DataFrame =
-    if (SegmentStore.pathExists(vecsDir(root, kk)))
-      spark.read.parquet(vecsDir(root, kk))
+  private def vecsSegment(spark: SparkSession, root: String, kk: String): DataFrame =
+    if (SegmentStore.pathExists(s"$root/vecs/$kk"))
+      spark.read.parquet(s"$root/vecs/$kk")
     else
-      spark.read.parquet(assignDir(root, kk))
+      spark.read.parquet(s"$root/assign/$kk")
         .select(col("vec_id"), col("embedding"))
 
   /** `coarse/` twin of [[vecsSegment]] — pre-v3 segments derive the
     * mod-[[CoarseMod]] entry subset inline from assign (full-segment
     * scan + filter, the exact cost the artifact exists to avoid; same
     * decay story). */
-  private def coarseSegment(spark: SparkSession, root: String, kk: Int): DataFrame =
-    if (SegmentStore.pathExists(coarseDir(root, kk)))
-      spark.read.parquet(coarseDir(root, kk))
+  private def coarseSegment(spark: SparkSession, root: String, kk: String): DataFrame =
+    if (SegmentStore.pathExists(s"$root/coarse/$kk"))
+      spark.read.parquet(s"$root/coarse/$kk")
     else
-      spark.read.parquet(assignDir(root, kk))
+      spark.read.parquet(s"$root/assign/$kk")
         .where(pmod(col("vec_id"), lit(CoarseMod)) === lit(0))
         .select(col("vec_id"), col("embedding"))
 
@@ -607,7 +663,9 @@ object IncrementalKnn {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
     filterTombs(spark, root,
-      readFramesTagged(v)(vecsSegment(spark, root, _)), Seq("vec_id"))
+      readFramesEntriesTagged(root)(vecsSegment(spark, root, _))
+        .select(col("vec_id"), col("embedding"), col("__seg")),
+      Seq("vec_id"))
       .drop("__seg")
   }
 
@@ -618,7 +676,9 @@ object IncrementalKnn {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
     filterTombs(spark, root,
-      readFramesTagged(v)(coarseSegment(spark, root, _)), Seq("vec_id"))
+      readFramesEntriesTagged(root)(coarseSegment(spark, root, _))
+        .select(col("vec_id"), col("embedding"), col("__seg")),
+      Seq("vec_id"))
       .drop("__seg")
   }
 
@@ -637,17 +697,19 @@ object IncrementalKnn {
     readCentroids(spark, root).coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$newRoot/centroids")
     filterTombs(spark, root,
-        readSegmentsTagged(spark, v)(assignDir(root, _)), Seq("vec_id"))
+        readEntriesTagged(spark, root)(p => s"$root/assign/$p"), Seq("vec_id"))
       .drop("__seg")
+      .select(col("vec_id"), col("embedding"), col("cid"))
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .partitionBy("cid").parquet(assignDir(newRoot, 0))
     filterTombs(spark, root,
-        readSegmentsTagged(spark, v)(probesDir(root, _)), Seq("src"))
+        readEntriesTagged(spark, root)(p => s"$root/probes/$p"), Seq("src"))
       .drop("__seg")
+      .select(col("src"), col("cid"))
       .write.mode(SaveMode.Overwrite).parquet(probesDir(newRoot, 0))
     writeEdges(edges(spark, root, k) // tombstone-filtered read
       .select(col("src"), col("dst"), col("score")), edgesDir(newRoot, 0))
-    writeVecs(vectorsAll(spark, root), newRoot, 0) // re-sorts the fold
+    writeVecs(vectorsAll(spark, root), newRoot, "0") // re-sorts the fold
     publish(newRoot, 1, tag)
   }
 
@@ -659,6 +721,91 @@ object IncrementalKnn {
                       maxSegments: Int, tag: Option[String] = None): String =
     SegmentStore.compactIfNeeded(root, version(root), maxSegments)(
       compact(spark, root, _, k, tag = tag))
+
+  private val SegKinds = Seq("assign", "probes", "edges", "vecs", "coarse")
+
+  private def gcUnreferencedSegs(root: String): Unit = {
+    val referenced = segEntries(root).map(_.dir).toSet
+    SegKinds.foreach { kind =>
+      SegmentStore.listChildDirs(s"$root/$kind").filterNot(referenced)
+        .foreach(c => SegmentStore.deleteTree(s"$root/$kind/$c"))
+    }
+  }
+
+  /** TAIL-FOLD for the graph family: fold every segment past the first
+    * `keep` into ONE fresh physical segment (all five artifact kinds) IN
+    * THIS ROOT — O(tail) write cost, the prefix only referenced (see
+    * [[IncrementalIvf.tailFold]] and docs/PLANS.md for the general
+    * design). Family-specific rule: the fold is PURE REORGANIZATION —
+    * every folded row keeps its original logical `__seg` as a STORED
+    * column (the manifest marks the segment mixed-horizon), so the row
+    * multiset, every tombstone horizon cut, the repair-coverage clock
+    * comparisons, and the stale-src visible-holes semantics are
+    * byte-identical to the unfolded root. No gating on repair state, no
+    * ledger rewrite, no reduction: dead rows and below-top-k rows fold
+    * through unchanged (the read-side merge already handles both), and
+    * their physical reclamation stays with [[compact]] — Lucene's
+    * partial-merge vs full-merge split. The folded edge/vecs/coarse
+    * artifacts keep their seek layouts (src- and vec_id-sorted, small
+    * row groups), so the serving walk's pushed `IN` lookups prune on
+    * folded segments exactly as on grown ones. */
+  def tailFold(spark: SparkSession, root: String, keep: Int = 1,
+               tag: Option[String] = None): Unit = {
+    val v = version(root)
+    require(v > 0, s"knn graph at $root not initialized")
+    require(keep >= 1,
+      "knn tail-fold keeps at least one segment — full reclamation is compact()")
+    if (tag.exists(t => committedHasTag(root, t))) return
+    gcUnreferencedSegs(root)
+    val entries = segEntries(root)
+    if (entries.size <= keep) return // empty tail — nothing to fold
+    val cur = SegmentStore.currentManifest(s"$root/commit")
+    val nextPhys = cur.map(_.nextPhysical).getOrElse(v)
+    val nextLog = cur.map(_.nextLogical).getOrElse(v.toLong)
+    val rebase = cur.map(_.tombRebase).getOrElse(0)
+    val (prefix, tail) = entries.splitAt(keep)
+    def tagged(read: String => DataFrame): DataFrame =
+      tail.map { e =>
+        val df = read(e.dir)
+        if (e.logicalSeg >= 0) df.withColumn("__seg", lit(e.logicalSeg))
+        else df // already mixed-horizon: __seg is stored
+      }.reduce(_ unionByName _)
+    val p = nextPhys.toString
+    tagged(d => spark.read.parquet(s"$root/assign/$d"))
+      .select(col("vec_id"), col("embedding"), col("__seg"), col("cid"))
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .partitionBy("cid").parquet(s"$root/assign/$p")
+    tagged(d => spark.read.parquet(s"$root/probes/$d"))
+      .select(col("src"), col("cid"), col("__seg"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/probes/$p")
+    writeEdges(tagged(d => spark.read.parquet(s"$root/edges/$d"))
+      .select(col("src"), col("dst"), col("score"), col("__seg")),
+      s"$root/edges/$p")
+    val vecsFold = tagged(d => vecsSegment(spark, root, d))
+      .select(col("vec_id"), col("embedding"), col("__seg"))
+    vecsFold.repartitionByRange(8, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", (1 << 20).toString)
+      .parquet(s"$root/vecs/$p")
+    vecsFold.where(pmod(col("vec_id"), lit(CoarseMod)) === lit(0))
+      .repartitionByRange(2, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/coarse/$p")
+    SegmentStore.publishManifest(s"$root/commit", v + 1, tag,
+      SegmentStore.Manifest(
+        prefix :+ SegmentStore.ManifestEntry(p, -1L),
+        nextLogical = nextLog, // unchanged: the fold consumes no number
+        nextPhysical = nextPhys + 1,
+        tombRebase = rebase))
+    tail.foreach(e =>
+      SegKinds.foreach(kind => SegmentStore.deleteTree(s"$root/$kind/${e.dir}")))
+  }
+
+  /** Size-tiered trigger for [[tailFold]] — fold on READ fan-in. */
+  def tailFoldIfNeeded(spark: SparkSession, root: String, maxSegments: Int,
+                       keep: Int = 1, tag: Option[String] = None): Unit =
+    if (fanIn(root) > maxSegments) tailFold(spark, root, keep, tag)
 
   /** Centroid RETRAIN for the graph family — the production answer to
     * the frozen-centroid drift caveat ([[IncrementalIvf.retrain]]'s graph
@@ -692,7 +839,7 @@ object IncrementalKnn {
       .write.mode(SaveMode.Overwrite).parquet(probesDir(newRoot, 0))
     writeEdges(Ann.knnGraph(live, cent, nprobe, k)
       .select(col("src"), col("dst"), col("score")), edgesDir(newRoot, 0))
-    writeVecs(live, newRoot, 0)
+    writeVecs(live, newRoot, "0")
     publish(newRoot, 1)
   }
 
@@ -764,6 +911,29 @@ object IncrementalKnn {
         .select(col("a.vec_id").as("vec_id"), col("nemb").as("embedding"))
       upsert(updated, p, nprobe, k, tag = Some("demo_upsert"))
       repair(spark, p, nprobe, k, tag = Some("demo_upsert_repair"))
+    }
+
+  val TailFoldName = "knn_tailfold_v1"
+
+  /** [[ensureRepaired]]'s graph (delete + repair) with a TAIL-FOLD on
+    * top (keep = 1: segments 1..3 fold into one mixed-horizon segment,
+    * the init segment untouched) — memoized for the `a32_graph_tailfold`
+    * oracle. The fold is PURE reorganization (same rows, same stored
+    * horizons, fewer directories), so the read must STILL equal a29's
+    * rebuild-over-survivors SQL verbatim. */
+  def ensureTailFolded(spark: SparkSession, dataDir: String,
+                       nprobe: Int = 3, k: Int = 5): String =
+    IndexCatalog.ensure(spark, dataDir, TailFoldName) { p =>
+      val emb = Tables.embeddings(spark, dataDir)
+      val centroids = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      init(emb.where(col("vec_id") % 3 === 0), centroids, p, nprobe, k)
+      append(emb.where(col("vec_id") % 3 === 1), p, nprobe, k)
+      append(emb.where(col("vec_id") % 3 === 2), p, nprobe, k)
+      delete(emb.where(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id")), p, tag = Some("demo_delete"))
+      repair(spark, p, nprobe, k, tag = Some("demo_repair"))
+      tailFold(spark, p, keep = 1, tag = Some("demo_tf_fold"))
     }
 
   /** [[ensureTombstoned]]'s graph with the holes REPAIRED — memoized for

@@ -287,7 +287,8 @@ object DeltaStream {
                      checkpoint: String,
                      idCol: String = "doc_id", textCol: String = "text",
                      maxSegments: Int = Int.MaxValue,
-                     seqCol: Option[String] = None): StreamingQuery =
+                     seqCol: Option[String] = None,
+                     tailFoldCompaction: Boolean = false): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -325,12 +326,19 @@ object DeltaStream {
         // segment fan-in grows without bound ([[textGraphCdcIngest]]
         // always had it hoisted; this loop gated it on inserts).
         if (IncrementalBm25.version(root) > 0) {
-          val newRoot = IncrementalBm25.compactIfNeeded(
-            batch.sparkSession, root, idCol, maxSegments, tag = Some(tag))
-          if (newRoot != root) {
-            SegmentStore.setPointer(ptr, newRoot)
-            SegmentStore.retire(root)
-            ()
+          if (tailFoldCompaction) {
+            // in-place bounded-write fold (see [[ivfCdcIngest]]'s twin):
+            // O(tail) per trigger, pointer never moves
+            IncrementalBm25.tailFoldIfNeeded(batch.sparkSession, root,
+              idCol, maxSegments, tag = Some(s"fold_$batchId"))
+          } else {
+            val newRoot = IncrementalBm25.compactIfNeeded(
+              batch.sparkSession, root, idCol, maxSegments, tag = Some(tag))
+            if (newRoot != root) {
+              SegmentStore.setPointer(ptr, newRoot)
+              SegmentStore.retire(root)
+              ()
+            }
           }
         }
       }

@@ -1753,4 +1753,161 @@ class IndexSpec extends SparkSpec {
     IncrementalIvf.compact(spark, root, compacted)
     assert(reads(compacted) == reads(root) && top(compacted) == top(root))
   }
+
+  test("incremental knn tail-fold: pure reorganization — every read identical to an unfolded twin through delete/upsert/repair/append, fold-of-fold composes") {
+    import graft.index.{IncrementalKnn, SegmentStore}
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // two roots receive IDENTICAL mutations; only one tail-folds between
+    // them — the mixed-horizon fold claims byte-equivalent reads always
+    val folded = Files.createTempDirectory("graft-knn-tf").toString + "/g"
+    val twin = Files.createTempDirectory("graft-knn-tw").toString + "/g"
+    def build(r: String): Unit = {
+      IncrementalKnn.init(emb.where(col("vec_id") % 3 === 0), centroids, r, 3, 5)
+      IncrementalKnn.append(emb.where(col("vec_id") % 3 === 1), r, 3, 5)
+      IncrementalKnn.append(emb.where(col("vec_id") % 3 === 2), r, 3, 5)
+    }
+    build(folded); build(twin)
+    def rows(r: String) = IncrementalKnn.edges(spark, r, 5).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getInt(3))).toSeq
+    def vecs(r: String) = IncrementalKnn.vectorsAll(spark, r)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def both(f: String => Unit): Unit = { f(folded); f(twin) }
+
+    // mutate BEFORE the fold: delete two ids, repair, upsert one id
+    val dels = rows(twin).filter(_._4 < 5).map(_._2).distinct.take(2)
+    both(r => IncrementalKnn.delete(dels.toDF("vec_id"), r, tag = Some("ktf_d1")))
+    both(r => IncrementalKnn.repair(spark, r, 3, 5, tag = Some("ktf_r1")))
+    both(r => IncrementalKnn.upsert(
+      emb.where(col("vec_id") === 4)
+        .select(col("vec_id"), col("embedding")), r, 3, 5, tag = Some("ktf_u1")))
+    assert(rows(folded) == rows(twin) && rows(twin).nonEmpty)
+
+    // the fold: prefix untouched, fan-in down, every read identical
+    def fileprint(dir: String): Set[(String, Long, Long)] = {
+      val base = java.nio.file.Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (base.relativize(p).toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
+    }
+    val prefixBefore = fileprint(s"$folded/assign/0") ++ fileprint(s"$folded/edges/0")
+    IncrementalKnn.tailFold(spark, folded, keep = 1, tag = Some("ktf_f1"))
+    IncrementalKnn.tailFold(spark, folded, keep = 1, tag = Some("ktf_f1")) // idempotent
+    assert(IncrementalKnn.fanIn(folded) == 2 && IncrementalKnn.fanIn(twin) == 4)
+    assert(rows(folded) == rows(twin))
+    assert(vecs(folded) == vecs(twin))
+    assert(IncrementalKnn.coarseAll(spark, folded).count()
+      == IncrementalKnn.coarseAll(spark, twin).count())
+    assert(fileprint(s"$folded/assign/0") ++ fileprint(s"$folded/edges/0")
+      == prefixBefore)
+    assert(!new java.io.File(s"$folded/edges/1").exists()
+      && !new java.io.File(s"$folded/edges/2").exists()
+      && !new java.io.File(s"$folded/edges/3").exists())
+    // health stats identical (mutation clocks aside — the fold bumps the
+    // version): backlog and staleness read the same
+    val sf0 = IncrementalKnn.stats(spark, folded)
+    val st0 = IncrementalKnn.stats(spark, twin)
+    assert(sf0("n_tombstoned_ids") == st0("n_tombstoned_ids")
+      && sf0("n_stale_srcs") == st0("n_stale_srcs"))
+
+    // mutations AFTER the fold stay equivalent: delete a vector living
+    // IN the folded segment, then repair, then append fresh vectors
+    val victim = rows(twin).filter(e => e._4 < 5 && e._2 % 3 == 1
+      && !dels.contains(e._2) && e._2 != 4).map(_._2).distinct.head
+    both(r => IncrementalKnn.delete(Seq(victim).toDF("vec_id"), r,
+      tag = Some("ktf_d2")))
+    assert(rows(folded) == rows(twin)) // visible holes identical
+    both(r => IncrementalKnn.repair(spark, r, 3, 5, tag = Some("ktf_r2")))
+    assert(rows(folded) == rows(twin)) // healed identically
+    val extra = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    both(r => IncrementalKnn.append(extra, r, 3, 5, tag = Some("ktf_a1")))
+    assert(rows(folded) == rows(twin) && vecs(folded) == vecs(twin))
+
+    // fold-of-fold: the tail now includes the mixed-horizon segment —
+    // stored __seg columns compose with manifest-tagged ones
+    IncrementalKnn.tailFold(spark, folded, keep = 1, tag = Some("ktf_f2"))
+    assert(IncrementalKnn.fanIn(folded) == 2)
+    assert(rows(folded) == rows(twin))
+
+    // the deep clean composes: both compact to the same served graph
+    val cf = Files.createTempDirectory("graft-knn-tf-cf").toString + "/g"
+    val ct = Files.createTempDirectory("graft-knn-tf-ct").toString + "/g"
+    IncrementalKnn.compact(spark, folded, cf, 5)
+    IncrementalKnn.compact(spark, twin, ct, 5)
+    assert(rows(cf) == rows(ct) && rows(cf).nonEmpty)
+  }
+
+  test("incremental bm25 tail-fold: partial fold preserves reads + stale stats, full fold == compact's stats catch-up") {
+    import graft.index.{IncrementalBm25, SegmentStore}
+    import spark.implicits._
+    val all = Tables.documents(spark, Sf0001)
+    val root = Files.createTempDirectory("graft-bm25-tf").toString + "/idx"
+    IncrementalBm25.init(all.where(col("doc_id") % 2 === 0), "doc_id", "text", root)
+    IncrementalBm25.append(all.where(col("doc_id") % 2 === 1), "doc_id", "text", root)
+    IncrementalBm25.delete(all.where(pmod(col("doc_id"), lit(7)) === 3)
+      .select(col("doc_id")), "doc_id", root, tag = Some("btd1"))
+    val updated = all.as("a")
+      .join(all.select(col("doc_id").as("nid"), col("text").as("ntext")),
+        col("a.doc_id") + 1 === col("nid"))
+      .where(pmod(col("a.doc_id"), lit(11)) === 5 &&
+        pmod(col("a.doc_id"), lit(7)) =!= 3)
+      .select(col("a.doc_id").as("doc_id"), col("ntext").as("text"))
+    IncrementalBm25.upsert(updated, "doc_id", "text", root, tag = Some("btu1"))
+
+    val terms = Seq("data", "query")
+    def top(r: String) = IncrementalBm25.topK(spark, r, "doc_id", terms, 12)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    def stats(r: String) = spark.read
+      .parquet(s"$r/stats/v=${IncrementalBm25.version(r)}/corpus")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).head
+    val pre = top(root); val preStats = stats(root)
+    assert(IncrementalBm25.fanIn(root) == 3) // init + append + upsert's append
+
+    // partial fold: segments 1..2 fold into one; reads and the (stale by
+    // contract) stats are unchanged; the init segment is not rewritten
+    def fileprint(dir: String): Set[(String, Long, Long)] = {
+      val base = java.nio.file.Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (base.relativize(p).toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
+    }
+    val prefixBefore = fileprint(s"$root/seg/0")
+    IncrementalBm25.tailFold(spark, root, "doc_id", keep = 1, tag = Some("btf1"))
+    IncrementalBm25.tailFold(spark, root, "doc_id", keep = 1, tag = Some("btf1"))
+    assert(IncrementalBm25.fanIn(root) == 2)
+    assert(top(root) == pre && stats(root) == preStats && pre.nonEmpty)
+    assert(fileprint(s"$root/seg/0") == prefixBefore)
+    assert(!new java.io.File(s"$root/seg/1").exists()
+      && !new java.io.File(s"$root/seg/2").exists())
+
+    // append after the fold serves; delete after the fold kills a doc
+    // living IN the folded segment
+    val extra = all.where(col("doc_id") < 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    IncrementalBm25.append(extra, "doc_id", "text", root, tag = Some("bta1"))
+    assert(IncrementalBm25.fanIn(root) == 3)
+    val victim = pre.map(_._1).filter(id => id % 2 == 1 && id % 7 != 3).head
+    IncrementalBm25.delete(Seq(victim).toDF("doc_id"), "doc_id", root,
+      tag = Some("btd2"))
+    assert(!top(root).exists(_._1 == victim))
+
+    // FULL fold == the merge moment: stats recompute from survivors and
+    // the result equals a fresh-root compact of the same state
+    val compacted = Files.createTempDirectory("graft-bm25-tf-cp").toString + "/i"
+    IncrementalBm25.compact(spark, root, compacted, "doc_id")
+    IncrementalBm25.tailFold(spark, root, "doc_id", keep = 0, tag = Some("btf2"))
+    assert(IncrementalBm25.fanIn(root) == 1)
+    assert(top(root) == top(compacted))
+    assert(stats(root) == stats(compacted))
+    val m = SegmentStore.currentManifest(s"$root/stats").get
+    assert(m.tombRebase == SegmentStore.tombVersion(s"$root/tombs"))
+    assert(SegmentStore.tombIds(spark, s"$root/tombs", m.tombRebase).isEmpty)
+  }
 }
