@@ -701,6 +701,23 @@ object Api {
         .map { case (k, v) => s"${quote(k)}:$v" }
         .mkString(s"""{"root":${quote(src)},""", ",", "}"))
 
+    case "/api/admin/tail-fold" =>
+      // In-place bounded-write compaction of the LIVE grown graph root
+      // (the ops lever the r12 manifest work exists for): fold every
+      // segment past the first into one, O(tail) write cost, the root
+      // path unmoved, serving identical by construction (the fold keeps
+      // each row's logical horizon — IncrementalKnn.tailFold). The
+      // mutation clock bumps, so GrownServing's cached frames rebuild on
+      // the next read; no cache flush, no downtime, no pointer swap.
+      // Tombstone/repair reclamation stays with the full compact (the
+      // deep clean an operator schedules off-peak).
+      val src = graft.index.TfIdfGraphIndex.ensureGrown(spark, dir)
+      val before = graft.index.IncrementalKnn.fanIn(src)
+      graft.index.IncrementalKnn.tailFold(spark, src, keep = 1)
+      val after = graft.index.IncrementalKnn.fanIn(src)
+      ok(s"""{"success":true,"root":${quote(src)},""" +
+        s""""fan_in_before":$before,"fan_in_after":$after}""")
+
     case "/api/admin/restore" =>
       // The restore half of the backup story: replace the LIVE grown
       // graph root with a snapshot tree. Order matters and each step is

@@ -616,7 +616,8 @@ object DeltaStream {
                          nprobe: Int, k: Int,
                          maxSegments: Int = Int.MaxValue,
                          repairAfterDelete: Boolean = true,
-                         seqCol: Option[String] = None): StreamingQuery =
+                         seqCol: Option[String] = None,
+                         tailFoldCompaction: Boolean = false): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -650,12 +651,22 @@ object DeltaStream {
           IncrementalKnn.append(
             TfIdfGraphIndex.embedDocsDense(spark, dataDir, ins),
             root, nprobe, k, tag = Some(tag))
-        val newRoot = IncrementalKnn.compactIfNeeded(
-          spark, root, k, maxSegments, tag = Some(tag))
-        if (newRoot != root) {
-          SegmentStore.setPointer(ptr, newRoot)
-          SegmentStore.retire(root)
-          ()
+        if (tailFoldCompaction) {
+          // in-place bounded-write fold (pure reorganization for this
+          // family — stored horizons, so holes/repairs/coverage read
+          // identically; see [[graft.index.IncrementalKnn.tailFold]]).
+          // Unlike the full compact above it does NOT reclaim tombstones
+          // or repair segments — schedule compact() as the deep clean.
+          IncrementalKnn.tailFoldIfNeeded(spark, root, maxSegments,
+            tag = Some(s"fold_$batchId"))
+        } else {
+          val newRoot = IncrementalKnn.compactIfNeeded(
+            spark, root, k, maxSegments, tag = Some(tag))
+          if (newRoot != root) {
+            SegmentStore.setPointer(ptr, newRoot)
+            SegmentStore.retire(root)
+            ()
+          }
         }
       }
       .outputMode(OutputMode.Update())

@@ -1840,6 +1840,15 @@ class IndexSpec extends SparkSpec {
     IncrementalKnn.compact(spark, folded, cf, 5)
     IncrementalKnn.compact(spark, twin, ct, 5)
     assert(rows(cf) == rows(ct) && rows(cf).nonEmpty)
+
+    // snapshot/restore of a MANIFEST root: the manifest payload is data
+    // inside the commit version dir, so it copies before its marker and
+    // the restored tree resolves the same segment list — reads equal
+    val snap = Files.createTempDirectory("graft-knn-tf-snap").toString + "/g"
+    SegmentStore.snapshot(folded, snap)
+    assert(SegmentStore.currentManifest(s"$snap/commit")
+      == SegmentStore.currentManifest(s"$folded/commit"))
+    assert(rows(snap) == rows(folded))
   }
 
   test("incremental bm25 tail-fold: partial fold preserves reads + stale stats, full fold == compact's stats catch-up") {

@@ -696,4 +696,33 @@ class ServeApiSpec extends SparkSpec {
     assert(get("/api/similar-vectors", "ids" -> "", "count" -> "5").status == 400)
     assert(get("/api/similar-vectors", "ids" -> "0", "method" -> "nope").status == 400)
   }
+
+  // LAST in the suite by design: folding mutates the shared grown-root
+  // fixture's clocks (version 3 -> 4), which the index-stats test above
+  // pins for the unfolded state; reads stay identical by construction
+  // (the fold stores each row's logical horizon), which is exactly what
+  // this test asserts end-to-end.
+  test("admin tail-fold: in-place bounded-write compaction of the live grown root; serving identical through the rebuilt caches") {
+    import graft.index.{IncrementalKnn, TfIdfGraphIndex}
+    val q = "spark join filter"
+    val before = get("/api/query", "q" -> q, "mode" -> "graph",
+      "graph" -> "grown", "count" -> "5")
+    assert(before.status == 200, before.body)
+    val src = TfIdfGraphIndex.ensureGrown(spark, Sf0001)
+    val fanBefore = IncrementalKnn.fanIn(src)
+    val r = get("/api/admin/tail-fold")
+    assert(r.status == 200, r.body)
+    assert(r.body.contains(s""""fan_in_before":$fanBefore"""), r.body)
+    assert(r.body.contains(""""fan_in_after":2"""), r.body)
+    assert(IncrementalKnn.fanIn(src) == 2)
+    // serving resumes identically: the mutation clock bumped, so the
+    // cached serving frames rebuilt from the folded segments
+    val after = get("/api/query", "q" -> q, "mode" -> "graph",
+      "graph" -> "grown", "count" -> "5")
+    assert(after.status == 200 && after.body == before.body,
+      s"before=${before.body}\nafter=${after.body}")
+    // the health surface reads the folded root without complaint
+    val st = get("/api/admin/index-stats")
+    assert(st.status == 200 && st.body.contains("\"n_stale_srcs\":0"), st.body)
+  }
 }

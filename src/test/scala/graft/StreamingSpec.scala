@@ -353,6 +353,85 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("textGraphCdcIngest with tail-fold compaction: convergence holds while the graph root folds IN PLACE (repairs + horizons through folds)") {
+    // the graph member of the CDC tail-fold story: the loop's repair +
+    // delete + upsert machinery keeps running while the root folds in
+    // place every other trigger — served must STILL equal the one-shot
+    // rebuild over the net documents (the fold stores logical horizons,
+    // so repair coverage and tombstone cuts read identically).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.{IncrementalKnn, SegmentStore, TfIdfGraphIndex}
+    import graft.search.Ann
+    import spark.implicits._
+    val corpus = graft.tables.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 60)
+    val words = Seq("merge", "stream", "window", "data", "filter", "join",
+      "aggregate", "scan", "vector", "index", "probe", "walk")
+    val rnd = new scala.util.Random(23L)
+    def text() = Seq.fill(4)(words(rnd.nextInt(words.length))).mkString(" ")
+    val model = scala.collection.mutable.LinkedHashMap[Long, String]()
+    corpus.collect().foreach(r => model(r.getLong(0)) = r.getString(1))
+    var nextNew = 7000L
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cdc-tf").toString + "/g"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cdc-tf-ck").toString
+    val denseCorpus = TfIdfGraphIndex.embedDocsDense(spark, Sf0001, corpus)
+    val centroids = denseCorpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    IncrementalKnn.init(denseCorpus, centroids, root, 3, 5)
+
+    val input = MemoryStream[(String, Long, String, Long)]
+    val q = DeltaStream.textGraphCdcIngest(
+      input.toDF().toDF("op", "doc_id", "text", "seq"),
+      Sf0001, root, ckpt, 3, 5, maxSegments = 2, seqCol = Some("seq"),
+      tailFoldCompaction = true)
+    try {
+      var seq = 0L
+      for (_ <- 0 until 3) {
+        val ops = (0 until 8).map { _ =>
+          seq += 1
+          val live = model.keys.toIndexedSeq
+          rnd.nextInt(4) match {
+            case 0 =>
+              val id = nextNew; nextNew += 1
+              val t = text(); model(id) = t; ("I", id, t, seq)
+            case 1 if live.nonEmpty =>
+              val id = live(rnd.nextInt(live.size))
+              model.remove(id); ("D", id, "", seq)
+            case _ if live.nonEmpty =>
+              val id = live(rnd.nextInt(live.size))
+              val t = text(); model(id) = t; ("U", id, t, seq)
+            case _ =>
+              val id = nextNew; nextNew += 1
+              val t = text(); model(id) = t; ("I", id, t, seq)
+          }
+        }
+        input.addData(ops)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // the root folded in place: manifest committed, pointer never moved,
+    // fan-in bounded by the trigger
+    assert(SegmentStore.getPointer(s"$root.current").isEmpty)
+    assert(SegmentStore.currentManifest(s"$root/commit").nonEmpty)
+    assert(IncrementalKnn.fanIn(root) <= 3,
+      s"fan-in ${IncrementalKnn.fanIn(root)} not bounded")
+
+    val net = model.toSeq.map { case (id, t) => (id, t) }
+      .toDF("doc_id", "text")
+    val rebuilt = Ann.knnGraph(
+        TfIdfGraphIndex.embedDocsDense(spark, Sf0001, net), centroids, 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val served = IncrementalKnn.edges(spark, root, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(served == rebuilt && rebuilt.nonEmpty,
+      s"tail-fold text-graph CDC diverged: served ${served.size} vs rebuilt ${rebuilt.size}")
+  }
+
   test("indexCdcIngest convergence property: random interleaved I/U/D changelog, then compact == fresh BM25 build over the net document set") {
     // the BM25 member of the family sweep: pre-compaction stats are
     // stale by design (Lucene deleted-doc semantics), so the family's
