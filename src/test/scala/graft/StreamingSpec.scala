@@ -508,6 +508,88 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("indexCdcIngest with tail-fold compaction: full in-root fold == fresh BM25 build (stats catch up without a pointer swap)") {
+    // the BM25 member of the CDC tail-fold story: partial folds run
+    // inside the loop (stats stale by contract), and the closing
+    // statement is the family's merge moment spelled in-root — a FULL
+    // tail-fold (keep = 0) recomputes stats from survivors and must
+    // equal a fresh build over the net documents, with the root path
+    // never having moved.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.{IncrementalBm25, SegmentStore}
+    import spark.implicits._
+    val corpus = graft.tables.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 60)
+    val words = Seq("merge", "stream", "window", "data", "filter", "join",
+      "aggregate", "scan", "vector", "index", "probe", "walk")
+    val rnd = new scala.util.Random(37L)
+    def text() = Seq.fill(4)(words(rnd.nextInt(words.length))).mkString(" ")
+    val model = scala.collection.mutable.LinkedHashMap[Long, String]()
+    corpus.collect().foreach(r => model(r.getLong(0)) = r.getString(1))
+    var nextNew = 8000L
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bmtf-cdc").toString + "/i"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-bmtf-cdc-ck").toString
+    IncrementalBm25.init(corpus, "doc_id", "text", root, numFiles = 1)
+
+    val input = MemoryStream[(String, Long, String, Long)]
+    val q = DeltaStream.indexCdcIngest(
+      input.toDF().toDF("op", "doc_id", "text", "seq"),
+      root, ckpt, maxSegments = 2, seqCol = Some("seq"),
+      tailFoldCompaction = true)
+    try {
+      var seq = 0L
+      for (_ <- 0 until 3) {
+        val ops = (0 until 8).map { _ =>
+          seq += 1
+          val live = model.keys.toIndexedSeq
+          rnd.nextInt(4) match {
+            case 0 =>
+              val id = nextNew; nextNew += 1
+              val t = text(); model(id) = t; ("I", id, t, seq)
+            case 1 if live.nonEmpty =>
+              val id = live(rnd.nextInt(live.size))
+              model.remove(id); ("D", id, "", seq)
+            case _ if live.nonEmpty =>
+              val id = live(rnd.nextInt(live.size))
+              val t = text(); model(id) = t; ("U", id, t, seq)
+            case _ =>
+              val id = nextNew; nextNew += 1
+              val t = text(); model(id) = t; ("I", id, t, seq)
+          }
+        }
+        input.addData(ops)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // folded in place throughout: pointer never set, fan-in bounded
+    assert(SegmentStore.getPointer(s"$root.current").isEmpty)
+    assert(SegmentStore.currentManifest(s"$root/stats").nonEmpty)
+    assert(IncrementalBm25.fanIn(root) <= 3,
+      s"fan-in ${IncrementalBm25.fanIn(root)} not bounded")
+
+    // the merge moment, in-root: full fold == fresh build over net docs
+    IncrementalBm25.tailFold(spark, root, "doc_id", keep = 0,
+      tag = Some("bmtf_full"))
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-bmtf-fresh").toString + "/i"
+    IncrementalBm25.init(model.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", fresh, numFiles = 1)
+    def hits(r: String, terms: Seq[String]) = IncrementalBm25
+      .topK(spark, r, "doc_id", terms, 500)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    for (terms <- Seq(Seq("data", "query"), Seq("merge", "walk"),
+        Seq("stream"))) {
+      val (c, f) = (hits(root, terms), hits(fresh, terms))
+      assert(c == f, s"terms $terms: ${c.size} vs ${f.size}")
+    }
+    assert(hits(root, Seq("data", "query")).nonEmpty)
+  }
+
   test("ivfCdcIngest convergence property: random interleaved I/U/D vector changelog == brute IVF over the net vector set") {
     // the IVF member: reads are exact-rebuild-semantics immediately (no
     // compaction needed for the comparison) — served topK must equal
