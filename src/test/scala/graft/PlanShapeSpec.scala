@@ -602,4 +602,30 @@ class PlanShapeSpec extends SparkSpec {
       after.take(2000))
     assert(!"SortMergeJoin .* LeftAnti".r.findAllIn(after).hasNext, after.take(2000))
   }
+
+  test("folded graph segments keep the seek layout: In(src)/In(vec_id) push into the folded scans") {
+    import org.apache.spark.sql.functions.col
+    import graft.index.{IncrementalKnn, SegmentStore}
+    val emb = graft.tables.Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fold-plan").toString + "/g"
+    IncrementalKnn.init(emb.where(col("vec_id") % 2 === 0), centroids, root, 3, 5)
+    IncrementalKnn.append(emb.where(col("vec_id") % 2 === 1), root, 3, 5)
+    IncrementalKnn.tailFold(spark, root, keep = 1, tag = Some("fp"))
+    // the folded physical segment is the manifest's last entry; its
+    // edges and vecs artifacts must serve the same pushed point lookups
+    // the per-batch `_srt` segments do — the serving walk's per-hop
+    // frontier reads prune row groups on folded history too
+    val p = SegmentStore.currentManifest(s"$root/commit").get.entries.last.dir
+    val ep = spark.read.parquet(s"$root/edges/$p")
+      .where(col("src").isin(1L, 3L, 5L))
+      .queryExecution.executedPlan.toString
+    assert(ep.contains("PushedFilters: [In(src"), ep)
+    val vp = spark.read.parquet(s"$root/vecs/$p")
+      .where(col("vec_id").isin(1L, 3L, 5L))
+      .queryExecution.executedPlan.toString
+    assert(vp.contains("PushedFilters: [In(vec_id"), vp)
+  }
 }
