@@ -423,11 +423,18 @@ object IncrementalBm25 {
   }
 
   /** Size-tiered trigger for [[tailFold]] — fold on READ fan-in, the
-    * steady-state O(maxSegments · batch) maintenance call. */
+    * suffix chosen by [[SegmentStore.tieredFoldStart]] (longest
+    * trailing run of similar-size segments; see that scaladoc). */
   def tailFoldIfNeeded(spark: SparkSession, root: String, idCol: String,
                        maxSegments: Int, keep: Int = 1,
-                       tag: Option[String] = None): Unit =
-    if (fanIn(root) > maxSegments) tailFold(spark, root, idCol, keep, tag = tag)
+                       tag: Option[String] = None): Unit = {
+    val entries = entryList(root)
+    if (entries.size > maxSegments) {
+      val sizes = entries.map(e => SegmentStore.treeBytes(s"$root/${e.dir}"))
+      tailFold(spark, root, idCol,
+        SegmentStore.tieredFoldStart(sizes, keep, maxSegments), tag = tag)
+    }
+  }
 
   /** Ensure an incrementally-GROWN documents index for `dataDir`: half the
     * corpus at init, the rest appended — exercising the real maintenance

@@ -349,14 +349,24 @@ object IncrementalIvf {
     tail.foreach(e => SegmentStore.deleteTree(s"$root/${e.dir}"))
   }
 
-  /** Size-tiered trigger for [[tailFold]]: fold the tail when the READ
-    * fan-in (live segment count — not the ever-growing version clock)
-    * exceeds `maxSegments`. The steady-state maintenance call for a
-    * long-running ingest: write cost per trigger is O(maxSegments ·
-    * batch), independent of corpus size. */
+  /** Size-tiered trigger for [[tailFold]]: when the READ fan-in (live
+    * segment count — not the ever-growing version clock) exceeds
+    * `maxSegments`, fold the suffix [[SegmentStore.tieredFoldStart]]
+    * selects — the longest trailing run of similar-size segments, so
+    * fresh batches fold together cheaply and a dominant older segment
+    * is only absorbed once the tail grows into its size class (the
+    * logarithmic merge ladder; see that scaladoc for the fan-in
+    * trade-off). `keep` floors the fold start (entries below it are
+    * never folded by this trigger). */
   def tailFoldIfNeeded(spark: SparkSession, root: String, maxSegments: Int,
-                       keep: Int = 1, tag: Option[String] = None): Unit =
-    if (fanIn(root) > maxSegments) tailFold(spark, root, keep, tag)
+                       keep: Int = 1, tag: Option[String] = None): Unit = {
+    val entries = entryList(root)
+    if (entries.size > maxSegments) {
+      val sizes = entries.map(e => SegmentStore.treeBytes(s"$root/${e.dir}"))
+      tailFold(spark, root,
+        SegmentStore.tieredFoldStart(sizes, keep, maxSegments), tag)
+    }
+  }
 
   /** Centroid RETRAIN — the production answer to the frozen-centroid
     * drift caveat in the object doc: re-fit kmeans centroids on the

@@ -802,10 +802,20 @@ object IncrementalKnn {
       SegKinds.foreach(kind => SegmentStore.deleteTree(s"$root/$kind/${e.dir}")))
   }
 
-  /** Size-tiered trigger for [[tailFold]] — fold on READ fan-in. */
+  /** Size-tiered trigger for [[tailFold]] — fold on READ fan-in, the
+    * suffix chosen by [[SegmentStore.tieredFoldStart]] over the
+    * five-kind segment byte totals (edges + assign dominate). */
   def tailFoldIfNeeded(spark: SparkSession, root: String, maxSegments: Int,
-                       keep: Int = 1, tag: Option[String] = None): Unit =
-    if (fanIn(root) > maxSegments) tailFold(spark, root, keep, tag)
+                       keep: Int = 1, tag: Option[String] = None): Unit = {
+    val entries = segEntries(root)
+    if (entries.size > maxSegments) {
+      val sizes = entries.map(e =>
+        SegKinds.map(k => SegmentStore.treeBytes(s"$root/$k/${e.dir}")).sum)
+      tailFold(spark, root,
+        math.max(SegmentStore.tieredFoldStart(sizes, keep, maxSegments), 1),
+        tag)
+    }
+  }
 
   /** Centroid RETRAIN for the graph family — the production answer to
     * the frozen-centroid drift caveat ([[IncrementalIvf.retrain]]'s graph

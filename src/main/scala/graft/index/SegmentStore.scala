@@ -235,6 +235,65 @@ object SegmentStore {
   def currentManifest(versionsBase: String): Option[Manifest] =
     manifestAt(versionsBase, version(versionsBase))
 
+  /** Total bytes under `path` (0 when absent) — the segment-size input
+    * to [[tieredFoldStart]]. One recursive listing, metadata-only. */
+  def treeBytes(path: String): Long = {
+    val (fs, p) = fsFor(path)
+    if (!fs.exists(p)) return 0L
+    var total = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) total += it.next().getLen
+    total
+  }
+
+  /** SIZE-TIERED fold-start selection — which suffix of the segment
+    * list a triggered tail-fold should fold, as a pure function of
+    * segment sizes (unit-testable; the families feed it [[treeBytes]]
+    * per entry).
+    *
+    * Why not always fold everything past `keep`: that policy re-absorbs
+    * the accumulated tail on EVERY trigger, so per-trigger write cost
+    * grows with total bytes appended since the base — the naive-LSM
+    * trap. The tiered policy folds the longest TRAILING RUN of
+    * similar-size segments (max/min ≤ `ratio` within the run): fresh
+    * same-size batches fold together cheaply, their folds later fold
+    * with each other once sizes are comparable, and a dominant older
+    * segment is left alone until the tail grows into its size class —
+    * the classic logarithmic merge ladder (amortized O(log N) rewrites
+    * per byte) with at most ~log_ratio(N) live tiers.
+    *
+    * The fan-in HARD BOUND still wins: if folding only the similar-size
+    * run would leave more than `maxSegments` live segments, the fold
+    * extends deeper regardless of ratio (correctness and read fan-in
+    * beat amortization). Operators choosing a tight `maxSegments`
+    * should know the trade: the ladder needs ≈ one slot per size tier,
+    * so `maxSegments` below log_ratio(corpus/batch) degrades toward
+    * the fold-everything cost for the mid tiers.
+    *
+    * Returns the fold-start index `m` (fold entries `m..last`); always
+    * ≥ `keep`, and ≤ `size - 2` so a triggered fold merges at least two
+    * segments (folding one segment changes nothing). */
+  def tieredFoldStart(sizes: Seq[Long], keep: Int, maxSegments: Int,
+                      ratio: Long = 4): Int = {
+    require(sizes.size >= 2, s"nothing to fold: ${sizes.size} segments")
+    var m = sizes.length - 1
+    var mn = math.max(sizes(m), 1L)
+    var mx = math.max(sizes(m), 1L)
+    def similar(s0: Long): Boolean = {
+      val s = math.max(s0, 1L)
+      math.max(mx, s) <= ratio * math.min(mn, s)
+    }
+    while (m > keep && similar(sizes(m - 1))) {
+      m -= 1
+      mn = math.min(mn, math.max(sizes(m), 1L))
+      mx = math.max(mx, math.max(sizes(m), 1L))
+    }
+    // fold at least two segments, and enough to satisfy the fan-in cap
+    m = math.min(m, sizes.length - 2)
+    while (m > keep && m + 1 > maxSegments) m -= 1
+    math.max(m, keep)
+  }
+
   /** Child directory names of `path` (empty when absent) — the GC
     * sweep's view of a root's physical segment pool. */
   def listChildDirs(path: String): Seq[String] = {

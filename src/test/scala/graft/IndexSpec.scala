@@ -1754,6 +1754,30 @@ class IndexSpec extends SparkSpec {
     assert(reads(compacted) == reads(root) && top(compacted) == top(root))
   }
 
+  test("SegmentStore.tieredFoldStart: similar-size runs fold together; a dominant base is left alone until the fan-in bound forces it") {
+    import graft.index.SegmentStore.tieredFoldStart
+    // fresh equal-size batches behind a dominant base: fold the batches,
+    // never re-absorb the base (the naive keep=1 policy would rewrite
+    // the accumulated tail every trigger)
+    assert(tieredFoldStart(Seq(1000L, 10L, 10L, 10L), 1, 3) == 1)
+    // a formed ladder: the mid tier (50) is outside ratio of the fresh
+    // batches (10s) — fold only the batches, ladder preserved
+    assert(tieredFoldStart(Seq(1000L, 50L, 10L, 10L), 1, 3) == 2)
+    // the tail grown into the mid tier's size class absorbs it
+    assert(tieredFoldStart(Seq(1000L, 50L, 30L, 20L), 1, 3) == 1)
+    // all-equal: absorb to the keep floor
+    assert(tieredFoldStart(Seq(10L, 10L, 10L, 10L), 1, 3) == 1)
+    // hard fan-in bound beats the ratio gate: maxSegments 2 forces the
+    // fold past the dissimilar 90
+    assert(tieredFoldStart(Seq(1000L, 400L, 90L, 10L), 1, 2) == 1)
+    // a triggered fold always merges at least two segments
+    assert(tieredFoldStart(Seq(1000L, 400L, 90L, 10L), 2, 3) == 2)
+    // keep floors the start even under the hard bound
+    assert(tieredFoldStart(Seq(1000L, 10L), 1, 1) == 1)
+    // zero-size segments (empty folds) don't divide by zero
+    assert(tieredFoldStart(Seq(100L, 0L, 0L), 1, 2) == 1)
+  }
+
   test("incremental knn tail-fold: pure reorganization — every read identical to an unfolded twin through delete/upsert/repair/append, fold-of-fold composes") {
     import graft.index.{IncrementalKnn, SegmentStore}
     import spark.implicits._
