@@ -122,7 +122,11 @@ object IncrementalKnn {
       else staleSrcs(spark, root, v).map(_.count()).getOrElse(0L)
     Map("index_version" -> v.toLong, "tombstone_ledger_version" -> tv.toLong,
       "repair_ledger_version" -> rv.toLong, "n_tombstoned_ids" -> nTombs,
-      "n_stale_srcs" -> nStale)
+      "n_stale_srcs" -> nStale,
+      // READ fan-in (live segment count): after tail-folds the version
+      // clock keeps counting mutations while fan-in shrinks — this is
+      // the number the compaction trigger and a capacity planner watch
+      "read_fan_in" -> fanIn(root).toLong)
   }
 
   /** Idempotence check for at-least-once writers — same contract as

@@ -254,9 +254,14 @@ class ServeApiSpec extends SparkSpec {
   }
 
   test("admin index-stats: reports the grown root's clocks and a clean health signal") {
+    // the grown root persists across JVMs (catalog marker) and the
+    // tail-fold test below mutates its clocks — pin against a FRESH
+    // build, not whatever state a previous run left
+    graft.index.IndexCatalog.invalidate(Sf0001, graft.index.TfIdfGraphIndex.IncName)
     val r = get("/api/admin/index-stats")
     assert(r.status == 200, r.body)
     assert(r.body.contains("\"index_version\":3"), r.body) // init + 2 appends
+    assert(r.body.contains("\"read_fan_in\":3"), r.body) // unfolded yet
     assert(r.body.contains("\"n_stale_srcs\":0"), r.body)
     assert(r.body.contains("\"n_tombstoned_ids\":0"), r.body)
   }
@@ -704,6 +709,9 @@ class ServeApiSpec extends SparkSpec {
   // this test asserts end-to-end.
   test("admin tail-fold: in-place bounded-write compaction of the live grown root; serving identical through the rebuilt caches") {
     import graft.index.{IncrementalKnn, TfIdfGraphIndex}
+    // fresh fixture: this test folds the shared persistent root, so its
+    // own clock pins (and any rerun of this suite) need a virgin build
+    graft.index.IndexCatalog.invalidate(Sf0001, TfIdfGraphIndex.IncName)
     val q = "spark join filter"
     val before = get("/api/query", "q" -> q, "mode" -> "graph",
       "graph" -> "grown", "count" -> "5")
@@ -721,8 +729,11 @@ class ServeApiSpec extends SparkSpec {
       "graph" -> "grown", "count" -> "5")
     assert(after.status == 200 && after.body == before.body,
       s"before=${before.body}\nafter=${after.body}")
-    // the health surface reads the folded root without complaint
+    // the health surface reads the folded root without complaint and
+    // reports the shrunk READ fan-in (the version clock keeps counting)
     val st = get("/api/admin/index-stats")
     assert(st.status == 200 && st.body.contains("\"n_stale_srcs\":0"), st.body)
+    assert(st.body.contains("\"read_fan_in\":2"), st.body)
+    assert(st.body.contains("\"index_version\":4"), st.body)
   }
 }
