@@ -39,6 +39,8 @@ object ProbeTailFold {
     // so ratio ≈ denom/maxSegments; production micro-batches are a far
     // smaller corpus fraction than any denom this probe can afford)
     val denom = args.lift(2).map(_.toInt).getOrElse(32)
+    val triggers = args.lift(3).map(_.toInt).getOrElse(8)
+    require(triggers < denom, "base residues must not overlap batches")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -49,7 +51,7 @@ object ProbeTailFold {
     val n = emb.count()
     val centroids = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val base = emb.where(pmod(col("vec_id"), lit(denom)) >= lit(8))
+    val base = emb.where(pmod(col("vec_id"), lit(denom)) >= lit(triggers))
     def batch(i: Int) = emb.where(pmod(col("vec_id"), lit(denom)) === i)
 
     def filesOf(dir: String): Map[String, Long] = {
@@ -68,7 +70,7 @@ object ProbeTailFold {
       IncrementalIvf.init(base, centroids, root)
       var bytes = 0L
       var secs = 0.0
-      for (i <- 0 until 8) {
+      for (i <- 0 until triggers) {
         IncrementalIvf.append(batch(i), root)
         val before = filesOf(area)
         val t0 = System.nanoTime()
@@ -100,7 +102,7 @@ object ProbeTailFold {
     val baseBytes = filesOf(fullRoot).values.sum
     println(s"""{"probe":"tailfold_wamp","sf":"${sfDir.split('/').last}",""" +
       s""""n_vectors":$n,"max_segments":$maxSegments,"batch_denom":$denom,""" +
-      s""""triggers":8,""" +
+      s""""triggers":$triggers,""" +
       s""""full_bytes":$fullBytes,"tail_bytes":$tailBytes,""" +
       s""""ratio":${BigDecimal(fullBytes.toDouble / math.max(tailBytes, 1))
         .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble},""" +
