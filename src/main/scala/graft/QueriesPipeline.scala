@@ -4705,6 +4705,55 @@ object QueriesPipeline {
         WHERE rank <= 5 ORDER BY src, rank
       """)),
 
+    // RECLAIMING full fold on the live kNN graph — the fold-family
+    // completion: tailFold (a32) is pure reorganization and leaves dead
+    // rows + ledger history growing with churn; reclaimFold bakes every
+    // kill in place and REBASES the tombstone ledger, gated on
+    // repairs-current (n_stale_srcs == 0) so the frozen top-k IS the
+    // rebuild-over-survivors state. The oracle is therefore a29's SQL
+    // VERBATIM — the strongest invisibility proof — while the manifest's
+    // tombRebase certifies readers pay zero anti-join for the absorbed
+    // ledger (IndexSpec pins the rebase and the gate refusal).
+    "a33_graph_reclaim" -> Q(
+      (s, d) => {
+        val root = graft.index.IncrementalKnn.ensureReclaimFolded(s, d, 3, 5)
+        graft.index.IncrementalKnn.edges(s, root, 5)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        live AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 3),
+        assign AS (
+          SELECT vec_id, cid, embedding FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM live e CROSS JOIN cent c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT src, qvec, cid FROM (
+            SELECT e.vec_id AS src, e.embedding::DOUBLE[] AS qvec, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM live e CROSS JOIN cent c)
+          WHERE rn <= 3),
+        cand AS (
+          SELECT p.src, a.vec_id AS dst,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], p.qvec), 6) AS score
+          FROM probes p JOIN assign a ON p.cid = a.cid
+          WHERE a.vec_id <> p.src),
+        ranked AS (
+          SELECT src, dst, score,
+                 row_number() OVER (PARTITION BY src
+                   ORDER BY score DESC, dst ASC) AS rank
+          FROM cand)
+        SELECT src, dst, score, rank::INT AS rank FROM ranked
+        WHERE rank <= 5 ORDER BY src, rank
+      """)),
+
     // Post-delete graph REPAIR — the HNSW deferred-repair operation:
     // IncrementalKnn.repair recomputes the full surviving candidate set
     // for exactly the srcs whose top-k lost a deleted neighbor (stored

@@ -99,6 +99,41 @@ object IncrementalBm25 {
     * trigger); the version clock stops reflecting it after folds. */
   def fanIn(root: String): Int = entryList(root).size
 
+  /** Operational health of a mutable BM25 root — the gauge that makes
+    * the family's STALE-STATS contract operable: deletes/upserts/partial
+    * folds leave df/n_docs/avgdl counting dead document versions by
+    * design (Lucene's deleted-docs-before-merge, [[delete]]/[[tailFold]]
+    * scaladocs), and until now nothing surfaced HOW stale — an operator
+    * who only ever partial-folds never learns scoring is drifting.
+    * `stats_drift_docs` = `stats_n_docs` − `live_n_docs` (documents the
+    * stats count that no longer serve: deleted survivors-to-be plus one
+    * per upsert's dead version); when its share of `stats_n_docs` grows
+    * past the operator's tolerance, a FULL fold ([[tailFold]] keep=0) or
+    * [[compact]] is the merge moment that zeroes it. Costs one distinct
+    * count over the surviving postings — an admin-route price, not a
+    * serving-path one. */
+  def stats(spark: SparkSession, root: String,
+            idCol: String): Map[String, Long] = {
+    val v = version(root)
+    require(v > 0, s"index at $root not initialized")
+    val statsNDocs = spark.read.parquet(s"${statsDir(root, v)}/corpus")
+      .select(col("n_docs")).head().getLong(0)
+    val liveNDocs = filterTombs(spark, root,
+        readSegsTagged(spark, root, v).select(col(idCol), col("__seg")),
+        idCol)
+      .select(col(idCol)).distinct().count()
+    val nTombs = SegmentStore.tombIds(spark, s"$root/tombs", tombRebase(root))
+      .map(_.count()).getOrElse(0L)
+    Map(
+      "index_version" -> v.toLong,
+      "tombstone_ledger_version" -> SegmentStore.tombVersion(s"$root/tombs").toLong,
+      "read_fan_in" -> fanIn(root).toLong,
+      "n_tombstoned_ids" -> nTombs,
+      "stats_n_docs" -> statsNDocs,
+      "live_n_docs" -> liveNDocs,
+      "stats_drift_docs" -> (statsNDocs - liveNDocs))
+  }
+
   private def tombRebase(root: String): Int =
     SegmentStore.currentManifest(statsBase(root)).map(_.tombRebase)
       .getOrElse(0)
@@ -127,8 +162,9 @@ object IncrementalBm25 {
 
   private def writeVersion(docs: DataFrame, idCol: String, textCol: String,
                            root: String, seg: Int, numFiles: Int,
-                           tag: Option[String] = None): Unit = {
-    val spark = docs.sparkSession
+                           tag: Option[String] = None): Unit =
+    SegmentStore.withWriterLease(root, "bm25-append") { // single-writer,
+    val spark = docs.sparkSession                       // checked
     val v = if (seg == 0) 0 else version(root)
     val manifest = SegmentStore.currentManifest(statsBase(root))
     // manifest roots decouple physical dir from the version clock
@@ -167,7 +203,7 @@ object IncrementalBm25 {
           nextLogical = m.nextLogical + 1,
           nextPhysical = m.nextPhysical + 1))
     }
-  }
+    }
 
   /** Mark documents DELETED — Lucene's exact deleted-doc semantics: the
     * tombstoned doc's postings are excluded from every [[topK]] from this
@@ -180,14 +216,17 @@ object IncrementalBm25 {
     * a tombstone WHERE on the scoring rows — the s3e oracle). Idempotent
     * via `tag`. */
   def delete(ids: DataFrame, idCol: String, root: String,
-             tag: Option[String] = None): Unit = {
-    val v = version(root)
-    require(v > 0, s"index at $root not initialized")
-    // horizon = current logical segment number: existing postings die, a
-    // later re-insert of the same id serves (Lucene delete-then-add)
-    SegmentStore.tombWrite(ids, idCol, s"$root/tombs", tag,
-      beforeSeg = logicalNext(root))
-  }
+             tag: Option[String] = None): Unit =
+    SegmentStore.withWriterLease(root, "bm25-delete") {
+      val v = version(root)
+      require(v > 0, s"index at $root not initialized")
+      // horizon = current logical segment number: existing postings die, a
+      // later re-insert of the same id serves (Lucene delete-then-add).
+      // Under the lease a delete never interleaves a fold, so its horizon
+      // can never equal a folded segment's logical number.
+      SegmentStore.tombWrite(ids, idCol, s"$root/tombs", tag,
+        beforeSeg = logicalNext(root))
+    }
 
   /** UPSERT — update a document IN PLACE by id: Lucene's update IS
     * delete + add, and this is exactly that under one idempotence tag —
@@ -200,14 +239,15 @@ object IncrementalBm25 {
     * double-counted interim exactly, and compaction is the merge moment
     * where the stats catch up. */
   def upsert(delta: DataFrame, idCol: String, textCol: String, root: String,
-             numFiles: Int = 8, tag: Option[String] = None): Unit = {
-    val v = version(root)
-    require(v > 0, s"index at $root not initialized")
-    SegmentStore.tombWrite(delta.select(col(idCol)), idCol,
-      s"$root/tombs", tag.map(t => s"${t}_t"), beforeSeg = logicalNext(root))
-    if (!tag.exists(t => committedHasTag(root, t)))
-      append(delta, idCol, textCol, root, numFiles, tag)
-  }
+             numFiles: Int = 8, tag: Option[String] = None): Unit =
+    SegmentStore.withWriterLease(root, "bm25-upsert") { // nested append
+      val v = version(root)                             // re-enters
+      require(v > 0, s"index at $root not initialized")
+      SegmentStore.tombWrite(delta.select(col(idCol)), idCol,
+        s"$root/tombs", tag.map(t => s"${t}_t"), beforeSeg = logicalNext(root))
+      if (!tag.exists(t => committedHasTag(root, t)))
+        append(delta, idCol, textCol, root, numFiles, tag)
+    }
 
   /** Union of committed postings segments with per-row LOGICAL segment
     * provenance (`__seg`) — the horizon the versioned tombstones cut
@@ -289,7 +329,8 @@ object IncrementalBm25 {
     */
   def compact(spark: SparkSession, root: String, newRoot: String,
               idCol: String, numFiles: Int = 8,
-              tag: Option[String] = None): Unit = {
+              tag: Option[String] = None): Unit =
+    SegmentStore.withWriterLease(root, "bm25-compact") {
     val v = version(root)
     require(v > 0, s"index at $root not initialized")
     val tombs = SegmentStore.tombIds(spark, s"$root/tombs")
@@ -324,7 +365,7 @@ object IncrementalBm25 {
         .parquet(s"${statsDir(newRoot, 1)}/corpus")
     }
     SegmentStore.publish(statsBase(newRoot), 1, tag)
-  }
+    }
 
   /** Size-tiered auto-compaction trigger — the policy half of the LSM
     * story: reads fan in over every committed segment, so segment count
@@ -338,9 +379,24 @@ object IncrementalBm25 {
     SegmentStore.compactIfNeeded(root, version(root), maxSegments)(
       compact(spark, root, _, idCol, tag = tag))
 
+  /** Segment list at committed version `w` — see
+    * [[IncrementalIvf.entryListAt]] (same retain-one-generation GC). */
+  private def entryListAt(root: String, w: Int): Seq[SegmentStore.ManifestEntry] =
+    if (w <= 0) Seq.empty
+    else SegmentStore.manifestAt(statsBase(root), w).map(_.entries)
+      .getOrElse((0 until w).map(k =>
+        SegmentStore.ManifestEntry(s"seg/$k", k.toLong)))
+
+  /** Sweep dirs neither of the LAST TWO committed manifests references —
+    * [[IncrementalIvf.gcUnreferencedSegs]]'s sparse twin: folded-away
+    * tails get a one-generation grace for in-flight readers; crashed
+    * appends' orphans go at the first fold after them. Runs under the
+    * writer lease. */
   private def gcUnreferencedSegs(root: String): Unit = {
-    val referenced = entryList(root).map(_.dir.stripPrefix("seg/")).toSet
-    SegmentStore.listChildDirs(s"$root/seg").filterNot(referenced)
+    val v = version(root)
+    val retained = (entryListAt(root, v) ++ entryListAt(root, v - 1))
+      .map(_.dir.stripPrefix("seg/")).toSet
+    SegmentStore.listChildDirs(s"$root/seg").filterNot(retained)
       .foreach(c => SegmentStore.deleteTree(s"$root/seg/$c"))
   }
 
@@ -363,10 +419,11 @@ object IncrementalBm25 {
   def tailFold(spark: SparkSession, root: String, idCol: String,
                keep: Int = 1, numFiles: Int = 8,
                tag: Option[String] = None): Unit = {
-    val v = version(root)
-    require(v > 0, s"index at $root not initialized")
     require(keep >= 0, s"keep must be >= 0, got $keep")
     if (tag.exists(t => committedHasTag(root, t))) return
+    SegmentStore.withWriterLease(root, "bm25-tail-fold") {
+    val v = version(root)
+    require(v > 0, s"index at $root not initialized")
     gcUnreferencedSegs(root)
     val entries = entryList(root)
     if (entries.size <= keep) return // empty tail — nothing to fold
@@ -374,6 +431,9 @@ object IncrementalBm25 {
     val nextPhys = cur.map(_.nextPhysical).getOrElse(v)
     val nextLog = cur.map(_.nextLogical).getOrElse(v.toLong)
     val rebase = cur.map(_.tombRebase).getOrElse(0)
+    // ledger clock captured BEFORE the reads it stamps as absorbed —
+    // see [[IncrementalIvf.tailFold]] (same soundness argument)
+    val tombV = SegmentStore.tombVersion(s"$root/tombs")
     val (prefix, tail) = entries.splitAt(keep)
     val tailRows = tail.map(e => spark.read.parquet(s"$root/${e.dir}")
         .withColumn("__seg", lit(e.logicalSeg)))
@@ -411,29 +471,36 @@ object IncrementalBm25 {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"${statsDir(root, v + 1)}/corpus")
     }
-    val newRebase =
-      if (keep == 0) SegmentStore.tombVersion(s"$root/tombs") else rebase
+    val newRebase = if (keep == 0) tombV else rebase
     SegmentStore.publishManifest(statsBase(root), v + 1, tag,
       SegmentStore.Manifest(
         prefix :+ SegmentStore.ManifestEntry(s"seg/$nextPhys", nextLog),
         nextLogical = nextLog + 1,
         nextPhysical = nextPhys + 1,
         tombRebase = newRebase))
-    tail.foreach(e => SegmentStore.deleteTree(s"$root/${e.dir}"))
+    // no post-publish sweep: folded-away dirs get a one-generation
+    // grace for in-flight readers (gcUnreferencedSegs retain-one rule)
+    }
   }
 
   /** Size-tiered trigger for [[tailFold]] — fold on READ fan-in, the
     * suffix chosen by [[SegmentStore.tieredFoldStart]] (longest
-    * trailing run of similar-size segments; see that scaladoc). */
+    * trailing run of similar-size segments; see that scaladoc).
+    * `keep < maxSegments` required and the ladder-fit warning returned —
+    * see [[IncrementalIvf.tailFoldIfNeeded]]. */
   def tailFoldIfNeeded(spark: SparkSession, root: String, idCol: String,
                        maxSegments: Int, keep: Int = 1,
-                       tag: Option[String] = None): Unit = {
+                       tag: Option[String] = None): Option[String] = {
+    require(keep < maxSegments,
+      s"keep ($keep) must be < maxSegments ($maxSegments): the trigger " +
+        "would fold one segment per trigger forever, never reducing fan-in")
     val entries = entryList(root)
     if (entries.size > maxSegments) {
       val sizes = entries.map(e => SegmentStore.treeBytes(s"$root/${e.dir}"))
       tailFold(spark, root, idCol,
         SegmentStore.tieredFoldStart(sizes, keep, maxSegments), tag = tag)
-    }
+      SegmentStore.ladderCheck(sizes, maxSegments)
+    } else None
   }
 
   /** Ensure an incrementally-GROWN documents index for `dataDir`: half the

@@ -109,21 +109,25 @@ object IncrementalIvf {
 
   /** Freeze `centroids` (cid, cvec) and write segment 0 from `vectors`
     * (vec_id, embedding). `tag` is an optional idempotence tag committed
-    * atomically with the version. */
+    * atomically with the version. Like every mutator here, runs under
+    * the root's writer lease ([[SegmentStore.withWriterLease]] — the
+    * single-writer contract, checked). */
   def init(vectors: DataFrame, centroids: DataFrame, root: String,
-           tag: Option[String] = None): Unit = {
-    centroids.coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$root/centroids")
-    writeSegment(vectors, readCentroids(vectors.sparkSession, root), root, 0)
-    publish(root, 1, tag)
-  }
+           tag: Option[String] = None): Unit =
+    SegmentStore.withWriterLease(root, "ivf-init") {
+      centroids.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$root/centroids")
+      writeSegment(vectors, readCentroids(vectors.sparkSession, root), root, 0)
+      publish(root, 1, tag)
+    }
 
   /** Append a delta of new vectors as the next segment, assigned against
     * the frozen centroids. Vec ids must be unseen-or-tombstoned
     * (replacing a LIVE vector in place is [[upsert]]; dead rows reclaim
     * at [[compact]]). */
   def append(delta: DataFrame, root: String,
-             tag: Option[String] = None): Unit = {
+             tag: Option[String] = None): Unit =
+    SegmentStore.withWriterLease(root, "ivf-append") {
     val v = version(root)
     require(v > 0, s"index at $root not initialized — call init first")
     SegmentStore.currentManifest(commitBase(root)) match {
@@ -141,7 +145,7 @@ object IncrementalIvf {
             nextLogical = m.nextLogical + 1,
             nextPhysical = m.nextPhysical + 1))
     }
-  }
+    }
 
   def readCentroids(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/centroids")
@@ -173,12 +177,16 @@ object IncrementalIvf {
     * (Lucene delete-then-add). [[compact]]/[[retrain]] read through the
     * filter, so they physically reclaim the rows and their fresh roots
     * start with a clear ledger. Idempotent via `tag`. */
-  def delete(ids: DataFrame, root: String, tag: Option[String] = None): Unit = {
-    val v = version(root)
-    require(v > 0, s"index at $root not initialized")
-    SegmentStore.tombWrite(ids, "vec_id", s"$root/tombs", tag,
-      beforeSeg = logicalNext(root))
-  }
+  def delete(ids: DataFrame, root: String, tag: Option[String] = None): Unit =
+    SegmentStore.withWriterLease(root, "ivf-delete") {
+      val v = version(root)
+      require(v > 0, s"index at $root not initialized")
+      // under the lease: a delete can never interleave with a fold, so
+      // its horizon can never equal a folded segment's logical number
+      // (the silent-resurrection window)
+      SegmentStore.tombWrite(ids, "vec_id", s"$root/tombs", tag,
+        beforeSeg = logicalNext(root))
+    }
 
   /** UPSERT — update vectors IN PLACE by id (Qdrant's point overwrite):
     * a versioned tombstone kills the old rows at their horizon, the
@@ -188,14 +196,15 @@ object IncrementalIvf {
     * vectors (no stale candidate pairs exist to repair; `a17c` states it
     * in SQL). Idempotent via `tag`. */
   def upsert(delta: DataFrame, root: String,
-             tag: Option[String] = None): Unit = {
-    val v = version(root)
-    require(v > 0, s"index at $root not initialized")
-    SegmentStore.tombWrite(delta.select(col("vec_id")), "vec_id",
-      s"$root/tombs", tag.map(t => s"${t}_t"), beforeSeg = logicalNext(root))
-    if (!tag.exists(t => committedHasTag(root, t)))
-      append(delta, root, tag)
-  }
+             tag: Option[String] = None): Unit =
+    SegmentStore.withWriterLease(root, "ivf-upsert") { // reentrant: the
+      val v = version(root)                            // nested append
+      require(v > 0, s"index at $root not initialized") // re-enters
+      SegmentStore.tombWrite(delta.select(col("vec_id")), "vec_id",
+        s"$root/tombs", tag.map(t => s"${t}_t"), beforeSeg = logicalNext(root))
+      if (!tag.exists(t => committedHasTag(root, t)))
+        append(delta, root, tag)
+    }
 
   def readAssigned(spark: SparkSession, root: String): DataFrame = {
     val v = version(root)
@@ -236,18 +245,19 @@ object IncrementalIvf {
     * Reads through the tombstone filter, so deleted vectors are
     * physically dropped and the fresh root starts with a clear ledger. */
   def compact(spark: SparkSession, root: String, newRoot: String,
-              tag: Option[String] = None): Unit = {
-    val v = version(root)
-    require(v > 0, s"index at $root not initialized")
-    readCentroids(spark, root).coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$newRoot/centroids")
-    readAssigned(spark, root)
-      .write.mode(SaveMode.Overwrite)
-      .option("compression", "zstd")
-      .partitionBy("cid")
-      .parquet(segDir(newRoot, 0))
-    publish(newRoot, 1, tag)
-  }
+              tag: Option[String] = None): Unit =
+    SegmentStore.withWriterLease(root, "ivf-compact") { // quiesce the
+      val v = version(root)       // source: a delete committed mid-read
+      require(v > 0, s"index at $root not initialized") // would vanish
+      readCentroids(spark, root).coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$newRoot/centroids")                 // from the fresh
+      readAssigned(spark, root)                         // clear-ledger root
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .partitionBy("cid")
+        .parquet(segDir(newRoot, 0))
+      publish(newRoot, 1, tag)
+    }
 
   /** Size-tiered auto-compaction trigger (see
     * [[IncrementalBm25.compactIfNeeded]] — same policy, same pointer-swap
@@ -258,16 +268,30 @@ object IncrementalIvf {
     SegmentStore.compactIfNeeded(root, version(root), maxSegments)(
       compact(spark, root, _, tag = tag))
 
-  /** Sweep physical segment dirs no committed manifest references —
-    * folded-away tails whose post-publish removal a crash skipped, and
-    * orphans of crashed appends. Runs at the start of every
-    * [[tailFold]]; safe under the single-writer discipline every
-    * mutation here already assumes (an append IN FLIGHT would have its
-    * uncommitted dir swept — don't run fold and append concurrently,
-    * which the maintenance loops never do). */
+  /** Segment list at committed version `w` — the current manifest's
+    * predecessor view for the GC's retain-one-generation rule. Versions
+    * before the first fold read positionally. */
+  private def entryListAt(root: String, w: Int): Seq[SegmentStore.ManifestEntry] =
+    if (w <= 0) Seq.empty
+    else SegmentStore.manifestAt(commitBase(root), w).map(_.entries)
+      .getOrElse((0 until w).map(k =>
+        SegmentStore.ManifestEntry(s"seg/$k", k.toLong)))
+
+  /** Sweep physical segment dirs neither of the LAST TWO committed
+    * manifests references — folded-away tails past their one-generation
+    * grace, and orphans of crashed appends. Retaining the previous
+    * manifest's segments closes the long-running-reader window: a frame
+    * planned against manifest N keeps reading after fold N+1 publishes
+    * (tail-fold deletes nothing post-publish anymore) and is reclaimed
+    * only by the fold AFTER that — by which point the mutation clock has
+    * long invalidated any serving cache of it. Runs at the start of
+    * every [[tailFold]], under the writer lease (an append can no longer
+    * be in flight concurrently — the lease refuses it loudly). */
   private def gcUnreferencedSegs(root: String): Unit = {
-    val referenced = entryList(root).map(_.dir.stripPrefix("seg/")).toSet
-    SegmentStore.listChildDirs(s"$root/seg").filterNot(referenced)
+    val v = version(root)
+    val retained = (entryListAt(root, v) ++ entryListAt(root, v - 1))
+      .map(_.dir.stripPrefix("seg/")).toSet
+    SegmentStore.listChildDirs(s"$root/seg").filterNot(retained)
       .foreach(c => SegmentStore.deleteTree(s"$root/seg/$c"))
   }
 
@@ -299,54 +323,61 @@ object IncrementalIvf {
     * Publishes manifest + version + `tag` in ONE atomic marker (the
     * manifest rides the commit version dir). Crash windows: before the
     * marker — orphan folded dir, swept by the next fold's GC pass, old
-    * state served; after the marker — the folded-away tail dirs are
-    * swept here post-publish and by the next fold's GC if THAT is
-    * interrupted. Idempotent via `tag`. The old tail stays readable
-    * until the post-publish sweep — callers with long-running readers
-    * should drain them first (same drain policy as [[compact]]'s
-    * pointer swap). */
+    * state served. The folded-away tail dirs are NOT swept here: they
+    * stay on disk one fold generation (retain-one rule in
+    * [[gcUnreferencedSegs]]) so a reader planned against the previous
+    * manifest finishes cleanly — no drain requirement, the next-next
+    * fold reclaims. Idempotent via `tag`; runs under the root's writer
+    * lease. */
   def tailFold(spark: SparkSession, root: String, keep: Int = 1,
                tag: Option[String] = None): Unit = {
-    val v = version(root)
-    require(v > 0, s"index at $root not initialized")
     require(keep >= 0, s"keep must be >= 0, got $keep")
-    if (tag.exists(t => committedHasTag(root, t))) return
-    gcUnreferencedSegs(root)
-    val entries = entryList(root)
-    if (entries.size <= keep) return // empty tail — nothing to fold
-    val cur = SegmentStore.currentManifest(commitBase(root))
-    val nextPhys = cur.map(_.nextPhysical).getOrElse(v)
-    val nextLog = cur.map(_.nextLogical).getOrElse(v.toLong)
-    val rebase = cur.map(_.tombRebase).getOrElse(0)
-    val (prefix, tail) = entries.splitAt(keep)
-    val tailRows = tail.map { e =>
-      val p = s"$root/${e.dir}"
-      spark.read.option("basePath", p).schema(segSchema)
-        .parquet(p).withColumn("__seg", lit(e.logicalSeg))
-    }.reduce(_ unionByName _)
-    val live = SegmentStore.tombIds(spark, s"$root/tombs", rebase)
-      .fold(tailRows)(t =>
-        tailRows.join(broadcast(t.select(col(t.columns.head).as("__dd"),
-            col("before_seg"))),
-          tailRows("vec_id") === col("__dd") &&
-            tailRows("__seg") < col("before_seg"),
-          "left_anti"))
-    live.select(col("vec_id"), col("embedding"), col("cid"))
-      .write.mode(SaveMode.Overwrite)
-      .option("compression", "zstd")
-      .partitionBy("cid")
-      .parquet(segDir(root, nextPhys))
-    val newRebase =
-      if (keep == 0) SegmentStore.tombVersion(s"$root/tombs") else rebase
-    SegmentStore.publishManifest(commitBase(root), v + 1, tag,
-      SegmentStore.Manifest(
-        prefix :+ SegmentStore.ManifestEntry(s"seg/$nextPhys", nextLog),
-        nextLogical = nextLog + 1,
-        nextPhysical = nextPhys + 1,
-        tombRebase = newRebase))
-    // post-publish reclamation of the folded-away tail (crash-safe: the
-    // next fold's GC pass finishes an interrupted sweep)
-    tail.foreach(e => SegmentStore.deleteTree(s"$root/${e.dir}"))
+    if (!tag.exists(t => committedHasTag(root, t)))
+      SegmentStore.withWriterLease(root, "ivf-tail-fold") {
+        val v = version(root)
+        require(v > 0, s"index at $root not initialized")
+        gcUnreferencedSegs(root)
+        val entries = entryList(root)
+        if (entries.size > keep) { // else: empty tail — nothing to fold
+          val cur = SegmentStore.currentManifest(commitBase(root))
+          val nextPhys = cur.map(_.nextPhysical).getOrElse(v)
+          val nextLog = cur.map(_.nextLogical).getOrElse(v.toLong)
+          val rebase = cur.map(_.tombRebase).getOrElse(0)
+          // capture the ledger clock BEFORE reading it: a full fold's
+          // rebase must name a version at or below what actually baked
+          // in (the lease already serializes deletes; this keeps the
+          // read-then-stamp order sound even against a lease-broken
+          // straggler — over-conservative rebase, never resurrection)
+          val tombV = SegmentStore.tombVersion(s"$root/tombs")
+          val (prefix, tail) = entries.splitAt(keep)
+          val tailRows = tail.map { e =>
+            val p = s"$root/${e.dir}"
+            spark.read.option("basePath", p).schema(segSchema)
+              .parquet(p).withColumn("__seg", lit(e.logicalSeg))
+          }.reduce(_ unionByName _)
+          val live = SegmentStore.tombIds(spark, s"$root/tombs", rebase)
+            .fold(tailRows)(t =>
+              tailRows.join(broadcast(t.select(col(t.columns.head).as("__dd"),
+                  col("before_seg"))),
+                tailRows("vec_id") === col("__dd") &&
+                  tailRows("__seg") < col("before_seg"),
+                "left_anti"))
+          live.select(col("vec_id"), col("embedding"), col("cid"))
+            .write.mode(SaveMode.Overwrite)
+            .option("compression", "zstd")
+            .partitionBy("cid")
+            .parquet(segDir(root, nextPhys))
+          val newRebase = if (keep == 0) tombV else rebase
+          SegmentStore.publishManifest(commitBase(root), v + 1, tag,
+            SegmentStore.Manifest(
+              prefix :+ SegmentStore.ManifestEntry(s"seg/$nextPhys", nextLog),
+              nextLogical = nextLog + 1,
+              nextPhysical = nextPhys + 1,
+              tombRebase = newRebase))
+          // no post-publish sweep: the folded-away tail keeps serving
+          // in-flight readers for one fold generation (GC note above)
+        }
+      }
   }
 
   /** Size-tiered trigger for [[tailFold]]: when the READ fan-in (live
@@ -357,15 +388,25 @@ object IncrementalIvf {
     * is only absorbed once the tail grows into its size class (the
     * logarithmic merge ladder; see that scaladoc for the fan-in
     * trade-off). `keep` floors the fold start (entries below it are
-    * never folded by this trigger). */
+    * never folded by this trigger) and must sit BELOW `maxSegments` —
+    * at or above it every trigger would re-fold a single segment into a
+    * fresh copy forever without ever reducing fan-in (the degenerate
+    * loop the require refuses). Returns [[SegmentStore.ladderCheck]]'s
+    * warning when the configured fan-in bound is too tight for the
+    * observed size-tier ladder (None = fits, or no fold ran). */
   def tailFoldIfNeeded(spark: SparkSession, root: String, maxSegments: Int,
-                       keep: Int = 1, tag: Option[String] = None): Unit = {
+                       keep: Int = 1,
+                       tag: Option[String] = None): Option[String] = {
+    require(keep < maxSegments,
+      s"keep ($keep) must be < maxSegments ($maxSegments): the trigger " +
+        "would fold one segment per trigger forever, never reducing fan-in")
     val entries = entryList(root)
     if (entries.size > maxSegments) {
       val sizes = entries.map(e => SegmentStore.treeBytes(s"$root/${e.dir}"))
       tailFold(spark, root,
         SegmentStore.tieredFoldStart(sizes, keep, maxSegments), tag)
-    }
+      SegmentStore.ladderCheck(sizes, maxSegments)
+    } else None
   }
 
   /** Centroid RETRAIN — the production answer to the frozen-centroid
@@ -379,7 +420,7 @@ object IncrementalIvf {
     * as [[IvfIndex.buildTrained]], same [[Ann.ivfAssign]] arithmetic —
     * IndexSpec pins retrained ≡ rebuilt). */
   def retrain(spark: SparkSession, root: String, newRoot: String,
-              k: Int): Unit = {
+              k: Int): Unit = SegmentStore.withWriterLease(root, "ivf-retrain") {
     val v = version(root)
     require(v > 0, s"index at $root not initialized")
     val corpus = readAssigned(spark, root)

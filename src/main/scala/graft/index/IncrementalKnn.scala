@@ -115,14 +115,17 @@ object IncrementalKnn {
     * not a serving-path one. */
   def stats(spark: SparkSession, root: String): Map[String, Long] = {
     val (v, tv, rv) = stateVersions(root)
-    val nTombs = SegmentStore.tombIds(spark, tombsBase(root))
+    // backlog = ledger entries past the last reclaiming fold's rebase
+    // (entries at or below it are physically baked in — not a backlog)
+    val nTombs = SegmentStore.tombIds(spark, tombsBase(root), tombRebase(root))
       .map(_.count()).getOrElse(0L)
     val nStale = // rv==0 counts too: holes with no repairs are still holes
       if (tv == 0) 0L
       else staleSrcs(spark, root, v).map(_.count()).getOrElse(0L)
     Map("index_version" -> v.toLong, "tombstone_ledger_version" -> tv.toLong,
       "repair_ledger_version" -> rv.toLong, "n_tombstoned_ids" -> nTombs,
-      "n_stale_srcs" -> nStale,
+      "n_stale_srcs" -> nStale, "tomb_rebase" -> tombRebase(root).toLong,
+      "repair_rebase" -> repairRebase(root).toLong,
       // READ fan-in (live segment count): after tail-folds the version
       // clock keeps counting mutations while fan-in shrinks — this is
       // the number the compaction trigger and a capacity planner watch
@@ -171,6 +174,25 @@ object IncrementalKnn {
   private def logicalNext(root: String): Long =
     SegmentStore.currentManifest(s"$root/commit").map(_.nextLogical)
       .getOrElse(version(root).toLong)
+
+  /** Ledger version the last [[reclaimFold]] physically absorbed —
+    * readers skip ledger segments at or below it (their kills are baked
+    * into the folded rows; same manifest field as the IVF/BM25 full
+    * folds). 0 until the first reclaiming fold: the plain [[tailFold]]
+    * is pure reorganization and never advances it. */
+  private def tombRebase(root: String): Int =
+    SegmentStore.currentManifest(s"$root/commit").map(_.tombRebase)
+      .getOrElse(0)
+
+  /** Repair-ledger version the last [[reclaimFold]] absorbed — readers
+    * skip repair segments at or below it. NOT hygiene: those segments'
+    * stale rows (superseded by later upserts) were suppressed by exactly
+    * the tombstone entries the fold rebased away, so merging them back
+    * would resurrect pre-upsert scores; the covered refills they DID
+    * contribute are baked into the folded edges. */
+  private def repairRebase(root: String): Int =
+    SegmentStore.currentManifest(s"$root/commit").map(_.repairRebase)
+      .getOrElse(0)
 
   /** Union of committed segments of one artifact KIND, each row tagged
     * with its logical `__seg` — from the manifest entry for plain
@@ -261,7 +283,8 @@ object IncrementalKnn {
   /** Freeze `centroids` (cid, cvec), write batch 0's assignment + probes
     * + edges (arm 1 over itself = the plain kNN graph of the batch). */
   def init(vectors: DataFrame, centroids: DataFrame, root: String,
-           nprobe: Int, k: Int): Unit = {
+           nprobe: Int, k: Int): Unit =
+    SegmentStore.withWriterLease(root, "knn-init") {
     val spark = vectors.sparkSession
     centroids.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$root/centroids")
@@ -275,13 +298,14 @@ object IncrementalKnn {
       .select(col("src"), col("dst"), col("score")), edgesDir(root, 0))
     writeVecs(vectors, root, "0")
     publish(root, 1)
-  }
+    }
 
   /** Append a delta of new vectors: one new assignment/probes/edges
     * segment, candidate arms as documented above. Vec ids must be new
     * (append-only; replacement needs tombstone + [[compact]]). */
   def append(delta: DataFrame, root: String, nprobe: Int, k: Int,
-             tag: Option[String] = None): Unit = {
+             tag: Option[String] = None): Unit =
+    SegmentStore.withWriterLease(root, "knn-append") {
     val spark = delta.sparkSession
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized — call init first")
@@ -354,7 +378,7 @@ object IncrementalKnn {
           nextLogical = logical + 1,
           nextPhysical = m.nextPhysical + 1))
     }
-  }
+    }
 
   /** The merged graph: union of all committed edge segments, one window
     * top-k per src — hash-exact the whole-corpus [[Ann.knnGraph]] rebuild
@@ -370,9 +394,12 @@ object IncrementalKnn {
     * covers them). None when no repair segment is committed. */
   private def repairRows(spark: SparkSession, root: String): Option[DataFrame] = {
     val rv = SegmentStore.version(repairBase(root))
-    if (rv == 0) None
+    val from = repairRebase(root) // absorbed by the last reclaiming fold
+    if (rv <= from) None
     else {
-      val raw = SegmentStore.readSegments(spark, rv)(repairDir(root, _))
+      val raw = (from until rv)
+        .map(k => spark.read.parquet(repairDir(root, k)))
+        .reduce(_ unionByName _)
         .withColumnRenamed("at_seg", "__seg")
       Some(
         if (raw.columns.contains("tomb_v")) raw
@@ -380,9 +407,15 @@ object IncrementalKnn {
     }
   }
 
-  /** srcs whose served top-k is STALE: they own a row (stored or repair)
-    * that a tombstone killed (dst-side, `__seg < before_seg`) from a
-    * ledger segment NEWER than any repair stamp covering the src.
+  /** LIVE srcs whose served top-k is STALE: they own a row (stored or
+    * repair) that a tombstone killed (dst-side, `__seg < before_seg`)
+    * from a ledger segment NEWER than any repair stamp covering the src.
+    * DEAD srcs are excluded — a deleted vector's own rows are dropped
+    * src-side by every read path (it serves nothing, so it has no holes
+    * to go stale), no repair can ever cover it ([[repair]] heals live
+    * srcs only), and counting it would wedge `n_stale_srcs` above zero
+    * forever — blocking [[reclaimFold]]'s gate on srcs whose rows the
+    * fold drops entirely anyway.
     * Coverage is tracked on the TOMBSTONE LEDGER's version clock, not
     * the index-segment clock: deletes and upserts never bump the index
     * version, so delete→repair→delete with no intervening append is
@@ -395,7 +428,8 @@ object IncrementalKnn {
     * bounded by the un-repaired backlog's reverse degree. */
   private def staleSrcs(spark: SparkSession, root: String,
                         v: Int): Option[DataFrame] =
-    SegmentStore.tombIdsVersioned(spark, tombsBase(root)).map { tombs =>
+    SegmentStore.tombIdsVersioned(spark, tombsBase(root), tombRebase(root))
+      .map { tombs =>
       val baseRows = readEntriesTagged(spark, root)(p => s"$root/edges/$p")
         .withColumn("tomb_v", lit(0L)) // stored rows carry no stamp
       val rows = repairRows(spark, root).fold(baseRows)(baseRows.unionByName(_))
@@ -410,7 +444,14 @@ object IncrementalKnn {
         need.join(r.groupBy(col("src"))
             .agg(max(col("tomb_v")).as("covT")), Seq("src"), "left")
           .na.fill(0L, Seq("covT")))
+      // live-src filter (see scaladoc): one slim tombstone-filtered scan
+      // of the per-segment id column — maintenance/detection cost only
+      val liveIds = filterTombs(spark, root,
+          readFramesEntriesTagged(root)(vecsSegment(spark, root, _))
+            .select(col("vec_id"), col("__seg")), Seq("vec_id"))
+        .select(col("vec_id").as("src")).distinct()
       covered.where(col("covT") < col("needT")).select(col("src"))
+        .join(liveIds, Seq("src"), "left_semi")
     }
 
   def edges(spark: SparkSession, root: String, k: Int): DataFrame = {
@@ -501,13 +542,15 @@ object IncrementalKnn {
     * touches only those srcs' lists, never corpus × corpus. Idempotent
     * via `tag`. */
   def repair(spark: SparkSession, root: String, nprobe: Int, k: Int,
-             tag: Option[String] = None): Unit = {
+             tag: Option[String] = None): Unit =
+    SegmentStore.withWriterLease(root, "knn-repair") {
     val rb = repairBase(root)
     if (tag.exists(t => (1 to SegmentStore.version(rb))
           .exists(rv => SegmentStore.hasTag(rb, rv, t)))) return
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
-    if (SegmentStore.tombIds(spark, tombsBase(root)).isEmpty) return
+    if (SegmentStore.tombIds(spark, tombsBase(root), tombRebase(root)).isEmpty)
+      return // no backlog past the last reclaiming fold — nothing to heal
     // detection from the DEAD ROWS themselves (counting served edges is
     // unsound: a refill — the pre-filter read's stored extras, or an
     // upsert's fresh pair — can restore the count while the true
@@ -556,7 +599,7 @@ object IncrementalKnn {
       repairDir(root, rv))
     holed.unpersist()
     SegmentStore.publish(rb, rv + 1, tag)
-  }
+    }
 
   /** Mark vectors DELETED — the missing half of the CRUD story the
     * reference serves (its point delete/update endpoints remove vectors
@@ -575,16 +618,19 @@ object IncrementalKnn {
     * the oracle replayable (full kNN SQL + final tombstone WHERE).
     * Idempotent via `tag` like [[append]] (at-least-once deleters replay
     * safely). */
-  def delete(ids: DataFrame, root: String, tag: Option[String] = None): Unit = {
-    val v = version(root)
-    require(v > 0, s"knn graph at $root not initialized")
-    // horizon = the current NEXT logical number: every EXISTING row of
-    // the id dies, and a future re-insert of the same id (a new
-    // document, or [[upsert]]'s new version) serves from its own segment
-    // on — the Lucene delete-then-add semantics
-    SegmentStore.tombWrite(ids, "vec_id", tombsBase(root), tag,
-      beforeSeg = logicalNext(root))
-  }
+  def delete(ids: DataFrame, root: String, tag: Option[String] = None): Unit =
+    SegmentStore.withWriterLease(root, "knn-delete") {
+      val v = version(root)
+      require(v > 0, s"knn graph at $root not initialized")
+      // horizon = the current NEXT logical number: every EXISTING row of
+      // the id dies, and a future re-insert of the same id (a new
+      // document, or [[upsert]]'s new version) serves from its own segment
+      // on — the Lucene delete-then-add semantics. Under the lease a
+      // delete never interleaves a fold, so its horizon can never equal
+      // a folding segment's logical number.
+      SegmentStore.tombWrite(ids, "vec_id", tombsBase(root), tag,
+        beforeSeg = logicalNext(root))
+    }
 
   /** UPSERT — update points IN PLACE by id (the reference's Qdrant
     * upsert overwrites a point; until now this family required
@@ -599,14 +645,15 @@ object IncrementalKnn {
     * current pairs complete: the new vectors probe everything (arm 1)
     * and every prior src gains them as candidates (arm 2). */
   def upsert(delta: DataFrame, root: String, nprobe: Int, k: Int,
-             tag: Option[String] = None): Unit = {
-    val v = version(root)
-    require(v > 0, s"knn graph at $root not initialized")
-    SegmentStore.tombWrite(delta.select(col("vec_id")), "vec_id",
-      tombsBase(root), tag.map(t => s"${t}_t"), beforeSeg = logicalNext(root))
-    if (!tag.exists(t => committedHasTag(root, t)))
-      append(delta, root, nprobe, k, tag)
-  }
+             tag: Option[String] = None): Unit =
+    SegmentStore.withWriterLease(root, "knn-upsert") { // nested append
+      val v = version(root)                            // re-enters
+      require(v > 0, s"knn graph at $root not initialized")
+      SegmentStore.tombWrite(delta.select(col("vec_id")), "vec_id",
+        tombsBase(root), tag.map(t => s"${t}_t"), beforeSeg = logicalNext(root))
+      if (!tag.exists(t => committedHasTag(root, t)))
+        append(delta, root, nprobe, k, tag)
+    }
 
   /** Union of per-segment reads with each row tagged by its segment
     * index (`__seg`) — the provenance the versioned tombstones cut
@@ -620,7 +667,7 @@ object IncrementalKnn {
     * must carry `__seg` ([[readEntriesTagged]]). */
   private def filterTombs(spark: SparkSession, root: String, df: DataFrame,
                           cols: Seq[String]): DataFrame =
-    SegmentStore.tombIds(spark, tombsBase(root)).fold(df) { t =>
+    SegmentStore.tombIds(spark, tombsBase(root), tombRebase(root)).fold(df) { t =>
       cols.foldLeft(df) { (d, c) =>
         val tt = broadcast(t.select(col(t.columns.head).as(s"__t_$c"),
           col("before_seg").as(s"__b_$c")))
@@ -695,7 +742,8 @@ object IncrementalKnn {
     * reclamation half of [[delete]]'s mark-and-filter, same as a Lucene
     * segment merge. */
   def compact(spark: SparkSession, root: String, newRoot: String,
-              k: Int, tag: Option[String] = None): Unit = {
+              k: Int, tag: Option[String] = None): Unit =
+    SegmentStore.withWriterLease(root, "knn-compact") {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
     readCentroids(spark, root).coalesce(1).write.mode(SaveMode.Overwrite)
@@ -715,7 +763,7 @@ object IncrementalKnn {
       .select(col("src"), col("dst"), col("score")), edgesDir(newRoot, 0))
     writeVecs(vectorsAll(spark, root), newRoot, "0") // re-sorts the fold
     publish(newRoot, 1, tag)
-  }
+    }
 
   /** Size-tiered auto-compaction trigger (see
     * [[IncrementalBm25.compactIfNeeded]] — same policy, same pointer-swap
@@ -728,10 +776,25 @@ object IncrementalKnn {
 
   private val SegKinds = Seq("assign", "probes", "edges", "vecs", "coarse")
 
+  /** Segment list at committed version `w` — the GC's previous-manifest
+    * view (see [[IncrementalIvf.entryListAt]]). */
+  private def segEntriesAt(root: String, w: Int): Seq[SegmentStore.ManifestEntry] =
+    if (w <= 0) Seq.empty
+    else SegmentStore.manifestAt(s"$root/commit", w).map(_.entries)
+      .getOrElse((0 until w).map(k =>
+        SegmentStore.ManifestEntry(k.toString, k.toLong)))
+
+  /** Retain-one-generation sweep across all five artifact kinds —
+    * [[IncrementalIvf.gcUnreferencedSegs]]'s graph twin: dirs referenced
+    * by NEITHER of the last two committed manifests go; folded-away
+    * tails get one fold generation of grace for in-flight readers. Runs
+    * under the writer lease. */
   private def gcUnreferencedSegs(root: String): Unit = {
-    val referenced = segEntries(root).map(_.dir).toSet
+    val v = version(root)
+    val retained = (segEntriesAt(root, v) ++ segEntriesAt(root, v - 1))
+      .map(_.dir).toSet
     SegKinds.foreach { kind =>
-      SegmentStore.listChildDirs(s"$root/$kind").filterNot(referenced)
+      SegmentStore.listChildDirs(s"$root/$kind").filterNot(retained)
         .foreach(c => SegmentStore.deleteTree(s"$root/$kind/$c"))
     }
   }
@@ -755,11 +818,13 @@ object IncrementalKnn {
     * folded segments exactly as on grown ones. */
   def tailFold(spark: SparkSession, root: String, keep: Int = 1,
                tag: Option[String] = None): Unit = {
+    require(keep >= 1,
+      "knn tail-fold keeps at least one segment — full in-root " +
+        "reclamation is reclaimFold() (repairs-current gate) or compact()")
+    if (tag.exists(t => committedHasTag(root, t))) return
+    SegmentStore.withWriterLease(root, "knn-tail-fold") {
     val v = version(root)
     require(v > 0, s"knn graph at $root not initialized")
-    require(keep >= 1,
-      "knn tail-fold keeps at least one segment — full reclamation is compact()")
-    if (tag.exists(t => committedHasTag(root, t))) return
     gcUnreferencedSegs(root)
     val entries = segEntries(root)
     if (entries.size <= keep) return // empty tail — nothing to fold
@@ -802,22 +867,115 @@ object IncrementalKnn {
         nextLogical = nextLog, // unchanged: the fold consumes no number
         nextPhysical = nextPhys + 1,
         tombRebase = rebase))
-    tail.foreach(e =>
-      SegKinds.foreach(kind => SegmentStore.deleteTree(s"$root/$kind/${e.dir}")))
+    // no post-publish sweep: folded-away dirs get one fold generation of
+    // grace for in-flight readers (gcUnreferencedSegs retain-one rule)
+    }
   }
 
   /** Size-tiered trigger for [[tailFold]] — fold on READ fan-in, the
     * suffix chosen by [[SegmentStore.tieredFoldStart]] over the
-    * five-kind segment byte totals (edges + assign dominate). */
+    * five-kind segment byte totals (edges + assign dominate).
+    * `keep < maxSegments` required and the ladder-fit warning returned —
+    * see [[IncrementalIvf.tailFoldIfNeeded]]. */
   def tailFoldIfNeeded(spark: SparkSession, root: String, maxSegments: Int,
-                       keep: Int = 1, tag: Option[String] = None): Unit = {
+                       keep: Int = 1,
+                       tag: Option[String] = None): Option[String] = {
+    require(keep < maxSegments,
+      s"keep ($keep) must be < maxSegments ($maxSegments): the trigger " +
+        "would fold one segment per trigger forever, never reducing fan-in")
     val entries = segEntries(root)
     if (entries.size > maxSegments) {
-      val sizes = entries.map(e =>
-        SegKinds.map(k => SegmentStore.treeBytes(s"$root/$k/${e.dir}")).sum)
+      val sizes = segmentSizes(root)
       tailFold(spark, root,
         math.max(SegmentStore.tieredFoldStart(sizes, keep, maxSegments), 1),
         tag)
+      SegmentStore.ladderCheck(sizes, maxSegments)
+    } else None
+  }
+
+  /** Per-live-segment byte totals across the five artifact kinds — the
+    * size input of the fold ladder and of [[SegmentStore.ladderCheck]]
+    * (admin-route observability). Order matches the manifest entry
+    * list. */
+  def segmentSizes(root: String): Seq[Long] =
+    segEntries(root).map(e =>
+      SegKinds.map(k => SegmentStore.treeBytes(s"$root/$k/${e.dir}")).sum)
+
+  /** RECLAIMING full fold — bake every committed kill into ONE fresh
+    * segment IN THIS ROOT and REBASE the tombstone ledger, the graph
+    * family's missing lever between [[tailFold]] (pure reorganization —
+    * dead rows and ledger history fold through untouched, growing with
+    * churn) and [[compact]] (a full new root + pointer swap). After a
+    * sustained churn the ledger's broadcast anti-join input is the cost
+    * that grows without bound; this bounds it in place: the root path
+    * never moves, the ledger's version clock never resets, readers just
+    * skip everything at or below the manifest's new `tombRebase`.
+    *
+    * GATED ON REPAIRS-CURRENT (`n_stale_srcs == 0` — [[stats]]'s one
+    * alertable number): baking freezes the current served top-k as the
+    * new stored base, so a rank hole repair hasn't healed yet would
+    * freeze as permanent silent truncation (the dead row that marked the
+    * src as needing repair is physically gone — [[staleSrcs]] could
+    * never detect it again). With repairs current, every src's served
+    * top-k IS the rebuild-over-survivors top-k (the a29/a33 oracles), so
+    * freezing it loses nothing: the fold writes
+    *   - assign/probes/vecs/coarse: tombstone-filtered unions (kills
+    *     physically dropped),
+    *   - edges: the covered merged read ([[edges]] — repair refills
+    *     folded in, ranks recomputed at read),
+    * all under ONE fresh logical number (every surviving row is current
+    * as of the fold — uniform horizon, no stored `__seg` column), so a
+    * post-fold delete/upsert kills folded rows normally with its higher
+    * horizon. The REPAIR ledger rebases with the tombstone ledger
+    * (`repairRebase` — readers skip absorbed repair segments): their
+    * covered refills are IN the folded edges, and their stale rows
+    * (superseded by pre-fold upserts) were suppressed by exactly the
+    * tombstone entries the fold absorbed — merging them back would
+    * resurrect pre-upsert scores (the twin test caught it). Write cost
+    * is O(live corpus) like any full fold — schedule at the deep-clean
+    * cadence, not per batch. Idempotent via `tag`; runs under the
+    * writer lease. */
+  def reclaimFold(spark: SparkSession, root: String, k: Int,
+                  tag: Option[String] = None): Unit = {
+    if (tag.exists(t => committedHasTag(root, t))) return
+    SegmentStore.withWriterLease(root, "knn-reclaim-fold") {
+      val v = version(root)
+      require(v > 0, s"knn graph at $root not initialized")
+      gcUnreferencedSegs(root)
+      val staleN = staleSrcs(spark, root, v).map(_.count()).getOrElse(0L)
+      require(staleN == 0L,
+        s"reclaiming fold refused: $staleN srcs have unrepaired holes " +
+          "(n_stale_srcs > 0) — baking kills now would freeze them as " +
+          "silent truncation; run repair() first")
+      // ledger clocks captured BEFORE the reads they stamp as absorbed
+      val tombV = SegmentStore.tombVersion(tombsBase(root))
+      val repairV = SegmentStore.version(repairBase(root))
+      val cur = SegmentStore.currentManifest(s"$root/commit")
+      val nextPhys = cur.map(_.nextPhysical).getOrElse(v)
+      val nextLog = cur.map(_.nextLogical).getOrElse(v.toLong)
+      val p = nextPhys.toString
+      filterTombs(spark, root,
+          readEntriesTagged(spark, root)(d => s"$root/assign/$d"), Seq("vec_id"))
+        .drop("__seg")
+        .select(col("vec_id"), col("embedding"), col("cid"))
+        .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+        .partitionBy("cid").parquet(s"$root/assign/$p")
+      filterTombs(spark, root,
+          readEntriesTagged(spark, root)(d => s"$root/probes/$d"), Seq("src"))
+        .drop("__seg")
+        .select(col("src"), col("cid"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/probes/$p")
+      writeEdges(edges(spark, root, k) // covered merged read, repairs baked
+        .select(col("src"), col("dst"), col("score")), s"$root/edges/$p")
+      writeVecs(vectorsAll(spark, root), root, p) // re-sorts the fold
+      SegmentStore.publishManifest(s"$root/commit", v + 1, tag,
+        SegmentStore.Manifest(
+          Seq(SegmentStore.ManifestEntry(p, nextLog)),
+          nextLogical = nextLog + 1,
+          nextPhysical = nextPhys + 1,
+          tombRebase = tombV,
+          repairRebase = repairV))
+      // folded-away dirs: one-generation grace, same as tailFold
     }
   }
 
@@ -832,7 +990,8 @@ object IncrementalKnn {
     * result serves exactly [[Ann.knnGraph]] over the live vectors against
     * the re-fit centroids (IndexSpec pins it). */
   def retrain(spark: SparkSession, root: String, newRoot: String,
-              numCentroids: Int, nprobe: Int, k: Int): Unit = {
+              numCentroids: Int, nprobe: Int, k: Int): Unit =
+    SegmentStore.withWriterLease(root, "knn-retrain") {
     require(version(root) > 0, s"knn graph at $root not initialized")
     val live = vectorsAll(spark, root)
     val assembled = live.withColumn("features",
@@ -855,7 +1014,7 @@ object IncrementalKnn {
       .select(col("src"), col("dst"), col("score")), edgesDir(newRoot, 0))
     writeVecs(live, newRoot, "0")
     publish(newRoot, 1)
-  }
+    }
 
   /** Incrementally-GROWN whole-corpus graph for `dataDir` (thirds: init +
     * two appends), memoized via the IndexCatalog — oracle-checkable
@@ -948,6 +1107,29 @@ object IncrementalKnn {
         .select(col("vec_id")), p, tag = Some("demo_delete"))
       repair(spark, p, nprobe, k, tag = Some("demo_repair"))
       tailFold(spark, p, keep = 1, tag = Some("demo_tf_fold"))
+    }
+
+  val ReclaimName = "knn_reclaim_v1"
+
+  /** [[ensureRepaired]]'s graph (delete + repair) with a RECLAIMING full
+    * fold on top — memoized for the `a33_graph_reclaim` oracle: baking
+    * kills with repairs current freezes exactly the rebuild-over-
+    * survivors state, so the read must STILL equal a29's SQL verbatim,
+    * ranks dense — while the manifest's `tombRebase` proves the ledger
+    * is physically absorbed (readers pay zero anti-join for it). */
+  def ensureReclaimFolded(spark: SparkSession, dataDir: String,
+                          nprobe: Int = 3, k: Int = 5): String =
+    IndexCatalog.ensure(spark, dataDir, ReclaimName) { p =>
+      val emb = Tables.embeddings(spark, dataDir)
+      val centroids = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      init(emb.where(col("vec_id") % 3 === 0), centroids, p, nprobe, k)
+      append(emb.where(col("vec_id") % 3 === 1), p, nprobe, k)
+      append(emb.where(col("vec_id") % 3 === 2), p, nprobe, k)
+      delete(emb.where(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id")), p, tag = Some("demo_delete"))
+      repair(spark, p, nprobe, k, tag = Some("demo_repair"))
+      reclaimFold(spark, p, k, tag = Some("demo_reclaim"))
     }
 
   /** [[ensureTombstoned]]'s graph with the holes REPAIRED — memoized for

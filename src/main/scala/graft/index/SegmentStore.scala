@@ -39,6 +39,12 @@ object SegmentStore {
 
   val CommitMarker = "_COMMITTED"
 
+  /** Thrown when a writer-lease acquisition finds the lease held by
+    * another writer ([[withWriterLease]]) — the LOUD refusal that turns
+    * the single-writer prose contract into a checked one. */
+  final class LeaseHeldException(msg: String)
+    extends IllegalStateException(msg)
+
   /** The catalog's build-complete marker ([[IndexCatalog]] writes it
     * after a successful build and refuses to adopt a tree without it).
     * Named here because [[snapshot]]'s copy ordering must treat it as
@@ -71,6 +77,118 @@ object SegmentStore {
   def pathExists(path: String): Boolean = {
     val (fs, p) = fsFor(path)
     fs.exists(p)
+  }
+
+  // ---- Writer lease (the single-writer contract, CHECKED) ----
+  //
+  // Every mutation of an index root (append/upsert/delete/fold/compact/
+  // retrain) assumes it is the only writer: the fold's GC sweeps any
+  // physical dir the committed manifests don't reference — which would
+  // include a CONCURRENT in-flight append's uncommitted dir — and a
+  // delete committed mid-fold could take a horizon equal to the folded
+  // segment's logical number (sparing rows whose kill was never baked
+  // in: silent resurrection). The maintenance loops are single-writer by
+  // construction, but `POST /api/admin/tail-fold` (or any second
+  // process) is operator-reachable concurrently — so the contract is
+  // now CHECKED, not prose: every mutator acquires the root's lease
+  // file and a held lease refuses loudly ([[LeaseHeldException]])
+  // instead of corrupting silently.
+  //
+  // Mechanics: one zero-ish lease file per index root
+  // (`<root>/_WRITER_LEASE`), created with overwrite=false — an atomic
+  // namespace op on HDFS/POSIX (object stores: one conditional PUT
+  // where supported; elsewhere the lease is advisory-but-loud, strictly
+  // better than the unchecked prose). The file carries owner +
+  // wall-clock millis; a holder that crashed leaves a STALE lease,
+  // broken by age (`staleMs`) — two breakers racing resolve by the same
+  // create-no-overwrite atomicity. In-process the lease is REENTRANT
+  // per thread (an upsert's nested append re-enters; a SECOND thread in
+  // the same JVM conflicts exactly like a second process).
+
+  val LeaseFile = "_WRITER_LEASE"
+
+  /** Default stale-lease age: generous against slow folds, small against
+    * operator patience after a crash. */
+  val DefaultLeaseStaleMs: Long = 30L * 60 * 1000
+
+  // in-process reentrancy: qualified lease path -> (holder thread id,
+  // nesting depth). ConcurrentHashMap because suites may exercise
+  // multiple roots from multiple threads.
+  private val heldLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+
+  /** Run `body` holding the writer lease of index root `root`; acquire
+    * refuses loudly ([[LeaseHeldException]]) when another writer holds a
+    * fresh lease. Reentrant within the acquiring thread. The lease file
+    * is removed on exit (normal or exceptional); a crash leaves it to
+    * age out. */
+  def withWriterLease[T](root: String, owner: String,
+                         staleMs: Long = DefaultLeaseStaleMs)(body: => T): T = {
+    val (fs, p0) = fsFor(s"$root/$LeaseFile")
+    val leasePath = fs.makeQualified(p0)
+    val key = leasePath.toString
+    val tid = Thread.currentThread().getId
+    val held = heldLeases.get(key)
+    if (held != null && held._1 == tid) { // reentrant hold
+      heldLeases.put(key, (tid, held._2 + 1))
+      try body
+      finally {
+        val cur = heldLeases.get(key)
+        if (cur._2 <= 1) heldLeases.remove(key)
+        else heldLeases.put(key, (tid, cur._2 - 1))
+      }
+    } else {
+      acquireLeaseFile(fs, leasePath, root, owner, staleMs)
+      heldLeases.put(key, (tid, 1))
+      try body
+      finally {
+        heldLeases.remove(key)
+        fs.delete(leasePath, false)
+      }
+    }
+  }
+
+  /** Create the lease file with overwrite=false; on conflict, break a
+    * stale holder once (age > `staleMs`) and retry, else refuse. */
+  private def acquireLeaseFile(fs: FileSystem, leasePath: Path,
+                               root: String, owner: String,
+                               staleMs: Long): Unit = {
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(leasePath, false)
+        try out.write(s"$owner\t${System.currentTimeMillis()}".getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val (heldOwner, heldAt) =
+        try {
+          val in = fs.open(leasePath)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](256)
+            var n = in.read(chunk)
+            while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+            val parts = new String(buf.toByteArray, "UTF-8").split('\t')
+            (parts.headOption.getOrElse("?"),
+              parts.lift(1).flatMap(_.toLongOption).getOrElse(0L))
+          } finally in.close()
+        } catch {
+          // holder released between our create attempt and the read —
+          // treat as stale (age 0 holder gone) and retry below
+          case _: java.io.IOException => ("?", 0L)
+        }
+      val age = System.currentTimeMillis() - heldAt
+      if (age > staleMs) {
+        fs.delete(leasePath, false) // break the stale lease; racing
+        if (!tryCreate())           // breakers resolve at this create
+          throw new LeaseHeldException(
+            s"writer lease on $root contended while breaking a stale holder — retry")
+      } else throw new LeaseHeldException(
+        s"writer lease on $root held by '$heldOwner' (${age}ms old): " +
+          "concurrent mutation refused — retry after the current " +
+          "append/fold/compact finishes")
+    }
   }
 
   /** Committed version: max N among `base/v=N` children carrying the
@@ -161,9 +279,15 @@ object SegmentStore {
     * every live row's tag); `nextPhysical` names the next physical dir
     * (never reused, so folded-away dirs can be swept without racing a
     * retry); `tombRebase` is the tombstone-ledger version whose entries
-    * are fully baked into the current segments (readers skip them). */
+    * are fully baked into the current segments (readers skip them);
+    * `repairRebase` is its repair-ledger twin (graph family only — a
+    * reclaiming fold bakes the covered refills into the folded edges, so
+    * readers MUST skip absorbed repair segments: their stale rows were
+    * suppressed by exactly the tombstone entries the fold rebased away,
+    * and merging them back would silently resurrect pre-upsert scores). */
   final case class Manifest(entries: Seq[ManifestEntry], nextLogical: Long,
-                            nextPhysical: Int, tombRebase: Int)
+                            nextPhysical: Int, tombRebase: Int,
+                            repairRebase: Int = 0)
 
   private def manifestPath(versionsBase: String, v: Int): Path =
     new Path(versionDir(versionsBase, v), "manifest")
@@ -176,6 +300,7 @@ object SegmentStore {
     sb.append("nextLogical=").append(m.nextLogical).append('\n')
     sb.append("nextPhysical=").append(m.nextPhysical).append('\n')
     sb.append("tombRebase=").append(m.tombRebase).append('\n')
+    sb.append("repairRebase=").append(m.repairRebase).append('\n')
     m.entries.foreach { e =>
       sb.append("entry=").append(e.dir).append('\t')
         .append(e.logicalSeg).append('\n')
@@ -193,8 +318,14 @@ object SegmentStore {
       require(parts.length == 2, s"malformed manifest entry: $l")
       ManifestEntry(parts(0), parts(1).toLong)
     }
+    // repairRebase absent in pre-reclaim manifests: default 0 (no
+    // repair segment absorbed) — forward-compatible parse
+    val repairRebase = lines
+      .collectFirst { case l if l.startsWith("repairRebase=") =>
+        l.drop("repairRebase=".length).toInt }
+      .getOrElse(0)
     Manifest(entries, field("nextLogical").toLong,
-      field("nextPhysical").toInt, field("tombRebase").toInt)
+      field("nextPhysical").toInt, field("tombRebase").toInt, repairRebase)
   }
 
   /** Publish version `v` CARRYING a manifest: payload + optional tag
@@ -292,6 +423,30 @@ object SegmentStore {
     m = math.min(m, sizes.length - 2)
     while (m > keep && m + 1 > maxSegments) m -= 1
     math.max(m, keep)
+  }
+
+  /** Runtime guard for the fold ladder's fan-in trade ([[tieredFoldStart]]
+    * scaladoc): the tiered policy needs roughly ONE fan-in slot per size
+    * tier, so a `maxSegments` below the observed tier count forces the
+    * hard bound past similar-size runs and mid-tier folds degrade toward
+    * the fold-everything cost. Returns the warning an operator should
+    * see (None = the ladder fits). Tier count is the log_ratio span of
+    * the observed sizes — the number of distinct size classes the ladder
+    * can hold at once. */
+  def ladderCheck(sizes: Seq[Long], maxSegments: Int,
+                  ratio: Long = 4): Option[String] = {
+    val nz = sizes.map(math.max(_, 1L))
+    if (nz.isEmpty) None
+    else {
+      val tiers = (math.log(nz.max.toDouble / nz.min.toDouble) /
+        math.log(ratio.toDouble)).toInt + 1
+      if (maxSegments < tiers) Some(
+        s"maxSegments=$maxSegments is below the observed size-tier " +
+          s"count $tiers (size ratio ${nz.max}/${nz.min}, ladder ratio " +
+          s"$ratio): mid-tier folds degrade toward fold-everything " +
+          "write cost — raise maxSegments to ~one slot per tier")
+      else None
+    }
   }
 
   /** Child directory names of `path` (empty when absent) — the GC
@@ -532,21 +687,40 @@ object SegmentStore {
 
   /** Crash-consistent SNAPSHOT of an index root (backup/restore — the
     * operational surface Qdrant serves as collection snapshots; at
-    * 100 TB a snapshot is a listing + a distributable copy job, and its
-    * consistency comes from the same marker protocol every reader
-    * already honors, not from quiescing writers).
+    * 100 TB a snapshot is a listing + a distributable copy job).
+    *
+    * The snapshot HOLDS THE ROOT'S WRITER LEASE for its duration
+    * ([[withWriterLease]]) — quiescing mutations is part of the contract
+    * for MANIFEST roots: a tail-fold deletes physical segment dirs
+    * INSIDE the live root (a fold mid-copy could delete listed files, or
+    * worse, commit a marker for a version whose data the walk already
+    * passed), and even a plain append can tear against the recursive
+    * walk (the walk may pass `seg/` before the append writes and reach
+    * `commit/` after its marker lands — a committed version with missing
+    * data in the copy). Pre-manifest roots were append-only within a
+    * root and mostly safe by marker ordering; manifest roots are not,
+    * so the lease replaces that luck with a checked quiesce. Mutations
+    * attempted during a snapshot refuse loudly and retry after it; at
+    * 100 TB, snapshot a non-serving replica or schedule with ingest.
+    * Transient [[LeaseFile]]s are never copied.
     *
     * One recursive listing of `src` fixes the snapshot's view; then the
     * files copy in FOUR strictly-ordered passes — data, tombstone/repair
-    * ledger `_COMMITTED` markers, segment-ledger `_COMMITTED` markers,
+    * ledger `_COMMITTED` markers, segment-ledger `_COMMITTED` markers
+    * (each ledger's markers version-DESCENDING, see [[orderForCopy]]),
     * and the catalog `_GRAFT_INDEX_READY` marker dead last — the writer
     * protocol re-applied to the copy, giving these guarantees with zero
     * coordination:
     *
     *   - a crash mid-snapshot leaves a copy whose highest versions have
-    *     data but no marker: readers resolve the last fully-copied
-    *     committed version (or version 0, loudly refused) — never a
-    *     committed version with missing files;
+    *     data but no marker: readers resolve version 0 (loudly refused)
+    *     or — because each ledger's markers copy version-DESCENDING —
+    *     the TRUE list-time current version, whose data (and manifest,
+    *     with every dir it references) all arrived in the completed
+    *     data pass. A torn copy can never resolve to an OLD committed
+    *     version whose manifest references dirs a later fold swept
+    *     from the source — the dangling-manifest tear an ascending (or
+    *     arbitrary) marker order would allow;
     *   - a crash DURING the marker pass can only leave the copy with
     *     MORE tombstone/repair ledger committed than segment ledger
     *     committed, never less (ledger markers land before segment
@@ -560,12 +734,10 @@ object SegmentStore {
     *     to [[graft.index.IndexCatalog.ensure]]/[[graft.index.IndexCatalog.adopt]]
     *     — the ready marker's presence in a snapshot copy certifies the
     *     whole marker set beneath it arrived;
-    *   - a concurrent single-writer appending version N+1 during the
-    *     copy is invisible: N+1's marker wasn't in the listing, so the
-    *     copy commits exactly the list-time version (any N+1 data files
-    *     that snuck into the listing arrive marker-less, i.e. orphaned,
-    *     and the retry writer's overwrite semantics already handle
-    *     orphans).
+    *   - concurrent writers cannot exist: the held lease refuses them
+    *     for the snapshot's duration, so the listing is stable — no
+    *     append can tear against the walk and no fold can delete a
+    *     listed file mid-copy.
     *
     * Uncommitted source orphans copy as uncommitted orphans (their
     * markers don't exist to copy) — the snapshot never "launders" a
@@ -589,16 +761,18 @@ object SegmentStore {
     val conf = SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
-    val prefix = sp.toString + "/"
-    val files = scala.collection.mutable.ArrayBuffer[Path]()
-    val it = fs.listFiles(sp, true)
-    while (it.hasNext) files += it.next().getPath
-    def copy(p: Path): Unit = {
-      val rel = p.toString.stripPrefix(prefix)
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, p, dfs, new Path(dest, rel), false, conf)
+    withWriterLease(src, "snapshot") { // quiesce folds/appends (see doc)
+      val prefix = sp.toString + "/"
+      val files = scala.collection.mutable.ArrayBuffer[Path]()
+      val it = fs.listFiles(sp, true)
+      while (it.hasNext) files += it.next().getPath
+      def copy(p: Path): Unit = {
+        val rel = p.toString.stripPrefix(prefix)
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, p, dfs, new Path(dest, rel), false, conf)
+      }
+      orderForCopy(files.toSeq).foreach(copy)
     }
-    orderForCopy(files.toSeq).foreach(copy)
   }
 
   /** The crash-safety ordering of [[snapshot]]'s copy, as a pure plan
@@ -607,15 +781,37 @@ object SegmentStore {
     * `_COMMITTED` markers, then any `_GRAFT_INDEX_READY` marker dead
     * last. Cross-ledger marker order: tombstone + repair ledgers commit
     * in the copy BEFORE the segment ledger (see [[snapshot]]'s contract
-    * — a marker-pass tear must over-delete, never resurrect). */
+    * — a marker-pass tear must over-delete, never resurrect).
+    *
+    * Within each commit base, markers copy version-DESCENDING: a crash
+    * mid-marker-pass then leaves the base resolving either to its TRUE
+    * list-time current version (the first marker copied — data pass
+    * complete, so every file and manifest-referenced dir that version
+    * needs is present) or to version 0 (refused loudly) — never to an
+    * OLD version whose manifest may reference dirs a fold already swept
+    * from the source. `version()` takes max(marked), so the missing
+    * lower markers are immaterial.
+    *
+    * Transient [[LeaseFile]]s (the snapshot's own quiesce lease
+    * included) are dropped from the plan — a copied lease would block
+    * the restored root's writers for a full stale-age for no reason. */
   private[graft] def orderForCopy(files: Seq[Path]): Seq[Path] = {
-    val (ready, rest) = files.partition(_.getName == ReadyMarker)
+    val (ready, rest0) = files.partition(_.getName == ReadyMarker)
+    val rest = rest0.filterNot(_.getName == LeaseFile)
     val (markers, data) = rest.partition(_.getName == CommitMarker)
     val (ledgerMarkers, segMarkers) = markers.partition { p =>
       val s = p.toString
       s.contains("/tombs/") || s.contains("/repairs/")
     }
-    data ++ ledgerMarkers ++ segMarkers ++ ready
+    def descending(ms: Seq[Path]): Seq[Path] = ms.sortBy { p =>
+      val vd = p.getParent // the v=N version dir
+      val base = Option(vd).flatMap(d => Option(d.getParent))
+        .map(_.toString).getOrElse("")
+      val v = Option(vd).map(_.getName.stripPrefix("v="))
+        .flatMap(_.toIntOption).getOrElse(0)
+      (base, -v)
+    }
+    data ++ descending(ledgerMarkers) ++ descending(segMarkers) ++ ready
   }
 
   /** Verify `dest` carries every protocol marker the `src` tree carries
@@ -641,6 +837,45 @@ object SegmentStore {
       out.toSet
     }
     (markerSet(src) -- markerSet(dest)).toSeq.sorted
+  }
+
+  /** Referential completeness certificate for MANIFEST roots — the
+    * second restore-time check next to [[missingMarkers]]: for every
+    * commit base under `root`, parse the CURRENT committed manifest (if
+    * any) and return the entries whose physical segment directory is
+    * absent. Structurally unreachable for copies made by [[snapshot]]
+    * (lease-quiesced listing + descending marker order), so a non-empty
+    * result means external tampering or a copy made by some other tool
+    * — refuse before adopting. Entry paths resolve against the base's
+    * parent (the index root): `seg/<n>`-style entries directly, bare
+    * physical numbers via the graph family's `assign/` kind (its five
+    * artifact kinds share the number and are swept together). Cost: one
+    * recursive listing + one existence probe per live segment. */
+  def danglingManifestRefs(root: String): Seq[String] = {
+    val (fs, p0) = fsFor(root)
+    if (!fs.exists(p0)) return Seq.empty
+    val bases = scala.collection.mutable.Set[Path]()
+    val it = fs.listFiles(fs.makeQualified(p0), true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      // a manifest payload lives at <base>/v=N/manifest
+      if (f.getName == "manifest" && f.getParent != null &&
+          f.getParent.getName.startsWith("v=") &&
+          f.getParent.getParent != null)
+        bases += f.getParent.getParent
+    }
+    bases.toSeq.flatMap { base =>
+      val baseStr = base.toString
+      currentManifest(baseStr).toSeq.flatMap { m =>
+        val idxRoot = base.getParent.toString
+        m.entries.filter { e =>
+          val dir =
+            if (e.dir.contains("/")) s"$idxRoot/${e.dir}"
+            else s"$idxRoot/assign/${e.dir}"
+          !fs.exists(new Path(dir))
+        }.map(e => s"$baseStr -> ${e.dir}")
+      }
+    }.sorted
   }
 
   /** [[snapshot]] for a POINTER-MANAGED root (the streaming ingests'

@@ -690,16 +690,24 @@ object Api {
       }
 
     case "/api/admin/index-stats" =>
-      // Observability for the MUTABLE serving root (Lucene's segment +
-      // deleted-doc counters, Qdrant's collection status): the three
-      // mutation clocks, the tombstone backlog compaction will fold,
-      // and n_stale_srcs — the one alertable number (0 = every read is
-      // rebuild-exact; >0 = visible-holes degraded until next repair).
+      // Observability for the MUTABLE serving roots (Lucene's segment +
+      // deleted-doc counters, Qdrant's collection status): the graph
+      // root's three mutation clocks, tombstone backlog, and
+      // n_stale_srcs — the one alertable number (0 = every read is
+      // rebuild-exact; >0 = visible-holes degraded until next repair) —
+      // plus the grown BM25 root's STALE-STATS drift gauge
+      // (stats_drift_docs: documents df/n_docs/avgdl still count that no
+      // longer serve; when its share of stats_n_docs passes the
+      // operator's tolerance, a full fold/compact is the merge moment
+      // that zeroes it — IncrementalBm25.stats).
       val src = graft.index.TfIdfGraphIndex.ensureGrown(spark, dir)
       val st = graft.index.IncrementalKnn.stats(spark, src)
-      ok(st.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${quote(k)}:$v" }
-        .mkString(s"""{"root":${quote(src)},""", ",", "}"))
+      val bmRoot = graft.index.IncrementalBm25.ensure(spark, dir)
+      val bm = graft.index.IncrementalBm25.stats(spark, bmRoot, "doc_id")
+      def obj(m: Map[String, Long]): String = m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${quote(k)}:$v" }.mkString(",")
+      ok(s"""{"root":${quote(src)},${obj(st)},""" +
+        s""""bm25":{"root":${quote(bmRoot)},${obj(bm)}}}""")
 
     case "/api/admin/tail-fold" =>
       // In-place bounded-write compaction of the LIVE grown graph root
@@ -711,12 +719,32 @@ object Api {
       // the next read; no cache flush, no downtime, no pointer swap.
       // Tombstone/repair reclamation stays with the full compact (the
       // deep clean an operator schedules off-peak).
+      // The single-writer contract is CHECKED here: this route racing a
+      // live CDC append/fold on the same root refuses with 409 (the
+      // writer lease) instead of sweeping the in-flight segment.
+      // Optional `max_segments`: route through the size-tiered trigger
+      // instead of an unconditional keep=1 fold, reporting the ladder
+      // warning when the configured fan-in bound is below the observed
+      // size-tier count (SegmentStore.ladderCheck).
       val src = graft.index.TfIdfGraphIndex.ensureGrown(spark, dir)
       val before = graft.index.IncrementalKnn.fanIn(src)
-      graft.index.IncrementalKnn.tailFold(spark, src, keep = 1)
-      val after = graft.index.IncrementalKnn.fanIn(src)
-      ok(s"""{"success":true,"root":${quote(src)},""" +
-        s""""fan_in_before":$before,"fan_in_after":$after}""")
+      try {
+        val warn = params.get("max_segments") match {
+          case Some(ms) => graft.index.IncrementalKnn.tailFoldIfNeeded(
+            spark, src, ms.toInt)
+          case None => // unconditional keep=1 fold: no configured fan-in
+            graft.index.IncrementalKnn.tailFold(spark, src, keep = 1)
+            None // bound exists, so no ladder check applies
+        }
+        val after = graft.index.IncrementalKnn.fanIn(src)
+        ok(s"""{"success":true,"root":${quote(src)},""" +
+          s""""fan_in_before":$before,"fan_in_after":$after""" +
+          warn.map(w => s""","ladder_warning":${quote(w)}""").getOrElse("") +
+          "}")
+      } catch {
+        case e: graft.index.SegmentStore.LeaseHeldException =>
+          Response(409, err(e.getMessage))
+      }
 
     case "/api/admin/restore" =>
       // The restore half of the backup story: replace the LIVE grown
@@ -744,6 +772,15 @@ object Api {
       if (missing.nonEmpty)
         return Response(500, err(
           s"restore copy incomplete — missing markers: ${missing.mkString(", ")}"))
+      // second certificate, for MANIFEST roots: every dir the current
+      // committed manifest references must exist in the copy (external
+      // tampering / foreign-tool copies — SegmentStore.snapshot itself
+      // can't produce a dangling ref: lease-quiesced listing +
+      // version-descending marker order)
+      val dangling = SegmentStore.danglingManifestRefs(live)
+      if (dangling.nonEmpty)
+        return Response(500, err(
+          s"restore copy incomplete — dangling manifest refs: ${dangling.mkString(", ")}"))
       IndexCatalog.adopt(dir, TfIdfGraphIndex.IncName)
       ok(s"""{"success":true,"src":${quote(src)},"restored_to":${quote(live)}}""")
 

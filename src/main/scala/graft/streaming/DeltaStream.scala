@@ -331,6 +331,7 @@ object DeltaStream {
             // O(tail) per trigger, pointer never moves
             IncrementalBm25.tailFoldIfNeeded(batch.sparkSession, root,
               idCol, maxSegments, tag = Some(s"fold_$batchId"))
+            ()
           } else {
             val newRoot = IncrementalBm25.compactIfNeeded(
               batch.sparkSession, root, idCol, maxSegments, tag = Some(tag))
@@ -391,8 +392,11 @@ object DeltaStream {
             // never moves; readers keep their path). Trigger on READ
             // fan-in, which the version clock stops reflecting after
             // the first fold.
+            // ladder warning discarded here: the loop's maxSegments is
+            // caller-configured; operators watch it via the admin route
             IncrementalIvf.tailFoldIfNeeded(batch.sparkSession, root,
               maxSegments, tag = Some(s"fold_$batchId"))
+            ()
           } else {
             val newRoot = IncrementalIvf.compactIfNeeded(
               batch.sparkSession, root, maxSegments, tag = Some(tag))
@@ -659,6 +663,7 @@ object DeltaStream {
           // or repair segments — schedule compact() as the deep clean.
           IncrementalKnn.tailFoldIfNeeded(spark, root, maxSegments,
             tag = Some(s"fold_$batchId"))
+          ()
         } else {
           val newRoot = IncrementalKnn.compactIfNeeded(
             spark, root, k, maxSegments, tag = Some(tag))

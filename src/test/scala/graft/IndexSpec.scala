@@ -1627,10 +1627,12 @@ class IndexSpec extends SparkSpec {
       "g/tombs/seg/0/part-0.parquet",
       "g/assign/5/v=1/_COMMITTED",
       "g/tombs/commit/v=1/_COMMITTED",
+      "g/tombs/commit/v=2/_COMMITTED",
       "g/repairs/commit/v=1/_COMMITTED",
       "g/assign/5/v=1/part-0.parquet",
       "g/repairs/seg/0/part-0.parquet",
-      "g/assign/5/v=99/part-junk.parquet"
+      "g/assign/5/v=99/part-junk.parquet",
+      "g/_WRITER_LEASE"
     ).map(new Path(_))
     val ordered = SegmentStore.orderForCopy(files).map(_.toString)
     val idx = ordered.zipWithIndex.toMap
@@ -1638,6 +1640,7 @@ class IndexSpec extends SparkSpec {
       "g/assign/5/v=1/part-0.parquet", "g/repairs/seg/0/part-0.parquet",
       "g/assign/5/v=99/part-junk.parquet").map(idx)
     val ledgerIdx = Seq("g/tombs/commit/v=1/_COMMITTED",
+      "g/tombs/commit/v=2/_COMMITTED",
       "g/repairs/commit/v=1/_COMMITTED").map(idx)
     val segIdx = Seq("g/assign/5/v=1/_COMMITTED",
       "g/assign/5/v=2/_COMMITTED").map(idx)
@@ -1646,10 +1649,19 @@ class IndexSpec extends SparkSpec {
     // every tombstone/repair ledger marker before every segment marker:
     // a tear mid-marker-pass can over-delete but never resurrect
     assert(ledgerIdx.max < segIdx.min)
+    // within a commit base, markers copy version-DESCENDING: a torn
+    // marker pass resolves each base to its TRUE list-time version or
+    // to 0 — never to an old version with a possibly-dangling manifest
+    assert(idx("g/assign/5/v=2/_COMMITTED") < idx("g/assign/5/v=1/_COMMITTED"))
+    assert(idx("g/tombs/commit/v=2/_COMMITTED")
+      < idx("g/tombs/commit/v=1/_COMMITTED"))
     // the catalog ready marker is the final file of the whole copy
     assert(idx("g/_GRAFT_INDEX_READY") == ordered.size - 1)
-    // nothing dropped or duplicated
-    assert(ordered.sorted == files.map(_.toString).sorted)
+    // transient writer leases are never copied; nothing else dropped or
+    // duplicated
+    assert(!ordered.contains("g/_WRITER_LEASE"))
+    assert(ordered.sorted ==
+      files.map(_.toString).filterNot(_ == "g/_WRITER_LEASE").sorted)
   }
 
   test("incremental ivf tail-fold: fold == pre-fold reads, prefix untouched, horizons sound across the fold, full fold rebases the ledger") {
@@ -1689,6 +1701,11 @@ class IndexSpec extends SparkSpec {
           java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
     }
     val prefixBefore = fileprint(s"$root/seg/0")
+    // a long-running reader: planned against the PRE-fold manifest, its
+    // file listing already fixed — must still collect after the fold
+    // publishes (retain-one-generation GC, the no-drain contract)
+    val preFrame = IncrementalIvf.readAssigned(spark, root)
+      .select(col("vec_id"), col("cid"))
 
     // tail-fold keeping the big base: segments 1..3 fold into seg/4
     IncrementalIvf.tailFold(spark, root, keep = 1, tag = Some("tf1"))
@@ -1697,11 +1714,14 @@ class IndexSpec extends SparkSpec {
     assert(reads(root) == pre && top(root) == preTop && pre.nonEmpty)
     // the write-amplification contract: the kept prefix was NOT rewritten
     assert(fileprint(s"$root/seg/0") == prefixBefore)
-    // folded-away tail dirs reclaimed; the fold landed at the next physical id
-    assert(!new java.io.File(s"$root/seg/1").exists()
-      && !new java.io.File(s"$root/seg/2").exists()
-      && !new java.io.File(s"$root/seg/3").exists()
+    // folded-away tail dirs RETAINED one fold generation (no post-publish
+    // sweep): the pre-fold frame reads exactly its list-time state
+    assert(new java.io.File(s"$root/seg/1").exists()
+      && new java.io.File(s"$root/seg/2").exists()
+      && new java.io.File(s"$root/seg/3").exists()
       && new java.io.File(s"$root/seg/4").exists())
+    assert(preFrame.collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet == pre)
 
     // append AFTER the fold serves alongside the folded rows
     val extra = emb.where(col("vec_id") < 5)
@@ -1721,9 +1741,14 @@ class IndexSpec extends SparkSpec {
     assert(afterVictim.map(_._1) == pre.map(_._1) ++ extraIds - victim)
 
     // FULL fold (keep = 0): every tombstone baked, ledger rebased — the
-    // read stops paying for ledger history without resetting its clock
+    // read stops paying for ledger history without resetting its clock.
+    // Its GC pass also reclaims the FIRST fold's tail dirs: they are now
+    // outside the last two committed manifests (grace period over).
     IncrementalIvf.tailFold(spark, root, keep = 0, tag = Some("tf2"))
     assert(IncrementalIvf.fanIn(root) == 1)
+    assert(!new java.io.File(s"$root/seg/1").exists()
+      && !new java.io.File(s"$root/seg/2").exists()
+      && !new java.io.File(s"$root/seg/3").exists())
     val m = SegmentStore.currentManifest(s"$root/commit").get
     assert(m.tombRebase == SegmentStore.tombVersion(s"$root/tombs")
       && m.tombRebase == 3, m.toString) // tfd1, tfu1's tombstone, tfd2
@@ -1828,9 +1853,11 @@ class IndexSpec extends SparkSpec {
       == IncrementalKnn.coarseAll(spark, twin).count())
     assert(fileprint(s"$folded/assign/0") ++ fileprint(s"$folded/edges/0")
       == prefixBefore)
-    assert(!new java.io.File(s"$folded/edges/1").exists()
-      && !new java.io.File(s"$folded/edges/2").exists()
-      && !new java.io.File(s"$folded/edges/3").exists())
+    // folded-away dirs retained one fold generation (no post-publish
+    // sweep — in-flight readers finish; the NEXT fold's GC reclaims)
+    assert(new java.io.File(s"$folded/edges/1").exists()
+      && new java.io.File(s"$folded/edges/2").exists()
+      && new java.io.File(s"$folded/edges/3").exists())
     // health stats identical (mutation clocks aside — the fold bumps the
     // version): backlog and staleness read the same
     val sf0 = IncrementalKnn.stats(spark, folded)
@@ -1853,10 +1880,15 @@ class IndexSpec extends SparkSpec {
     assert(rows(folded) == rows(twin) && vecs(folded) == vecs(twin))
 
     // fold-of-fold: the tail now includes the mixed-horizon segment —
-    // stored __seg columns compose with manifest-tagged ones
+    // stored __seg columns compose with manifest-tagged ones. Its GC
+    // pass reclaims the FIRST fold's tail dirs (grace period over:
+    // outside the last two committed manifests).
     IncrementalKnn.tailFold(spark, folded, keep = 1, tag = Some("ktf_f2"))
     assert(IncrementalKnn.fanIn(folded) == 2)
     assert(rows(folded) == rows(twin))
+    assert(!new java.io.File(s"$folded/edges/1").exists()
+      && !new java.io.File(s"$folded/edges/2").exists()
+      && !new java.io.File(s"$folded/edges/3").exists())
 
     // the deep clean composes: both compact to the same served graph
     val cf = Files.createTempDirectory("graft-knn-tf-cf").toString + "/g"
@@ -1873,6 +1905,24 @@ class IndexSpec extends SparkSpec {
     assert(SegmentStore.currentManifest(s"$snap/commit")
       == SegmentStore.currentManifest(s"$folded/commit"))
     assert(rows(snap) == rows(folded))
+    // the two restore-time certificates both pass on a full copy: every
+    // marker mirrored, every manifest-referenced dir present — and the
+    // snapshot's quiesce lease was released (the copy is mutable)
+    assert(SegmentStore.missingMarkers(folded, snap).isEmpty)
+    assert(SegmentStore.danglingManifestRefs(snap).isEmpty)
+    assert(!new java.io.File(s"$snap/${SegmentStore.LeaseFile}").exists()
+      && !new java.io.File(s"$folded/${SegmentStore.LeaseFile}").exists())
+    IncrementalKnn.append(
+      emb.where(col("vec_id") < 3)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")),
+      snap, 3, 5, tag = Some("ktf_snap_a"))
+    assert(rows(snap) != rows(folded))
+    // tamper: sweep a manifest-referenced dir — the dangling-ref
+    // certificate names it (the check the restore route refuses on)
+    val snapManifest = SegmentStore.currentManifest(s"$snap/commit").get
+    val victimDir = snapManifest.entries.head.dir
+    assert(SegmentStore.deleteTree(s"$snap/assign/$victimDir"))
+    assert(SegmentStore.danglingManifestRefs(snap).nonEmpty)
   }
 
   test("incremental bm25 tail-fold: partial fold preserves reads + stale stats, full fold == compact's stats catch-up") {
@@ -1917,8 +1967,9 @@ class IndexSpec extends SparkSpec {
     assert(IncrementalBm25.fanIn(root) == 2)
     assert(top(root) == pre && stats(root) == preStats && pre.nonEmpty)
     assert(fileprint(s"$root/seg/0") == prefixBefore)
-    assert(!new java.io.File(s"$root/seg/1").exists()
-      && !new java.io.File(s"$root/seg/2").exists())
+    // retained one fold generation — the next fold's GC reclaims
+    assert(new java.io.File(s"$root/seg/1").exists()
+      && new java.io.File(s"$root/seg/2").exists())
 
     // append after the fold serves; delete after the fold kills a doc
     // living IN the folded segment
@@ -1942,5 +1993,204 @@ class IndexSpec extends SparkSpec {
     val m = SegmentStore.currentManifest(s"$root/stats").get
     assert(m.tombRebase == SegmentStore.tombVersion(s"$root/tombs"))
     assert(SegmentStore.tombIds(spark, s"$root/tombs", m.tombRebase).isEmpty)
+    // the full fold's GC pass reclaimed the partial fold's tail dirs
+    // (outside the last two committed manifests — grace period over)
+    assert(!new java.io.File(s"$root/seg/1").exists()
+      && !new java.io.File(s"$root/seg/2").exists())
+
+    // the staleness gauge (the operable face of the stale-stats
+    // contract): before the merge moment, stats counted the deleted docs
+    // and both upsert versions; the full fold zeroed the drift
+    val g = IncrementalBm25.stats(spark, root, "doc_id")
+    assert(g("stats_drift_docs") == 0L && g("read_fan_in") == 1L
+      && g("stats_n_docs") == g("live_n_docs"))
+  }
+
+  test("IncrementalBm25.stats: stats_drift_docs counts deleted docs + dead upsert versions until the merge moment") {
+    import graft.index.IncrementalBm25
+    import spark.implicits._
+    val all = Tables.documents(spark, Sf0001).limit(40)
+      .select(col("doc_id"), col("text")).cache()
+    val n = all.count()
+    val root = Files.createTempDirectory("graft-bm25-gauge").toString + "/idx"
+    IncrementalBm25.init(all, "doc_id", "text", root)
+    val g0 = IncrementalBm25.stats(spark, root, "doc_id")
+    assert(g0("stats_n_docs") == n && g0("live_n_docs") == n
+      && g0("stats_drift_docs") == 0L)
+    // delete 3: stats still count them (Lucene stale-stats contract);
+    // deterministic + disjoint from the upsert set below
+    val dels = all.orderBy(col("doc_id").asc).limit(3).select(col("doc_id"))
+    IncrementalBm25.delete(dels, "doc_id", root, tag = Some("bg_d1"))
+    val g1 = IncrementalBm25.stats(spark, root, "doc_id")
+    assert(g1("stats_n_docs") == n && g1("live_n_docs") == n - 3
+      && g1("stats_drift_docs") == 3L && g1("n_tombstoned_ids") == 3L)
+    // upsert 2 live docs in place: stats count BOTH versions
+    val ups = all.orderBy(col("doc_id").desc).limit(2)
+      .select(col("doc_id"), col("text"))
+    IncrementalBm25.upsert(ups, "doc_id", "text", root, tag = Some("bg_u1"))
+    val g2 = IncrementalBm25.stats(spark, root, "doc_id")
+    assert(g2("stats_n_docs") == n + 2 && g2("live_n_docs") == n - 3
+      && g2("stats_drift_docs") == 5L)
+    // the merge moment (full fold): drift zeroes, gauge agrees
+    IncrementalBm25.tailFold(spark, root, "doc_id", keep = 0,
+      tag = Some("bg_f1"))
+    val g3 = IncrementalBm25.stats(spark, root, "doc_id")
+    assert(g3("stats_drift_docs") == 0L
+      && g3("stats_n_docs") == n - 3 && g3("live_n_docs") == n - 3)
+  }
+
+  test("SegmentStore.withWriterLease: a fold interleaved into a paused append refuses loudly; reentrant nesting; stale leases break; crash releases") {
+    import graft.index.{IncrementalKnn, SegmentStore}
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val root = Files.createTempDirectory("graft-lease").toString + "/g"
+    IncrementalKnn.init(emb.where(col("vec_id") % 2 === 0), centroids, root, 3, 5)
+    IncrementalKnn.append(emb.where(col("vec_id") % 2 === 1), root, 3, 5)
+
+    // the r12-verdict race, now CHECKED: an appender paused mid-write
+    // (simulated by a second thread holding the root's lease) vs an
+    // operator firing a tail-fold — the fold must refuse, not sweep the
+    // in-flight segment
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val appender = new Thread(() =>
+      SegmentStore.withWriterLease(root, "paused-append") {
+        entered.countDown(); release.await()
+      })
+    appender.start(); entered.await()
+    intercept[SegmentStore.LeaseHeldException] {
+      IncrementalKnn.tailFold(spark, root, keep = 1, tag = Some("lease_f1"))
+    }
+    intercept[SegmentStore.LeaseHeldException] { // delete refuses too
+      IncrementalKnn.delete(Seq(0L).toDF("vec_id"), root, Some("lease_d1"))
+    }
+    release.countDown(); appender.join()
+    // after the holder finishes, the same fold proceeds
+    IncrementalKnn.tailFold(spark, root, keep = 1, tag = Some("lease_f1"))
+    assert(IncrementalKnn.fanIn(root) == 2)
+
+    // reentrancy: one thread's nested mutations share the hold (upsert →
+    // append is the production shape; assert the primitive directly too)
+    val nested = SegmentStore.withWriterLease(root, "outer") {
+      SegmentStore.withWriterLease(root, "inner") { 42 }
+    }
+    assert(nested == 42)
+    IncrementalKnn.upsert(
+      emb.where(col("vec_id") === 4).select(col("vec_id"), col("embedding")),
+      root, 3, 5, tag = Some("lease_u1")) // nested append re-enters
+
+    // a crashed holder's lease breaks by age: plant a stale lease file
+    // and assert mutation proceeds (two-writer breaks race through the
+    // same create-no-overwrite atomicity)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, SegmentStore.LeaseFile),
+      "crashed-holder\t12345")
+    IncrementalKnn.delete(Seq(2L).toDF("vec_id"), root, Some("lease_d2"))
+    // a FRESH foreign lease refuses (age below the stale threshold)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, SegmentStore.LeaseFile),
+      s"other-process\t${System.currentTimeMillis()}")
+    intercept[SegmentStore.LeaseHeldException] {
+      IncrementalKnn.delete(Seq(4L).toDF("vec_id"), root, Some("lease_d3"))
+    }
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, SegmentStore.LeaseFile))
+    // an exception inside the held body still releases the lease
+    intercept[RuntimeException] {
+      SegmentStore.withWriterLease(root, "thrower") {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(!new java.io.File(s"$root/${SegmentStore.LeaseFile}").exists())
+  }
+
+  test("incremental knn reclaimFold: kills baked + ledger rebased == rebuild over survivors; refused while holes are unrepaired") {
+    import graft.index.{IncrementalKnn, SegmentStore}
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // twin discipline like the tail-fold spec: identical mutations, only
+    // one root reclaim-folds — reads must stay byte-equivalent
+    val folded = Files.createTempDirectory("graft-knn-rf").toString + "/g"
+    val twin = Files.createTempDirectory("graft-knn-rt").toString + "/g"
+    def build(r: String): Unit = {
+      IncrementalKnn.init(emb.where(col("vec_id") % 3 === 0), centroids, r, 3, 5)
+      IncrementalKnn.append(emb.where(col("vec_id") % 3 === 1), r, 3, 5)
+      IncrementalKnn.append(emb.where(col("vec_id") % 3 === 2), r, 3, 5)
+    }
+    build(folded); build(twin)
+    def rows(r: String) = IncrementalKnn.edges(spark, r, 5).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getInt(3))).toSeq
+    def both(f: String => Unit): Unit = { f(folded); f(twin) }
+
+    val dels = rows(twin).filter(_._4 < 5).map(_._2).distinct.take(2)
+    both(r => IncrementalKnn.delete(dels.toDF("vec_id"), r, tag = Some("krf_d1")))
+
+    // THE GATE: unrepaired holes refuse the reclaiming fold (baking now
+    // would freeze them as silent truncation)
+    assert(IncrementalKnn.stats(spark, folded)("n_stale_srcs") > 0)
+    intercept[IllegalArgumentException] {
+      IncrementalKnn.reclaimFold(spark, folded, 5, tag = Some("krf_f0"))
+    }
+
+    both(r => IncrementalKnn.repair(spark, r, 3, 5, tag = Some("krf_r1")))
+    assert(IncrementalKnn.stats(spark, folded)("n_stale_srcs") == 0L)
+    val preTombs = SegmentStore.tombVersion(s"$folded/tombs")
+    IncrementalKnn.reclaimFold(spark, folded, 5, tag = Some("krf_f1"))
+    IncrementalKnn.reclaimFold(spark, folded, 5, tag = Some("krf_f1")) // idempotent
+
+    // reads identical to the unfolded twin; fan-in collapsed to 1; the
+    // ledger is REBASED (readers pay zero anti-join for absorbed kills)
+    assert(rows(folded) == rows(twin) && rows(twin).nonEmpty)
+    assert(IncrementalKnn.fanIn(folded) == 1)
+    val m = SegmentStore.currentManifest(s"$folded/commit").get
+    assert(m.tombRebase == preTombs && preTombs > 0)
+    assert(SegmentStore.tombIds(spark, s"$folded/tombs", m.tombRebase).isEmpty)
+    assert(IncrementalKnn.stats(spark, folded)("n_tombstoned_ids") == 0L)
+    assert(IncrementalKnn.stats(spark, folded)("tomb_rebase") == preTombs.toLong)
+
+    // post-fold lifecycle stays equivalent AT EVERY REPAIRS-CURRENT
+    // point: a delete kills FOLDED rows (fresh horizon > the folded
+    // segment's logical number), repair heals, upsert replaces, append
+    // extends — all vs the twin. The DEGRADED window between delete and
+    // repair is deliberately NOT twin-compared: the reclaimed root's
+    // stale-src sidecar ranks the frozen exact top-k (holes where the
+    // kill landed), while the unfolded twin ranks its stored per-segment
+    // extras — same visible-holes contract, different stored sets by
+    // design (reclaim physically dropped sub-top-k candidates).
+    val victim = rows(twin).filter(e => e._4 < 5 && !dels.contains(e._2))
+      .map(_._2).distinct.head
+    both(r => IncrementalKnn.delete(Seq(victim).toDF("vec_id"), r,
+      tag = Some("krf_d2")))
+    // degraded window: holes visible on the reclaimed root (some src
+    // serves fewer than k), never silent promotion past the frozen top-k
+    val degraded = rows(folded)
+    assert(!degraded.exists(_._2 == victim))
+    // a true hole: some src keeps a rank beyond its surviving row count
+    assert(degraded.groupBy(_._1).exists { case (_, rs) =>
+      rs.map(_._4).max > rs.size })
+    both(r => IncrementalKnn.repair(spark, r, 3, 5, tag = Some("krf_r2")))
+    assert(rows(folded) == rows(twin)) // healed identically
+    both(r => IncrementalKnn.upsert(
+      emb.where(col("vec_id") === 4).select(col("vec_id"), col("embedding")),
+      r, 3, 5, tag = Some("krf_u1")))
+    both(r => IncrementalKnn.repair(spark, r, 3, 5, tag = Some("krf_r3")))
+    val extra = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    both(r => IncrementalKnn.append(extra, r, 3, 5, tag = Some("krf_a1")))
+    assert(rows(folded) == rows(twin))
+
+    // reclaim-after-reclaim composes (fold-of-fold with a rebased
+    // ledger): repairs are current, so the gate passes again
+    IncrementalKnn.reclaimFold(spark, folded, 5, tag = Some("krf_f2"))
+    assert(rows(folded) == rows(twin) && IncrementalKnn.fanIn(folded) == 1)
+
+    // and the deep clean still composes
+    val cf = Files.createTempDirectory("graft-knn-rf-cf").toString + "/g"
+    IncrementalKnn.compact(spark, folded, cf, 5)
+    assert(rows(cf) == rows(folded))
   }
 }

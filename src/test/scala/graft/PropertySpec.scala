@@ -300,4 +300,72 @@ class PropertySpec extends SparkSpec {
         s"trial $t (n=$n delFrac=$delFrac salt=$salt): repaired != rebuilt")
     }
   }
+
+  test("tieredFoldStart properties: bounds hold, fan-in cap enforced or clamped at keep, similar-size runs never split, dominant base spared") {
+    import graft.index.SegmentStore.tieredFoldStart
+    // pure function — full ScalaCheck sweep, no Spark in the loop
+    val cases = samples(for {
+      n <- Gen.choose(2, 24)
+      sizes <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(0L, 64L),              // empty-ish fresh batches
+        Gen.choose(1L, 1L << 20),         // mid tiers
+        Gen.choose(1L << 20, 1L << 34)))  // dominant bases
+      keep <- Gen.choose(0, n - 1)
+      maxSegments <- Gen.choose(1, n + 4)
+    } yield (sizes, keep, maxSegments), 400)
+    for (((sizes, keep, maxSegments), i) <- cases.zipWithIndex) {
+      val m = tieredFoldStart(sizes, keep, maxSegments)
+      val ctx = s"case $i: sizes=$sizes keep=$keep max=$maxSegments m=$m"
+      // bounds: never folds protected entries; a triggered fold merges
+      // at least two segments unless clamped at keep
+      assert(m >= keep, ctx)
+      assert(m <= math.max(keep, sizes.size - 2), ctx)
+      // fan-in: post-fold live count (m + 1) honors the hard bound, or
+      // the start is clamped at keep (correctness floor wins)
+      assert(m + 1 <= maxSegments || m == keep, ctx)
+      // determinism (a pure plan): same input, same start
+      assert(tieredFoldStart(sizes, keep, maxSegments) == m, ctx)
+    }
+    // similar-size runs never split: when EVERY segment is within the
+    // ratio of every other, the fold takes the whole unprotected suffix
+    val flat = samples(for {
+      n <- Gen.choose(2, 16)
+      base <- Gen.choose(1L, 1L << 30)
+      sizes <- Gen.listOfN(n, Gen.choose(base, base * 4))
+      keep <- Gen.choose(0, n - 2)
+    } yield (sizes, keep), 150)
+    for (((sizes, keep), i) <- flat.zipWithIndex) {
+      val m = tieredFoldStart(sizes, keep, maxSegments = sizes.size + 1)
+      assert(m == keep, s"flat case $i: run split at $m (keep=$keep): $sizes")
+    }
+    // a dominant base is left alone while the fan-in bound allows it
+    val dom = samples(for {
+      n <- Gen.choose(3, 12)
+      tail <- Gen.listOfN(n - 1, Gen.choose(100L, 400L))
+    } yield 1000000L +: tail, 100)
+    for ((sizes, i) <- dom.zipWithIndex) {
+      val m = tieredFoldStart(sizes, keep = 0, maxSegments = sizes.size + 1)
+      assert(m == 1, s"dominant case $i: base absorbed (m=$m): $sizes")
+    }
+  }
+
+  test("ladderCheck properties: warns exactly when the fan-in bound is below the observed tier span; flat ladders never warn") {
+    import graft.index.SegmentStore.ladderCheck
+    val cases = samples(for {
+      n <- Gen.choose(1, 20)
+      sizes <- Gen.listOfN(n, Gen.choose(0L, 1L << 34))
+      maxSegments <- Gen.choose(1, 24)
+    } yield (sizes, maxSegments), 300)
+    for (((sizes, maxSegments), i) <- cases.zipWithIndex) {
+      val nz = sizes.map(math.max(_, 1L))
+      val tiers = (math.log(nz.max.toDouble / nz.min.toDouble) /
+        math.log(4.0)).toInt + 1
+      val warned = ladderCheck(sizes, maxSegments).isDefined
+      assert(warned == (maxSegments < tiers),
+        s"case $i: sizes=$sizes max=$maxSegments tiers=$tiers warned=$warned")
+    }
+    // a single-tier (flat) ladder fits any bound >= 1
+    for (s <- Seq(Seq(5L, 5L, 5L), Seq(0L, 0L), Seq(1L << 20, 1L << 21)))
+      assert(ladderCheck(s, 1).isEmpty, s.toString)
+  }
 }

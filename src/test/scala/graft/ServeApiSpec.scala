@@ -264,6 +264,11 @@ class ServeApiSpec extends SparkSpec {
     assert(r.body.contains("\"read_fan_in\":3"), r.body) // unfolded yet
     assert(r.body.contains("\"n_stale_srcs\":0"), r.body)
     assert(r.body.contains("\"n_tombstoned_ids\":0"), r.body)
+    assert(r.body.contains("\"tomb_rebase\":0"), r.body) // no reclaim yet
+    // the BM25 drift gauge rides the same surface: the grown doc index
+    // has no deletes/upserts, so stats and live doc counts agree
+    assert(r.body.contains("\"bm25\":{"), r.body)
+    assert(r.body.contains("\"stats_drift_docs\":0"), r.body)
   }
 
   test("admin snapshot: backs up the grown graph root crash-consistently; the copy serves identical edges") {
@@ -735,5 +740,29 @@ class ServeApiSpec extends SparkSpec {
     assert(st.status == 200 && st.body.contains("\"n_stale_srcs\":0"), st.body)
     assert(st.body.contains("\"read_fan_in\":2"), st.body)
     assert(st.body.contains("\"index_version\":4"), st.body)
+
+    // max_segments routes through the size-tiered trigger: fan-in 2 is
+    // within the bound, so the trigger no-ops (no version bump, no
+    // ladder warning — nothing folded)
+    val noop = get("/api/admin/tail-fold", "max_segments" -> "5")
+    assert(noop.status == 200, noop.body)
+    assert(noop.body.contains(""""fan_in_before":2"""), noop.body)
+    assert(noop.body.contains(""""fan_in_after":2"""), noop.body)
+    assert(!noop.body.contains("ladder_warning"), noop.body)
+    assert(IncrementalKnn.version(src) == 4)
+
+    // the single-writer contract is CHECKED at the route: a concurrent
+    // writer (here: a paused append holding the root's lease) turns the
+    // fold into a loud 409, never a silent sweep of in-flight segments
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      graft.index.SegmentStore.withWriterLease(src, "paused-append") {
+        entered.countDown(); release.await()
+      })
+    holder.start(); entered.await()
+    val refused = get("/api/admin/tail-fold")
+    assert(refused.status == 409, s"${refused.status}: ${refused.body}")
+    release.countDown(); holder.join()
   }
 }

@@ -337,6 +337,13 @@ class StreamingSpec extends SparkSpec {
           }
           input.addData(ops)
           q.processAllAvailable()
+          // tailFold joins the random op alphabet (r12 VERDICT #5): a
+          // seeded coin folds the root in place between triggers — two
+          // heads in a row exercise fold-of-fold — and convergence must
+          // hold regardless (the fold is pure reorganization)
+          if (rnd.nextBoolean())
+            IncrementalKnn.tailFold(spark, root, keep = 1,
+              tag = Some(s"prop_fold_${seedVal}_$seq"))
         }
       } finally q.stop()
 
@@ -486,6 +493,12 @@ class StreamingSpec extends SparkSpec {
           }
           input.addData(ops)
           q.processAllAvailable()
+          // fold in the random op alphabet (r12 VERDICT #5) — partial
+          // folds preserve the family's stale-stats interim by contract,
+          // so the compact==fresh convergence statement is unchanged
+          if (rnd.nextBoolean())
+            IncrementalBm25.tailFold(spark, root, "doc_id", keep = 1,
+              tag = Some(s"prop_fold_${seedVal}_$seq"))
         }
       } finally q.stop()
 
@@ -645,6 +658,11 @@ class StreamingSpec extends SparkSpec {
           }
           input.addData(ops)
           q.processAllAvailable()
+          // fold in the random op alphabet (r12 VERDICT #5): exact
+          // rebuild semantics must survive random fold interleavings
+          if (rnd.nextBoolean())
+            IncrementalIvf.tailFold(spark, root, keep = 1,
+              tag = Some(s"prop_fold_${seedVal}_$seq"))
         }
       } finally q.stop()
 
