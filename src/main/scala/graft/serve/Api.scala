@@ -746,6 +746,33 @@ object Api {
           Response(409, err(e.getMessage))
       }
 
+    case "/api/admin/reclaim-fold" =>
+      // The deep-clean half of the in-place fold family: bake every
+      // committed kill into one fresh segment and REBASE both ledgers
+      // (IncrementalKnn.reclaimFold — O(live corpus) write, scheduled
+      // off-peak; the tail-fold route above is the per-batch move).
+      // Gated on repairs-current: unrepaired holes refuse with 422
+      // (baking would freeze them as silent truncation — run repair
+      // first); a concurrent writer refuses with 409 (lease).
+      val src = graft.index.TfIdfGraphIndex.ensureGrown(spark, dir)
+      val before = graft.index.IncrementalKnn.stats(spark, src)
+      try {
+        graft.index.IncrementalKnn.reclaimFold(spark, src, k = 5)
+        val after = graft.index.IncrementalKnn.stats(spark, src)
+        ok(s"""{"success":true,"root":${quote(src)},""" +
+          s""""fan_in_before":${before("read_fan_in")},""" +
+          s""""fan_in_after":${after("read_fan_in")},""" +
+          s""""tomb_rebase":${after("tomb_rebase")},""" +
+          s""""repair_rebase":${after("repair_rebase")},""" +
+          s""""n_tombstoned_ids":${after("n_tombstoned_ids")}}""")
+      } catch {
+        case e: graft.index.SegmentStore.LeaseHeldException =>
+          Response(409, err(e.getMessage))
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("reclaiming fold refused") =>
+          Response(422, err(e.getMessage))
+      }
+
     case "/api/admin/restore" =>
       // The restore half of the backup story: replace the LIVE grown
       // graph root with a snapshot tree. Order matters and each step is

@@ -764,5 +764,41 @@ class ServeApiSpec extends SparkSpec {
     val refused = get("/api/admin/tail-fold")
     assert(refused.status == 409, s"${refused.status}: ${refused.body}")
     release.countDown(); holder.join()
+
+    // the deep-clean route: reclaim-fold bakes the (empty) ledger state
+    // into one segment and rebases — fan-in 2 -> 1, serving identical
+    // through the rebuilt caches
+    val rf = get("/api/admin/reclaim-fold")
+    assert(rf.status == 200, rf.body)
+    assert(rf.body.contains(""""fan_in_after":1"""), rf.body)
+    assert(IncrementalKnn.fanIn(src) == 1)
+    val afterReclaim = get("/api/query", "q" -> q, "mode" -> "graph",
+      "graph" -> "grown", "count" -> "5")
+    assert(afterReclaim.status == 200 && afterReclaim.body == before.body,
+      s"before=${before.body}\nafterReclaim=${afterReclaim.body}")
+
+    // gate refusal end-to-end: delete a served neighbor (holes appear,
+    // no repair) -> the route refuses with 422 and a actionable message
+    val victim = graft.index.IncrementalKnn.edges(spark, src, 5)
+      .where(org.apache.spark.sql.functions.col("rank") === 1)
+      .select(org.apache.spark.sql.functions.col("dst")).head().getLong(0)
+    import spark.implicits._
+    graft.index.IncrementalKnn.delete(Seq(victim).toDF("vec_id"), src,
+      tag = Some("api_rf_del"))
+    val gate = get("/api/admin/reclaim-fold")
+    assert(gate.status == 422, s"${gate.status}: ${gate.body}")
+    assert(gate.body.contains("repair"), gate.body)
+    // heal, then the fold proceeds
+    graft.index.IncrementalKnn.repair(spark, src, 3, 5,
+      tag = Some("api_rf_repair"))
+    val healed = get("/api/admin/reclaim-fold")
+    assert(healed.status == 200, healed.body)
+    assert(healed.body.contains(""""n_tombstoned_ids":0"""), healed.body)
+
+    // the delete above CHANGED SERVING on the shared persistent fixture
+    // (unlike the folds, which are serving-identical) — drop the tree so
+    // every later consumer (including the driver's s28b oracle run in a
+    // fresh JVM) rebuilds virgin instead of reading a mutated corpus
+    graft.index.IndexCatalog.invalidate(Sf0001, TfIdfGraphIndex.IncName)
   }
 }
