@@ -266,6 +266,23 @@ object Bench {
       }.sorted.apply(2)
     }
 
+    // PROVENANCE GATE (r13 verdict #5: two of four closing artifacts
+    // were taken on a contended box — r11 ghosts, r13 load_wait 55 s —
+    // and each cost a judge-day of re-running to separate machine noise
+    // from plan regressions). The artifact now SELF-LABELS: `contended`
+    // is true when the PRE-SESSION load gate spent real time waiting or
+    // released still-loaded (the box had residual load before we started
+    // — r13's artifact had load_wait 55 s), the POST-INIT gate timed out
+    // (its job is absorbing our OWN startup spike, so waiting there is
+    // normal — only hitting its 120 s bound still loaded means a foreign
+    // process), or the pre-loop floor spread drifted far past the
+    // post-suite floor (scheduling jitter inflating early queries).
+    // Consumers: treat per-query deltas in a contended artifact as floor
+    // noise until reproduced quiet.
+    def contended: Boolean =
+      loadWait > 2.0 || load1Gate > loadGate + 0.5 || loadWaitPost > 110.0 ||
+        (floor > 0 && floorStartP90 / floor > 3.0)
+
     // RAM-resident serving index for the batched legs (reference O6:
     // `on_disk=False` — its HNSW lives in RAM at serving time; the honest
     // equivalent here is the trained IVF pair persisted in storage
@@ -491,7 +508,7 @@ object Bench {
       val jv =
         if (jobsVar.isEmpty) ""
         else jobsVar.map("\"" + _ + "\"").mkString(""","jobs_var":[""", ",", "]")
-      s""","floor":${fmt(floor)},"floor_start":${fmt(floorStart)},"floor_mid":${fmt(floorMid)},"floor_start_p10":${fmt(floorStartP10)},"floor_start_p90":${fmt(floorStartP90)},"load1":[${fmt(load1Gate)},${fmt(load1Start)},${fmt(load1())}],"load_wait":${fmt(loadWait)},"load_wait_post":${fmt(loadWaitPost)}$jv$adjs$iters$b$s$h$g"""
+      s""","floor":${fmt(floor)},"floor_start":${fmt(floorStart)},"floor_mid":${fmt(floorMid)},"floor_start_p10":${fmt(floorStartP10)},"floor_start_p90":${fmt(floorStartP90)},"load1":[${fmt(load1Gate)},${fmt(load1Start)},${fmt(load1())}],"load_wait":${fmt(loadWait)},"load_wait_post":${fmt(loadWaitPost)},"contended":$contended$jv$adjs$iters$b$s$h$g"""
     }
     // per-query job counts ride next to the per-query seconds — always
     // including the iterative-loop queries (d7/g1) even when their time
@@ -563,7 +580,7 @@ object Bench {
         .mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("target/bench_last.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm_p50","queries":$precise,"jobs":$preciseJobs,"jobs_raw":$preciseJobsRaw,"floor":$floor,"floor_start":$floorStart,"floor_mid":$floorMid,"floor_start_p10":$floorStartP10,"floor_start_p90":$floorStartP90,"load1_gate":$load1Gate,"load1_start":$load1Start,"load1_end":${load1()},"load_wait":$loadWait,"load_wait_post":$loadWaitPost,"d7_iters":$d7Iters,"batched_per_query_sec":$batchedPerQuery,"batched_n":$batchedN,"bm25_batched_per_query_sec":$bm25PerQuery,"bm25_batched_n":$bm25N,"hybrid_batched_per_query_sec":$hybridPerQuery,"hybrid_batched_n":$hybridN,"graph_batched_per_query_sec":$graphPerQuery,"graph_batched_n":$graphN,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm_p50","queries":$precise,"jobs":$preciseJobs,"jobs_raw":$preciseJobsRaw,"floor":$floor,"floor_start":$floorStart,"floor_mid":$floorMid,"floor_start_p10":$floorStartP10,"floor_start_p90":$floorStartP90,"load1_gate":$load1Gate,"load1_start":$load1Start,"load1_end":${load1()},"load_wait":$loadWait,"load_wait_post":$loadWaitPost,"contended":$contended,"d7_iters":$d7Iters,"batched_per_query_sec":$batchedPerQuery,"batched_n":$batchedN,"bm25_batched_per_query_sec":$bm25PerQuery,"bm25_batched_n":$bm25N,"hybrid_batched_per_query_sec":$hybridPerQuery,"hybrid_batched_n":$hybridN,"graph_batched_per_query_sec":$graphPerQuery,"graph_batched_n":$graphN,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()

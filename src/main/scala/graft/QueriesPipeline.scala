@@ -4754,6 +4754,58 @@ object QueriesPipeline {
         WHERE rank <= 5 ORDER BY src, rank
       """)),
 
+    // The DEGRADED window on a RECLAIMED root — the one serving state
+    // no oracle pinned before (r13 verdict): a delete lands on a
+    // reclaim-folded graph and repair has not run yet. The reclaim
+    // physically dropped every sub-top-k candidate, so the read serves
+    // the FROZEN exact top-k minus the killed rows: visible rank holes
+    // (ranks keep their pre-delete values — filter AFTER rank), never a
+    // silent promotion past the frozen top-k. The oracle is a33's
+    // rebuild-over-survivors SQL with the new kill set applied AFTER
+    // rank assignment (a28's filter-after-rank pattern over a33's
+    // state) — a regression that promoted stored extras instead of
+    // showing holes would produce rows this SQL cannot.
+    "a34_reclaim_degraded" -> Q(
+      (s, d) => {
+        val root = graft.index.IncrementalKnn.ensureReclaimDegraded(s, d, 3, 5)
+        graft.index.IncrementalKnn.edges(s, root, 5)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        live AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 3),
+        assign AS (
+          SELECT vec_id, cid, embedding FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM live e CROSS JOIN cent c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT src, qvec, cid FROM (
+            SELECT e.vec_id AS src, e.embedding::DOUBLE[] AS qvec, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM live e CROSS JOIN cent c)
+          WHERE rn <= 3),
+        cand AS (
+          SELECT p.src, a.vec_id AS dst,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], p.qvec), 6) AS score
+          FROM probes p JOIN assign a ON p.cid = a.cid
+          WHERE a.vec_id <> p.src),
+        ranked AS (
+          SELECT src, dst, score,
+                 row_number() OVER (PARTITION BY src
+                   ORDER BY score DESC, dst ASC) AS rank
+          FROM cand)
+        SELECT src, dst, score, rank::INT AS rank FROM ranked
+        WHERE rank <= 5 AND src % 11 <> 4 AND dst % 11 <> 4
+        ORDER BY src, rank
+      """)),
+
     // Post-delete graph REPAIR — the HNSW deferred-repair operation:
     // IncrementalKnn.repair recomputes the full surviving candidate set
     // for exactly the srcs whose top-k lost a deleted neighbor (stored

@@ -487,20 +487,46 @@ object IncrementalBm25 {
     * suffix chosen by [[SegmentStore.tieredFoldStart]] (longest
     * trailing run of similar-size segments; see that scaladoc).
     * `keep < maxSegments` required and the ladder-fit warning returned —
-    * see [[IncrementalIvf.tailFoldIfNeeded]]. */
+    * see [[IncrementalIvf.tailFoldIfNeeded]].
+    *
+    * `driftFoldShare` closes the loop from the [[stats]] gauge to an
+    * ACTION (r13 verdict: "stale stats are visible but nothing acts on
+    * them"): when the stale-stats drift share
+    * `stats_drift_docs / stats_n_docs` exceeds the given fraction, this
+    * trigger escalates to the FULL merge moment ([[tailFold]] keep=0 —
+    * stats recomputed from the surviving postings, drift back to 0)
+    * regardless of fan-in, so a delete-heavy CDC stream catches its
+    * scoring statistics up without an operator call. The default 1.0
+    * disables the check and its cost (one distinct count over surviving
+    * postings per trigger — an operator opting in pays it knowingly;
+    * partial folds stay metadata-cheap). */
   def tailFoldIfNeeded(spark: SparkSession, root: String, idCol: String,
                        maxSegments: Int, keep: Int = 1,
-                       tag: Option[String] = None): Option[String] = {
+                       tag: Option[String] = None,
+                       driftFoldShare: Double = 1.0): Option[String] = {
     require(keep < maxSegments,
       s"keep ($keep) must be < maxSegments ($maxSegments): the trigger " +
         "would fold one segment per trigger forever, never reducing fan-in")
-    val entries = entryList(root)
-    if (entries.size > maxSegments) {
-      val sizes = entries.map(e => SegmentStore.treeBytes(s"$root/${e.dir}"))
-      tailFold(spark, root, idCol,
-        SegmentStore.tieredFoldStart(sizes, keep, maxSegments), tag = tag)
-      SegmentStore.ladderCheck(sizes, maxSegments)
-    } else None
+    require(driftFoldShare > 0.0 && driftFoldShare <= 1.0,
+      s"driftFoldShare must be in (0, 1], got $driftFoldShare " +
+        "(1.0 disables the drift check)")
+    val driftTripped = driftFoldShare < 1.0 && {
+      val st = stats(spark, root, idCol)
+      st("stats_n_docs") > 0 &&
+        st("stats_drift_docs").toDouble / st("stats_n_docs") > driftFoldShare
+    }
+    if (driftTripped) {
+      tailFold(spark, root, idCol, keep = 0, tag = tag)
+      None
+    } else {
+      val entries = entryList(root)
+      if (entries.size > maxSegments) {
+        val sizes = entries.map(e => SegmentStore.treeBytes(s"$root/${e.dir}"))
+        tailFold(spark, root, idCol,
+          SegmentStore.tieredFoldStart(sizes, keep, maxSegments), tag = tag)
+        SegmentStore.ladderCheck(sizes, maxSegments)
+      } else None
+    }
   }
 
   /** Ensure an incrementally-GROWN documents index for `dataDir`: half the

@@ -1132,6 +1132,36 @@ object IncrementalKnn {
       reclaimFold(spark, p, k, tag = Some("demo_reclaim"))
     }
 
+  val ReclaimDegradedName = "knn_reclaim_degraded_v1"
+
+  /** [[ensureReclaimFolded]]'s graph with a FURTHER delete applied and
+    * deliberately NOT repaired — memoized for the `a34_reclaim_degraded`
+    * oracle, the one serving state no oracle pinned before (r13 verdict
+    * missing #3): between a delete and its repair on a reclaimed root,
+    * the read serves the FROZEN exact top-k minus the killed rows —
+    * visible rank holes (a src can keep a rank beyond its surviving row
+    * count), NEVER silent promotion past the frozen top-k (reclaim
+    * physically dropped every sub-top-k candidate, so there is nothing
+    * to promote FROM — a regression that invented promotions would
+    * break the filter-after-rank SQL this fixture is checked against). */
+  def ensureReclaimDegraded(spark: SparkSession, dataDir: String,
+                            nprobe: Int = 3, k: Int = 5): String =
+    IndexCatalog.ensure(spark, dataDir, ReclaimDegradedName) { p =>
+      val emb = Tables.embeddings(spark, dataDir)
+      val centroids = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      init(emb.where(col("vec_id") % 3 === 0), centroids, p, nprobe, k)
+      append(emb.where(col("vec_id") % 3 === 1), p, nprobe, k)
+      append(emb.where(col("vec_id") % 3 === 2), p, nprobe, k)
+      delete(emb.where(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id")), p, tag = Some("demo_delete"))
+      repair(spark, p, nprobe, k, tag = Some("demo_repair"))
+      reclaimFold(spark, p, k, tag = Some("demo_reclaim"))
+      // the degraded window: a second delete, repair deliberately absent
+      delete(emb.where(pmod(col("vec_id"), lit(11)) === 4)
+        .select(col("vec_id")), p, tag = Some("demo_degrade"))
+    }
+
   /** [[ensureTombstoned]]'s graph with the holes REPAIRED — memoized for
     * the `a29_graph_repair` oracle: after [[repair]] the merged read
     * equals the whole-corpus kNN SQL computed over the SURVIVORS (frozen

@@ -39,9 +39,17 @@ object IndexCatalog {
     Paths.get(root, dirKey(dataDir), name).toString
 
   /** Ensure index `name` for `dataDir` exists, building it at most once.
-    * The marker file commits the build atomically-enough for this single
-    * JVM + immutable-input model: a crashed partial build leaves no marker
-    * and is rebuilt (parquet Overwrite makes the rebuild idempotent). */
+    * The marker file commits the build atomically-enough for the
+    * immutable-input model: a crashed partial build leaves no marker and
+    * is rebuilt (parquet Overwrite makes the rebuild idempotent).
+    *
+    * Cross-PROCESS cold starts hold the tree's writer lease for the
+    * build (r13 verdict: the marker protocol made a concurrent duplicate
+    * build benign-but-wasted; the lease makes the single-builder
+    * contract CHECKED like the incremental roots'). A process refused by
+    * a live builder's lease waits for that builder's marker instead of
+    * duplicating the work, and only rethrows when the holder dies
+    * without publishing one. */
   def ensure(spark: SparkSession, dataDir: String, name: String)
             (build: String => Unit): String = {
     val p = path(dataDir, name)
@@ -49,9 +57,22 @@ object IndexCatalog {
       if (!built.contains(p)) {
         val marker = Paths.get(p, "_GRAFT_INDEX_READY")
         if (!Files.exists(marker)) {
-          build(p)
-          Files.createDirectories(marker.getParent)
-          Files.write(marker, Array.emptyByteArray)
+          try SegmentStore.withWriterLease(p, s"index-build:$name") {
+            if (!Files.exists(marker)) { // lease winner may have finished
+              build(p)
+              Files.createDirectories(marker.getParent)
+              Files.write(marker, Array.emptyByteArray)
+            }
+          } catch {
+            case e: SegmentStore.LeaseHeldException =>
+              // another process is mid-build: poll for its marker for up
+              // to the build-ish horizon, then give up loudly
+              val deadline = System.currentTimeMillis() + 10L * 60 * 1000
+              while (!Files.exists(marker)) {
+                if (System.currentTimeMillis() > deadline) throw e
+                Thread.sleep(200)
+              }
+          }
         }
         built.add(p)
       }

@@ -98,12 +98,26 @@ object SegmentStore {
   // (`<root>/_WRITER_LEASE`), created with overwrite=false — an atomic
   // namespace op on HDFS/POSIX (object stores: one conditional PUT
   // where supported; elsewhere the lease is advisory-but-loud, strictly
-  // better than the unchecked prose). The file carries owner +
-  // wall-clock millis; a holder that crashed leaves a STALE lease,
-  // broken by age (`staleMs`) — two breakers racing resolve by the same
-  // create-no-overwrite atomicity. In-process the lease is REENTRANT
-  // per thread (an upsert's nested append re-enters; a SECOND thread in
-  // the same JVM conflicts exactly like a second process).
+  // better than the unchecked prose). The file carries
+  // `owner \t stamp-millis \t token` (token unique per acquisition). A
+  // held lease is HEARTBEATED: a daemon timer rewrites the stamp every
+  // `staleMs/3`, so a legitimately-long fold (reclaimFold/compact are
+  // O(live corpus) at the design point — hours) never looks stale to a
+  // second writer; only a holder that CRASHED (or whose JVM paused past
+  // `staleMs`) leaves a breakable lease. Breaking is rename-then-verify,
+  // never a blind delete: the breaker renames the lease to a unique
+  // tombstone (rename of a vanished file fails — racing breakers
+  // resolve there), re-reads the displaced bytes, and proceeds only
+  // when they EQUAL the stale content it observed — displacing a fresh
+  // lease recreated in between restores it and refuses. A holder whose
+  // lease was broken anyway (the GC-pause case) learns LOUDLY: its next
+  // heartbeat sees a missing/foreign token and flags eviction, and the
+  // lease release throws instead of returning success.
+  //
+  // In-process the lease is REENTRANT per thread (an upsert's nested
+  // append re-enters); nesting MUST stay on the acquiring thread — a
+  // nested future/executor thread of the same JVM is refused exactly
+  // like a second process.
 
   val LeaseFile = "_WRITER_LEASE"
 
@@ -111,17 +125,109 @@ object SegmentStore {
     * operator patience after a crash. */
   val DefaultLeaseStaleMs: Long = 30L * 60 * 1000
 
-  // in-process reentrancy: qualified lease path -> (holder thread id,
-  // nesting depth). ConcurrentHashMap because suites may exercise
-  // multiple roots from multiple threads.
+  // in-process state of an OUTER (non-reentrant) hold: acquiring
+  // thread, nesting depth, acquisition token, eviction flag set by the
+  // heartbeat when the on-disk lease stops being ours. ConcurrentHashMap
+  // keyed by qualified lease path because suites exercise multiple roots
+  // from multiple threads.
+  private final class LeaseHold(val tid: Long, val token: String,
+                                val owner: String) {
+    var depth: Int = 1
+    @volatile var evicted: Boolean = false
+    @volatile var renewal: java.util.concurrent.ScheduledFuture[_] = null
+  }
   private val heldLeases =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[String, LeaseHold]()
+
+  // one shared daemon timer heartbeats every held lease; sized 1 because
+  // a beat is one tiny FS write every staleMs/3 per held root
+  private lazy val leaseHeartbeats = {
+    val ex = new java.util.concurrent.ScheduledThreadPoolExecutor(1, r => {
+      val t = new Thread(r, "graft-lease-heartbeat")
+      t.setDaemon(true)
+      t
+    })
+    ex.setRemoveOnCancelPolicy(true)
+    ex
+  }
+
+  private def leaseBody(owner: String, token: String): Array[Byte] =
+    s"$owner\t${System.currentTimeMillis()}\t$token".getBytes("UTF-8")
+
+  /** Create `p` with `body` iff it does not exist, ATOMICALLY — the one
+    * primitive the lease's exclusivity stands on. Hadoop's
+    * LocalFileSystem.create(overwrite=false) is CHECK-THEN-ACT (an
+    * exists probe, then a plain FileOutputStream), so two racing
+    * creators can BOTH "succeed" — the r14 two-breaker race test caught
+    * exactly that as two concurrent holders. On `file:` roots the
+    * O_EXCL guarantee comes from NIO's CREATE_NEW (one open(2) with
+    * O_CREAT|O_EXCL); on HDFS the namenode serializes create, and on
+    * object stores with conditional PUT the FS connector does —
+    * elsewhere the lease stays advisory-but-loud as documented. */
+  private def createNoOverwrite(fs: FileSystem, p: Path,
+                                body: Array[Byte]): Boolean =
+    if (fs.getUri.getScheme == "file") {
+      try {
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        if (local.getParent != null)
+          java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.write(local, body,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(body) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+
+  /** Raw lease bytes, one attempt: None = file absent (holder released);
+    * an unreadable file (read-during-rewrite, object-store consistency)
+    * propagates as IOException for the caller's retry policy. */
+  private def readLeaseRaw(fs: FileSystem, p: Path): Option[Array[Byte]] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](256)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(buf.toByteArray)
+      } finally in.close()
+    }
+
+  /** (owner, stamp, token) best-effort parse; a torn/garbage file parses
+    * to stamp 0 (an always-stale CANDIDATE — the rename-verify break
+    * protects a live holder caught mid-rewrite, because the displaced
+    * bytes will have changed by the time the breaker compares them). */
+  private def parseLease(raw: Array[Byte]): (String, Long, String) = {
+    val parts = new String(raw, "UTF-8").split('\t')
+    (parts.headOption.getOrElse("?"),
+      parts.lift(1).flatMap(_.toLongOption).getOrElse(0L),
+      parts.lift(2).getOrElse(""))
+  }
 
   /** Run `body` holding the writer lease of index root `root`; acquire
     * refuses loudly ([[LeaseHeldException]]) when another writer holds a
-    * fresh lease. Reentrant within the acquiring thread. The lease file
-    * is removed on exit (normal or exceptional); a crash leaves it to
-    * age out. */
+    * fresh lease. Reentrant within the acquiring thread ONLY — nested
+    * work that hops to another thread of the same JVM (a future, an
+    * executor task) is refused as a foreign writer by design; keep the
+    * mutation path on the acquiring thread. A heartbeat renews the lease
+    * stamp every `staleMs/3` for as long as `body` runs, so a fold that
+    * legitimately outlives `staleMs` stays unbreakable; if the lease is
+    * broken anyway (JVM pause past `staleMs`, operator intervention),
+    * the heartbeat flags eviction and this call THROWS
+    * [[LeaseHeldException]] after `body` completes instead of returning
+    * success — a possibly-conflicting mutation is never reported clean.
+    * The lease file is removed on exit (normal or exceptional); a crash
+    * leaves it to age out. */
   def withWriterLease[T](root: String, owner: String,
                          staleMs: Long = DefaultLeaseStaleMs)(body: => T): T = {
     val (fs, p0) = fsFor(s"$root/$LeaseFile")
@@ -129,65 +235,186 @@ object SegmentStore {
     val key = leasePath.toString
     val tid = Thread.currentThread().getId
     val held = heldLeases.get(key)
-    if (held != null && held._1 == tid) { // reentrant hold
-      heldLeases.put(key, (tid, held._2 + 1))
+    if (held != null && held.tid == tid) { // reentrant hold
+      held.depth += 1
       try body
-      finally {
-        val cur = heldLeases.get(key)
-        if (cur._2 <= 1) heldLeases.remove(key)
-        else heldLeases.put(key, (tid, cur._2 - 1))
-      }
+      finally held.depth -= 1
     } else {
-      acquireLeaseFile(fs, leasePath, root, owner, staleMs)
-      heldLeases.put(key, (tid, 1))
-      try body
+      val token = java.util.UUID.randomUUID().toString
+      acquireLeaseFile(fs, leasePath, root, owner, staleMs, token)
+      val hold = new LeaseHold(tid, token, owner)
+      heldLeases.put(key, hold)
+      val period = math.max(staleMs / 3, 20L)
+      hold.renewal = leaseHeartbeats.scheduleAtFixedRate(
+        () => try renewLease(root) catch { case _: Exception => () },
+        period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+      var bodyOk = false
+      try { val r = body; bodyOk = true; r }
       finally {
+        hold.renewal.cancel(false)
         heldLeases.remove(key)
-        fs.delete(leasePath, false)
+        val released = !hold.evicted && releaseLease(fs, leasePath, hold)
+        if (bodyOk && !released)
+          throw new LeaseHeldException(
+            s"writer lease on $root was broken while held by '$owner' — " +
+              "another writer may have mutated the root concurrently; " +
+              "verify the index before trusting this mutation")
       }
     }
   }
 
+  /** Renew the in-process hold on `root` NOW: rewrite the lease stamp
+    * under the hold's token. Throws [[LeaseHeldException]] (and flags
+    * the hold evicted) when the on-disk lease is gone or carries a
+    * foreign token — i.e. a breaker legitimately evicted us. Transient
+    * read/write failures are left for the next beat. Package-visible so
+    * tests can drive the heartbeat deterministically. */
+  private[graft] def renewLease(root: String): Unit = {
+    val (fs, p0) = fsFor(s"$root/$LeaseFile")
+    val leasePath = fs.makeQualified(p0)
+    val hold = heldLeases.get(leasePath.toString)
+    if (hold == null || hold.evicted) return
+    val current =
+      try readLeaseRaw(fs, leasePath)
+      catch { case _: java.io.IOException => return } // transient: next beat
+    val ours = current.exists(raw => parseLease(raw)._3 == hold.token)
+    if (!ours) {
+      hold.evicted = true
+      if (hold.renewal != null) hold.renewal.cancel(false)
+      throw new LeaseHeldException(
+        s"writer lease on $root was broken while held by '${hold.owner}' " +
+          "(heartbeat found a missing or foreign lease)")
+    }
+    try {
+      val out = fs.create(leasePath, true)
+      try out.write(leaseBody(hold.owner, hold.token)) finally out.close()
+    } catch { case _: java.io.IOException => () } // transient: next beat
+  }
+
+  /** Delete the lease file iff it still carries our token. Returns false
+    * when the lease was evicted (missing/foreign token — NEVER deleted:
+    * it is another writer's now). A transient read failure retries; an
+    * unreadable-but-present lease after retries is deleted anyway (the
+    * heartbeat never flagged eviction, so it is overwhelmingly ours, and
+    * leaving it would wedge the root for the full stale age). A failed
+    * delete retries once and then logs — the root self-heals when the
+    * file ages out, but silence would hide the wedge (r13 ADVICE). */
+  private def releaseLease(fs: FileSystem, leasePath: Path,
+                           hold: LeaseHold): Boolean = {
+    val raw =
+      try readLeaseRawRetry(fs, leasePath, attempts = 3)
+      catch { case _: LeaseHeldException => Some(Array.emptyByteArray) }
+    raw match {
+      case None => false // broken AND re-released: we were evicted
+      case Some(bytes)
+        if bytes.nonEmpty && parseLease(bytes)._3 != hold.token => false
+      case _ =>
+        if (!fs.delete(leasePath, false) && fs.exists(leasePath) &&
+            !fs.delete(leasePath, false) && fs.exists(leasePath))
+          System.err.println(
+            s"[graft] WARN: could not delete lease $leasePath on release; " +
+              s"writers are blocked until the stale age passes")
+        true
+    }
+  }
+
+  /** [[readLeaseRaw]] with a bounded retry on IOException (100 ms apart);
+    * still-unreadable throws [[LeaseHeldException]] — a breaker must
+    * REFUSE on a lease it cannot read, never treat it as stale (r13
+    * ADVICE: a transient read failure must not evict a live holder). */
+  private def readLeaseRawRetry(fs: FileSystem, p: Path,
+                                attempts: Int): Option[Array[Byte]] = {
+    var left = attempts
+    while (true) {
+      try return readLeaseRaw(fs, p)
+      catch {
+        case e: java.io.IOException =>
+          left -= 1
+          if (left <= 0) throw new LeaseHeldException(
+            s"writer lease at $p unreadable after $attempts attempts " +
+              s"(${e.getMessage}): refusing to treat it as stale — retry")
+          Thread.sleep(100)
+      }
+    }
+    None // unreachable
+  }
+
   /** Create the lease file with overwrite=false; on conflict, break a
-    * stale holder once (age > `staleMs`) and retry, else refuse. */
+    * stale holder (age > `staleMs`) by rename-then-verify and retry the
+    * create, else refuse. See the protocol comment above for why the
+    * break can never displace a live holder silently. */
   private def acquireLeaseFile(fs: FileSystem, leasePath: Path,
                                root: String, owner: String,
-                               staleMs: Long): Unit = {
+                               staleMs: Long, token: String): Unit = {
     def tryCreate(): Boolean =
-      try {
-        val out = fs.create(leasePath, false)
-        try out.write(s"$owner\t${System.currentTimeMillis()}".getBytes("UTF-8"))
-        finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    if (!tryCreate()) {
-      val (heldOwner, heldAt) =
-        try {
-          val in = fs.open(leasePath)
-          try {
-            val buf = new java.io.ByteArrayOutputStream()
-            val chunk = new Array[Byte](256)
-            var n = in.read(chunk)
-            while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-            val parts = new String(buf.toByteArray, "UTF-8").split('\t')
-            (parts.headOption.getOrElse("?"),
-              parts.lift(1).flatMap(_.toLongOption).getOrElse(0L))
-          } finally in.close()
-        } catch {
-          // holder released between our create attempt and the read —
-          // treat as stale (age 0 holder gone) and retry below
-          case _: java.io.IOException => ("?", 0L)
-        }
-      val age = System.currentTimeMillis() - heldAt
-      if (age > staleMs) {
-        fs.delete(leasePath, false) // break the stale lease; racing
-        if (!tryCreate())           // breakers resolve at this create
+      createNoOverwrite(fs, leasePath, leaseBody(owner, token))
+    if (tryCreate()) return
+    // An EMPTY/unparsable read (stamp 0) is almost always a live holder
+    // caught mid-rewrite — the heartbeat's create(overwrite) truncates
+    // then writes, a µs-wide window — and only rarely a holder that
+    // crashed mid-create. Re-read before treating it as an always-stale
+    // candidate: the live holder's bytes land within the retry budget,
+    // the crashed holder's garbage persists and proceeds to the
+    // rename-verify break.
+    var raw = readLeaseRawRetry(fs, leasePath, attempts = 5)
+    var rereads = 3
+    while (raw.exists(parseLease(_)._2 == 0L) && rereads > 0) {
+      Thread.sleep(100)
+      raw = readLeaseRawRetry(fs, leasePath, attempts = 5)
+      rereads -= 1
+    }
+    raw match {
+      case None =>
+        // holder released between our create attempt and the read
+        if (!tryCreate()) throw new LeaseHeldException(
+          s"writer lease on $root contended at handoff — retry")
+      case Some(observed) =>
+        val (heldOwner, heldAt, _) = parseLease(observed)
+        val age = System.currentTimeMillis() - heldAt
+        if (age <= staleMs) throw new LeaseHeldException(
+          s"writer lease on $root held by '$heldOwner' (${age}ms old): " +
+            "concurrent mutation refused — retry after the current " +
+            "append/fold/compact finishes")
+        if (!breakStaleLease(fs, leasePath, observed, token))
           throw new LeaseHeldException(
-            s"writer lease on $root contended while breaking a stale holder — retry")
-      } else throw new LeaseHeldException(
-        s"writer lease on $root held by '$heldOwner' (${age}ms old): " +
-          "concurrent mutation refused — retry after the current " +
-          "append/fold/compact finishes")
+            s"writer lease on $root was re-acquired while breaking a " +
+              "stale holder — retry")
+        if (!tryCreate()) throw new LeaseHeldException(
+          s"writer lease on $root contended while breaking a stale " +
+            "holder — retry")
+    }
+  }
+
+  /** Break a lease whose bytes were observed as `observed` (already past
+    * the stale age): rename it to a unique tombstone, verify the
+    * displaced bytes ARE the observed stale content, and reclaim the
+    * slot. Returns false — with the displaced lease restored — when the
+    * rename grabbed a DIFFERENT (fresh) lease recreated between the
+    * caller's read and the rename: the exact two-breaker interleaving a
+    * blind delete gets wrong (r13 verdict). If the restore itself loses
+    * a race (a third writer claimed the empty slot), the displaced
+    * holder's next heartbeat flags eviction loudly — degraded to a loud
+    * failure, never to two silent writers. Package-visible for the
+    * race-interleaving tests. */
+  private[graft] def breakStaleLease(fs: FileSystem, leasePath: Path,
+                                     observed: Array[Byte],
+                                     token: String): Boolean = {
+    val tomb = new Path(leasePath.getParent,
+      s"${leasePath.getName}.broken.$token")
+    val renamed =
+      try fs.rename(leasePath, tomb)
+      catch { case _: java.io.IOException => false }
+    if (!renamed) return true // another breaker won; caller's create decides
+    val displaced =
+      try readLeaseRaw(fs, tomb)
+      catch { case _: java.io.IOException => None }
+    if (displaced.exists(java.util.Arrays.equals(_, observed))) {
+      fs.delete(tomb, false)
+      true
+    } else {
+      // we displaced a fresh lease (or can't prove otherwise): restore it
+      if (!fs.rename(tomb, leasePath)) fs.delete(tomb, false)
+      false
     }
   }
 
@@ -528,11 +755,16 @@ object SegmentStore {
     } finally in.close()
   }
 
-  /** Crash-recovery sweep for the compact-swap-retire loop — run at the
-    * START of every at-least-once maintenance batch, before the
-    * idempotence skip check. Two crash windows leak storage without it
-    * (correctness was never affected — the pointer protocol guarantees
-    * readers a committed root throughout):
+  /** Recovery-and-retirement sweep for the compact-swap loop — run at
+    * the START of every at-least-once maintenance batch, before the
+    * idempotence skip check. Besides closing two crash windows that
+    * would leak storage (correctness was never affected — the pointer
+    * protocol guarantees readers a committed root throughout), this
+    * sweep is where superseded roots are RETIRED at all (r14): the
+    * maintenance loops stop retiring inline after a swap, so a serving
+    * frame planned against the pre-swap root keeps its files for one
+    * full trigger interval — the pointer-swap analogue of the
+    * tail-folds' retain-one-generation GC.
     *
     *   1. crash AFTER [[compactIfNeeded]] published the new root (which
     *      carries the redelivered batch's tag) but BEFORE [[setPointer]]:
@@ -542,13 +774,14 @@ object SegmentStore {
     *      a full index copy forever. The compaction target name is
     *      deterministic (`<root>-c<version>`), so ONE probe finds the
     *      orphan; if its committed history carries this batch's tag, the
-    *      swap is finished here (adopt: setPointer + retire the
-    *      superseded root) and the adopted root is returned — the caller's
+    *      swap is finished here (adopt: setPointer; the superseded root
+    *      becomes the pv-1 target and is retired by the NEXT trigger's
+    *      sweep) and the adopted root is returned — the caller's
     *      skip check then sees the tag on the CURRENT root, as if the
     *      crash never happened.
-    *   2. crash AFTER [[setPointer]] but BEFORE [[retire]]: the
-    *      superseded pointer target stays on disk. The previous pointer
-    *      version names it, so it is retired here ([[retire]] is
+    *   2. the previous pointer version's target: superseded by the last
+    *      committed swap at least one trigger ago, its reader-drain
+    *      grace has elapsed, so it is retired here ([[retire]] is
     *      idempotent — in normal operation this is one exists-probe).
     *   3. crash DURING compaction (the tagged append already committed
     *      on the old root, the compacted root's first `_COMMITTED`
@@ -574,14 +807,24 @@ object SegmentStore {
                   committedHasTag: (String, String) => Boolean): String = {
     val cur = getPointer(pointerBase).getOrElse(defaultRoot)
     val pv = version(pointerBase)
-    if (pv > 0) { // window 2: finish a swapped-but-unretired predecessor
+    if (pv > 0) {
+      // The ONE retirement point of the compact-swap loop (r14: the
+      // maintenance loops no longer retire inline after a swap). The
+      // pv-1 target was superseded by the LAST committed swap — at
+      // least one full trigger ago, since this sweep runs at trigger
+      // START and swaps commit at trigger END — so a serving frame
+      // planned against it before the swap has had the whole trigger
+      // interval to collect: the pointer-swap twin of the tail-folds'
+      // retain-one-generation GC ([[gcUnreferencedSegs]]' policy).
+      // Idempotent and O(1) when already reclaimed (one exists-probe).
       val prev = if (pv == 1) defaultRoot else readPointer(pointerBase, pv - 1)
       if (prev != cur) retire(prev)
     }
     val orphan = s"$cur-c${segVersion(cur)}"
     if (orphan != cur && committedHasTag(orphan, tag)) { // window 1: adopt
       setPointer(pointerBase, orphan)
-      retire(cur)
+      // cur is NOT retired inline: it is the new pv-1 target and gets
+      // its one-generation grace from the next trigger's sweep above
       orphan
     } else {
       if (orphan != cur && segVersion(orphan) == 0)
@@ -797,7 +1040,9 @@ object SegmentStore {
     * the restored root's writers for a full stale-age for no reason. */
   private[graft] def orderForCopy(files: Seq[Path]): Seq[Path] = {
     val (ready, rest0) = files.partition(_.getName == ReadyMarker)
-    val rest = rest0.filterNot(_.getName == LeaseFile)
+    // startsWith: also drops `_WRITER_LEASE.broken.<token>` tombstones a
+    // crashed breaker may have left mid-break (r14 rename-verify break)
+    val rest = rest0.filterNot(_.getName.startsWith(LeaseFile))
     val (markers, data) = rest.partition(_.getName == CommitMarker)
     val (ledgerMarkers, segMarkers) = markers.partition { p =>
       val s = p.toString

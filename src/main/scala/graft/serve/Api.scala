@@ -820,10 +820,18 @@ object Api {
       // files first, commit markers last, so a torn copy is unreadable
       // rather than wrong). Restore is an ops action on path-addressed
       // roots: point any reader (or a fresh snapshot back) at the copy.
+      // The quiesce lease can find a live writer (CDC trigger mid-fold):
+      // that is the same retry-later contract as the fold routes — 409,
+      // not a generic 500 (r13 ADVICE).
       val dest = require(params, "dest")
       val src = graft.index.TfIdfGraphIndex.ensureGrown(spark, dir)
-      graft.index.SegmentStore.snapshot(src, dest)
-      ok(s"""{"success":true,"src":${quote(src)},"dest":${quote(dest)}}""")
+      try {
+        graft.index.SegmentStore.snapshot(src, dest)
+        ok(s"""{"success":true,"src":${quote(src)},"dest":${quote(dest)}}""")
+      } catch {
+        case e: graft.index.SegmentStore.LeaseHeldException =>
+          Response(409, err(e.getMessage))
+      }
 
     case "/api/admin/reload_whitelist" =>
       // Q12's whitelist-reload endpoint is DEAD CODE in the reference:

@@ -16,6 +16,34 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object DeltaStream {
 
+  /** Run one micro-batch index-maintenance `body`, retrying while a
+    * concurrent lease holder — an admin snapshot quiescing the live root
+    * ([[graft.index.SegmentStore.snapshot]]), or an operator fold route —
+    * refuses the mutation with [[graft.index.SegmentStore
+    * .LeaseHeldException]]. Without the retry, one admin call taken
+    * during live CDC ingest FAILS the whole streaming query (r13
+    * ADVICE); with it, the trigger defers until the quiesce ends. The
+    * whole body re-runs on each attempt, which is safe by construction:
+    * every mutation inside the maintenance loops is idempotence-tagged,
+    * so halves that committed before the refusal replay as no-ops.
+    * Exhausted retries rethrow — the batch's checkpoint offset is then
+    * uncommitted and a restart replays it exactly-once; schedule copies
+    * that outlast the retry budget off-peak. */
+  private def withLeaseRetry[T](attempts: Int = 20, backoffMs: Long = 250)
+                               (body: => T): T = {
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case e: graft.index.SegmentStore.LeaseHeldException =>
+          left -= 1
+          if (left <= 0) throw e
+          Thread.sleep(backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** N2: stream new JSON files from a delta directory; each micro-batch is
     * handed to `merge` (e.g. Lifecycle.deltaDetect + parquet upsert). */
   def deltaImport(spark: SparkSession, deltaDir: String, checkpoint: String,
@@ -193,36 +221,36 @@ object DeltaStream {
         // Bounded-storage maintenance loop: the live root is resolved
         // through the durable pointer (first batch: `indexRoot` itself),
         // and when the append pushes the segment count past
-        // `maxSegments`, this batch compacts, swaps the pointer, and
-        // retires the superseded root — the stream is the only writer
-        // and readers resolve the pointer, so the drain window is the
-        // batch boundary. The compacted root's first version carries
-        // THIS batch's idempotence tag: on redelivery (restart of the
-        // one uncommitted batch) the tag is found on the current root
-        // and the whole append+compact step is skipped — older batches
-        // are checkpoint-committed and never redelivered. Root
-        // resolution goes through [[SegmentStore.recoverRoot]], which
-        // also finishes a predecessor's crashed swap (adopts a
-        // published-but-unswapped compacted root carrying this batch's
-        // tag; retires a swapped-but-unretired one) so no crash window
-        // leaks an index copy.
-        val ptr = s"$indexRoot.current"
-        val tag = s"batch_$batchId"
-        val root = SegmentStore.recoverRoot(ptr, indexRoot, tag)(
-          IncrementalBm25.version, IncrementalBm25.committedHasTag)
-        if (!batch.isEmpty && !IncrementalBm25.committedHasTag(root, tag)) {
-          if (IncrementalBm25.version(root) == 0)
-            IncrementalBm25.init(batch, idCol, textCol, root,
-              numFiles = 1, tag = Some(tag))
-          else
-            IncrementalBm25.append(batch, idCol, textCol, root,
-              numFiles = 1, tag = Some(tag))
-          val newRoot = IncrementalBm25.compactIfNeeded(
-            batch.sparkSession, root, idCol, maxSegments, tag = Some(tag))
-          if (newRoot != root) {
-            SegmentStore.setPointer(ptr, newRoot)
-            SegmentStore.retire(root)
-            ()
+        // `maxSegments`, this batch compacts and swaps the pointer —
+        // the stream is the only writer and readers resolve the
+        // pointer. The superseded root is NOT retired inline: a serving
+        // frame planned against it seconds before the swap must still
+        // collect, so retirement routes through the NEXT trigger's
+        // [[SegmentStore.recoverRoot]] sweep (one-trigger drain window —
+        // the pointer-swap twin of the tail-folds' retain-one-generation
+        // GC). The compacted root's first version carries THIS batch's
+        // idempotence tag: on redelivery (restart of the one uncommitted
+        // batch) the tag is found on the current root and the whole
+        // append+compact step is skipped — older batches are
+        // checkpoint-committed and never redelivered. recoverRoot also
+        // finishes a predecessor's crashed swap (adopts a published-but-
+        // unswapped compacted root carrying this batch's tag) so no
+        // crash window leaks an index copy.
+        withLeaseRetry() {
+          val ptr = s"$indexRoot.current"
+          val tag = s"batch_$batchId"
+          val root = SegmentStore.recoverRoot(ptr, indexRoot, tag)(
+            IncrementalBm25.version, IncrementalBm25.committedHasTag)
+          if (!batch.isEmpty && !IncrementalBm25.committedHasTag(root, tag)) {
+            if (IncrementalBm25.version(root) == 0)
+              IncrementalBm25.init(batch, idCol, textCol, root,
+                numFiles = 1, tag = Some(tag))
+            else
+              IncrementalBm25.append(batch, idCol, textCol, root,
+                numFiles = 1, tag = Some(tag))
+            val newRoot = IncrementalBm25.compactIfNeeded(
+              batch.sparkSession, root, idCol, maxSegments, tag = Some(tag))
+            if (newRoot != root) SegmentStore.setPointer(ptr, newRoot)
           }
         }
       }
@@ -282,17 +310,24 @@ object DeltaStream {
     * ([[graft.index.IncrementalBm25.upsert]] — same id, new text), and
     * INSERTS last, inside the one single-writer loop. On an
     * uninitialized root, net-U rows fold into the init set (they are
-    * net inserts by definition there). */
+    * net inserts by definition there). With `tailFoldCompaction`,
+    * `driftFoldShare` < 1 additionally escalates to the full merge
+    * moment when the stale-stats drift share crosses it
+    * ([[graft.index.IncrementalBm25.tailFoldIfNeeded]]) — the
+    * delete-heavy steady state catches its scoring stats up without an
+    * operator call. */
   def indexCdcIngest(changes: DataFrame, indexRoot: String,
                      checkpoint: String,
                      idCol: String = "doc_id", textCol: String = "text",
                      maxSegments: Int = Int.MaxValue,
                      seqCol: Option[String] = None,
-                     tailFoldCompaction: Boolean = false): StreamingQuery =
+                     tailFoldCompaction: Boolean = false,
+                     driftFoldShare: Double = 1.0): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.index.{IncrementalBm25, SegmentStore}
+        withLeaseRetry() {
         val ptr = s"$indexRoot.current"
         val tag = s"batch_$batchId"
         val root = SegmentStore.recoverRoot(ptr, indexRoot, tag)(
@@ -328,19 +363,21 @@ object DeltaStream {
         if (IncrementalBm25.version(root) > 0) {
           if (tailFoldCompaction) {
             // in-place bounded-write fold (see [[ivfCdcIngest]]'s twin):
-            // O(tail) per trigger, pointer never moves
+            // O(tail) per trigger, pointer never moves. `driftFoldShare`
+            // escalates to the FULL merge moment when the family's
+            // stale-stats drift crosses the operator's tolerance.
             IncrementalBm25.tailFoldIfNeeded(batch.sparkSession, root,
-              idCol, maxSegments, tag = Some(s"fold_$batchId"))
+              idCol, maxSegments, tag = Some(s"fold_$batchId"),
+              driftFoldShare = driftFoldShare)
             ()
           } else {
             val newRoot = IncrementalBm25.compactIfNeeded(
               batch.sparkSession, root, idCol, maxSegments, tag = Some(tag))
-            if (newRoot != root) {
-              SegmentStore.setPointer(ptr, newRoot)
-              SegmentStore.retire(root)
-              ()
-            }
+            // superseded root retired by the NEXT trigger's recoverRoot
+            // sweep, not inline — see [[indexIngest]]'s drain note
+            if (newRoot != root) SegmentStore.setPointer(ptr, newRoot)
           }
+        }
         }
       }
       .outputMode(OutputMode.Update())
@@ -364,6 +401,7 @@ object DeltaStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.index.{IncrementalIvf, SegmentStore}
+        withLeaseRetry() {
         val ptr = s"$indexRoot.current"
         val tag = s"batch_$batchId"
         val root = SegmentStore.recoverRoot(ptr, indexRoot, tag)(
@@ -400,12 +438,11 @@ object DeltaStream {
           } else {
             val newRoot = IncrementalIvf.compactIfNeeded(
               batch.sparkSession, root, maxSegments, tag = Some(tag))
-            if (newRoot != root) {
-              SegmentStore.setPointer(ptr, newRoot)
-              SegmentStore.retire(root)
-              ()
-            }
+            // superseded root retired by the NEXT trigger's recoverRoot
+            // sweep, not inline — see [[indexIngest]]'s drain note
+            if (newRoot != root) SegmentStore.setPointer(ptr, newRoot)
           }
+        }
         }
       }
       .outputMode(OutputMode.Update())
@@ -502,21 +539,20 @@ object DeltaStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.index.{IncrementalIvf, SegmentStore}
         // Same bounded-storage maintenance loop as [[indexIngest]]:
-        // pointer-resolved root (with crashed-swap recovery),
-        // compact-swap-retire in the batch that crosses `maxSegments`,
-        // compacting batch's tag on the new root.
-        val ptr = s"$indexRoot.current"
-        val tag = s"batch_$batchId"
-        val root = SegmentStore.recoverRoot(ptr, indexRoot, tag)(
-          IncrementalIvf.version, IncrementalIvf.committedHasTag)
-        if (!batch.isEmpty && !IncrementalIvf.committedHasTag(root, tag)) {
-          IncrementalIvf.append(batch, root, tag = Some(tag))
-          val newRoot = IncrementalIvf.compactIfNeeded(
-            batch.sparkSession, root, maxSegments, tag = Some(tag))
-          if (newRoot != root) {
-            SegmentStore.setPointer(ptr, newRoot)
-            SegmentStore.retire(root)
-            ()
+        // pointer-resolved root (with crashed-swap recovery), compact
+        // and swap in the batch that crosses `maxSegments` (compacting
+        // batch's tag on the new root), superseded root retired by the
+        // NEXT trigger's recoverRoot sweep.
+        withLeaseRetry() {
+          val ptr = s"$indexRoot.current"
+          val tag = s"batch_$batchId"
+          val root = SegmentStore.recoverRoot(ptr, indexRoot, tag)(
+            IncrementalIvf.version, IncrementalIvf.committedHasTag)
+          if (!batch.isEmpty && !IncrementalIvf.committedHasTag(root, tag)) {
+            IncrementalIvf.append(batch, root, tag = Some(tag))
+            val newRoot = IncrementalIvf.compactIfNeeded(
+              batch.sparkSession, root, maxSegments, tag = Some(tag))
+            if (newRoot != root) SegmentStore.setPointer(ptr, newRoot)
           }
         }
       }
@@ -551,18 +587,16 @@ object DeltaStream {
                                  batchId: Long, nprobe: Int, k: Int,
                                  maxSegments: Int): Unit = {
     import graft.index.{IncrementalKnn, SegmentStore}
-    val ptr = s"$graphRoot.current"
-    val tag = s"batch_$batchId"
-    val root = SegmentStore.recoverRoot(ptr, graphRoot, tag)(
-      IncrementalKnn.version, IncrementalKnn.committedHasTag)
-    if (!batch.isEmpty && !IncrementalKnn.committedHasTag(root, tag)) {
-      IncrementalKnn.append(batch, root, nprobe, k, tag = Some(tag))
-      val newRoot = IncrementalKnn.compactIfNeeded(
-        batch.sparkSession, root, k, maxSegments, tag = Some(tag))
-      if (newRoot != root) {
-        SegmentStore.setPointer(ptr, newRoot)
-        SegmentStore.retire(root)
-        ()
+    withLeaseRetry() {
+      val ptr = s"$graphRoot.current"
+      val tag = s"batch_$batchId"
+      val root = SegmentStore.recoverRoot(ptr, graphRoot, tag)(
+        IncrementalKnn.version, IncrementalKnn.committedHasTag)
+      if (!batch.isEmpty && !IncrementalKnn.committedHasTag(root, tag)) {
+        IncrementalKnn.append(batch, root, nprobe, k, tag = Some(tag))
+        val newRoot = IncrementalKnn.compactIfNeeded(
+          batch.sparkSession, root, k, maxSegments, tag = Some(tag))
+        if (newRoot != root) SegmentStore.setPointer(ptr, newRoot)
       }
     }
   }
@@ -627,6 +661,7 @@ object DeltaStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.index.{IncrementalKnn, SegmentStore, TfIdfGraphIndex}
         val spark = batch.sparkSession
+        withLeaseRetry() {
         val ptr = s"$graphRoot.current"
         val tag = s"batch_$batchId"
         val root = SegmentStore.recoverRoot(ptr, graphRoot, tag)(
@@ -667,11 +702,10 @@ object DeltaStream {
         } else {
           val newRoot = IncrementalKnn.compactIfNeeded(
             spark, root, k, maxSegments, tag = Some(tag))
-          if (newRoot != root) {
-            SegmentStore.setPointer(ptr, newRoot)
-            SegmentStore.retire(root)
-            ()
-          }
+          // superseded root retired by the NEXT trigger's recoverRoot
+          // sweep, not inline — see [[indexIngest]]'s drain note
+          if (newRoot != root) SegmentStore.setPointer(ptr, newRoot)
+        }
         }
       }
       .outputMode(OutputMode.Update())

@@ -1428,18 +1428,26 @@ class IndexSpec extends SparkSpec {
     assert(SegmentStore.getPointer(ptr).isEmpty) // the crash state
 
     // redelivery of batch_1 starts with recoverRoot: it must finish the
-    // swap — pointer moved, superseded root retired, data identical
+    // swap — pointer moved, data identical. The superseded root is NOT
+    // retired inline (r14 retention: a frame planned against it drains
+    // for one trigger) — the NEXT trigger's sweep reclaims it.
     val resolved = SegmentStore.recoverRoot(ptr, root, "batch_1")(
       IncrementalKnn.version, IncrementalKnn.committedHasTag)
     assert(resolved == target)
     assert(SegmentStore.getPointer(ptr).contains(target))
-    assert(!dirExists(root), "superseded root must be retired")
+    assert(dirExists(root),
+      "superseded root keeps its one-trigger reader grace after adopt")
     // the caller's skip check now sees the tag on the CURRENT root, so
     // the redelivered batch is a no-op — as if the crash never happened
     assert(IncrementalKnn.committedHasTag(resolved, "batch_1"))
     val recovered = IncrementalKnn.edges(spark, resolved, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
     assert(recovered == expected && expected.nonEmpty)
+    // the next healthy trigger's sweep reclaims the husk
+    SegmentStore.recoverRoot(ptr, root, "batch_2")(
+      IncrementalKnn.version, IncrementalKnn.committedHasTag)
+    assert(!dirExists(root), "superseded root reclaimed by the next sweep")
+    assert(dirExists(target))
   }
 
   test("recoverRoot window 2: swapped-but-unretired predecessor is retired, live root untouched") {
@@ -2106,6 +2114,151 @@ class IndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/${SegmentStore.LeaseFile}").exists())
   }
 
+  test("writer lease r14: heartbeat keeps a slow fold unbreakable past staleMs; rename-verify break never evicts a fresh holder; eviction is loud") {
+    import graft.index.SegmentStore
+    val root = Files.createTempDirectory("graft-lease14").toString + "/g"
+    new java.io.File(root).mkdirs()
+    val leaseP = java.nio.file.Paths.get(root, SegmentStore.LeaseFile)
+
+    // (a) a fold that legitimately outlives staleMs is NOT breakable:
+    // the heartbeat (staleMs/3) keeps the on-disk stamp fresh for the
+    // whole run, so a second writer is still refused — before r14 the
+    // 30-min default made every O(corpus) reclaimFold/compact evictable
+    // mid-run (r13 verdict #1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val slowOk = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // staleMs 3000 → heartbeat period 1000: the probe below lands well
+    // past the stale age but within 2 s of SOME heartbeat even on a
+    // fully-loaded suite box (a 1 s budget flaked under concurrent
+    // suites — the margin tests the mechanism, not the scheduler)
+    val slow = new Thread(() => {
+      SegmentStore.withWriterLease(root, "slow-fold", staleMs = 3000) {
+        entered.countDown(); release.await()
+      }
+      slowOk.set(true)
+    })
+    slow.start(); entered.await()
+    Thread.sleep(4000) // well past the stale age; ~4 heartbeats landed
+    intercept[SegmentStore.LeaseHeldException] {
+      SegmentStore.withWriterLease(root, "second-writer", staleMs = 3000) {
+        fail("second writer entered while a heartbeating fold ran")
+      }
+    }
+    release.countDown(); slow.join()
+    assert(slowOk.get, "slow holder must complete cleanly, never evicted")
+    assert(!java.nio.file.Files.exists(leaseP))
+
+    // (b) two breakers racing one genuinely-stale lease: exactly one
+    // enters, the other is refused. Looped — this race detector caught
+    // TWO real bugs as "entered=2": the r13 delete/delete/create
+    // interleaving, and Hadoop LocalFileSystem's check-then-act
+    // create(overwrite=false) letting both racing creates "succeed"
+    // (fixed with NIO O_EXCL on file: roots).
+    for (round <- 1 to 12) {
+      java.nio.file.Files.writeString(leaseP, "crashed\t12345\tdeadtoken")
+      val enteredN = new java.util.concurrent.atomic.AtomicInteger(0)
+      val refusedN = new java.util.concurrent.atomic.AtomicInteger(0)
+      val go = new java.util.concurrent.CountDownLatch(1)
+      val rel = new java.util.concurrent.CountDownLatch(1)
+      val breakers = (1 to 2).map { i =>
+        new Thread(() => {
+          go.await()
+          try SegmentStore.withWriterLease(root, s"breaker-$i", staleMs = 500) {
+            enteredN.incrementAndGet(); rel.await()
+          } catch {
+            case _: SegmentStore.LeaseHeldException => refusedN.incrementAndGet()
+          }
+        })
+      }
+      breakers.foreach(_.start()); go.countDown()
+      val deadline = System.currentTimeMillis() + 10000
+      while (enteredN.get + refusedN.get < 2 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(5)
+      rel.countDown(); breakers.foreach(_.join(10000))
+      assert(enteredN.get == 1 && refusedN.get == 1,
+        s"round $round: entered=${enteredN.get} refused=${refusedN.get}")
+      assert(!java.nio.file.Files.exists(leaseP), s"round $round")
+    }
+
+    // (b') the verify step directly: a breaker acting on a STALE read
+    // must not evict a FRESH lease recreated in between — the displaced
+    // fresh lease is restored byte-identical and the break refused
+    val fresh = s"fresh-holder\t${System.currentTimeMillis()}\tlivetoken"
+    java.nio.file.Files.writeString(leaseP, fresh)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hp = new org.apache.hadoop.fs.Path(leaseP.toString)
+    val fs = hp.getFileSystem(conf)
+    val qp = fs.makeQualified(hp)
+    val staleObserved = "crashed\t12345\tdeadtoken".getBytes("UTF-8")
+    assert(!SegmentStore.breakStaleLease(fs, qp, staleObserved, "tokX"))
+    assert(java.nio.file.Files.readString(leaseP) == fresh,
+      "displaced fresh lease must be restored intact")
+    // breaking with the TRUE observed bytes succeeds and clears the slot
+    val trueObserved = java.nio.file.Files.readAllBytes(leaseP)
+    assert(SegmentStore.breakStaleLease(fs, qp, trueObserved, "tokY"))
+    assert(!java.nio.file.Files.exists(leaseP))
+
+    // (c) eviction is LOUD end-to-end: a foreign writer takes the lease
+    // mid-hold (operator force-break + re-acquire), the victim's next
+    // renewal throws, and the victim's withWriterLease refuses to report
+    // success — and never deletes the usurper's lease on the way out
+    val ex = intercept[SegmentStore.LeaseHeldException] {
+      SegmentStore.withWriterLease(root, "victim", staleMs = 60000) {
+        // the usurper acts through the FS API like a real breaker
+        // (direct file writes would leave a stale checksum sidecar and
+        // read as a transient failure, not an eviction)
+        fs.delete(qp, false)
+        val out = fs.create(qp, false)
+        out.write(s"usurper\t${System.currentTimeMillis()}\tforeign-token"
+          .getBytes("UTF-8"))
+        out.close()
+        intercept[SegmentStore.LeaseHeldException] {
+          SegmentStore.renewLease(root)
+        }
+        "body completed"
+      }
+    }
+    assert(ex.getMessage.contains("broken while held"), ex.getMessage)
+    assert(java.nio.file.Files.readString(leaseP).startsWith("usurper"),
+      "victim's release must not delete the usurper's lease")
+    java.nio.file.Files.delete(leaseP)
+  }
+
+  test("IndexCatalog.ensure: concurrent cold-start — the lease loser waits for the winner's marker instead of duplicating the build") {
+    import graft.index.{IndexCatalog, SegmentStore}
+    val dataDir = Files.createTempDirectory("graft-cold").toString
+    val name = "coldstart_lease_v1"
+    val p = IndexCatalog.path(dataDir, name)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    // a foreign "process" builder: holds the tree's writer lease, then
+    // publishes the artifact marker (what a second cluster job racing
+    // the same cold start does)
+    val holderIn = new java.util.concurrent.CountDownLatch(1)
+    val holderGo = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      SegmentStore.withWriterLease(p, "foreign-builder") {
+        holderIn.countDown(); holderGo.await()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p, "_GRAFT_INDEX_READY"),
+          Array.emptyByteArray)
+      })
+    holder.start(); holderIn.await()
+    val waiter = new Thread(() =>
+      IndexCatalog.ensure(spark, dataDir, name)(_ => builds.incrementAndGet()))
+    waiter.start()
+    Thread.sleep(500) // let the waiter hit the live lease and start polling
+    holderGo.countDown()
+    waiter.join(30000)
+    assert(!waiter.isAlive, "waiter must return once the marker appears")
+    holder.join(10000)
+    assert(builds.get == 0, "the lease loser must not duplicate the build")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p, "_GRAFT_INDEX_READY")))
+    IndexCatalog.invalidate(dataDir, name)
+  }
+
   test("incremental knn reclaimFold: kills baked + ledger rebased == rebuild over survivors; refused while holes are unrepaired") {
     import graft.index.{IncrementalKnn, SegmentStore}
     import spark.implicits._
@@ -2192,5 +2345,34 @@ class IndexSpec extends SparkSpec {
     val cf = Files.createTempDirectory("graft-knn-rf-cf").toString + "/g"
     IncrementalKnn.compact(spark, folded, cf, 5)
     assert(rows(cf) == rows(folded))
+  }
+
+  test("reclaimed root degraded window (a34 fixture): delete without repair serves the frozen top-k minus kills — holes visible, never promotion") {
+    import graft.index.{IncrementalKnn, IndexCatalog}
+    // fresh fixtures: both are mutated-history roots, so never pin
+    // against whatever a previous JVM left (fixture-pollution rule)
+    IndexCatalog.invalidate(Sf0001, IncrementalKnn.ReclaimName)
+    IndexCatalog.invalidate(Sf0001, IncrementalKnn.ReclaimDegradedName)
+    val pre = IncrementalKnn.ensureReclaimFolded(spark, Sf0001, 3, 5)
+    val deg = IncrementalKnn.ensureReclaimDegraded(spark, Sf0001, 3, 5)
+    def rows(r: String) = IncrementalKnn.edges(spark, r, 5).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getInt(3))).toSeq
+    val frozen = rows(pre).toSet // the a33 state: rebuild-over-survivors
+    val after = rows(deg)
+    assert(after.nonEmpty)
+    // the kill landed: deleted ids serve nothing, as src or dst
+    assert(after.forall(e => e._1 % 11 != 4 && e._2 % 11 != 4))
+    // NO promotion: every served row is a frozen pre-delete row with its
+    // pre-delete rank — the reclaim dropped all sub-top-k candidates, so
+    // a row outside the frozen set could only come from a regression
+    // that invents refills
+    assert(after.forall(frozen.contains), "degraded read must be a subset of the frozen top-k")
+    // and the holes are VISIBLE: some src keeps a rank beyond its
+    // surviving row count (the degradation signal an operator acts on)
+    assert(after.groupBy(_._1).exists { case (_, rs) => rs.map(_._4).max > rs.size },
+      "expected at least one visible rank hole")
+    // exactly the frozen rows whose dst survived — nothing else dropped
+    val expected = frozen.filter(e => e._1 % 11 != 4 && e._2 % 11 != 4)
+    assert(after.toSet == expected)
   }
 }

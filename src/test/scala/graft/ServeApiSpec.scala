@@ -286,6 +286,20 @@ class ServeApiSpec extends SparkSpec {
     // a second snapshot to the same (now non-empty) dest is refused as a
     // client error (422 — the require() path)
     assert(get("/api/admin/snapshot", "dest" -> dest).status == 422)
+    // a live writer turns the quiesce into a 409 like the fold routes
+    // (r13 ADVICE: it used to fall through to a generic 500)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      graft.index.SegmentStore.withWriterLease(src, "live-cdc-append") {
+        entered.countDown(); release.await()
+      })
+    holder.start(); entered.await()
+    val dest2 = java.nio.file.Files
+      .createTempDirectory("graft-api-snap2").toString + "/backup"
+    val refused = get("/api/admin/snapshot", "dest" -> dest2)
+    assert(refused.status == 409, s"${refused.status}: ${refused.body}")
+    release.countDown(); holder.join()
   }
 
   test("admin restore: snapshot back into the live grown root; serving resumes identically; torn copies refused") {

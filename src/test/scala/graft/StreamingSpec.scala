@@ -521,6 +521,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("indexCdcIngest driftFoldShare: a delete-heavy changelog triggers the stats catch-up fold without an operator call") {
+    // r13 left the BM25 stale-stats drift as a GAUGE
+    // (IncrementalBm25.stats → stats_drift_docs on the admin route);
+    // this wires it to an ACTION: with driftFoldShare set, the CDC
+    // loop's own fold trigger escalates to the full merge moment when
+    // the drift share crosses it — scoring statistics catch up in-loop,
+    // no operator fold call.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.IncrementalBm25
+    val corpus = graft.tables.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 200)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-drift-cdc").toString + "/i"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-drift-ck").toString
+    IncrementalBm25.init(corpus, "doc_id", "text", root, numFiles = 1)
+    assert(IncrementalBm25.stats(spark, root, "doc_id")("stats_drift_docs") == 0)
+
+    val delIds = corpus.select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 5 != 0).take(80) // 40% of 200 docs: share 0.4 > 0.25
+    val input = MemoryStream[(String, Long, String)]
+    val q = DeltaStream.indexCdcIngest(
+      input.toDF().toDF("op", "doc_id", "text"), root, ckpt,
+      maxSegments = 64, // fan-in alone would never trigger a fold here
+      tailFoldCompaction = true, driftFoldShare = 0.25)
+    try {
+      input.addData(delIds.toSeq.map(id => ("D", id, "")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val after = IncrementalBm25.stats(spark, root, "doc_id")
+    assert(after("stats_drift_docs") == 0,
+      s"drift fold must zero the drift, got $after")
+    assert(after("stats_n_docs") == 120, s"stats must count survivors: $after")
+
+    // the merge moment ran: scoring equals a fresh build over survivors
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-drift-fresh").toString + "/i"
+    val survivors = corpus.where(!col("doc_id").isin(delIds.toSeq: _*))
+    graft.index.Bm25Index.build(survivors, "doc_id", "text", fresh)
+    val terms = Seq("spark", "join", "filter")
+    val folded = IncrementalBm25.topK(spark, root, "doc_id", terms, 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rebuilt = graft.index.Bm25Index.topK(spark, fresh, "doc_id", terms, 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(folded == rebuilt && rebuilt.nonEmpty)
+  }
+
   test("indexCdcIngest with tail-fold compaction: full in-root fold == fresh BM25 build (stats catch up without a pointer swap)") {
     // the BM25 member of the CDC tail-fold story: partial folds run
     // inside the loop (stats stale by contract), and the closing
@@ -1140,6 +1189,76 @@ class StreamingSpec extends SparkSpec {
       .topK(spark, snap, "doc_id", terms, 20)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(restoredHits == streamed)
+  }
+
+  test("indexIngest defers its trigger while an admin snapshot quiesces the root: LeaseHeldException retried in-loop, stream survives") {
+    // r13 ADVICE: a snapshot taken during live CDC ingest used to fail
+    // the WHOLE streaming query (nothing caught the quiesce lease's
+    // refusal). The maintenance loops now retry the trigger until the
+    // quiesce ends — idempotence tags make whole-body re-runs no-ops.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.{IncrementalBm25, SegmentStore}
+    val docs = graft.tables.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val root = java.nio.file.Files.createTempDirectory("graft-defer").toString + "/idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-defer-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = DeltaStream.indexIngest(input.toDF().toDF("doc_id", "text"),
+      root, ckpt)
+    try {
+      input.addData(docs.take(20).toSeq); q.processAllAvailable()
+      assert(IncrementalBm25.version(root) == 1)
+      // an admin snapshot quiesces the root mid-stream (exactly what
+      // SegmentStore.snapshot does) for longer than one retry backoff
+      val held = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() =>
+        SegmentStore.withWriterLease(root, "admin-snapshot") {
+          held.countDown(); Thread.sleep(1500)
+        })
+      holder.start(); held.await()
+      input.addData(docs.drop(20).toSeq)
+      q.processAllAvailable() // must not throw: trigger defers, then lands
+      holder.join()
+      assert(IncrementalBm25.version(root) == 2,
+        "the deferred trigger must still commit its segment")
+    } finally q.stop()
+  }
+
+  test("pointer-swap retention: a frame planned against the pre-swap root collects after the swap trigger; the husk is reclaimed by the trigger after that") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.{IncrementalBm25, SegmentStore}
+    val docs = graft.tables.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val root = java.nio.file.Files.createTempDirectory("graft-ret").toString + "/idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ret-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = DeltaStream.indexIngest(input.toDF().toDF("doc_id", "text"),
+      root, ckpt, maxSegments = 2)
+    try {
+      // two triggers: v2, still below the compaction threshold
+      input.addData(docs.take(100).toSeq); q.processAllAvailable()
+      input.addData(docs.slice(100, 200).toSeq); q.processAllAvailable()
+      assert(SegmentStore.getPointer(s"$root.current").isEmpty)
+      // a serving frame planned against the live (initial) root NOW —
+      // the reader a pointer-resolving tier would have in flight
+      val frame = IncrementalBm25.topK(spark, root, "doc_id",
+        Seq("spark", "join", "filter"), 10)
+      // the next trigger crosses maxSegments: compact + pointer swap.
+      // r13's inline retire would delete the frame's files right here.
+      input.addData(docs.slice(200, 300).toSeq); q.processAllAvailable()
+      val cur = SegmentStore.getPointer(s"$root.current")
+      assert(cur.nonEmpty && cur.get != root, s"pointer=$cur")
+      assert(IncrementalBm25.version(root) > 0,
+        "superseded root must survive its swap trigger (reader grace)")
+      assert(frame.collect().nonEmpty,
+        "pre-swap frame must collect after the swap")
+      // the NEXT trigger's recoverRoot sweep reclaims the husk
+      input.addData(docs.slice(300, 320).toSeq); q.processAllAvailable()
+      assert(IncrementalBm25.version(root) == 0,
+        "husk must be reclaimed by the trigger after the swap")
+    } finally q.stop()
   }
 
   test("ivfIngest: streamed segments serve hash-identical ANN to a monolithic assignment") {
