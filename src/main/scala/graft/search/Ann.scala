@@ -677,6 +677,82 @@ object Ann {
     * floor-bound, like every serving-class query here) instead of one
     * large job with corpus-sized scans; for throughput serving batch with
     * [[graphTopKBatched]], for per-query latency at big corpora seek. */
+  /** [[graphTopKSeek]] for a BATCH of queries — the throughput form of
+    * the seek path, and (r14) the serving default behind
+    * `SearchEngine.graphSearchBatched`. The one-plan
+    * [[graphTopKBatched]] amortizes its per-hop joins over the batch,
+    * but those joins SCAN the full vectors and edge artifacts every hop
+    * — measured ×2.76 per-query at ×10 corpus (BENCHNOTES r14 slope
+    * leg) because the scan term grows with the corpus while the batch
+    * stays fixed. This variant keeps the walk state on the driver —
+    * bounded by batch × (entries + hops · beam · degree) ids, a few
+    * thousand rows, the same documented bounded-head pattern as
+    * [[graphTopKSeek]]/MMR — and pays per hop ONE `src IN (batch
+    * frontier)` point-seek against the src-sorted edge artifact plus
+    * ONE `vec_id IN (fresh ids)` point-seek against the vectors: per-hop
+    * I/O is O(batch · beam · degree) row groups at ANY corpus size.
+    * 2·hops+1 tiny jobs per BATCH (not per query).
+    *
+    * Candidate-set semantics are IDENTICAL to [[graphTopKBatched]]
+    * (per-qid union by id, every cut (score desc, id asc), scores
+    * rounded to 6 dp before any ordering), so per-qid results are
+    * value-identical — IndexSpec pins the equality, and the batch route
+    * keeps its ≡-single-query contract. Entry selection stays on the
+    * coarse-layer scan (corpus/CoarseMod rows, amortized over the
+    * batch) — the one remaining corpus-proportional term, configuration
+    * like an HNSW top layer. */
+  def graphTopKSeekBatched(edges: DataFrame, vectors: DataFrame,
+                           queries: DataFrame, entries: DataFrame,
+                           beam: Int, hops: Int, k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // qid -> (id -> score); overwrites are idempotent (same rounded
+    // score for the same pair), matching the batched dedup
+    val cand = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Map[Long, Double]]
+    def scoreInto(pairs: Seq[(Long, Long)]): Unit = if (pairs.nonEmpty) {
+      val ids = pairs.map(_._2).distinct
+      vectors.where(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("id"), col("embedding"))
+        .join(broadcast(pairs.toDF("qid", "id")), Seq("id"))
+        .join(broadcast(queries), Seq("qid"))
+        .select(col("qid"), col("id"),
+          round(VectorOps.cosineSim(col("embedding"), col("qvec")), 6)
+            .as("score"))
+        .collect()
+        .foreach(r => cand.getOrElseUpdate(r.getLong(0),
+          scala.collection.mutable.Map.empty)
+          .update(r.getLong(1), r.getDouble(2)))
+    }
+    scoreInto(entries.select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    for (_ <- 0 until hops) {
+      val frontier = cand.toSeq.flatMap { case (qid, m) =>
+        m.toSeq.sortBy { case (id, s) => (-s, id) }.take(beam)
+          .map { case (id, _) => (qid, id) }
+      }
+      if (frontier.nonEmpty) {
+        val srcIds = frontier.map(_._2).distinct
+        val bySrc = edges.where(col("src").isin(srcIds: _*))
+          .select(col("src"), col("dst")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1)
+        val fresh = frontier.flatMap { case (qid, src) =>
+          bySrc.getOrElse(src, Array.empty[(Long, Long)])
+            .map { case (_, dst) => (qid, dst) }
+        }.distinct.filterNot { case (qid, id) =>
+          cand.get(qid).exists(_.contains(id))
+        }
+        scoreInto(fresh)
+      }
+    }
+    cand.toSeq.flatMap { case (qid, m) =>
+      m.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+        .map { case (id, s) => (qid, id, s) }
+    }.sortBy { case (qid, id, s) => (qid, -s, id) }
+      .toDF("qid", "id", "score")
+  }
+
   def graphTopKSeek(edges: DataFrame, vectors: DataFrame, queryVec: DataFrame,
                     entryIds: Seq[Long], beam: Int, hops: Int, k: Int): DataFrame = {
     val spark = vectors.sparkSession

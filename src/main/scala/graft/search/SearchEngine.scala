@@ -472,18 +472,21 @@ object SearchEngine {
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
 
-  /** Batched [[graphSearch]]: N text queries, ONE plan — each embeds
-    * driver-side, one coarse scan selects every query's entry points,
-    * and each hop joins the SHARED edge artifact once for all queries
-    * ([[Ann.graphTopKBatched]]). Per-qid results ≡ the single-query
-    * [[graphSearch]] (ServeApiSpec pins it through `/api/batch-search`);
-    * the artifact scans and the job floor are paid once per batch. */
+  /** Batched [[graphSearch]]: N text queries, one batched walk — each
+    * embeds driver-side, one coarse scan selects every query's entry
+    * points, and each hop is a batch-wide POINT SEEK against the
+    * src-sorted artifacts ([[Ann.graphTopKSeekBatched]] — r14: the
+    * one-plan walk's per-hop full scans made per-query cost grow ×2.76
+    * at ×10 corpus; the seek walk's per-hop I/O is batch-bounded at any
+    * corpus size). Per-qid results ≡ the single-query [[graphSearch]]
+    * (ServeApiSpec pins it through `/api/batch-search`; IndexSpec pins
+    * seek-batched ≡ one-plan-batched); job floor paid per batch. */
   def graphSearchBatched(spark: SparkSession, dir: String,
                          queries: Seq[(Long, String)], k: Int): DataFrame = {
     import graft.index.TfIdfGraphIndex
     val (vecs, edges, coarse) = tfidfGraphServing(spark, dir)
     val qdf = TfIdfGraphIndex.queryVecs(spark, dir, queries)
-    Ann.graphTopKBatched(edges, vecs, qdf,
+    Ann.graphTopKSeekBatched(edges, vecs, qdf,
       Ann.hierEntriesBatchedFrom(coarse, qdf, 3),
       beam = 8, hops = 2, k)
   }
@@ -501,7 +504,7 @@ object SearchEngine {
     val root = TfIdfGraphIndex.ensureGrown(spark, dir)
     val st = GrownServing.of(spark, root, 5) // resolved once per mutation
     val qdf = TfIdfGraphIndex.queryVecs(spark, dir, queries)
-    Ann.graphTopKBatched(st.edges, st.vectors, qdf,
+    Ann.graphTopKSeekBatched(st.edges, st.vectors, qdf,
       Ann.hierEntriesBatchedFrom(st.coarse, qdf, 3),
       beam = 8, hops = 2, k)
   }

@@ -505,7 +505,10 @@ object Api {
               Seq(graft.index.KnnGraphIndex.edges(spark, dir, 3, 5),
                 graft.index.KnnGraphIndex.coarse(spark, dir, 3, 5))
             }
-          graft.search.Ann.graphTopKBatched(edges, emb, queries,
+          // seek-batched walk (r14): per-hop point lookups, I/O bounded
+          // by the batch at any corpus size — row-identical to the
+          // one-plan batched walk (IndexSpec pin)
+          graft.search.Ann.graphTopKSeekBatched(edges, emb, queries,
             graft.search.Ann.hierEntriesBatchedFrom(coarse, queries, 3),
             beam = 8, hops = 2, k = count + 1)
         case _ =>

@@ -352,6 +352,16 @@ class IndexSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(batched(qid) == single && single.nonEmpty, s"qid=$qid")
     }
+
+    // the SEEK-batched walk (r14 serving default behind
+    // graphSearchBatched) is row-identical to the one-plan batched walk
+    // — same per-qid candidate algebra, per-hop point lookups instead of
+    // corpus scans
+    val seekBatched = Ann.graphTopKSeekBatched(edges, emb, queries,
+        Ann.hierEntriesBatched(emb, queries, 16, 3), beam = 8, hops = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    assert(seekBatched == batched)
     edges.unpersist()
   }
 
