@@ -84,6 +84,21 @@ object ProbeServingSlope {
         ()
       } / bnB * 1000
 
+      // MaxScore-pruned BM25 on the SAME worst-case query set — the
+      // scale path for the one mode whose exact plan must scan posting
+      // lists that grow with the corpus (pruning skips docs that cannot
+      // reach the per-qid threshold, so scored work tracks k, not df)
+      val msQueries = servingSpark.read.parquet(s"$idx/termstats")
+        .orderBy(col("df").desc, col("term").asc).limit(2 * bnB)
+        .collect().map(_.getString(0)).grouped(2).toSeq
+        .zipWithIndex.map { case (ts, i) => (i.toLong, ts.toSeq) }
+      val bm25ms = p50 {
+        graft.index.Bm25Index
+          .topKMaxScoreBatched(servingSpark, idx, "doc_id", msQueries, 10)
+          .count()
+        ()
+      } / bnB * 1000
+
       // hybrid RRF: trained-IVF dense arm + BM25 arm, 64-batch
       val bnH = 64
       val termPairs = servingSpark.read.parquet(s"$idx/termstats")
@@ -116,11 +131,11 @@ object ProbeServingSlope {
       assigned.unpersist(blocking = false)
       centroids.unpersist(blocking = false)
       println(f"PROBE serving dir=$dir n_emb=$nEmb n_docs=$nDocs " +
-        f"dense_ms=$dense%.2f bm25_ms=$bm25%.2f hybrid_ms=$hybrid%.2f " +
-        f"graph_ms=$graph%.2f")
+        f"dense_ms=$dense%.2f bm25_ms=$bm25%.2f bm25_maxscore_ms=$bm25ms%.2f " +
+        f"hybrid_ms=$hybrid%.2f graph_ms=$graph%.2f")
       (dir, nEmb, nDocs,
-        Map("dense" -> dense, "bm25" -> bm25, "hybrid" -> hybrid,
-          "graph" -> graph))
+        Map("dense" -> dense, "bm25" -> bm25, "bm25_maxscore" -> bm25ms,
+          "hybrid" -> hybrid, "graph" -> graph))
     }
 
     // Slope between the two LARGEST corpora (sf0.1 -> sf1 in the default
@@ -132,7 +147,7 @@ object ProbeServingSlope {
       val hi = results.last
       val corpusRatio = math.max(
         hi._2.toDouble / lo._2, hi._3.toDouble / lo._3)
-      for (mode <- Seq("dense", "bm25", "hybrid", "graph")) {
+      for (mode <- Seq("dense", "bm25", "bm25_maxscore", "hybrid", "graph")) {
         val ratio = hi._4(mode) / lo._4(mode)
         println(f"SLOPE $mode ${lo._1} -> ${hi._1}: " +
           f"${lo._4(mode)}%.2f -> ${hi._4(mode)}%.2f ms/query " +
