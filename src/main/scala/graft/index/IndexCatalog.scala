@@ -29,6 +29,14 @@ object IndexCatalog {
 
   private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  // Per-artifact-path build locks (r14 ADVICE: the object monitor made
+  // one slow/foreign build block EVERY ensure in the JVM — any artifact,
+  // any dataset — for the full poll horizon; builds of distinct
+  // artifacts are independent and must not serialize). Entries are tiny
+  // and bounded by the number of distinct artifacts ever ensured.
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Stable short key for a data directory (avoids path-separator issues
     * and keeps one index tree per distinct input dataset). */
   private def dirKey(dataDir: String): String =
@@ -48,35 +56,51 @@ object IndexCatalog {
     * build benign-but-wasted; the lease makes the single-builder
     * contract CHECKED like the incremental roots'). A process refused by
     * a live builder's lease waits for that builder's marker instead of
-    * duplicating the work, and only rethrows when the holder dies
-    * without publishing one. */
+    * duplicating the work; a builder that DIES mid-build (its lease file
+    * vanishes on release/eviction, or ages out and is broken) is
+    * detected by the poll — the waiter re-attempts the lease and builds
+    * itself instead of sleeping to the deadline (r14 ADVICE: the old
+    * poll burned the full horizon on a crashed foreign builder where the
+    * pre-lease marker protocol rebuilt immediately). Only a holder that
+    * stays live past the poll horizon without publishing rethrows. */
   def ensure(spark: SparkSession, dataDir: String, name: String)
             (build: String => Unit): String = {
     val p = path(dataDir, name)
-    if (!built.contains(p)) synchronized {
-      if (!built.contains(p)) {
-        val marker = Paths.get(p, "_GRAFT_INDEX_READY")
-        if (!Files.exists(marker)) {
-          try SegmentStore.withWriterLease(p, s"index-build:$name") {
-            if (!Files.exists(marker)) { // lease winner may have finished
-              build(p)
-              Files.createDirectories(marker.getParent)
-              Files.write(marker, Array.emptyByteArray)
-            }
-          } catch {
-            case e: SegmentStore.LeaseHeldException =>
-              // another process is mid-build: poll for its marker for up
-              // to the build-ish horizon, then give up loudly
-              val deadline = System.currentTimeMillis() + 10L * 60 * 1000
-              while (!Files.exists(marker)) {
-                if (System.currentTimeMillis() > deadline) throw e
-                Thread.sleep(200)
+    if (!built.contains(p))
+      buildLocks.computeIfAbsent(p, _ => new Object).synchronized {
+        if (!built.contains(p)) {
+          val marker = Paths.get(p, "_GRAFT_INDEX_READY")
+          val lease = Paths.get(p, SegmentStore.LeaseFile)
+          val deadline = System.currentTimeMillis() + 10L * 60 * 1000
+          var done = Files.exists(marker)
+          while (!done) {
+            try {
+              SegmentStore.withWriterLease(p, s"index-build:$name") {
+                if (!Files.exists(marker)) { // lease winner may have finished
+                  build(p)
+                  Files.createDirectories(marker.getParent)
+                  Files.write(marker, Array.emptyByteArray)
+                }
               }
+              done = true
+            } catch {
+              case e: SegmentStore.LeaseHeldException =>
+                // another process is mid-build: wait for its marker — or
+                // for its lease to vanish without one (builder died or
+                // failed), which sends us back around to build it
+                // ourselves
+                var poll = true
+                while (poll) {
+                  if (System.currentTimeMillis() > deadline) throw e
+                  else if (Files.exists(marker)) { poll = false; done = true }
+                  else if (!Files.exists(lease)) { Thread.sleep(50); poll = false }
+                  else Thread.sleep(200)
+                }
+            }
           }
+          built.add(p)
         }
-        built.add(p)
       }
-    }
     p
   }
 

@@ -131,9 +131,10 @@ object SegmentStore {
   // keyed by qualified lease path because suites exercise multiple roots
   // from multiple threads.
   private final class LeaseHold(val tid: Long, val token: String,
-                                val owner: String) {
+                                val owner: String, val staleMs: Long) {
     var depth: Int = 1
     @volatile var evicted: Boolean = false
+    @volatile var released: Boolean = false
     @volatile var renewal: java.util.concurrent.ScheduledFuture[_] = null
   }
   private val heldLeases =
@@ -242,7 +243,7 @@ object SegmentStore {
     } else {
       val token = java.util.UUID.randomUUID().toString
       acquireLeaseFile(fs, leasePath, root, owner, staleMs, token)
-      val hold = new LeaseHold(tid, token, owner)
+      val hold = new LeaseHold(tid, token, owner, staleMs)
       heldLeases.put(key, hold)
       val period = math.max(staleMs / 3, 20L)
       hold.renewal = leaseHeartbeats.scheduleAtFixedRate(
@@ -252,8 +253,18 @@ object SegmentStore {
       try { val r = body; bodyOk = true; r }
       finally {
         hold.renewal.cancel(false)
-        heldLeases.remove(key)
-        val released = !hold.evicted && releaseLease(fs, leasePath, hold)
+        // The release is SERIALIZED with any in-flight heartbeat on the
+        // hold monitor: a beat that already passed its hold lookup either
+        // finishes its read+overwrite before we enter (we then delete the
+        // file it just rewrote), or it enters after us, sees `released`,
+        // and writes nothing. Without this, a beat landing between our
+        // delete and its own overwrite resurrects a holderless lease that
+        // wedges the root for the full stale age (r14 ADVICE).
+        val released = hold.synchronized {
+          hold.released = true
+          heldLeases.remove(key)
+          !hold.evicted && releaseLease(fs, leasePath, hold)
+        }
         if (bodyOk && !released)
           throw new LeaseHeldException(
             s"writer lease on $root was broken while held by '$owner' — " +
@@ -274,36 +285,74 @@ object SegmentStore {
     val leasePath = fs.makeQualified(p0)
     val hold = heldLeases.get(leasePath.toString)
     if (hold == null || hold.evicted) return
-    val current =
-      try readLeaseRaw(fs, leasePath)
-      catch { case _: java.io.IOException => return } // transient: next beat
-    val ours = current.exists(raw => parseLease(raw)._3 == hold.token)
-    if (!ours) {
-      hold.evicted = true
-      if (hold.renewal != null) hold.renewal.cancel(false)
-      throw new LeaseHeldException(
-        s"writer lease on $root was broken while held by '${hold.owner}' " +
-          "(heartbeat found a missing or foreign lease)")
+    // The read+overwrite is ATOMIC w.r.t. release (same hold monitor):
+    // a beat can never recreate the lease after the release path deleted
+    // it (r14 ADVICE (a)).
+    hold.synchronized {
+      if (hold.evicted || hold.released) return
+      val current =
+        try readLeaseRaw(fs, leasePath)
+        catch { case _: java.io.IOException => return } // transient: next beat
+      val ours = current.exists(raw => parseLease(raw)._3 == hold.token)
+      if (!ours) {
+        hold.evicted = true
+        if (hold.renewal != null) hold.renewal.cancel(false)
+        throw new LeaseHeldException(
+          s"writer lease on $root was broken while held by '${hold.owner}' " +
+            "(heartbeat found a missing or foreign lease)")
+      }
+      val stampAtRead = current.map(parseLease(_)._2).getOrElse(0L)
+      try {
+        val out = fs.create(leasePath, true)
+        try out.write(leaseBody(hold.owner, hold.token)) finally out.close()
+      } catch { case _: java.io.IOException => () } // transient: next beat
+      // r14 ADVICE (b): if the on-disk stamp crossed the stale age while
+      // this beat was in flight (a JVM pause between the token read and
+      // the overwrite), a breaker may have legally broken the lease and a
+      // NEW holder created a fresh one — which our overwrite just
+      // clobbered. We cannot prove it didn't happen, so degrade to a LOUD
+      // self-eviction: give the slot back and flag, never keep
+      // heartbeating over a possibly-displaced legitimate holder.
+      if (stampAtRead > 0L &&
+          System.currentTimeMillis() - stampAtRead > hold.staleMs) {
+        hold.evicted = true
+        if (hold.renewal != null) hold.renewal.cancel(false)
+        val after =
+          try readLeaseRaw(fs, leasePath)
+          catch { case _: java.io.IOException => None }
+        if (after.exists(raw => parseLease(raw)._3 == hold.token))
+          try fs.delete(leasePath, false)
+          catch { case _: java.io.IOException => () }
+        throw new LeaseHeldException(
+          s"writer lease on $root passed the stale age mid-renewal while " +
+            s"held by '${hold.owner}' — a breaker may have displaced it; " +
+            "self-evicting loudly")
+      }
     }
-    try {
-      val out = fs.create(leasePath, true)
-      try out.write(leaseBody(hold.owner, hold.token)) finally out.close()
-    } catch { case _: java.io.IOException => () } // transient: next beat
   }
 
   /** Delete the lease file iff it still carries our token. Returns false
     * when the lease was evicted (missing/foreign token — NEVER deleted:
-    * it is another writer's now). A transient read failure retries; an
-    * unreadable-but-present lease after retries is deleted anyway (the
-    * heartbeat never flagged eviction, so it is overwhelmingly ours, and
-    * leaving it would wedge the root for the full stale age). A failed
-    * delete retries once and then logs — the root self-heals when the
-    * file ages out, but silence would hide the wedge (r13 ADVICE). */
+    * it is another writer's now). A transient read failure retries; a
+    * lease STILL unreadable after retries is left in place and reported
+    * as not-released (r14 ADVICE: an unreadable file is exactly what a
+    * usurper's torn write looks like — deleting it "as ours" would
+    * silently evict the usurper and reopen the two-writer window; the
+    * root self-heals when the file ages out). A failed delete retries
+    * once and then logs — same self-heal, but silence would hide the
+    * wedge (r13 ADVICE). */
   private def releaseLease(fs: FileSystem, leasePath: Path,
                            hold: LeaseHold): Boolean = {
     val raw =
       try readLeaseRawRetry(fs, leasePath, attempts = 3)
-      catch { case _: LeaseHeldException => Some(Array.emptyByteArray) }
+      catch {
+        case e: LeaseHeldException =>
+          System.err.println(
+            s"[graft] WARN: lease $leasePath unreadable at release " +
+              s"(${e.getMessage}); leaving it in place — writers are " +
+              "blocked until the stale age passes")
+          return false
+      }
     raw match {
       case None => false // broken AND re-released: we were evicted
       case Some(bytes)

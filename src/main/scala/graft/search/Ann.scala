@@ -701,6 +701,29 @@ object Ann {
     * coarse-layer scan (corpus/CoarseMod rows, amortized over the
     * batch) — the one remaining corpus-proportional term, configuration
     * like an HNSW top layer. */
+  /** Driver-side (score desc, id asc) with Spark SQL's double ordering
+    * semantics — NaN sorts as the LARGEST value (so FIRST on desc, where
+    * Scala's total order on a negated key puts it last) and -0.0 == 0.0
+    * (where negation would order them) — so the seek walks' driver-sorted
+    * beam/k cuts stay row-identical to the declarative walks'
+    * `col("score").desc, col("id").asc` cuts even on degenerate
+    * (zero-norm → NaN) scores (r14 ADVICE). `java.lang.Double.compare`
+    * already places NaN above +Inf; only -0.0 needs normalizing. */
+  private def cmpScoreDescIdAsc(sa: Double, ia: Long,
+                                sb: Double, ib: Long): Int = {
+    val na = if (sa == 0.0) 0.0 else sa
+    val nb = if (sb == 0.0) 0.0 else sb
+    val c = java.lang.Double.compare(nb, na)
+    if (c != 0) c else java.lang.Long.compare(ia, ib)
+  }
+  private[graft] val idScoreDescIdAsc: Ordering[(Long, Double)] =
+    (a, b) => cmpScoreDescIdAsc(a._2, a._1, b._2, b._1)
+  private val qidAscScoreDescIdAsc: Ordering[(Long, Long, Double)] =
+    (a, b) => {
+      val c = java.lang.Long.compare(a._1, b._1)
+      if (c != 0) c else cmpScoreDescIdAsc(a._3, a._2, b._3, b._2)
+    }
+
   def graphTopKSeekBatched(edges: DataFrame, vectors: DataFrame,
                            queries: DataFrame, entries: DataFrame,
                            beam: Int, hops: Int, k: Int): DataFrame = {
@@ -728,7 +751,7 @@ object Ann {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq)
     for (_ <- 0 until hops) {
       val frontier = cand.toSeq.flatMap { case (qid, m) =>
-        m.toSeq.sortBy { case (id, s) => (-s, id) }.take(beam)
+        m.toSeq.sorted(idScoreDescIdAsc).take(beam)
           .map { case (id, _) => (qid, id) }
       }
       if (frontier.nonEmpty) {
@@ -747,9 +770,9 @@ object Ann {
       }
     }
     cand.toSeq.flatMap { case (qid, m) =>
-      m.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+      m.toSeq.sorted(idScoreDescIdAsc).take(k)
         .map { case (id, s) => (qid, id, s) }
-    }.sortBy { case (qid, id, s) => (qid, -s, id) }
+    }.sorted(qidAscScoreDescIdAsc)
       .toDF("qid", "id", "score")
   }
 
@@ -766,7 +789,7 @@ object Ann {
     cand ++= scoreIds(entryIds)
     for (_ <- 0 until hops) {
       val frontier = cand.toSeq
-        .sortBy { case (id, s) => (-s, id) }.take(beam).map(_._1)
+        .sorted(idScoreDescIdAsc).take(beam).map(_._1)
       val fresh = edges.where(col("src").isin(frontier: _*))
         .select(col("dst")).distinct()
         .collect().map(_.getLong(0)).toSeq
@@ -774,7 +797,7 @@ object Ann {
       if (fresh.nonEmpty) cand ++= scoreIds(fresh)
     }
     import spark.implicits._
-    cand.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+    cand.toSeq.sorted(idScoreDescIdAsc).take(k)
       .toDF("id", "score")
   }
 }

@@ -16,29 +16,46 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object DeltaStream {
 
+  /** Retry horizon for [[withLeaseRetry]]: how long one trigger defers
+    * to a concurrent lease holder before failing the streaming query.
+    * Sized for a real snapshot quiesce (which walks and copies the whole
+    * root under the lease — tens of seconds at the design point, not the
+    * ~5 s the r14 fixed budget covered); operators whose snapshots run
+    * longer raise it via `-Dgraft.lease.retry.max.wait.ms=...` on the
+    * ingest process. */
+  private[graft] def leaseRetryMaxWaitMs: Long =
+    sys.props.get("graft.lease.retry.max.wait.ms")
+      .flatMap(_.toLongOption).getOrElse(60L * 1000)
+
   /** Run one micro-batch index-maintenance `body`, retrying while a
     * concurrent lease holder — an admin snapshot quiescing the live root
     * ([[graft.index.SegmentStore.snapshot]]), or an operator fold route —
     * refuses the mutation with [[graft.index.SegmentStore
     * .LeaseHeldException]]. Without the retry, one admin call taken
     * during live CDC ingest FAILS the whole streaming query (r13
-    * ADVICE); with it, the trigger defers until the quiesce ends. The
-    * whole body re-runs on each attempt, which is safe by construction:
-    * every mutation inside the maintenance loops is idempotence-tagged,
-    * so halves that committed before the refusal replay as no-ops.
-    * Exhausted retries rethrow — the batch's checkpoint offset is then
-    * uncommitted and a restart replays it exactly-once; schedule copies
-    * that outlast the retry budget off-peak. */
-  private def withLeaseRetry[T](attempts: Int = 20, backoffMs: Long = 250)
+    * ADVICE); with it, the trigger defers until the quiesce ends.
+    * Backoff is exponential (250 ms doubling to a 5 s cap) up to
+    * [[leaseRetryMaxWaitMs]] total (r14 ADVICE: the fixed ~5 s budget
+    * only covered toy snapshots). The whole body re-runs on each
+    * attempt, which is safe by construction: every mutation inside the
+    * maintenance loops is idempotence-tagged, so halves that committed
+    * before the refusal replay as no-ops. Exhausted retries rethrow —
+    * the batch's checkpoint offset is then uncommitted and a restart
+    * replays it exactly-once; schedule copies that outlast the retry
+    * budget off-peak. */
+  private def withLeaseRetry[T](maxWaitMs: Long = leaseRetryMaxWaitMs)
                                (body: => T): T = {
-    var left = attempts
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var backoffMs = 250L
     while (true) {
       try return body
       catch {
         case e: graft.index.SegmentStore.LeaseHeldException =>
-          left -= 1
-          if (left <= 0) throw e
-          Thread.sleep(backoffMs)
+          val sleep =
+            math.min(backoffMs, deadline - System.currentTimeMillis())
+          if (sleep <= 0) throw e
+          Thread.sleep(sleep)
+          backoffMs = math.min(backoffMs * 2, 5000L)
       }
     }
     throw new IllegalStateException("unreachable")

@@ -2235,6 +2235,130 @@ class IndexSpec extends SparkSpec {
     java.nio.file.Files.delete(leaseP)
   }
 
+  test("writer lease r15: release is serialized with the heartbeat; a stale-age crossing mid-beat self-evicts loudly; an unreadable lease at release is left in place") {
+    import graft.index.SegmentStore
+    val root = Files.createTempDirectory("graft-lease15").toString + "/g"
+    new java.io.File(root).mkdirs()
+    val leaseP = java.nio.file.Paths.get(root, SegmentStore.LeaseFile)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hp = new org.apache.hadoop.fs.Path(leaseP.toString)
+    val fs = hp.getFileSystem(conf)
+    val qp = fs.makeQualified(hp)
+
+    // (a) release/heartbeat serialization: pre-r15 a beat that passed
+    // its hold lookup just before release could recreate the lease AFTER
+    // the delete — a holderless file wedging the root for the full stale
+    // age (r14 ADVICE (a)). The hold-monitor serialization makes the
+    // property deterministic: after ANY release, the file is gone and
+    // stays gone. staleMs 3000 (beat every 1 s) for the same
+    // loaded-box margin as the r14 heartbeat test — a smaller stale age
+    // would let a mere scheduler stall trip the mid-beat stale-age
+    // self-eviction below and fail the release loudly.
+    for (round <- 1 to 6) {
+      SegmentStore.withWriterLease(root, "short-hold", staleMs = 3000) {
+        Thread.sleep(1050) // straddle one heartbeat
+      }
+      Thread.sleep(100) // would let an orphaned in-flight beat land
+      assert(!java.nio.file.Files.exists(leaseP),
+        s"round $round: release resurrected a holderless lease")
+    }
+
+    // (b) the paused-holder clobber (r14 ADVICE (b)): the on-disk stamp
+    // crosses the stale age between a beat's token read and its
+    // overwrite (simulated by aging the stamp under our own token via
+    // the FS API — a direct file write would leave a stale checksum
+    // sidecar and read as transient). The renewal must NOT keep
+    // heartbeating over a window where a breaker may have installed a
+    // fresh holder we just clobbered: it gives the slot back, flags
+    // eviction, and the hold's release refuses to report success.
+    val ex = intercept[SegmentStore.LeaseHeldException] {
+      SegmentStore.withWriterLease(root, "paused-holder", staleMs = 60000) {
+        val tok = java.nio.file.Files.readString(leaseP).split('\t')(2)
+        fs.delete(qp, false)
+        val out = fs.create(qp, false)
+        out.write(
+          s"paused-holder\t${System.currentTimeMillis() - 61000}\t$tok"
+            .getBytes("UTF-8"))
+        out.close()
+        val beatEx = intercept[SegmentStore.LeaseHeldException] {
+          SegmentStore.renewLease(root)
+        }
+        assert(beatEx.getMessage.contains("stale age mid-renewal"),
+          beatEx.getMessage)
+        assert(!java.nio.file.Files.exists(leaseP),
+          "self-eviction must give the slot back")
+        "body completed"
+      }
+    }
+    assert(ex.getMessage.contains("broken while held"), ex.getMessage)
+
+    // (c) unreadable lease at release: replace the lease with something
+    // the release CANNOT read (a non-empty directory behaves like a
+    // usurper's torn write). Pre-r15 the release deleted it "as ours" —
+    // silently evicting a possible usurper; now it is left in place and
+    // the hold reports failure loudly (r14 ADVICE).
+    val ex2 = intercept[SegmentStore.LeaseHeldException] {
+      SegmentStore.withWriterLease(root, "torn-release", staleMs = 60000) {
+        fs.delete(qp, false)
+        java.nio.file.Files.createDirectory(leaseP)
+        java.nio.file.Files.write(leaseP.resolve("torn"),
+          "x".getBytes("UTF-8"))
+        "body completed"
+      }
+    }
+    assert(ex2.getMessage.contains("broken while held"), ex2.getMessage)
+    assert(java.nio.file.Files.isDirectory(leaseP),
+      "an unreadable lease must be left in place, never deleted as ours")
+    java.nio.file.Files.delete(leaseP.resolve("torn"))
+    java.nio.file.Files.delete(leaseP)
+  }
+
+  test("IndexCatalog.ensure r15: a foreign builder that dies without a marker is detected promptly; builds of distinct artifacts do not serialize") {
+    import graft.index.{IndexCatalog, SegmentStore}
+    val dataDir = Files.createTempDirectory("graft-cold15").toString
+    val name = "deadbuilder_v1"
+    val p = IndexCatalog.path(dataDir, name)
+    // a foreign "process" builder that CRASHES mid-build: its lease is
+    // released by the finally (a kill -9 leaves it to age out — same
+    // detection, longer horizon), no marker ever appears. Pre-r15 the
+    // waiter slept the full 10-min poll horizon and then rethrew; now
+    // the vanished lease sends it back to build the artifact itself.
+    val doomedIn = new java.util.concurrent.CountDownLatch(1)
+    val doomed = new Thread(() =>
+      try SegmentStore.withWriterLease(p, "doomed-builder") {
+        doomedIn.countDown(); Thread.sleep(800)
+        throw new RuntimeException("builder crashed before the marker")
+      } catch { case _: RuntimeException => () })
+    doomed.start(); doomedIn.await()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val t0 = System.currentTimeMillis()
+    IndexCatalog.ensure(spark, dataDir, name)(_ => builds.incrementAndGet())
+    assert(builds.get == 1, "waiter must rebuild after the builder died")
+    assert(System.currentTimeMillis() - t0 < 60000,
+      "dead-builder detection must not sleep to the poll deadline")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p, "_GRAFT_INDEX_READY")))
+    doomed.join(10000)
+
+    // per-path locks: a slow build of one artifact must not block an
+    // unrelated artifact's ensure (pre-r15 the object monitor serialized
+    // EVERY ensure in the JVM behind it)
+    val slowIn = new java.util.concurrent.CountDownLatch(1)
+    val slowGo = new java.util.concurrent.CountDownLatch(1)
+    val slowT = new Thread(() =>
+      IndexCatalog.ensure(spark, dataDir, "slow_build_v1") { _ =>
+        slowIn.countDown(); slowGo.await()
+      })
+    slowT.start(); slowIn.await()
+    val t1 = System.currentTimeMillis()
+    IndexCatalog.ensure(spark, dataDir, "fast_build_v1")(_ => ())
+    assert(System.currentTimeMillis() - t1 < 5000,
+      "distinct artifacts must not serialize on a global monitor")
+    slowGo.countDown(); slowT.join(10000)
+    Seq(name, "slow_build_v1", "fast_build_v1")
+      .foreach(IndexCatalog.invalidate(dataDir, _))
+  }
+
   test("IndexCatalog.ensure: concurrent cold-start — the lease loser waits for the winner's marker instead of duplicating the build") {
     import graft.index.{IndexCatalog, SegmentStore}
     val dataDir = Files.createTempDirectory("graft-cold").toString

@@ -1225,6 +1225,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexIngest survives a quiesce LONGER than the old fixed retry budget: exponential backoff carries the trigger past 5 s") {
+    // r14 ADVICE: the fixed 20×250 ms ≈ 5 s retry budget only covered toy
+    // snapshots — a real SegmentStore.snapshot walks and copies the whole
+    // root under the lease, so any quiesce past ~5 s still failed the
+    // streaming query, the exact failure the retry was built to remove.
+    // The horizon is now 60 s (sys-prop tunable) with exponential
+    // backoff; a 7 s hold lands on the ~6th attempt.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.{IncrementalBm25, SegmentStore}
+    val docs = graft.tables.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-defer7").toString + "/idx"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-defer7-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = DeltaStream.indexIngest(input.toDF().toDF("doc_id", "text"),
+      root, ckpt)
+    try {
+      input.addData(docs.take(20).toSeq); q.processAllAvailable()
+      assert(IncrementalBm25.version(root) == 1)
+      val held = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() =>
+        SegmentStore.withWriterLease(root, "slow-admin-snapshot") {
+          held.countDown(); Thread.sleep(7000)
+        })
+      holder.start(); held.await()
+      input.addData(docs.drop(20).toSeq)
+      q.processAllAvailable() // pre-r15: retries exhausted at ~5 s → query failed
+      holder.join()
+      assert(IncrementalBm25.version(root) == 2,
+        "the trigger must defer past the old 5 s budget and still commit")
+    } finally q.stop()
+  }
+
   test("pointer-swap retention: a frame planned against the pre-swap root collects after the swap trigger; the husk is reclaimed by the trigger after that") {
     implicit val sqlCtx = spark.sqlContext
     import graft.index.{IncrementalBm25, SegmentStore}

@@ -79,4 +79,27 @@ class VectorOpsSpec extends SparkSpec {
     val want2 = (0 until outDim).map(j => 2.0 * sign(j * inDim + 1) + 2.0 * sign(j * inDim + 6))
     assert(out2 == want2, s"$out2 vs $want2")
   }
+
+  test("seek-walk driver ordering matches Spark's (score desc, id asc) on NaN, -0.0 and ties") {
+    // r14 ADVICE: Scala's sortBy on a NEGATED double diverges from Spark
+    // SQL's desc ordering exactly on the degenerate values — Spark sorts
+    // NaN as the largest (FIRST on desc) and treats -0.0 == 0.0 — which
+    // would break the seek walks' pinned row-identity with the
+    // declarative walks at the beam/k cuts. Pin the driver comparator
+    // against Spark's own sort of the same rows.
+    import spark.implicits._
+    val rows: Seq[(Long, Double)] = Seq(
+      1L -> 0.7, 2L -> Double.NaN, 3L -> -0.0, 4L -> 0.0, 5L -> -0.3,
+      6L -> Double.NaN, 7L -> 0.7, 8L -> Double.PositiveInfinity,
+      9L -> Double.NegativeInfinity, 10L -> 0.0)
+    val sparkOrder = rows.toDF("id", "score")
+      .orderBy(col("score").desc, col("id").asc)
+      .collect().map(_.getLong(0)).toSeq
+    val driverOrder = rows.sorted(graft.search.Ann.idScoreDescIdAsc).map(_._1)
+    assert(driverOrder == sparkOrder,
+      s"driver=$driverOrder spark=$sparkOrder")
+    // and the negated-key sort it replaced really does diverge here
+    val negated = rows.sortBy { case (id, s) => (-s, id) }.map(_._1)
+    assert(negated != sparkOrder, "fixture must exercise the divergence")
+  }
 }
