@@ -4856,6 +4856,87 @@ object QueriesPipeline {
         WHERE rank <= 5 ORDER BY src, rank
       """)),
 
+    // Ladder entry selection (a35): a24's hierarchical walk with the
+    // ENTRY SCAN bounded at any corpus size — the full HNSW upper-layer
+    // STACK where a24 has one rung. a24's mod-16 coarse layer is still
+    // corpus/16 rows of I/O per entry selection, the one remaining
+    // corpus-proportional term in the seek-path serving plans (r14
+    // BENCHNOTES slope leg); [[graft.index.GraphLadder]] persists
+    // geometric rungs (mod 16/256/4096) and entry selection scans the
+    // SPARSEST rung still carrying >= minRows candidates, so the scan
+    // is O(1) in the corpus (DiskANN serves billion-scale from ONE
+    // medoid seed — the beam walk navigates; entries only pick the
+    // starting neighborhood). Level choice is deterministic from the
+    // rung counts, so the oracle replays it: same count(*) cascade,
+    // same mod filter, otherwise a24's CTE chain verbatim.
+    "a35_graph_ladder" -> Q(
+      (s, d) => {
+        val sv = graft.search.ServingSession.of(s)
+        val emb = Tables.embeddings(sv, d)
+        val edges = graft.index.KnnGraphIndex.edges(sv, d, 3, 5)
+        val qv = emb.where(col("vec_id") === Queries.QueryVecId)
+          .select(col("embedding").as("qvec"))
+        val (_, layer) = graft.index.GraphLadder.level(sv, d, minRows = 8)
+        val entries = Ann.hierEntriesFrom(layer, qv, 3)
+        Ann.graphTopK(edges, emb, qv, entries, beam = 8, hops = 2, k = 10)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 10),
+        assign AS (
+          SELECT vec_id, cid, embedding FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT src, qvec, cid FROM (
+            SELECT e.vec_id AS src, e.embedding::DOUBLE[] AS qvec, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn <= 3),
+        gcand AS (
+          SELECT p.src, a.vec_id AS dst,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], p.qvec), 6) AS score
+          FROM probes p JOIN assign a ON p.cid = a.cid
+          WHERE a.vec_id <> p.src),
+        edges AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY score DESC, dst ASC) AS rank
+            FROM gcand)
+          WHERE rank <= 5),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        sc AS (
+          SELECT e.vec_id AS id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+          FROM embeddings e CROSS JOIN q),
+        lvl AS (SELECT CASE
+          WHEN (SELECT count(*) FROM embeddings WHERE vec_id % 4096 = 0) >= 8 THEN 4096
+          WHEN (SELECT count(*) FROM embeddings WHERE vec_id % 256 = 0) >= 8 THEN 256
+          ELSE 16 END AS m),
+        ent AS (SELECT id FROM sc WHERE id % (SELECT m FROM lvl) = 0
+                ORDER BY score DESC, id ASC LIMIT 3),
+        c0 AS (SELECT id, score FROM sc WHERE id IN (SELECT id FROM ent)),
+        f0 AS (SELECT id FROM c0 ORDER BY score DESC, id ASC LIMIT 8),
+        c1 AS (SELECT id, score FROM c0
+               UNION
+               SELECT sc.id, sc.score FROM sc
+               WHERE sc.id IN (SELECT e.dst FROM f0 JOIN edges e ON e.src = f0.id)),
+        f1 AS (SELECT id FROM c1 ORDER BY score DESC, id ASC LIMIT 8),
+        c2 AS (SELECT id, score FROM c1
+               UNION
+               SELECT sc.id, sc.score FROM sc
+               WHERE sc.id IN (SELECT e.dst FROM f1 JOIN edges e ON e.src = f1.id))
+        SELECT id, score FROM c2 ORDER BY score DESC, id ASC LIMIT 10
+      """)),
+
     // Same-id point UPSERT against the live graph — the reference's
     // Qdrant upsert overwrites a point in place. IncrementalKnn.upsert =
     // a VERSIONED tombstone (horizon = segment count at write: earlier

@@ -412,13 +412,27 @@ object SearchEngine {
     (v, e, c)
   }
 
+  /** Entry layer for the one-shot graph routes: the mod-16 coarse
+    * artifact by default; the sparsest tfidf ladder rung with enough
+    * candidates when the operator set [[graft.index.GraphLadder
+    * .servingMinRows]] — the corpus-INDEPENDENT entry scan for corpora
+    * where even 1/16 is too much I/O per query. */
+  private def graphEntryLayer(spark: SparkSession, dir: String,
+                              coarse: DataFrame): DataFrame =
+    graft.index.GraphLadder.servingMinRows match {
+      case Some(m) => graft.index.GraphLadder.tfidfLevel(spark, dir, m)._2
+      case None => coarse
+    }
+
   def graphSearch(spark: SparkSession, dir: String, query: String, k: Int): DataFrame = {
     import graft.index.TfIdfGraphIndex
     val (vecs, edges, coarse) = tfidfGraphServing(spark, dir)
     val qv = TfIdfGraphIndex.queryVec(spark, dir, query)
     // entries from the PREBUILT coarse layer — a 1/16 scan as I/O (the
-    // inline pmod form reads everything and filters; hierEntriesFrom)
-    val entryIds = Ann.hierEntriesFrom(coarse, qv, 3)
+    // inline pmod form reads everything and filters; hierEntriesFrom) —
+    // or the bounded ladder rung when the operator opted in
+    val entryIds = Ann.hierEntriesFrom(
+        graphEntryLayer(spark, dir, coarse), qv, 3)
       .collect().map(_.getLong(0)).toSeq
     // seek form (graphTopKSeek ≡ graphTopK, IndexSpec-pinned): per-hop
     // literal-IN point lookups against the _srt artifacts instead of the
@@ -487,7 +501,7 @@ object SearchEngine {
     val (vecs, edges, coarse) = tfidfGraphServing(spark, dir)
     val qdf = TfIdfGraphIndex.queryVecs(spark, dir, queries)
     Ann.graphTopKSeekBatched(edges, vecs, qdf,
-      Ann.hierEntriesBatchedFrom(coarse, qdf, 3),
+      Ann.hierEntriesBatchedFrom(graphEntryLayer(spark, dir, coarse), qdf, 3),
       beam = 8, hops = 2, k)
   }
 

@@ -128,14 +128,33 @@ object ProbeServingSlope {
         ()
       } / bnG * 1000
 
+      // graph walk with LADDER entry selection (r15): same batched seek
+      // walk, but entries come from the sparsest tfidf rung with >= 64
+      // candidates instead of the fixed mod-16 coarse layer — the
+      // corpus-INDEPENDENT entry scan. At probe scale the mod-16 layer
+      // is already tiny, so expect parity here; the leg exists to prove
+      // the opt-in path serves correctly and costs nothing extra where
+      // corpora are small.
+      sys.props("graft.graph.entry.ladder.min.rows") = "64"
+      val graphLadder =
+        try p50 {
+          graft.search.SearchEngine
+            .graphSearchBatched(servingSpark, dir, gQueries, 10)
+            .count()
+          ()
+        } / bnG * 1000
+        finally sys.props.remove("graft.graph.entry.ladder.min.rows")
+
       assigned.unpersist(blocking = false)
       centroids.unpersist(blocking = false)
       println(f"PROBE serving dir=$dir n_emb=$nEmb n_docs=$nDocs " +
         f"dense_ms=$dense%.2f bm25_ms=$bm25%.2f bm25_maxscore_ms=$bm25ms%.2f " +
-        f"hybrid_ms=$hybrid%.2f graph_ms=$graph%.2f")
+        f"hybrid_ms=$hybrid%.2f graph_ms=$graph%.2f " +
+        f"graph_ladder_ms=$graphLadder%.2f")
       (dir, nEmb, nDocs,
         Map("dense" -> dense, "bm25" -> bm25, "bm25_maxscore" -> bm25ms,
-          "hybrid" -> hybrid, "graph" -> graph))
+          "hybrid" -> hybrid, "graph" -> graph,
+          "graph_ladder" -> graphLadder))
     }
 
     // Slope between the two LARGEST corpora (sf0.1 -> sf1 in the default
@@ -147,7 +166,8 @@ object ProbeServingSlope {
       val hi = results.last
       val corpusRatio = math.max(
         hi._2.toDouble / lo._2, hi._3.toDouble / lo._3)
-      for (mode <- Seq("dense", "bm25", "bm25_maxscore", "hybrid", "graph")) {
+      for (mode <- Seq("dense", "bm25", "bm25_maxscore", "hybrid", "graph",
+                       "graph_ladder")) {
         val ratio = hi._4(mode) / lo._4(mode)
         println(f"SLOPE $mode ${lo._1} -> ${hi._1}: " +
           f"${lo._4(mode)}%.2f -> ${hi._4(mode)}%.2f ms/query " +

@@ -2393,6 +2393,69 @@ class IndexSpec extends SparkSpec {
     IndexCatalog.invalidate(dataDir, name)
   }
 
+  test("GraphLadder: geometric rungs are exact mod-subsets; level choice takes the sparsest rung with enough candidates; entry scan is bounded") {
+    import graft.index.GraphLadder
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, Sf0001)
+    val counts = GraphLadder.levelCounts(spark, Sf0001) // also builds
+    // rungs are exact mod-subsets of the embeddings table
+    GraphLadder.Mods.foreach { m =>
+      val layer = spark.read.parquet(
+        graft.index.IndexCatalog.path(Sf0001, "graph_ladder_v1") + s"/mod=$m")
+      val want = emb.where(pmod(col("vec_id"), lit(m)) === lit(0))
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      val got = layer.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"mod=$m")
+      assert(counts(m) == want.size.toLong, s"sidecar count for mod=$m")
+    }
+    // the cascade: sparsest rung with >= minRows, densest as fallback.
+    // sf0.001 counts: mod16 ~31, mod256 = 2, mod4096 = 1.
+    assert(GraphLadder.level(spark, Sf0001, minRows = 8)._1 == 16)
+    assert(GraphLadder.level(spark, Sf0001, minRows = 2)._1 == 256)
+    assert(GraphLadder.level(spark, Sf0001, minRows = 1)._1 == 4096)
+    assert(GraphLadder.level(spark, Sf0001, minRows = 10000)._1 == 16,
+      "tiny corpora fall back to the densest rung")
+    // boundedness: whenever a sparser rung exists above the chosen one,
+    // the chosen layer is < 16 * minRows — the entry scan never grows
+    // with the corpus, only with the requested candidate floor
+    for (minRows <- Seq(1L, 2L)) {
+      val (mod, layer) = GraphLadder.level(spark, Sf0001, minRows)
+      if (mod != GraphLadder.Mods.last)
+        assert(layer.count() < 16 * minRows + 16, s"minRows=$minRows mod=$mod")
+    }
+    // ladder entries feed the walk exactly like the inline mod filter
+    val qv = emb.where(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    val (mod, layer) = GraphLadder.level(spark, Sf0001, minRows = 2)
+    val fromLadder = Ann.hierEntriesFrom(layer, qv, 3)
+      .collect().map(_.getLong(0)).toSeq
+    val inline = Ann.hierEntries(emb, qv, mod, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fromLadder == inline && fromLadder.nonEmpty)
+  }
+
+  test("graph serving ladder opt-in: default route unchanged; under the switch batched ≡ single-query from the same rung") {
+    import graft.search.SearchEngine
+    val queries = Seq((0L, "spark join"), (1L, "filter scan"))
+    def batchRows() = SearchEngine
+      .graphSearchBatched(spark, Sf0001, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val before = batchRows()
+    sys.props("graft.graph.entry.ladder.min.rows") = "2"
+    val (withLadder, single0) =
+      try {
+        (batchRows(),
+          SearchEngine.graphSearch(spark, Sf0001, "spark join", 5)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+      } finally sys.props.remove("graft.graph.entry.ladder.min.rows")
+    // the switch removed: the pinned default family is back
+    assert(batchRows() == before, "default route must be unchanged")
+    // under the switch, the batch route keeps its ≡-single-query
+    // contract — same rung entries, same walk
+    assert(withLadder.filter(_._1 == 0L).map(t => (t._2, t._3)) == single0,
+      "batched qid-0 must equal the single-query ladder walk")
+    assert(withLadder.nonEmpty && single0.nonEmpty)
+  }
+
   test("incremental knn reclaimFold: kills baked + ledger rebased == rebuild over survivors; refused while holes are unrepaired") {
     import graft.index.{IncrementalKnn, SegmentStore}
     import spark.implicits._
