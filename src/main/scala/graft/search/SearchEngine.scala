@@ -420,7 +420,12 @@ object SearchEngine {
   private def graphEntryLayer(spark: SparkSession, dir: String,
                               coarse: DataFrame): DataFrame =
     graft.index.GraphLadder.servingMinRows match {
-      case Some(m) => graft.index.GraphLadder.tfidfLevel(spark, dir, m)._2
+      case Some(m) =>
+        // cached like the other serving frames (the rung is a build-once
+        // artifact — invalidation is its only staleness signal)
+        ServingCache.frames(s"tfidfladder:$dir:$m", ()) {
+          Seq(graft.index.GraphLadder.tfidfLevel(spark, dir, m)._2)
+        }.head
       case None => coarse
     }
 
