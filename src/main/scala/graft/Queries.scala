@@ -180,17 +180,33 @@ object Queries {
     // x1_approx_distinct's HLL.
     "q25_column_stats" -> Q(
       (s, d) => {
-        val wide = Tables(s, d, "lineitem").agg(
-          count(lit(1)).as("n_rows"),
-          countDistinct(col("l_quantity")).as("ndv_q"),
-          count(when(col("l_quantity").isNull, 1)).as("nulls_q"),
-          min(col("l_quantity")).as("min_q"), max(col("l_quantity")).as("max_q"),
-          countDistinct(col("l_extendedprice")).as("ndv_p"),
-          count(when(col("l_extendedprice").isNull, 1)).as("nulls_p"),
-          min(col("l_extendedprice")).as("min_p"), max(col("l_extendedprice")).as("max_p"),
-          countDistinct(col("l_discount")).as("ndv_d"),
-          count(when(col("l_discount").isNull, 1)).as("nulls_d"),
-          min(col("l_discount")).as("min_d"), max(col("l_discount")).as("max_d"))
+        val li = Tables(s, d, "lineitem")
+        // Three countDistincts in ONE Aggregate plan as a 4-way Expand of
+        // the corpus (row count ×4 into a wide two-stage shuffle keyed by
+        // all three value columns + gid). Instead: one narrow
+        // (column-tag, value) union deduped in a single partial-combined
+        // exchange, counted per tag in the same pipeline — hash-probes
+        // 1.8M two-column rows instead of 2.4M ten-column ones and
+        // shuffles only per-partition-distinct values. Value-identical:
+        // count(DISTINCT x) ignores nulls (the isNotNull filter) and
+        // hash-agg keys get the same NaN/-0.0 normalization either way.
+        val vals = li.select(lit("q").as("cid"), col("l_quantity").as("v"))
+          .unionAll(li.select(lit("p").as("cid"), col("l_extendedprice").as("v")))
+          .unionAll(li.select(lit("d").as("cid"), col("l_discount").as("v")))
+          .where(col("v").isNotNull)
+        val ndvs = vals.distinct().agg(
+          count(when(col("cid") === "q", 1)).as("ndv_q"),
+          count(when(col("cid") === "p", 1)).as("ndv_p"),
+          count(when(col("cid") === "d", 1)).as("ndv_d"))
+        val wide = li.agg(
+            count(lit(1)).as("n_rows"),
+            count(when(col("l_quantity").isNull, 1)).as("nulls_q"),
+            min(col("l_quantity")).as("min_q"), max(col("l_quantity")).as("max_q"),
+            count(when(col("l_extendedprice").isNull, 1)).as("nulls_p"),
+            min(col("l_extendedprice")).as("min_p"), max(col("l_extendedprice")).as("max_p"),
+            count(when(col("l_discount").isNull, 1)).as("nulls_d"),
+            min(col("l_discount")).as("min_d"), max(col("l_discount")).as("max_d"))
+          .crossJoin(broadcast(ndvs))
         wide.select(expr(
             """stack(3,
                'l_discount', ndv_d, nulls_d, min_d, max_d,
@@ -2083,12 +2099,15 @@ object Queries {
     "s21_chunk_retrieval" -> Q(
       (s, d) => {
         val ChunkOrdSpace = 1L << 21
+        // r15: token-array windows feed BM25 directly — the string form
+        // built chunk_text for every window only for Bm25.score to split
+        // it back (values identical; see TextOps.chunkTokenWindows)
         val chunks = graft.functions.TextOps
-          .chunkWindows(Tables.documents(s, d), "doc_id", "text", 32, 24)
+          .chunkTokenWindows(Tables.documents(s, d), "doc_id", "text", 32, 24)
           .select((col("doc_id") * ChunkOrdSpace + col("chunk_ord")).as("ck"),
-            col("chunk_text"))
+            col("chunk_toks"))
         graft.search.Bm25
-          .topK(chunks, "ck", "chunk_text", Seq("stream", "window"), 10)
+          .topKTokens(chunks, "ck", "chunk_toks", Seq("stream", "window"), 10)
           .select(expr(s"ck div $ChunkOrdSpace").cast("long").as("doc_id"),
             pmod(col("ck"), lit(ChunkOrdSpace)).cast("long").as("chunk_ord"),
             col("score"))

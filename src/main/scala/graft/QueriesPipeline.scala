@@ -3172,7 +3172,12 @@ object QueriesPipeline {
   val graph: Map[String, Q] = Map(
     "g1_pagerank" -> Q(
       (s, d) => {
+        // materialize the pair pipeline once: both symmetric-union arms
+        // consume it, and pageRank's own barrier sits ABOVE the union —
+        // without this the simhash pipeline runs twice (same trade as
+        // connectedComponents' edge cache; pair-scale blocks)
         val p = Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3)
+          .localCheckpoint()
         val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
           .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
         graft.graph.Graph.pageRank(edges, "src", "dst", PrIters, PrDamping)
@@ -3221,7 +3226,9 @@ object QueriesPipeline {
     // integer-exact, one union-merged aggregation.
     "g2_degrees" -> Q(
       (s, d) => {
+        // one materialization for both union arms (see g1)
         val p = Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3)
+          .localCheckpoint()
         val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
           .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
         graft.graph.Graph.degrees(edges, "src", "dst").orderBy(col("id"))
@@ -3670,10 +3677,12 @@ object QueriesPipeline {
         val model = graft.index.MlIndex.fitEmbedder(docs, "text", 64)
         val embedded = model.transform(docs).localCheckpoint()
         val ann = graft.index.MlIndex.fitAnn(embedded, numHashTables = 8)
-        val lshPairs = graft.index.MlIndex.approxNearDup(ann, embedded, embedded, 1.0)
-          .selectExpr("datasetA.doc_id AS id_a", "datasetB.doc_id AS id_b",
-            "round(dist, 6) AS dist")
-          .where(col("id_a") < col("id_b"))
+        // r15: approxNearDupSelf — the id-keyed restructure of MLlib's
+        // approxSimilarityJoin (same pairs, same distances; equality
+        // pinned by MlIndexFastJoinSpec against MLlib's own join)
+        val lshPairs = graft.index.MlIndex
+          .approxNearDupSelf(ann, embedded, "doc_id", 1.0)
+          .select(col("id_a"), col("id_b"), round(col("dist"), 6).as("dist"))
         // Driver-visible recall: approxSimilarityJoin post-filters its
         // candidates by TRUE distance, so lshPairs ⊆ exact pairs at the
         // same threshold — measured recall is |lsh| / |exact|, with the
@@ -3687,8 +3696,9 @@ object QueriesPipeline {
         val fb = fa.select(col("ea").as("eb"), col("va").as("vb"))
         val exactN = fa.crossJoin(fb)
           .where(col("ea") < col("eb"))
-          .where(sqrt(aggregate(zip_with(col("va"), col("vb"),
-            (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)) <= 1.0)
+          // codegen'd L2 — bit-identical to the interpreted
+          // sqrt(aggregate(zip_with((x-y)²))) fold it replaces (r15)
+          .where(graft.functions.VectorOps.l2Dist(col("va"), col("vb")) <= 1.0)
           .agg(count(lit(1)).as("__exact_n"))
         val recallDf = lshPairs.agg(count(lit(1)).as("__lsh_n"))
           .crossJoin(exactN)

@@ -54,6 +54,28 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  /** [[chunkWindows]] with the window kept as a TOKEN ARRAY
+    * (`chunk_toks`) instead of a joined string — for consumers that
+    * immediately re-tokenize (chunk-level BM25, s21): skips building the
+    * chunk string and splitting it back. Values identical: tokens are
+    * non-empty and whitespace-free, so `tokens(array_join(ts, " ")) == ts`
+    * element-for-element (r15). */
+  def chunkTokenWindows(docs: DataFrame, idCol: String, textCol: String,
+                        window: Int, stride: Int): DataFrame = {
+    require(window >= stride && stride > 0, "need window >= stride > 0")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__starts",
+        sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(stride)))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(col("__starts")).as(Seq("chunk_ord", "__st")))
+      .where(col("__st") < col("__n"))
+      .select(col(idCol),
+        col("chunk_ord").cast("long").as("chunk_ord"),
+        slice(col("__toks"), col("__st") + 1, lit(window)).as("chunk_toks"))
+  }
+
   /** Word n-gram shingles (distinct), for Jaccard/MinHash dedup.
     *
     * `toks` is let-bound through a single-element-array `transform` before

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct}
+import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, L2Distance}
 
 /** Column-level vector functions (reference §2.9: V4 cosine, V5 dot).
   *
@@ -27,6 +27,15 @@ object VectorOps {
 
   /** L2 norm of a float-array column. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Euclidean distance over two ARRAY<DOUBLE> columns — bit-identical to
+    * MLlib's `sqrt(Vectors.sqdist)` and to the interpreted
+    * `sqrt(aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)), 0.0, +))` form
+    * (same ascending-index single-accumulator order), but codegen'd. */
+  def l2Dist(a: Column, b: Column): Column =
+    ColumnBridge.column(L2Distance(
+      ColumnBridge.expression(a.cast("array<double>")),
+      ColumnBridge.expression(b.cast("array<double>"))))
 
   /** O5: symmetric int8 quantization (reference's scalar quantization,
     * `scripts/indexing.py:283-300`): scale = max|x|/127, q_i = round(x_i /

@@ -71,23 +71,36 @@ object Graph {
     val nn = nodes.agg(count(lit(1)).cast("double").as("nn"))
     val deg = barrier(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
 
-    var ranks = barrier(nodes.crossJoin(broadcast(nn))
-      .select(col("id"), round(lit(1.0) / col("nn"), 12).as("r")))
+    // Node STATICS ride the rank frame (r15, guide §2.4): outdeg, the
+    // dangling flag, and the N constant are per-node invariants — joining
+    // deg and anti-joining the dangling set EVERY round re-derived them 5×.
+    // Computed once here, they travel through each barrier as extra
+    // columns, so a round needs only: one edge⋈rank join, ONE
+    // contribution shuffle, one filter-aggregate for the dangling mass.
+    // Values are bit-identical: same rows reach the same ordered folds.
+    var ranks = barrier(nodes
+      .join(deg.select(col("src").as("id"), col("outdeg")), Seq("id"), "left")
+      .crossJoin(broadcast(nn))
+      .select(col("id"), round(lit(1.0) / col("nn"), 12).as("r"),
+        col("outdeg"), col("outdeg").isNull.as("dangling"), col("nn")))
     for (_ <- 1 to iters) {
-      val contrib = e.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst").as("id"), (col("r") / col("outdeg")).as("w"))
+      val contrib = e.join(ranks.select(col("id").as("src"),
+          (col("r") / col("outdeg")).as("w")), Seq("src"))
+        .select(col("dst").as("id"), col("w"))
         .groupBy("id")
         .agg(expr(orderedSum).as("cs"))
-      val dm = ranks.join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+      val dm = ranks.where(col("dangling"))
         .select(col("r").as("w"))
         .agg(coalesce(expr(orderedSum), lit(0.0)).as("dm"))
-      val next = barrier(nodes.join(contrib, Seq("id"), "left")
-        .crossJoin(broadcast(nn)).crossJoin(broadcast(dm))
+      val next = barrier(ranks.select(col("id"), col("outdeg"),
+          col("dangling"), col("nn"))
+        .join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dm))
         .select(col("id"),
           round(lit(1.0 - damping) / col("nn") +
             lit(damping) * (coalesce(col("cs"), lit(0.0)) + col("dm") / col("nn")),
-            12).as("r")))
+            12).as("r"),
+          col("outdeg"), col("dangling"), col("nn")))
       releaseBarrier(ranks)
       ranks = next
     }
@@ -122,11 +135,18 @@ object Graph {
     * per-node roll-up — all equi-joins on ids, everything map-side
     * combinable, integer-exact throughout. */
   def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val und = pairs.select(col(aCol).cast("long").as("u"),
-      col(bCol).cast("long").as("v"))
-    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-    val e = und
+    // The pair pipeline feeds FOUR consumers (deg, the orientation join,
+    // both closure directions) and the oriented edge list feeds the wedge
+    // self-join twice — without the barriers the (potentially expensive)
+    // upstream candidate generation re-runs per consumer (measured ~4×
+    // the pairs cost on g3 at sf0.1). Pair-scale materialization, the
+    // same trade [[graft.dedup.Dedup.connectedComponents]] documents.
+    val und = barrier(pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v")))
+    val deg = barrier(
+      und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg")))
+    val e = barrier(und
       .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
       .select(
@@ -134,7 +154,7 @@ object Graph {
              (col("du") === col("dv") && col("u") < col("v")),
           struct(col("u").as("s"), col("v").as("t")))
           .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("o"))
-      .select(col("o.s").as("s"), col("o.t").as("t"))
+      .select(col("o.s").as("s"), col("o.t").as("t")))
     val wedges = e.select(col("s"), col("t").as("t1"))
       .join(e.select(col("s"), col("t").as("t2")), Seq("s"))
       .where(col("t1") < col("t2"))

@@ -51,6 +51,50 @@ object MlIndex {
                     a: DataFrame, b: DataFrame, maxDistance: Double): DataFrame =
     ann.approxSimilarityJoin(a, b, maxDistance, "dist").toDF()
 
+  /** [[approxNearDup]]'s SELF-join, restructured for the engine
+    * (guide §2.3/§8 shape, r15): MLlib's `approxSimilarityJoin` shuffles
+    * the full row struct — text, tf-idf, features, hash vectors — through
+    * its candidate `distinct()`, then scores with a row-at-a-time UDF.
+    * Here candidates dedup on (id_a, id_b) ALONE (the ids determine the
+    * rows), features re-attach after the dedup, and the distance is the
+    * codegen'd [[graft.functions.VectorOps.l2Dist]] — bit-identical to
+    * MLlib's `sqrt(Vectors.sqdist)` (same ascending-index accumulation).
+    * Pair set is identical by construction: same model, same `transform`
+    * hashes, same (table-index, hash-value) bucket equi-join, same strict
+    * `dist < maxDistance` post-filter; only `id_a < id_b` ordered pairs
+    * are produced (the only ones x2 keeps). MlIndexFastJoinSpec pins
+    * equality against MLlib's own join.
+    *
+    * Returns (id_a, id_b, dist), order unspecified. */
+  def approxNearDupSelf(ann: BucketedRandomProjectionLSHModel,
+                        embedded: DataFrame, idCol: String,
+                        maxDistance: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hashed = ann.transform(embedded)
+    // one row per (doc, hash table): the BRP hash entry is a 1-element
+    // vector; its scalar is the bucket id the MLlib join keys on
+    val ex = hashed
+      .select(col(idCol).as("id"),
+        posexplode(col("__hashes")).as(Seq("entry", "hv")))
+      .select(col("id"), col("entry"),
+        org.apache.spark.ml.functions.vector_to_array(col("hv"))
+          .getItem(0).as("hv0"))
+    val cand = ex.select(col("id").as("id_a"), col("entry"), col("hv0"))
+      .join(ex.select(col("id").as("id_b"), col("entry"), col("hv0")),
+        Seq("entry", "hv0"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val feats = hashed.select(col(idCol).as("id"),
+      org.apache.spark.ml.functions.vector_to_array(col("features")).as("f"))
+    cand
+      .join(feats.select(col("id").as("id_a"), col("f").as("fa")), Seq("id_a"))
+      .join(feats.select(col("id").as("id_b"), col("f").as("fb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorOps.l2Dist(col("fa"), col("fb")).as("dist"))
+      .where(col("dist") < maxDistance)
+  }
+
   /** IVF centroid training: k-means over the embedded vectors (the proper
     * index-build for `graft.search.Ann` — the oracle-checked queries use
     * fixed stored vectors as centroids for determinism; a real deployment

@@ -85,17 +85,16 @@ object Multimodal {
     * float vector — the STAND-IN embedding for multimodal retrieval (a
     * real deployment replaces this Column with a model call in the
     * decode stage; everything downstream — ANN, dedup, fusion — is
-    * embedding-agnostic and unchanged). Pure Column expressions: hex the
-    * payload once, count each hex digit via length-after-translate —
-    * 16 codegen'd scalar ops, no UDF, no shuffle, reproducible on any
-    * engine. */
-  def byteHistogram(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val hx = hex(payload)
-    val bins = "0123456789ABCDEF".map { c =>
-      (length(hx) - length(translate(hx, c.toString, ""))).cast("double")
-    }
-    array(bins: _*).cast("array<float>")
-  }
+    * embedding-agnostic and unchanged). A single codegen'd pass over the
+    * raw bytes ([[org.apache.spark.sql.graft.NibbleHistogram]]): hex(p)
+    * has one char per nibble, so per-hex-char counts ARE per-nibble
+    * counts — value-identical to counting the hex string, without
+    * materializing it 16× via length-after-translate. No UDF, no
+    * shuffle, reproducible on any engine. */
+  def byteHistogram(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.NibbleHistogram(
+        org.apache.spark.sql.graft.ColumnBridge.expression(payload)))
 
   /** Deterministic frame sampling for video payloads: n evenly spaced
     * byte windows across the WHOLE payload — frame i starts at byte

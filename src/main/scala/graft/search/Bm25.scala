@@ -25,9 +25,17 @@ object Bm25 {
     * Output: (idCol, score double rounded to 6dp), one row per doc that
     * matches at least one term. */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            terms: Seq[String]): DataFrame = {
+            terms: Seq[String]): DataFrame =
+    scoreTokens(docs.select(col(idCol),
+      TextOps.tokens(col(textCol)).as("__toks")), idCol, "__toks", terms)
+
+  /** [[score]] over a PRE-TOKENIZED table (idCol, toksCol) — for callers
+    * whose rows are already token arrays (chunk windows): skips the
+    * join-to-string/re-split round trip. Same expressions, same values. */
+  def scoreTokens(docs: DataFrame, idCol: String, toksCol: String,
+                  terms: Seq[String]): DataFrame = {
     val base = docs
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col(toksCol).as("toks"))
       .withColumn("dl", size(col("toks")))
 
     // 1-row corpus stats, broadcast to every score computation.
@@ -61,6 +69,13 @@ object Bm25 {
   def topK(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k: Int): DataFrame =
     score(docs, idCol, textCol, terms)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
+  /** [[topK]] over a pre-tokenized table (see [[scoreTokens]]). */
+  def topKTokens(docs: DataFrame, idCol: String, toksCol: String,
+                 terms: Seq[String], k: Int): DataFrame =
+    scoreTokens(docs, idCol, toksCol, terms)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 

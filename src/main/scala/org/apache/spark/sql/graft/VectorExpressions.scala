@@ -123,3 +123,58 @@ case class DotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
+
+/** Codegen'd Euclidean distance over two `ARRAY<DOUBLE>` columns.
+  *
+  * Accumulation order matches both MLlib's `Vectors.sqdist` (ascending
+  * index, one running double) and the `sqrt(aggregate(zip_with(a, b,
+  * (x,y) => (x-y)*(x-y)), 0.0, +))` higher-order form — so swapping either
+  * for this expression is bit-identical, just inside whole-stage codegen
+  * instead of interpreted lambda evaluation. */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2_distance"
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val dd = ctx.freshName("dd")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $dd = $a.getDouble($i) - $b.getDouble($i);
+         |    $s += $dd * $dd;
+         |  }
+         |  ${ev.value} = java.lang.Math.sqrt($s);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Distance =
+    copy(left = newLeft, right = newRight)
+}
