@@ -610,22 +610,24 @@ object Dedup {
     * useless full range-exchange; callers that need an ordering sort at
     * the query edge (d4 does). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = docs
-      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
-      .groupBy(col(idCol), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("hv", HashOps.tokenHash32(col("tok")))
-    // 32 static vote sums in ONE aggregation: a single shuffle per doc with
-    // full map-side partial aggregation (vs exploding 32 bit-rows per token).
-    val voteAggs = (0 until 32).map { bi =>
-      sum(col("tf") *
-        (shiftright(col("hv"), bi).bitwiseAND(lit(1L)) * 2 - 1)).as(s"v$bi")
-    }
-    val votes = tf.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
-    val assembled = (0 until 32)
-      .map(bi => when(col(s"v$bi") > 0, lit(1L << bi)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    votes.select(col(idCol), assembled.as("simhash"))
+    // SimHash is a pure per-document function of the token multiset, and
+    // the tf weighting collapses into per-instance ±1 votes (integer
+    // addition groups identical addends for free) — so the whole
+    // signature is ONE codegen'd expression per row, ZERO shuffles,
+    // where the aggregate formulation exploded corpus tokens through two
+    // exchanges (explode → groupBy(id, tok) → 32-vote groupBy(id)). The
+    // r15 spec pins bit-equality against that formulation, tf weighting
+    // included. Empty/null-token docs are filtered to keep the aggregate
+    // row set (they produced no vote rows there).
+    val toks = TextOps.tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col(idCol),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.graft.SimHash32(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("__toks"))))
+          .as("simhash"))
   }
 
   /** Sub-document (passage-level) exact dedup, CCNet-style: documents are
@@ -646,16 +648,31 @@ object Dedup {
     * times ships one row per map task — no window, no single hot
     * partition, no salting needed.
     */
+  /** (doc_id, ci, ct): fixed `chunkSize`-token chunks of every doc, built
+    * PER ROW (r15). Chunking is a pure function of one document's token
+    * array, so the old shape — posexplode every token corpus-wide, then
+    * groupBy(doc, ci) re-assembling each chunk through an
+    * array_sort(collect_list(struct)) — paid a full token-level shuffle
+    * for values a slice of the staged array produces in place. Same
+    * values (tokens rejoin in position order, single spaces); same row
+    * set (zero-token docs had no token rows, the sentinel start is
+    * filtered exactly like chunkWindows'). */
+  private def chunkRows(docs: DataFrame, chunkSize: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t != '')").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__cis",
+        expr(s"sequence(0L, greatest(cast(__n - 1 as bigint), 0L) div $chunkSize)"))
+      .select(col("doc_id"), col("__toks"), col("__n"),
+        explode(col("__cis")).as("ci"))
+      .where(col("ci") * chunkSize < col("__n"))
+      .select(col("doc_id"), col("ci"),
+        array_join(slice(col("__toks"),
+          (col("ci") * chunkSize).cast("int") + 1, lit(chunkSize)), " ").as("ct"))
+
   def chunkDedup(docs: DataFrame, chunkSize: Int = 4): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      posexplode(expr("filter(split(text, ' '), t -> t != '')")))
-      .toDF("doc_id", "pos", "tok")
-    val chunks = toks
-      .withColumn("ci", expr(s"pos div $chunkSize").cast("long"))
-      .groupBy("doc_id", "ci")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-          _.getField("tok")), " ").as("ct"))
+    val chunks = chunkRows(docs, chunkSize)
     // Keeper election as a MIN-aggregate, not a window: min(struct(doc_id,
     // ci)) per chunk text is the same "first occurrence" rule as
     // row_number()=1 ordered by (doc_id, ci), but hash aggregation
@@ -705,15 +722,7 @@ object Dedup {
     */
   def boilerplateStrip(docs: DataFrame, chunkSize: Int = 4,
                        maxDocs: Int = 2): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      posexplode(expr("filter(split(text, ' '), t -> t != '')")))
-      .toDF("doc_id", "pos", "tok")
-    val chunks = toks
-      .withColumn("ci", expr(s"pos div $chunkSize").cast("long"))
-      .groupBy("doc_id", "ci")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-          _.getField("tok")), " ").as("ct"))
+    val chunks = chunkRows(docs, chunkSize)
     val verdicts = chunks.groupBy("ct")
       .agg((countDistinct(col("doc_id")) >= maxDocs).as("boiler"))
     chunks.join(verdicts, Seq("ct"))
@@ -825,20 +834,21 @@ object Dedup {
     * pipeline behind [[winnowedFingerprints]] and [[winnowingPairs]]. */
   private def winnowArrays(docs: DataFrame, idCol: String, textCol: String,
                            k: Int, w: Int): DataFrame =
+    // One codegen'd pass per row (r15): the interpreted transform/slice
+    // chain built one md5 per k-gram via concat_ws and COPIED a w-element
+    // array per window (array_min(slice(...))), all outside whole-stage
+    // codegen. WinnowFingerprints computes the same gram hashes, window
+    // minima and sort/distinct in a single expression — bit-equality
+    // pinned by SimHashExprSpec. n_windows = (n-k+1)-w+1 = n-(k+w-2).
     docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= k + w - 1)
-      .select(col(idCol), transform(
-          sequence(lit(0), size(col("__toks")) - k),
-          i => HashOps.tokenHash32(concat_ws(" ",
-            (1 to k).map(j => element_at(col("__toks"), i + j)): _*)))
-        .as("__hs"))
-      .select(col(idCol), transform(
-          sequence(lit(0), size(col("__hs")) - w),
-          i => array_min(slice(col("__hs"), i + 1, lit(w))))
-        .as("__mins"))
-      .select(col(idCol), size(col("__mins")).cast("long").as("n_windows"),
-        array_sort(array_distinct(col("__mins"))).as("__fps"))
+      .select(col(idCol),
+        (size(col("__toks")) - (k + w - 2)).cast("long").as("n_windows"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.graft.WinnowFingerprints(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("__toks")),
+            k, w)).as("__fps"))
 
   /** Observed-metrics name for [[winnowingPairs]] bucket truncation —
     * same alarm discipline as [[BucketStatsMetric]], distinct name so

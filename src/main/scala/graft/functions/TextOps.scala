@@ -88,12 +88,16 @@ object TextOps {
     * it to a lambda variable evaluates it exactly once per row regardless
     * of what the caller passes. */
   def shingles(toks: Column, n: Int): Column =
-    element_at(transform(array(toks), t => {
-      val grams = transform(
-        sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", (1 to n).map(j => element_at(t, i + j)): _*))
-      when(size(t) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
-    }), 1)
+    // One codegen'd pass per row (r15): the interpreted let-bound
+    // transform chain evaluated one lambda + one n-way concat tree per
+    // gram. Values identical (first-occurrence distinct order, single-
+    // space joins; equality pinned by SimHashExprSpec); the coalesce
+    // reproduces the old when/otherwise null→empty semantics.
+    coalesce(
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        org.apache.spark.sql.graft.Shingles(
+          org.apache.spark.sql.graft.ColumnBridge.expression(toks), n)),
+      array().cast("array<string>"))
 
   /** Fixed per-language marker lexicons for the n-gram-free heuristic
     * language-ID. Deterministic and oracle-expressible: score = number of
